@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One registered engine query: a Spark-native implementation plus (where
+  * SQL-expressible) a DuckDB oracle equivalent over the same parquet tables.
+  *
+  * The harness contract (see /root/repo/SURVEY.md §2 "Key" column): every
+  * operator the engine claims is registered here so the driver can
+  * hash-compare the Spark result against DuckDB at sf0.01.
+  */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    /** headline queries are also timed by Bench */
+    bench: Boolean = false)
+
+object Registry {
+  lazy val all: Seq[Q] =
+    operators.Validation.queries ++
+      operators.Kpis.queries ++
+      operators.Dedup.queries ++
+      operators.Similarity.queries ++
+      operators.TextAnalysis.queries ++
+      operators.Multimodal.queries
+
+  lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
+}

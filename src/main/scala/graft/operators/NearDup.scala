@@ -1,0 +1,237 @@
+package graft.operators
+
+import graft.Q
+import graft.functions.Rounding.{roundN, roundNSql}
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection over `documents`: MinHash+LSH banding, SimHash,
+  * and n-gram Jaccard verification (embedding-cosine near-dup lives in
+  * Similarity.scala).
+  *
+  * Portability contract: every hash derives from md5 hex strings, which
+  * DuckDB computes identically, so each pipeline (shingle -> minhash ->
+  * band -> bucket-join -> verify) is oracle-checkable end to end. A
+  * fixed-length hex string's lexicographic order equals its numeric order,
+  * so `min(md5(...))` IS a minhash; `conv(hex15, 16, 10)` (Spark) and
+  * `('0x' || hex15)::BIGINT` (DuckDB) give identical 60-bit SimHash words.
+  *
+  * Scale notes (100 TB):
+  *  - Candidate generation never goes quadratic: docs meet only inside an
+  *    LSH band bucket (explode NumBands rows/doc, shuffle on the 16-byte
+  *    band key). Shingle sets are joined back only for candidate pairs, so
+  *    the verify stage is O(candidates), not O(n^2).
+  *  - SimHash pair search blocks on 4x15-bit signature chunks: pigeonhole
+  *    guarantees any pair at hamming distance <= 3 shares one exact chunk,
+  *    so the blocked plan is lossless for the threshold while joining on a
+  *    15-bit key instead of all pairs.
+  */
+object NearDup {
+
+  val NumHashes = 8
+  val BandSize = 2
+  val NumBands: Int = NumHashes / BandSize // 4
+  val JaccardThreshold = 0.5
+  val HammingThreshold = 3 // <= NumChunks - 1, keeps chunk blocking lossless
+  val NumChunks = 4
+  val ChunkBits = 15
+
+  import TextAnalysis.{normSql, normText}
+
+  // ---------------------------------------------------------------- shingles
+
+  /** Distinct word 3-gram shingles over pre-projected `norm`/`w` attribute
+    * columns. Referencing attributes (not expression subtrees) inside the
+    * lambda is load-bearing for performance: inlining `split(regexp(...))`
+    * into each element_at would re-normalize and re-split the document once
+    * PER SHINGLE (quadratic per row — measured 13s for 5k docs). */
+  private def shinglesFromWords: Column = {
+    val w = col("w")
+    when(size(w) < 3, array(col("norm"))).otherwise(
+      array_distinct(transform(sequence(lit(0), size(w) - 3), i =>
+        concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3)))))
+  }
+
+  /** (doc_id, sh) — each doc's distinct shingle set, staged so normalize
+    * and split run once per row. */
+  def shingleTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), normText(col("text")).as("norm"))
+      .select(col("doc_id"), col("norm"), split(col("norm"), " ").as("w"))
+      .select(col("doc_id"), shinglesFromWords.as("sh"))
+
+  val shinglesSql: String = {
+    val w = s"string_split($normSql, ' ')"
+    s"""CASE WHEN len($w) < 3 THEN [$normSql]
+       |ELSE list_distinct(list_transform(range(0, len($w) - 2), i ->
+       |  concat_ws(' ', ($w)[i+1], ($w)[i+2], ($w)[i+3]))) END""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- minhash
+
+  /** k-th minhash: min over shingles of md5 seeded by k. */
+  private def minhash(sh: Column, k: Int): Column =
+    array_min(transform(sh, s => md5(concat(lit(s"$k:"), s))))
+  private def minhashSql(k: Int) =
+    s"list_min(list_transform(sh, s -> md5('$k:' || s)))"
+
+  /** Per-document MinHash signature (one hex column per hash function);
+    * built over the staged shingle table so the shingle set is computed
+    * once, not once per hash function. */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    shingleTable(spark, dir).select(
+      col("doc_id") +: (0 until NumHashes).map(k => minhash(col("sh"), k).as(s"mh_$k")): _*)
+
+  private val minhashSigSql =
+    s"""WITH s AS (SELECT doc_id, $shinglesSql AS sh FROM documents)
+       |SELECT doc_id, ${(0 until NumHashes).map(k => s"${minhashSql(k)} AS mh_$k").mkString(", ")}
+       |FROM s""".stripMargin
+
+  /** Shared Jaccard verify: join candidate id pairs back to shingle sets,
+    * compute |A∩B| / (|A| + |B| - |A∩B|), keep pairs above the threshold. */
+  private def verifyJaccard(cand: DataFrame, shingleTbl: DataFrame): DataFrame = {
+    val sa = shingleTbl.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val sb = shingleTbl.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    cand.join(sa, "id_a").join(sb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        roundN(inter / (size(col("sh_a")) + size(col("sh_b")) - inter), 4).as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+  }
+
+  private def jaccardVerifySql(candCte: String) =
+    s"""j AS (SELECT id_a, id_b,
+       |        ${roundNSql(
+            """CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+              |              (len(sa.sh) + len(sb.sh) - CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE))""".stripMargin, 4)} AS jaccard
+       |      FROM $candCte c JOIN s sa ON sa.doc_id = c.id_a JOIN s sb ON sb.doc_id = c.id_b)
+       |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= $JaccardThreshold""".stripMargin
+
+  /** MinHash-LSH near-dup pairs: band-bucket candidates + Jaccard verify.
+    * The per-doc shingle table is persisted: it feeds signature generation
+    * AND both sides of the verify join, and it is tiny relative to the
+    * corpus (ids + shingle arrays), so at cluster scale this is the
+    * standard "materialize features once" step, not a luxury. */
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val shingleTbl = shingleTable(spark, dir).persist()
+    val sig = shingleTbl.select(
+      col("doc_id") +: (0 until NumHashes).map(k => minhash(col("sh"), k).as(s"mh_$k")): _*)
+    val bands = array((0 until NumBands).map { b =>
+      md5(concat((b * BandSize until (b + 1) * BandSize).map(k => col(s"mh_$k")): _*))
+    }: _*)
+    val banded = sig.select(col("doc_id"), explode(bands).as("band")).persist()
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    val cand = a.join(b, col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    verifyJaccard(cand, shingleTbl)
+  }
+
+  private val minhashPairsSql = {
+    val mhs = (0 until NumHashes).map(k => s"${minhashSql(k)} AS mh_$k").mkString(", ")
+    val bandList = (0 until NumBands).map { b =>
+      val parts = (b * BandSize until (b + 1) * BandSize).map(k => s"mh_$k")
+      s"md5(${parts.mkString(" || ")})"
+    }.mkString("[", ", ", "]")
+    s"""WITH s AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
+       |m AS (SELECT doc_id, $mhs FROM s),
+       |b AS (SELECT doc_id, unnest($bandList) AS band FROM m),
+       |c AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+       |      FROM b a JOIN b b2 ON a.band = b2.band AND a.doc_id < b2.doc_id),
+       |${jaccardVerifySql("c")}""".stripMargin
+  }
+
+  /** n-gram Jaccard dedup with single-fingerprint blocking: candidates share
+    * their minimum shingle hash (1-hash MinHash blocking), then exact
+    * Jaccard verify. The cheap cousin of full LSH for shard-local passes. */
+  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val shingleTbl = shingleTable(spark, dir).persist()
+    val keyed = shingleTbl.select(col("doc_id"),
+      array_min(transform(col("sh"), s => md5(s))).as("blk")).persist()
+    val a = keyed.alias("a")
+    val b = keyed.alias("b")
+    val cand = a.join(b, col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    verifyJaccard(cand, shingleTbl)
+  }
+
+  private val ngramJaccardSql =
+    s"""WITH s AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
+       |k AS (SELECT doc_id, list_min(list_transform(sh, x -> md5(x))) AS blk FROM s),
+       |c AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |      FROM k a JOIN k b ON a.blk = b.blk AND a.doc_id < b.doc_id),
+       |${jaccardVerifySql("c")}""".stripMargin
+
+  // ---------------------------------------------------------------- simhash
+
+  /** Per-word 60-bit hashes (md5-derived, tf-weighted via duplicates). */
+  private def wordHashes(c: Column): Column =
+    transform(split(normText(c), " "), t =>
+      conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+
+  private val wordHashesSql =
+    s"list_transform(string_split($normSql, ' '), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT)"
+
+  /** 60-bit SimHash: majority vote per bit position over word hashes. */
+  def simhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val votes = transform(sequence(lit(0), lit(59)), i =>
+      aggregate(col("hs"), lit(0L), (acc, h) =>
+        acc + (call_function("shiftright", h, i).bitwiseAND(lit(1L)) * 2 - 1)))
+    val simhash = aggregate(sequence(lit(0), lit(59)), lit(0L), (acc, i) =>
+      acc + when(element_at(col("votes"), i + 1) > 0,
+        call_function("shiftleft", lit(1L), i)).otherwise(lit(0L)))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), wordHashes(col("text")).as("hs"))
+      .select(col("doc_id"), votes.as("votes"))
+      .select(col("doc_id"), simhash.as("simhash"))
+  }
+
+  private val simhashSigSql =
+    s"""WITH h AS (SELECT doc_id, $wordHashesSql AS hs FROM documents),
+       |v AS (SELECT doc_id, list_transform(range(0, 60), i ->
+       |        CASE WHEN list_sum(list_transform(hs, x -> ((x >> i) & 1) * 2 - 1)) > 0
+       |             THEN (1::BIGINT << i) ELSE 0::BIGINT END) AS bits FROM h)
+       |SELECT doc_id, CAST(list_sum(bits) AS BIGINT) AS simhash FROM v""".stripMargin
+
+  /** SimHash near-dup pairs at hamming <= HammingThreshold, found via
+    * lossless 15-bit chunk blocking (never all-pairs). */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sig = simhashSignatures(spark, dir)
+    val chunks = array((0 until NumChunks).map { ch =>
+      struct(lit(ch).as("c"),
+        shiftright(col("simhash"), ch * ChunkBits).bitwiseAND(lit((1L << ChunkBits) - 1)).as("v"))
+    }: _*)
+    val blocked = sig.select(col("doc_id"), col("simhash"), explode(chunks).as("chunk")).persist()
+    val a = blocked.alias("a")
+    val b = blocked.alias("b")
+    a.join(b, col("a.chunk") === col("b.chunk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= HammingThreshold)
+  }
+
+  /** Oracle does the plain all-pairs form — identical output, since chunk
+    * blocking is lossless for hamming <= NumChunks - 1. */
+  private val simhashPairsSql =
+    s"""WITH h AS (SELECT doc_id, $wordHashesSql AS hs FROM documents),
+       |v AS (SELECT doc_id, list_transform(range(0, 60), i ->
+       |        CASE WHEN list_sum(list_transform(hs, x -> ((x >> i) & 1) * 2 - 1)) > 0
+       |             THEN (1::BIGINT << i) ELSE 0::BIGINT END) AS bits FROM h),
+       |g AS (SELECT doc_id, CAST(list_sum(bits) AS BIGINT) AS simhash FROM v)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |       bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |FROM g a JOIN g b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingThreshold""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    Q("q_dedup_minhash_sig", minhashSignatures, Some(minhashSigSql)),
+    Q("q_dedup_minhash_lsh", minhashPairs, Some(minhashPairsSql), bench = true),
+    Q("q_dedup_ngram_jaccard", ngramJaccardPairs, Some(ngramJaccardSql)),
+    Q("q_dedup_simhash_sig", simhashSignatures, Some(simhashSigSql)),
+    Q("q_dedup_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
+  )
+}

@@ -1,0 +1,156 @@
+package graft.operators
+
+import graft.Q
+import graft.functions.Rounding.{roundN, roundNSql}
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`Array[Float]` column):
+  * brute-force cosine top-k as the correctness baseline, and a
+  * random-hyperplane LSH-bucketed variant as the scale path. Embedding
+  * near-dup pairs (cosine above threshold) ride the same bucketing.
+  *
+  * Numeric portability: float components are cast to double BEFORE any
+  * arithmetic (float->double is exact), dot products are sequential
+  * left-folds in both engines, and similarity is rounded to 6 decimals
+  * before it is used as a sort key or threshold, so Spark and the DuckDB
+  * oracle order identically.
+  *
+  * Scale notes (100 TB):
+  *  - Brute force is O(queries x corpus) — correct baseline, never the
+  *    plan at scale. The LSH variant hashes every vector into one of
+  *    2^NumPlanes sign buckets; queries only meet candidates inside their
+  *    bucket, so the join key is a small int and the per-bucket work is
+  *    corpus/2^planes. More planes => cheaper + lower recall; recall is
+  *    recovered at scale by multi-probe (flip one sign bit) without
+  *    changing the plan shape.
+  *  - Norms are computed once per vector (projected before the join), not
+  *    per pair.
+  *  - The hyperplanes are +-1 vectors derived from md5 — deterministic,
+  *    shipped as literals into both engines, no fit/train step, no
+  *    driver-side state.
+  */
+object Similarity {
+
+  val Dim = 64
+  val NumPlanes = 4
+  val TopK = 5
+  val QueryStride = 50 // vec_id % stride == 0 are the query vectors
+  val NearDupCos = 0.15 // synthetic embeddings are near-orthogonal; see spec
+
+  /** Deterministic +-1 hyperplane components: sign of md5("p:d") nibble. */
+  val planes: IndexedSeq[IndexedSeq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until NumPlanes).map { p =>
+      (0 until Dim).map { d =>
+        val h = md.digest(s"$p:$d".getBytes("UTF-8"))
+        if ((h(0) & 0xff) < 128) 1.0 else -1.0
+      }
+    }
+  }
+
+  private def vecD: Column = col("embedding").cast("array<double>")
+
+  /** Sequential left-fold dot product of two double arrays. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  private def dotLit(a: Column, plane: IndexedSeq[Double]): Column =
+    aggregate(zip_with(a, lit(plane.toArray), (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** (vec_id, v, norm) projection — norms computed once per vector. */
+  private def vectors(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).select(
+      col("vec_id"), vecD.as("v"), sqrt(dot(vecD, vecD)).as("nrm"))
+
+  private val vectorsSql =
+    """SELECT vec_id, embedding::DOUBLE[] AS v,
+      |  sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+      |    i -> (embedding::DOUBLE[])[i] * (embedding::DOUBLE[])[i]))) AS nrm
+      |FROM embeddings""".stripMargin
+
+  private val dotSql = "list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i]))"
+
+  /** LSH sign bucket: bit p set iff dot(v, plane_p) > 0. */
+  private def bucket(v: Column): Column =
+    (0 until NumPlanes).map { p =>
+      when(dotLit(v, planes(p)) > 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  private val bucketSql: String = {
+    def planeLit(p: Int) = planes(p).map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+    (0 until NumPlanes).map { p =>
+      s"""(CASE WHEN list_sum(list_transform(range(1, ${Dim + 1}), i -> v[i] * (${planeLit(p)}::DOUBLE[])[i])) > 0 THEN ${1 << p} ELSE 0 END)"""
+    }.mkString(" + ")
+  }
+
+  private def cosine: Column = roundN(dot(col("q.v"), col("c.v")) / (col("q.nrm") * col("c.nrm")), 6)
+  private val cosineSql = roundNSql(s"$dotSql / (q.nrm * c.nrm)", 6)
+
+  /** Brute-force cosine top-k: every query vector against the full corpus. */
+  def knnBrute(spark: SparkSession, dir: String): DataFrame = {
+    // persisted: both sides of the self-join read the same projection
+    val vecs = vectors(spark, dir).persist()
+    val q = vecs.filter(col("vec_id") % QueryStride === 0).alias("q")
+    val c = vecs.alias("c")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    q.join(c, col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"), cosine.as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+  }
+
+  private val knnBruteSql =
+    s"""WITH vecs AS ($vectorsSql)
+       |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $cosineSql AS sim,
+       |  CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY $cosineSql DESC, c.vec_id) AS INT) AS rank
+       |FROM vecs q JOIN vecs c ON q.vec_id != c.vec_id
+       |WHERE q.vec_id % $QueryStride = 0
+       |QUALIFY rank <= $TopK""".stripMargin
+
+  /** LSH-bucketed ANN: queries meet only candidates in their sign bucket. */
+  def knnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = vectors(spark, dir).withColumn("bkt", bucket(col("v"))).persist()
+    val q = vecs.filter(col("vec_id") % QueryStride === 0).alias("q")
+    val c = vecs.alias("c")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    q.join(c, col("q.bkt") === col("c.bkt") && col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"), cosine.as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+  }
+
+  private val knnLshSql =
+    s"""WITH v0 AS ($vectorsSql),
+       |vecs AS (SELECT vec_id, v, nrm, $bucketSql AS bkt FROM v0)
+       |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $cosineSql AS sim,
+       |  CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY $cosineSql DESC, c.vec_id) AS INT) AS rank
+       |FROM vecs q JOIN vecs c ON q.bkt = c.bkt AND q.vec_id != c.vec_id
+       |WHERE q.vec_id % $QueryStride = 0
+       |QUALIFY rank <= $TopK""".stripMargin
+
+  /** Embedding-cosine near-dup pairs, blocked by the same LSH buckets. */
+  def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = vectors(spark, dir).withColumn("bkt", bucket(col("v"))).persist()
+    val q = vecs.alias("q")
+    val c = vecs.alias("c")
+    q.join(c, col("q.bkt") === col("c.bkt") && col("q.vec_id") < col("c.vec_id"))
+      .select(col("q.vec_id").as("id_a"), col("c.vec_id").as("id_b"), cosine.as("sim"))
+      .filter(col("sim") >= NearDupCos)
+  }
+
+  private val embedNearDupSql =
+    s"""WITH v0 AS ($vectorsSql),
+       |vecs AS (SELECT vec_id, v, nrm, $bucketSql AS bkt FROM v0)
+       |SELECT q.vec_id AS id_a, c.vec_id AS id_b, $cosineSql AS sim
+       |FROM vecs q JOIN vecs c ON q.bkt = c.bkt AND q.vec_id < c.vec_id
+       |WHERE $cosineSql >= $NearDupCos""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    Q("q_sim_knn_brute", knnBrute, Some(knnBruteSql), bench = true),
+    Q("q_sim_knn_lsh", knnLsh, Some(knnLshSql), bench = true),
+    Q("q_dedup_embed_cos", embedNearDup, Some(embedNearDupSql)),
+  )
+}

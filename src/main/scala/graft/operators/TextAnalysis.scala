@@ -1,0 +1,149 @@
+package graft.operators
+
+import graft.Q
+import graft.functions.Rounding.{roundN, roundNSql}
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents` (LLM-data-pipeline extensions):
+  * token counting, quality scoring, language-ID heuristic, fingerprinting.
+  *
+  * Every function is built from codegen-friendly `functions._` expressions
+  * whose semantics are identical in DuckDB, so each query carries a full
+  * oracle. At 100 TB these are embarrassingly parallel per-row maps — no
+  * shuffle at all (narrow transformations over the parquet scan), so the
+  * plans scale linearly with input splits.
+  */
+object TextAnalysis {
+
+  /** lower-case + collapse runs of whitespace — shared normalizer. */
+  def normText(c: Column): Column = regexp_replace(lower(trim(c)), "\\s+", " ")
+  val normSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+  /** documents + staged `norm` and `w` (word array) columns. Staging matters:
+    * downstream expressions reference the attributes, so normalize+split run
+    * once per row instead of once per use site (or per array element when
+    * the subtree lands inside a lambda). */
+  private def withWords(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("norm", normText(col("text")))
+      .withColumn("w", split(col("norm"), " "))
+
+  private val stopwords = Seq("the", "a", "an", "and", "of", "to", "in", "is", "on", "for")
+  private val stopSqlList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** Whitespace token count + char count per document. */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    withWords(spark, dir).select(
+      col("doc_id"),
+      size(col("w")).as("n_tokens"),
+      length(col("text")).as("n_chars_computed"))
+
+  /** Quality scoring: length/stopword/avg-token-length signals.
+    * Ratios keep one fixed operation order (count / count, then round) so the
+    * oracle reproduces them bit-for-bit. */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    val w = col("w")
+    val nTok = size(w)
+    val nStop = size(filter(w, t => t.isInCollection(stopwords)))
+    val nWordChars = length(regexp_replace(col("norm"), " ", ""))
+    withWords(spark, dir).select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      nTok.as("n_tokens"),
+      nStop.as("n_stopwords"),
+      roundN(nStop / nTok.cast("double") * 100, 4).as("stopword_pct"),
+      roundN(nWordChars / nTok.cast("double"), 4).as("avg_token_len"),
+      (nTok >= 10 && nStop > 0).as("passes_quality"))
+  }
+
+  /** Language-ID n-gram/marker heuristic: count marker-word hits per
+    * language, argmax with a fixed tie-break order (en,de,fr,es,zh). */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "und", "ist", "nicht"),
+    "fr" -> Seq("le", "la", "et", "les", "est"),
+    "es" -> Seq("el", "los", "las", "es", "una"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    // stage 1: one score column per language (each a single filter pass)
+    val scored = withWords(spark, dir).select(
+      col("doc_id") +: col("lang") +: markers.map { case (l, ms) =>
+        size(filter(col("w"), t => t.isInCollection(ms))).as(s"score_$l")
+      }: _*)
+    // stage 2: argmax over the score ATTRIBUTES with fixed tie-break order
+    val best = markers.map(_._1).foldRight(lit("und")) { case (lang, elseCol) =>
+      val others = markers.map(_._1).filter(_ != lang)
+      when(col(s"score_$lang") > 0 &&
+          others.map(o => col(s"score_$lang") >= col(s"score_$o")).reduce(_ && _),
+        lit(lang)).otherwise(elseCol)
+    }
+    scored.select(
+      col("doc_id") +: markers.map(m => col(s"score_${m._1}")) :+
+        best.as("predicted_lang") :+
+        (best === col("lang")).as("matches_label"): _*)
+  }
+
+  private val langIdSql: String = {
+    def scoreSql(ms: Seq[String]) = {
+      val lst = ms.map(m => s"'$m'").mkString("[", ", ", "]")
+      s"len(list_filter(string_split($normSql, ' '), t -> list_contains($lst, t)))"
+    }
+    val scores = markers.map { case (l, ms) => l -> scoreSql(ms) }
+    val scoreCols = scores.map { case (l, s) => s"$s AS score_$l" }.mkString(",\n  ")
+    val best = markers.map(_._1).foldRight("'und'") { case (lang, elseSql) =>
+      val others = markers.map(_._1).filter(_ != lang)
+      val geAll = others.map(o => s"score_$lang >= score_$o").mkString(" AND ")
+      s"CASE WHEN score_$lang > 0 AND $geAll THEN '$lang' ELSE $elseSql END"
+    }
+    s"""WITH s AS (SELECT doc_id, lang, $scoreCols FROM documents)
+       |SELECT doc_id, ${markers.map(m => "score_" + m._1).mkString(", ")},
+       |  $best AS predicted_lang,
+       |  ($best) = lang AS matches_label
+       |FROM s""".stripMargin
+  }
+
+  /** Document fingerprints: content md5 + a winnowing-style rolling-window
+    * min-hash over word 4-grams (the scale path for shard-local near-dup
+    * candidate generation). */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val w = col("w")
+    val grams = transform(sequence(lit(0), size(w) - 4), i =>
+      md5(concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2),
+        element_at(w, i + 3), element_at(w, i + 4))))
+    withWords(spark, dir).select(
+      col("doc_id"),
+      md5(col("norm")).as("fp_content"),
+      when(size(w) < 4, md5(col("norm")))
+        .otherwise(array_min(grams)).as("fp_winnow"))
+  }
+
+  private val fingerprintSql =
+    s"""WITH s AS (SELECT doc_id, $normSql AS norm,
+       |                  string_split($normSql, ' ') AS w FROM documents)
+       |SELECT doc_id, md5(norm) AS fp_content,
+       |  CASE WHEN len(w) < 4 THEN md5(norm)
+       |       ELSE list_min(list_transform(range(0, len(w) - 3), i ->
+       |              md5(concat_ws(' ', w[i+1], w[i+2], w[i+3], w[i+4])))) END AS fp_winnow
+       |FROM s""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    Q("q_text_tokens", tokenCount, Some(
+      s"""SELECT doc_id, len(string_split($normSql, ' ')) AS n_tokens,
+         |       length(text) AS n_chars_computed FROM documents""".stripMargin)),
+    Q("q_text_quality", quality, Some(
+      s"""WITH s AS (SELECT doc_id, length(text) AS n_chars,
+         |  string_split($normSql, ' ') AS w,
+         |  length(replace($normSql, ' ', '')) AS n_word_chars FROM documents)
+         |SELECT doc_id, n_chars, len(w) AS n_tokens,
+         |  len(list_filter(w, t -> list_contains($stopSqlList, t))) AS n_stopwords,
+         |  ${roundNSql(s"len(list_filter(w, t -> list_contains($stopSqlList, t))) / CAST(len(w) AS DOUBLE) * 100", 4)} AS stopword_pct,
+         |  ${roundNSql("n_word_chars / CAST(len(w) AS DOUBLE)", 4)} AS avg_token_len,
+         |  (len(w) >= 10 AND len(list_filter(w, t -> list_contains($stopSqlList, t))) > 0) AS passes_quality
+         |FROM s""".stripMargin)),
+    Q("q_text_langid", langId, Some(langIdSql)),
+    Q("q_text_fingerprint", fingerprint, Some(fingerprintSql)),
+  )
+}

@@ -1,0 +1,121 @@
+package graft.operators
+
+import graft.Q
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-quality validation operators, re-expressed Spark-first.
+  *
+  * Reference semantics: validate.py:87-172 — empty-input guard, per-field
+  * null checks driven by schema nullability, referential-integrity left-anti
+  * joins, and group-count duplicate detection. SURVEY.md §2.1-§2.3 keys
+  * S4, P1-P3, P6, J1-J2, A1-A2, A8.
+  *
+  * Scale notes (100 TB):
+  *  - The reference runs ONE Spark job per null-checked field
+  *    (validate.py:108-129, ~20 scans). Here all per-field null counts fold
+  *    into a single aggregate over one scan (`q_filter_isnull`) — one pass,
+  *    map-side partial aggregation, no shuffle beyond the 1-row final agg.
+  *  - Anti-joins declare plain `left_anti`; Catalyst broadcasts the dim side
+  *    when small and AQE converts SMJ->BHJ at runtime otherwise. The distinct
+  *    on the violating key is pushed below collect so only keys shuffle.
+  *  - Emptiness guard uses a count aggregate (metadata-only on parquet via
+  *    row-group counts) instead of materializing rows.
+  */
+object Validation {
+
+  /** Columns of `orders` null-checked (the reference derives the list from
+    * StructField.nullable, validate.py:108-129; all testdata columns are
+    * non-nullable by generation so the expected counts are 0). */
+  private val orderCols =
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+
+  def emptyGuard(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .agg(count(lit(1)).as("cnt"), (count(lit(1)) === 0).as("is_empty"))
+
+  def countAction(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).agg(count(lit(1)).as("lineitem_rows"))
+      .crossJoin(Tables.orders(spark, dir).agg(count(lit(1)).as("orders_rows")))
+      .crossJoin(Tables.part(spark, dir).agg(count(lit(1)).as("part_rows")))
+
+  /** Single-pass null audit: one aggregate row, one column per checked field. */
+  def nullAudit(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).agg(
+      count(when(col(orderCols.head).isNull, 1)).as(s"nulls_${orderCols.head}"),
+      orderCols.tail.map(c => count(when(col(c).isNull, 1)).as(s"nulls_$c")): _*)
+
+  /** SQL-string predicate on an aggregated frame (reference validate.py:160). */
+  def filterExpr(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+      .filter("cnt > 1")
+
+  def projectDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).select(col("l_returnflag").as("returnflag")).distinct()
+
+  /** Equality-to-literal filter (reference notebook cell 11). */
+  def filterEqLit(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_extendedprice"))
+
+  /** FK check: fact keys with no matching dimension row (validate.py:135-144). */
+  def antiFkProduct(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+    li.join(p, li("l_partkey") === p("p_partkey"), "left_anti")
+      .select(col("l_partkey").as("violating_partkey")).distinct()
+  }
+
+  /** FK check: items whose order header is missing (validate.py:147-156). */
+  def antiFkOrder(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti")
+      .select(col("l_orderkey").as("violating_orderkey")).distinct()
+  }
+
+  /** Duplicate primary keys in the header table (validate.py:160-164). */
+  def dupOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderkey")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+
+  /** Duplicate composite keys in the fact table (validate.py:168-172). */
+  def dupItems(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"), col("l_linenumber")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+
+  val queries: Seq[Q] = Seq(
+    Q("q_empty_guard", emptyGuard, Some(
+      "SELECT count(*) AS cnt, count(*) = 0 AS is_empty FROM lineitem")),
+    Q("q_count_action", countAction, Some(
+      """SELECT (SELECT count(*) FROM lineitem) AS lineitem_rows,
+        |       (SELECT count(*) FROM orders)   AS orders_rows,
+        |       (SELECT count(*) FROM part)     AS part_rows""".stripMargin)),
+    Q("q_filter_isnull", nullAudit, Some(
+      orderCols.map(c => s"count(CASE WHEN $c IS NULL THEN 1 END) AS nulls_$c")
+        .mkString("SELECT ", ", ", " FROM orders"))),
+    Q("q_filter_expr", filterExpr, Some(
+      "SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey HAVING count(*) > 1")),
+    Q("q_project_distinct", projectDistinct, Some(
+      "SELECT DISTINCT l_returnflag AS returnflag FROM lineitem")),
+    Q("q_filter_eq_lit", filterEqLit, Some(
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice
+        |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin)),
+    Q("q_join_anti_fk_product", antiFkProduct, Some(
+      """SELECT DISTINCT l_partkey AS violating_partkey FROM lineitem l
+        |WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)""".stripMargin)),
+    Q("q_join_anti_fk_order", antiFkOrder, Some(
+      """SELECT DISTINCT l_orderkey AS violating_orderkey FROM lineitem l
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)""".stripMargin)),
+    Q("q_agg_dup_orders", dupOrders, Some(
+      "SELECT o_orderkey, count(*) AS cnt FROM orders GROUP BY o_orderkey HAVING count(*) > 1")),
+    Q("q_agg_dup_items", dupItems, Some(
+      """SELECT l_orderkey, l_linenumber, count(*) AS cnt FROM lineitem
+        |GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1""".stripMargin)),
+  )
+}
