@@ -18,8 +18,10 @@ final case class Q(
 
 object Registry {
   lazy val all: Seq[Q] =
-    operators.Validation.queries ++
+    operators.Scans.queries ++
+      operators.Validation.queries ++
       operators.Kpis.queries ++
+      operators.Events.queries ++
       operators.Dedup.queries ++
       operators.Similarity.queries ++
       operators.TextAnalysis.queries ++

@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.Q
+import graft.functions.Rounding.{roundN, roundNSql}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Event-stream aggregations over the `events` table — the Spark-native
+  * re-expression of the reference's "real-time" requirement. The reference
+  * meets it with orchestration (S3 event → Step Functions → re-run batch,
+  * spec p.1,3 — zero streaming code, SURVEY.md §2.8); here the same
+  * aggregations are defined once over a generic DataFrame and run EITHER
+  * as batch (below, oracle-checked) or as Structured Streaming
+  * ([[graft.streaming.EventStreams]] wraps these with readStream +
+  * watermark).
+  *
+  * Scale notes (100 TB): tumbling windows group on (window, type) — a
+  * map-side-combinable hash aggregate whose key count is bounded by
+  * (hours × types), so the shuffle is tiny regardless of input size.
+  * Session windows shuffle on user_id (Spark plans the session merge
+  * within each key partition); skewed users are the known hazard and AQE
+  * skew handling applies.
+  */
+object Events {
+
+  /** Tumbling 1-hour window per event type (batch or streaming input). */
+  def windowAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), roundN(sum(col("value")), 2).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Gap-based session windows per user (30-minute inactivity gap). */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), roundN(sum(col("value")), 2).as("total_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("n_events"), col("total_value"))
+
+  def windowBatch(spark: SparkSession, dir: String): DataFrame =
+    windowAgg(Tables.events(spark, dir))
+
+  def sessionBatch(spark: SparkSession, dir: String): DataFrame =
+    sessionAgg(Tables.events(spark, dir))
+
+  /** Both oracles read events through this CTE: `ts::TIMESTAMP` truncates
+    * the file's TIMESTAMP(NANOS) to microseconds exactly as the Spark side
+    * does (Tables.events). */
+  private val eventsUs =
+    "e AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type, value FROM events)"
+
+  /** Oracle for session windows: classic gaps-and-islands. A new session
+    * starts when the gap since the previous event is >= 30 min (Spark
+    * merges sessions only on STRICT overlap: next.ts < prev.ts + gap). */
+  private val sessionSql =
+    s"""WITH $eventsUs,
+       |x AS (
+       |  SELECT user_id, event_id, ts, value,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+       |  FROM e
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |y AS (
+       |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                           ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM x)
+       |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+       |  ${roundNSql("sum(value)", 2)} AS total_value
+       |FROM y GROUP BY user_id, sid""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    Q("q_events_window", windowBatch, Some(
+      s"""WITH $eventsUs
+         |SELECT date_trunc('hour', ts) AS window_start, event_type,
+         |  count(*) AS n_events, ${roundNSql("sum(value)", 2)} AS total_value
+         |FROM e GROUP BY 1, 2""".stripMargin), bench = true),
+    Q("q_events_session", sessionBatch, Some(sessionSql), bench = true),
+  )
+}

@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.Q
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scan-family operators (SURVEY.md §2.1 S1/S2) and the describe-style
+  * summary statistics (A9, reference notebook cell 9).
+  *
+  * The reference reads CSV with explicit schemas — one single-file table
+  * and two folder-of-parts tables (validate.py:78-84). The harness testdata
+  * is parquet, so the CSV scans are exercised against deterministic CSV
+  * fixtures derived once from the parquet tables (exact-roundtrip columns
+  * only: integers, strings, dates) and compared to the parquet via the
+  * oracle — proving the CSV path reads the same relation.
+  *
+  * Scale notes: explicit schema means zero inference scans; the multifile
+  * read is one FileScan over a glob (Spark packs small files into splits by
+  * maxPartitionBytes). Summary stats avoid two engine-specific reducers
+  * (avg/stddev accumulate in implementation-defined order): they are
+  * derived from EXACT integer sums (count/sum/sumsq/min/max — one
+  * map-side-combined pass) with the float division done identically in both
+  * engines, so results are bit-reproducible — the same trick a 100 TB
+  * profiler uses to make partial aggregation order-insensitive.
+  */
+object Scans {
+
+  private val partCsvSchema = StructType(Seq(
+    StructField("p_partkey", LongType), StructField("p_name", StringType),
+    StructField("p_brand", StringType), StructField("p_type", StringType),
+    StructField("p_size", IntegerType)))
+
+  private val ordersCsvSchema = StructType(Seq(
+    StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_orderpriority", StringType),
+    StructField("order_date", DateType)))
+
+  /** Derive the CSV fixtures for one sf dir (idempotent, marker-guarded). */
+  private def ensureFixtures(spark: SparkSession, dir: String): String = synchronized {
+    val fd = s"/root/repo/target/fixtures/${new java.io.File(dir).getName}"
+    val marker = new java.io.File(s"$fd/_READY")
+    if (!marker.exists()) {
+      Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"), col("p_size"))
+        .coalesce(1)
+        .write.mode("overwrite").option("header", "true").csv(s"$fd/part_csv")
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_orderpriority"), to_date(col("o_orderdate")).as("order_date"))
+        .repartition(6) // six part files, like the reference's orders/ folder
+        .write.mode("overwrite").option("header", "true").csv(s"$fd/orders_csv")
+      marker.getParentFile.mkdirs()
+      marker.createNewFile()
+    }
+    fd
+  }
+
+  /** S1: single-file CSV scan, explicit schema, header (validate.py:78). */
+  def scanSchema(spark: SparkSession, dir: String): DataFrame = {
+    val fd = ensureFixtures(spark, dir)
+    spark.read.schema(partCsvSchema).option("header", "true").csv(s"$fd/part_csv")
+  }
+
+  /** S2: folder-of-part-files CSV scan as one table (validate.py:81,84). */
+  def scanMultifile(spark: SparkSession, dir: String): DataFrame = {
+    val fd = ensureFixtures(spark, dir)
+    spark.read.schema(ordersCsvSchema).option("header", "true").csv(s"$fd/orders_csv")
+  }
+
+  /** A9: describe()-style per-group summary stats from exact integer sums. */
+  def summaryStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("q"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"), sum(col("q")).as("sum_qty"),
+        min(col("q")).as("min_qty"), max(col("q")).as("max_qty"),
+        sum(col("q") * col("q")).as("sumsq"))
+      .select(
+        col("l_returnflag"), col("n_rows"), col("sum_qty"), col("min_qty"), col("max_qty"),
+        (col("sum_qty").cast("double") / col("n_rows")).as("avg_qty"),
+        sqrt((col("sumsq") - col("sum_qty").cast("double") * col("sum_qty") / col("n_rows"))
+          / (col("n_rows") - 1)).as("std_qty"))
+
+  val queries: Seq[Q] = Seq(
+    Q("q_scan_schema", scanSchema, Some(
+      "SELECT p_partkey, p_name, p_brand, p_type, p_size FROM part")),
+    Q("q_scan_multifile", scanMultifile, Some(
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+        |CAST(o_orderdate AS DATE) AS order_date FROM orders""".stripMargin)),
+    Q("q_summary_stats", summaryStats, Some(
+      """WITH s AS (
+        |  SELECT l_returnflag, count(*) AS n_rows, CAST(sum(q) AS BIGINT) AS sum_qty,
+        |         min(q) AS min_qty, max(q) AS max_qty, CAST(sum(q*q) AS BIGINT) AS sumsq
+        |  FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q FROM lineitem)
+        |  GROUP BY 1)
+        |SELECT l_returnflag, n_rows, sum_qty, min_qty, max_qty,
+        |  CAST(sum_qty AS DOUBLE) / n_rows AS avg_qty,
+        |  sqrt((sumsq - CAST(sum_qty AS DOUBLE) * sum_qty / n_rows) / (n_rows - 1)) AS std_qty
+        |FROM s""".stripMargin)),
+  )
+}

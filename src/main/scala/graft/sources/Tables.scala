@@ -28,7 +28,21 @@ object Tables {
   def supplier(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "supplier")
   def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
-  def events(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "events")
+  /** events.parquet stores TIMESTAMP(NANOS) (pandas-generated), which Spark
+    * cannot represent (micros max) and by default refuses to read. The
+    * sessions set `spark.sql.legacy.parquet.nanosAsLong=true`, so the column
+    * arrives as LongType nanos and is floor-divided to an exact microsecond
+    * timestamp here. The DuckDB oracle applies the same truncation
+    * (`ts::TIMESTAMP` casts ns→us toward zero), keeping both engines
+    * bit-identical. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = load(spark, sfDir, "events")
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
 }

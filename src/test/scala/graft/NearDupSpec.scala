@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators.{Dedup, NearDup}
+import org.apache.spark.sql.functions._
+
+/** Near-dup pipelines on controlled corpora written as fixture parquet so
+  * the exact registered (spark, dir) code paths run. */
+class NearDupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+  private val nearDup = base.replace("tonight", "today") // one word differs
+  private val distinct = "completely different content about spark catalyst optimizer internals and shuffles"
+
+  private lazy val dir = fixtureDir(
+    "documents" -> Seq(
+      (1L, base, "en", "s", base.length.toLong),
+      (2L, nearDup, "en", "s", nearDup.length.toLong),
+      (3L, distinct, "en", "s", distinct.length.toLong),
+      (4L, base, "en", "s", base.length.toLong) // exact duplicate of 1
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+
+  test("exact dedup groups identical docs and keeps the lowest id") {
+    val out = Dedup.exact(spark, dir).collect()
+    assert(out.length === 3) // 4 docs, one exact-dup pair
+    val dup = out.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(dup.getAs[Long]("keeper_id") === 1L)
+  }
+
+  test("normalized dedup folds case/whitespace variants together") {
+    val d2 = fixtureDir("documents" -> Seq(
+      (1L, "Hello  World", "en", "s", 12L),
+      (2L, "hello world", "en", "s", 11L)).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = Dedup.exactNormalized(spark, d2).collect()
+    assert(out.length === 1 && out.head.getAs[Long]("n_copies") === 2L)
+  }
+
+  test("minhash LSH finds the near-dup pair and the exact pair, not the distinct doc") {
+    val pairs = NearDup.minhashPairs(spark, dir)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // exact dup: jaccard 1.0, always banded together
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L))) // near-dup found
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // distinct doc never paired
+  }
+
+  test("near-dup jaccard is high, exact-dup jaccard is 1.0") {
+    val out = NearDup.minhashPairs(spark, dir).collect()
+    val exact = out.find(r => r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 4L).get
+    assert(exact.getAs[Double]("jaccard") === 1.0)
+    out.find(r => r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L).foreach { nd =>
+      val j = nd.getAs[Double]("jaccard")
+      assert(j > 0.5 && j < 1.0)
+    }
+  }
+
+  test("simhash: identical docs at hamming 0; near-dups within threshold appear") {
+    val sigs = NearDup.simhashSignatures(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(sigs(1L) === sigs(4L)) // identical text -> identical signature
+    val pairs = NearDup.simhashPairs(spark, dir)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+
+  test("simhash chunk blocking is lossless vs all-pairs at the threshold") {
+    // brute-force hamming over signatures must equal the blocked pair set
+    val sigs = NearDup.simhashSignatures(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash"))
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      if java.lang.Long.bitCount(sa ^ sb) <= NearDup.HammingThreshold
+    } yield (a, b)).toSet
+    val blocked = NearDup.simhashPairs(spark, dir)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(blocked === brute)
+  }
+
+  test("ngram-jaccard blocking finds the exact-dup pair") {
+    val pairs = NearDup.ngramJaccardPairs(spark, dir)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators on hand-computable documents. */
+class TextAnalysisSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val dir = fixtureDir(
+    "documents" -> Seq(
+      (1L, "The cat sat on the mat and the dog ran to a tree", "en", "s", 49L),
+      (2L, "der Hund ist nicht hier und die Katze ist weg", "de", "s", 45L),
+      (3L, "  Multiple   spaces\tand\ttabs  ", "en", "s", 30L),
+      (4L, "word", "und", "s", 4L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+
+  test("token and char counts") {
+    val rows = TextAnalysis.tokenCount(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_tokens")).toMap
+    assert(rows(1L) === 13)
+    assert(rows(3L) === 4) // whitespace runs collapse before split
+    assert(rows(4L) === 1)
+  }
+
+  test("quality: stopword ratio and pass flag") {
+    val byId = TextAnalysis.quality(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val d1 = byId(1L)
+    assert(d1.getAs[Int]("n_tokens") === 13)
+    assert(d1.getAs[Int]("n_stopwords") === 7) // the x3, on, and, to, a
+    assert(d1.getAs[Boolean]("passes_quality"))
+    assert(!byId(4L).getAs[Boolean]("passes_quality")) // too short
+  }
+
+  test("language id picks en and de by marker votes; single word is und") {
+    val byId = TextAnalysis.langId(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(1L).getAs[String]("predicted_lang") === "en")
+    assert(byId(2L).getAs[String]("predicted_lang") === "de")
+    assert(byId(4L).getAs[String]("predicted_lang") === "und")
+    assert(byId(2L).getAs[Boolean]("matches_label"))
+  }
+
+  test("fingerprints: identical normalized content -> identical fp; winnow for short docs falls back") {
+    val d2 = fixtureDir("documents" -> Seq(
+      (1L, "Hello  World again", "en", "s", 18L),
+      (2L, "hello world again", "en", "s", 17L),
+      (3L, "one two three", "en", "s", 13L) // < 4 words -> fallback fp
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = TextAnalysis.fingerprint(spark, d2).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows(1L).getAs[String]("fp_content") === rows(2L).getAs[String]("fp_content"))
+    assert(rows(3L).getAs[String]("fp_winnow") === rows(3L).getAs[String]("fp_content"))
+  }
+}
