@@ -53,12 +53,15 @@ object Similarity {
 
   private def vecD: Column = col("embedding").cast("array<double>")
 
-  /** Sequential left-fold dot product of two double arrays. */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Sequential left-fold dot product — the native codegen'd expression
+    * (graft.functions.DotProduct, registered by GraftExtensions); the
+    * interpreted HOF form `aggregate(zip_with(_*_), 0.0, _+_)` computes the
+    * identical sum but ~per-element lambda dispatch in the O(q×corpus) hot
+    * path. */
+  private def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
   private def dotLit(a: Column, plane: IndexedSeq[Double]): Column =
-    aggregate(zip_with(a, lit(plane.toArray), (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    call_function("vec_dot", a, lit(plane.toArray))
 
   /** (vec_id, v, norm) projection — norms computed once per vector. */
   private def vectors(spark: SparkSession, dir: String): DataFrame =
