@@ -21,6 +21,7 @@ object Registry {
     operators.Scans.queries ++
       operators.Validation.queries ++
       operators.Kpis.queries ++
+      operators.Skew.queries ++
       operators.Events.queries ++
       operators.Dedup.queries ++
       operators.Similarity.queries ++

@@ -63,6 +63,65 @@ object Multimodal {
       .mapPartitions { it => it.map(StubDecoder.decode) } // decoder init once/partition
   }
 
+  /** Output of the stub "resize": aspect-preserving fit into a target box
+    * plus a checksum of the (fake) resampled pixels. */
+  final case class ResizedImage(
+      doc_id: Long, src_w: Int, src_h: Int, out_w: Int, out_h: Int,
+      checksum: Long)
+
+  /** Resize: aspect-preserving fit of the decoded dims into targetW×targetH.
+    * The pixel resample is STUBBED (checksum over a byte stride stands in
+    * for the interpolation loop); dims math and the partition-parallel
+    * batch shape are the real plumbing. */
+  def resizeFeatures(spark: SparkSession, dir: String,
+      targetW: Int = 32, targetH: Int = 32): Dataset[ResizedImage] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRow]
+      .mapPartitions { it => // resizer context init once per partition
+        it.map { r =>
+          val f = StubDecoder.decode(r)
+          val scale = math.min(targetW.toDouble / f.width, targetH.toDouble / f.height)
+          val ow = math.max(1, math.round(f.width * scale).toInt)
+          val oh = math.max(1, math.round(f.height * scale).toInt)
+          var sum = 0L
+          var i = 0
+          val stride = math.max(1, r.payload.length / (ow * oh))
+          while (i < r.payload.length) { sum += (r.payload(i) & 0xff); i += stride }
+          ResizedImage(r.doc_id, f.width, f.height, ow, oh, sum)
+        }
+      }
+  }
+
+  /** One sampled frame of a (fake) video payload. */
+  final case class SampledFrame(doc_id: Long, frame_idx: Int, frame_hash: String)
+
+  /** Frame sampling: every `everyK`-th frame of each payload becomes one
+    * output row (flatMap fan-out inside mapPartitions — codec state would
+    * be reused across frames of a partition). Frame bytes are a
+    * deterministic payload slice in this stub. */
+  def sampleFrames(spark: SparkSession, dir: String, everyK: Int = 4): Dataset[SampledFrame] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRow]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5") // once/partition
+        it.flatMap { r =>
+          val f = StubDecoder.decode(r)
+          (0 until f.n_frames by everyK).iterator.map { idx =>
+            val start = if (f.n_bytes == 0) 0 else (idx * 37) % math.max(1, f.n_bytes)
+            val len = math.min(64, f.n_bytes - start)
+            md.reset()
+            md.update(r.payload, start, math.max(len, 0))
+            val hash = md.digest().map("%02x".format(_)).mkString
+            SampledFrame(r.doc_id, idx, hash)
+          }
+        }
+      }
+  }
+
   /** Declarative metadata query over the binary column — same fake-decode
     * arithmetic expressed in codegen'd functions, with a DuckDB oracle. */
   def mediaMeta(spark: SparkSession, dir: String): DataFrame = {

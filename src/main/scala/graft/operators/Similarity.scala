@@ -134,6 +134,38 @@ object Similarity {
        |WHERE q.vec_id % $QueryStride = 0
        |QUALIFY rank <= $TopK""".stripMargin
 
+  /** Multi-probe LSH kNN: each query also probes the NumPlanes buckets at
+    * hamming distance 1 from its own (one sign bit flipped) — the standard
+    * recall-recovery move at scale: candidate volume grows (planes+1)×
+    * while staying corpus/2^planes per probe, and the plan shape (equi-join
+    * on a small int key) is unchanged. Probe buckets are pairwise distinct,
+    * so no candidate dedup is needed. */
+  def knnLshMultiProbe(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = vectors(spark, dir).withColumn("bkt", bucket(col("v"))).persist()
+    val probes = array(col("bkt") +:
+      (0 until NumPlanes).map(p => col("bkt").bitwiseXOR(lit(1 << p))): _*)
+    val q = vecs.filter(col("vec_id") % QueryStride === 0)
+      .withColumn("probe", explode(probes)).alias("q")
+    val c = vecs.alias("c")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    q.join(c, col("q.probe") === col("c.bkt") && col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"), cosine.as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+  }
+
+  private val knnLshMultiProbeSql = {
+    val probeList = ("bkt" +: (0 until NumPlanes).map(p => s"xor(bkt, ${1 << p})")).mkString("[", ", ", "]")
+    s"""WITH v0 AS ($vectorsSql),
+       |vecs AS (SELECT vec_id, v, nrm, $bucketSql AS bkt FROM v0),
+       |q AS (SELECT vec_id, v, nrm, unnest($probeList) AS probe
+       |      FROM vecs WHERE vec_id % $QueryStride = 0)
+       |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $cosineSql AS sim,
+       |  CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY $cosineSql DESC, c.vec_id) AS INT) AS rank
+       |FROM q JOIN vecs c ON q.probe = c.bkt AND q.vec_id != c.vec_id
+       |QUALIFY rank <= $TopK""".stripMargin
+  }
+
   /** Embedding-cosine near-dup pairs, blocked by the same LSH buckets. */
   def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
     val vecs = vectors(spark, dir).withColumn("bkt", bucket(col("v"))).persist()
@@ -154,6 +186,7 @@ object Similarity {
   val queries: Seq[Q] = Seq(
     Q("q_sim_knn_brute", knnBrute, Some(knnBruteSql), bench = true),
     Q("q_sim_knn_lsh", knnLsh, Some(knnLshSql), bench = true),
+    Q("q_sim_knn_lsh_multiprobe", knnLshMultiProbe, Some(knnLshMultiProbeSql)),
     Q("q_dedup_embed_cos", embedNearDup, Some(embedNearDupSql)),
   )
 }

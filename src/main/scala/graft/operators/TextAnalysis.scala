@@ -40,6 +40,23 @@ object TextAnalysis {
       size(col("w")).as("n_tokens"),
       length(col("text")).as("n_chars_computed"))
 
+  /** BPE-style pre-tokenization: letter runs, digit runs, and single
+    * punctuation marks each count as one token (the classic GPT-2-ish
+    * pre-tokenizer split, minus byte fallback). Kept to a character-class
+    * regex with identical semantics in Java and RE2 so the DuckDB oracle
+    * reproduces it. */
+  val bpeTokenRe = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  def tokenCountBpe(spark: SparkSession, dir: String): DataFrame =
+    withWords(spark, dir)
+      .withColumn("toks", regexp_extract_all(col("norm"), lit(bpeTokenRe), lit(0)))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_bpe_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct_tokens"),
+        size(filter(col("toks"), t => t.rlike("^[0-9]+$"))).as("n_number_tokens"),
+        size(filter(col("toks"), t => t.rlike("^[^a-z0-9]$"))).as("n_punct_tokens"))
+
   /** Quality scoring: length/stopword/avg-token-length signals.
     * Ratios keep one fixed operation order (count / count, then round) so the
     * oracle reproduces them bit-for-bit. */
@@ -142,6 +159,14 @@ object TextAnalysis {
          |  ${roundNSql(s"len(list_filter(w, t -> list_contains($stopSqlList, t))) / CAST(len(w) AS DOUBLE) * 100", 4)} AS stopword_pct,
          |  ${roundNSql("n_word_chars / CAST(len(w) AS DOUBLE)", 4)} AS avg_token_len,
          |  (len(w) >= 10 AND len(list_filter(w, t -> list_contains($stopSqlList, t))) > 0) AS passes_quality
+         |FROM s""".stripMargin)),
+    Q("q_text_tokens_bpe", tokenCountBpe, Some(
+      s"""WITH s AS (SELECT doc_id,
+         |  regexp_extract_all($normSql, '$bpeTokenRe') AS toks FROM documents)
+         |SELECT doc_id, len(toks) AS n_bpe_tokens,
+         |  len(list_distinct(toks)) AS n_distinct_tokens,
+         |  len(list_filter(toks, t -> regexp_full_match(t, '[0-9]+'))) AS n_number_tokens,
+         |  len(list_filter(toks, t -> regexp_full_match(t, '[^a-z0-9]'))) AS n_punct_tokens
          |FROM s""".stripMargin)),
     Q("q_text_langid", langId, Some(langIdSql)),
     Q("q_text_fingerprint", fingerprint, Some(fingerprintSql)),
