@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property-based invariants (SURVEY.md §5): randomized small relations,
+  * checked with scalacheck driving Spark jobs (few trials — each trial is a
+  * Spark job). */
+class PropertiesSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val params = SCTest.Parameters.default.withMinSuccessfulTests(8)
+  private def holds(p: Prop): Unit = {
+    val r = SCTest.check(params, p)
+    assert(r.passed, r.status.toString)
+  }
+
+  private val keysGen = Gen.listOfN(30, Gen.chooseNum(1L, 15L))
+
+  test("anti-join is empty iff every fact key has a dimension row") {
+    holds(Prop.forAll(keysGen, keysGen) { (factKeys, dimKeys) =>
+      val fact = factKeys.toDF("k")
+      val dim = dimKeys.distinct.toDF("id")
+      val violations = fact.join(dim, fact("k") === dim("id"), "left_anti").count()
+      val expectEmpty = factKeys.toSet.subsetOf(dimKeys.toSet)
+      (violations == 0) == expectEmpty
+    })
+  }
+
+  test("group-count duplicate detection is empty iff keys are unique") {
+    holds(Prop.forAll(keysGen) { keys =>
+      val dups = keys.toDF("k").groupBy("k").count().filter("count > 1").count()
+      (dups == 0) == (keys.distinct.size == keys.size)
+    })
+  }
+
+  test("fan-out return_rate >= order-based return_rate (the §2.9.1 quirk)") {
+    val ordersGen = Gen.listOfN(8, Gen.zip(Gen.chooseNum(1L, 6L), Gen.oneOf("returned", "delivered")))
+    val itemCountGen = Gen.listOfN(8, Gen.chooseNum(1, 4))
+    holds(Prop.forAll(ordersGen, itemCountGen) { (orderList, itemCounts) =>
+      val orders = orderList.distinctBy(_._1)
+      val items = orders.zip(itemCounts).flatMap { case ((oid, _), n) =>
+        (1 to n).map(i => (oid, i))
+      }
+      if (items.isEmpty) true
+      else {
+        val o = orders.toDF("order_id", "status")
+        val it = items.toDF("order_id", "item_id")
+        val joined = o.join(it, "order_id")
+        val row = joined.agg(
+          (count(when(col("status") === "returned", 1)) /
+            countDistinct(col("order_id"))).as("fanout_rate"),
+          (countDistinct(when(col("status") === "returned", col("order_id"))) /
+            countDistinct(col("order_id"))).as("order_rate")).head()
+        row.getDouble(0) >= row.getDouble(1) - 1e-9
+      }
+    })
+  }
+
+  test("roundN is within half an ulp-of-scale and idempotent") {
+    val dGen = Gen.chooseNum(-1e6, 1e6)
+    holds(Prop.forAll(Gen.listOfN(40, dGen)) { xs =>
+      val rows = xs.toDF("x")
+        .select(graft.functions.Rounding.roundN(col("x"), 2).as("r"), col("x"))
+        .collect()
+      rows.forall { r =>
+        val (rv, x) = (r.getDouble(0), r.getDouble(1))
+        math.abs(rv - x) <= 0.005 + 1e-9 &&
+        math.abs(rv * 100 - math.rint(rv * 100)) < 1e-6 // lands on a 2-decimal grid
+      }
+    })
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.Events
+import graft.sources.Tables
+import graft.streaming.{EventStreams, Stateful, UpsertSink}
+import org.apache.spark.sql.functions._
+
+/** foreachBatch keyed-upsert sink and mapGroupsWithState stateful operator:
+  * after a full replay, sink/state contents must equal the batch answer. */
+class StreamingSinkSpec extends SparkSuite {
+
+  test("keyed upsert sink converges to the batch aggregation after replay") {
+    val src = java.nio.file.Files.createTempDirectory("ups_src").toString
+    Tables.events(spark, SparkSpec.sf0001).repartition(3)
+      .write.mode("overwrite").parquet(src)
+
+    val stateDir = java.nio.file.Files.createTempDirectory("ups_state").toString + "/kpi"
+    val ck = java.nio.file.Files.createTempDirectory("ups_ck").toString
+    val stream = EventStreams.windowed(spark, src, delay = "3650 days")
+    val q = UpsertSink.keyedParquetUpsert(
+      stream, Seq("window_start", "event_type"), stateDir, ck)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.read.parquet(stateDir)
+    val want = Events.windowAgg(spark.read.parquet(src))
+    val cols = want.columns.sorted.map(col)
+    assert(got.count() === want.count())
+    assert(got.select(cols: _*).exceptAll(want.select(cols: _*)).isEmpty)
+  }
+
+  test("upsert replaces rows for re-emitted keys, keeps others") {
+    import spark.implicits._
+    val stateDir = java.nio.file.Files.createTempDirectory("ups2").toString + "/s"
+    UpsertSink.upsertBatch(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "g", "v"), Seq("k"), stateDir)
+    UpsertSink.upsertBatch(
+      Seq((2L, "b", 99.0), (3L, "c", 30.0)).toDF("k", "g", "v"), Seq("k"), stateDir)
+    val rows = spark.read.parquet(stateDir).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[Double]("v")).toMap
+    assert(rows === Map(1L -> 10.0, 2L -> 99.0, 3L -> 30.0))
+  }
+
+  test("mapGroupsWithState running stats equal batch groupBy after replay") {
+    val src = java.nio.file.Files.createTempDirectory("st_src").toString
+    Tables.events(spark, SparkSpec.sf0001).limit(1000).repartition(4)
+      .write.mode("overwrite").parquet(src)
+
+    Stateful.runToMemory(spark, src, "user_stats")
+    // update mode emits one row per (user, batch); the LAST update per user
+    // is the converged state = the max n_events row.
+    val finalRows = spark.table("user_stats")
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"))
+    val want = spark.read.parquet(src)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    assert(finalRows.exceptAll(want).isEmpty)
+    assert(want.exceptAll(finalRows).isEmpty)
+  }
+}
