@@ -108,7 +108,30 @@ object Kpis {
       .orderBy(col("order_date"))
   }
 
+  /** Approximate order KPIs: the 100 TB path for A4's three exact
+    * countDistincts. Exact multi-distinct forces the Expand rewrite (input
+    * replicated once per distinct column before the shuffle); HLL sketches
+    * (approx_count_distinct, rsd 1%) aggregate in one pass with fixed-size
+    * state and merge associatively across partitions. No DuckDB oracle —
+    * sketch estimates are implementation-specific — so the driver records
+    * the weaker rows-only check; the spec bounds the estimate error vs the
+    * exact result instead. */
+  def kpiOrderApprox(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).alias("o")
+    val li = Tables.lineitem(spark, dir).alias("li")
+    o.join(li, col("o.o_orderkey") === col("li.l_orderkey"), "inner")
+      .withColumn("order_date", to_date(col("o.o_orderdate")))
+      .groupBy(col("order_date"))
+      .agg(
+        approx_count_distinct(col("o.o_orderkey"), 0.01).as("total_orders"),
+        roundN(sum(col("li.l_extendedprice")), 2).as("total_revenue"),
+        sum(col("li.l_quantity")).as("total_items_sold"),
+        approx_count_distinct(col("o.o_custkey"), 0.01).as("unique_customers"))
+      .orderBy(col("order_date"))
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_kpi_order_approx", kpiOrderApprox, None),
     Q("q_withcolumn_todate", toDateDistinct, Some(
       "SELECT DISTINCT CAST(l_shipdate AS DATE) AS ship_date FROM lineitem")),
     Q("q_join_inner_items_orders", joinItemsOrders, Some(
