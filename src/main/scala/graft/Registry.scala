@@ -22,6 +22,7 @@ object Registry {
       operators.Validation.queries ++
       operators.Kpis.queries ++
       operators.Skew.queries ++
+      operators.AsOf.queries ++
       operators.Events.queries ++
       operators.Dedup.queries ++
       operators.Similarity.queries ++

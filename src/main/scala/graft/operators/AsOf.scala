@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.Q
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join — an operator Spark has no native node for,
+  * built by COMPOSITION (preference (a) of the custom-operator ladder): for
+  * each left event, attach the latest right event of the same key at or
+  * before it.
+  *
+  * Plan shape: tag both sides, union, one shuffle+sort on (key, ts), then a
+  * running `last(_, ignoreNulls)` window carries the most recent right-side
+  * values forward into each left row. No range explode, no per-row probe:
+  * O(n log n) in the sort, single exchange — the merge-style as-of plan
+  * that survives 100 TB (vs. the naive `l JOIN r ON l.ts >= r.ts` +
+  * row_number, which is a range join that blows up quadratically in hot
+  * keys).
+  *
+  * Instance here: each 'click' event gets the user's most recent 'view'
+  * event at or before it (views at the identical timestamp count — the
+  * right side sorts before the left at ties). Oracle: DuckDB's native
+  * ASOF LEFT JOIN, which defines exactly these semantics.
+  */
+object AsOf {
+
+  /** Generic composed as-of join over one keyed, time-stamped relation
+    * split into left/right sides. */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+      carry: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.Column
+    val leftOther = left.columns.filter(c => c != key && c != ts).toSeq
+    val lSel: Seq[Column] = Seq(col(key), col(ts).as("__ts"), lit(1).as("__side")) ++
+      leftOther.map(col) ++
+      carry.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c"))
+    val rSel: Seq[Column] = Seq(col(key), col(ts).as("__ts"), lit(0).as("__side")) ++
+      leftOther.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+      carry.map(c => col(c).as(s"__r_$c"))
+    val u = left.select(lSel: _*).unionByName(right.select(rSel: _*))
+    // right rows (side 0) sort before left rows (side 1) at equal ts, so an
+    // equal-timestamp right row is visible to the left row — ASOF `>=`.
+    val w = Window.partitionBy(col(key)).orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = carry.foldLeft(u) { (df, c) =>
+      df.withColumn(s"__last_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+    val outSel: Seq[Column] = Seq(col(key), col("__ts").as(ts)) ++
+      leftOther.map(col) ++ carry.map(c => col(s"__last_$c").as(s"asof_$c"))
+    carried.filter(col("__side") === 1).select(outSel: _*)
+  }
+
+  /** clicks ⟕asof views per user over the events table. */
+  def clicksAsOfViews(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("value"))
+    asOfJoin(clicks, views, "user_id", "ts", carry = Seq("ts", "value"))
+      .withColumnRenamed("asof_ts", "view_ts")
+      .withColumnRenamed("asof_value", "view_value")
+  }
+
+  private val clicksAsOfViewsSql =
+    """WITH e AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type, value FROM events),
+      |c AS (SELECT user_id, ts, event_id, value FROM e WHERE event_type = 'click'),
+      |v AS (SELECT user_id, ts, value FROM e WHERE event_type = 'view')
+      |SELECT c.user_id, c.ts, c.event_id, c.value,
+      |       v.ts AS view_ts, v.value AS view_value
+      |FROM c ASOF LEFT JOIN v
+      |  ON c.user_id = v.user_id AND c.ts >= v.ts""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    Q("q_join_asof", clicksAsOfViews, Some(clicksAsOfViewsSql), bench = true),
+  )
+}
