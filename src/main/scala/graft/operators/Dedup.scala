@@ -34,7 +34,41 @@ object Dedup {
       .groupBy(md5(normText(col("text"))).as("fp"))
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
 
+  /** Per-source KMV distinct-document sketch (custom typed Aggregator,
+    * graft.functions.KmvSketch) + the closed-form distinct estimate derived
+    * from it. 2^60 divisor = the first 15 hex digits read as a uniform
+    * [0,1) fraction. */
+  def kmvBySource(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KmvSketch
+    val kmv = udaf(KmvSketch.aggregator)
+    val K = KmvSketch.K
+    val frac = conv(substring(element_at(col("kmv"), K), 1, 15), 16, 10)
+      .cast("double") / lit(1152921504606846976.0) // 16^15 = 2^60, exact
+    Tables.documents(spark, dir)
+      .select(col("source"), md5(normText(col("text"))).as("h"))
+      .groupBy(col("source")).agg(kmv(col("h")).as("kmv"))
+      .select(
+        col("source"),
+        concat_ws(",", col("kmv")).as("kmv_csv"),
+        graft.functions.Rounding.roundN(
+          when(size(col("kmv")) < K, size(col("kmv")).cast("double"))
+            .otherwise(lit((K - 1).toDouble) / frac), 2).as("est_distinct"))
+  }
+
+  private val kmvBySourceSql = {
+    val K = graft.functions.KmvSketch.K
+    s"""WITH h AS (SELECT DISTINCT source, md5(${TextAnalysis.normSql}) AS hash FROM documents),
+       |s AS (SELECT source, (list_sort(list(hash)))[1:$K] AS kmv FROM h GROUP BY source)
+       |SELECT source, array_to_string(kmv, ',') AS kmv_csv,
+       |  ${graft.functions.Rounding.roundNSql(
+          s"""CASE WHEN len(kmv) < $K THEN len(kmv)::DOUBLE
+             |    ELSE ${K - 1}.0 / ((('0x' || substr(kmv[$K], 1, 15))::BIGINT) / 1152921504606846976.0)
+             |  END""".stripMargin, 2)} AS est_distinct
+       |FROM s""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_dedup_kmv_sketch", kmvBySource, Some(kmvBySourceSql)),
     Q("q_dedup_exact", exact, Some(
       """SELECT md5(text) AS fp, min(doc_id) AS keeper_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin)),

@@ -50,6 +50,30 @@ object EventStreams {
   def sessions(spark: SparkSession, srcDir: String, delay: String = "48 hours"): DataFrame =
     Events.sessionAgg(eventsStream(spark, srcDir).withWatermark("ts", delay))
 
+  /** Stream-stream interval join with watermarks on BOTH sides: each click
+    * pairs with the same user's views from the preceding hour. The time
+    * constraint + watermarks bound the join state Spark must hold (a view
+    * can be dropped once the watermark passes view_ts + 1h) — the only way
+    * a stream×stream join survives unbounded inputs. Append-mode output. */
+  def clickViewIntervalJoin(spark: SparkSession, srcDir: String,
+      delay: String = "48 hours"): DataFrame = {
+    val clicks = eventsStream(spark, srcDir)
+      .where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", delay)
+    val views = eventsStream(spark, srcDir)
+      .where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("view_ts", delay)
+    clicks.join(views,
+      col("c_user") === col("v_user") &&
+        col("view_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
+        col("view_ts") <= col("click_ts"),
+      "inner")
+  }
+
   /** Streaming re-expression of the reference's category-KPI job
     * (transform.py:94-121) over the reference CSV layout: order_items is
     * the unbounded stream (files arrive one per micro-batch, exactly the

@@ -41,6 +41,36 @@ class StreamingSinkSpec extends SparkSuite {
     assert(rows === Map(1L -> 10.0, 2L -> 99.0, 3L -> 30.0))
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val src = java.nio.file.Files.createTempDirectory("ssj_src").toString
+    Tables.events(spark, SparkSpec.sf0001).limit(2000).repartition(2)
+      .write.mode("overwrite").parquet(src)
+
+    val q = EventStreams.clickViewIntervalJoin(spark, src, delay = "3650 days")
+      .writeStream.format("memory").queryName("ssj").outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ck_ssj").toString)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val ev = spark.read.parquet(src)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+    val batch = clicks.join(views,
+      col("c_user") === col("v_user") &&
+        col("view_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
+        col("view_ts") <= col("click_ts"))
+    val got = spark.table("ssj")
+    assert(got.count() === batch.count())
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+    assert(got.count() > 0)
+  }
+
   test("mapGroupsWithState running stats equal batch groupBy after replay") {
     val src = java.nio.file.Files.createTempDirectory("st_src").toString
     Tables.events(spark, SparkSpec.sf0001).limit(1000).repartition(4)
