@@ -23,6 +23,7 @@ object Registry {
       operators.Kpis.queries ++
       operators.Skew.queries ++
       operators.AsOf.queries ++
+      operators.Analytics.queries ++
       operators.Events.queries ++
       operators.Dedup.queries ++
       operators.Similarity.queries ++

@@ -1,0 +1,127 @@
+package graft.operators
+
+import graft.Q
+import graft.functions.Rounding.{roundN, roundNSql}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Analytic operator classes beyond the reference's surface: window
+  * aggregates, rollup subtotals, pivot, set operations, JSON extraction —
+  * the rest of the relational toolbox a warehouse user expects, each with a
+  * DuckDB oracle.
+  *
+  * Scale notes: the running-total window partitions by brand (parallel
+  * across brands, sequential scan within — the unavoidable shape of a
+  * cumulative metric); rollup computes all grouping sets in one Expand pass
+  * (one shuffle, not one per level); pivot with EXPLICIT values compiles to
+  * conditional aggregates (one pass — never use inferred pivot values at
+  * scale, that's an extra distinct job); set ops hash on the full row.
+  * Integer-valued measures are summed as BIGINT so partial-aggregation
+  * order can't perturb results (same trick as q_summary_stats).
+  */
+object Analytics {
+
+  /** Cumulative daily revenue per brand (window agg over an aggregate). */
+  def runningRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .withColumn("ship_date", to_date(col("l_shipdate")))
+      .groupBy(col("p_brand").as("brand"), col("ship_date"))
+      .agg(roundN(sum(col("l_extendedprice")), 2).as("daily_revenue"))
+    val w = Window.partitionBy(col("brand")).orderBy(col("ship_date"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.withColumn("cum_revenue", roundN(sum(col("daily_revenue")).over(w), 2))
+  }
+
+  private val runningRevenueSql =
+    s"""WITH d AS (
+       |  SELECT p_brand AS brand, CAST(l_shipdate AS DATE) AS ship_date,
+       |    ${roundNSql("sum(l_extendedprice)", 2)} AS daily_revenue
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  GROUP BY 1, 2)
+       |SELECT brand, ship_date, daily_revenue,
+       |  ${roundNSql(
+        "sum(daily_revenue) OVER (PARTITION BY brand ORDER BY ship_date ROWS UNBOUNDED PRECEDING)", 2)}
+       |    AS cum_revenue
+       |FROM d""".stripMargin
+
+  /** Rollup subtotals over (brand, returnflag) with exact integer sums. */
+  def rollupQty(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"), col("l_returnflag").as("returnflag"),
+        col("l_quantity").cast("long").as("q"))
+      .rollup(col("brand"), col("returnflag"))
+      .agg(sum(col("q")).as("sum_qty"), count(lit(1)).as("n_rows"))
+
+  private val rollupQtySql =
+    """SELECT p_brand AS brand, l_returnflag AS returnflag,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  count(*) AS n_rows
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY ROLLUP (p_brand, l_returnflag)""".stripMargin
+
+  /** Pivot returnflag × linestatus (explicit pivot values → single pass). */
+  def pivotStatus(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("returnflag"), col("l_linestatus"),
+        col("l_quantity").cast("long").as("q"))
+      .groupBy(col("returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(col("q")))
+
+  private val pivotStatusSql =
+    """SELECT l_returnflag AS returnflag,
+      |  CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS F,
+      |  CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS O
+      |FROM lineitem GROUP BY 1""".stripMargin
+
+  /** Set intersection: customers with both fulfilled and open orders. */
+  def customersBoth(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      .intersect(o.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
+  }
+
+  /** Set difference: customers with fulfilled but no open orders. */
+  def customersOnlyF(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      .except(o.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
+  }
+
+  /** JSON extraction from the events `props` column (semi-structured path:
+    * get_json_object in the engine; the oracle reaches the same value
+    * through a regex so it doesn't depend on DuckDB's json extension). */
+  def eventsJson(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), max(col("k")).as("max_k"),
+        count(when(col("k").isNull, 1)).as("n_missing"))
+
+  private val eventsJsonSql =
+    """SELECT event_type,
+      |  CAST(sum(TRY_CAST(regexp_extract(props, '"k": *(-?\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+      |  max(TRY_CAST(regexp_extract(props, '"k": *(-?\d+)', 1) AS BIGINT)) AS max_k,
+      |  count(CASE WHEN TRY_CAST(regexp_extract(props, '"k": *(-?\d+)', 1) AS BIGINT) IS NULL THEN 1 END) AS n_missing
+      |FROM events GROUP BY 1""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    Q("q_window_running", runningRevenue, Some(runningRevenueSql)),
+    Q("q_rollup", rollupQty, Some(rollupQtySql)),
+    Q("q_pivot", pivotStatus, Some(pivotStatusSql)),
+    Q("q_set_intersect", customersBoth, Some(
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin)),
+    Q("q_set_except", customersOnlyF, Some(
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin)),
+    Q("q_events_json", eventsJson, Some(eventsJsonSql)),
+  )
+}
