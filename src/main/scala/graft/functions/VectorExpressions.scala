@@ -80,3 +80,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => DotProduct(children.head, children(1))))
   }
 }
+
+/** ServiceLoader auto-registration (Spark 3.2+ reads
+  * `META-INF/services/org.apache.spark.sql.SparkSessionExtensionsProvider`):
+  * every session created with this jar on the classpath gets the engine
+  * functions even without the `spark.sql.extensions` config — so a host
+  * harness constructing its own SparkSession can still run every query. */
+class GraftExtensionsProvider extends org.apache.spark.sql.SparkSessionExtensionsProvider {
+  override def apply(ext: SparkSessionExtensions): Unit = new GraftExtensions()(ext)
+}
