@@ -67,8 +67,26 @@ object Dedup {
        |FROM s""".stripMargin
   }
 
+  /** Dedup MATERIALIZATION: the surviving corpus — one representative (the
+    * lowest doc_id) per distinct content hash, everything else dropped.
+    * Window-free formulation: groupBy(fp)→min(doc_id) then a semi-join on
+    * the keeper ids, so both passes are hash-aggregate/hash-join shaped
+    * (no global sort), which is the 100 TB-safe plan. */
+  def materialize(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("fp", md5(col("text")))
+    val keepers = docs.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+    docs.join(keepers, Seq("fp", "doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"), col("source"), col("fp"))
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_dedup_kmv_sketch", kmvBySource, Some(kmvBySourceSql)),
+    Q("q_dedup_materialize", materialize, Some(
+      """WITH d AS (SELECT doc_id, lang, source, md5(text) AS fp FROM documents),
+        |k AS (SELECT fp, min(doc_id) AS doc_id FROM d GROUP BY fp)
+        |SELECT d.doc_id, d.lang, d.source, d.fp
+        |FROM d SEMI JOIN k ON d.fp = k.fp AND d.doc_id = k.doc_id""".stripMargin)),
     Q("q_dedup_exact", exact, Some(
       """SELECT md5(text) AS fp, min(doc_id) AS keeper_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin)),

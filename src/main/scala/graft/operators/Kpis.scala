@@ -130,8 +130,42 @@ object Kpis {
       .orderBy(col("order_date"))
   }
 
+  /** Deep snowflake: revenue by region/market segment through the full
+    * dimension chain lineitem→orders→customer→nation→region. Every
+    * dimension is broadcast (region 5 rows … customer smallest fact-side
+    * dim); only the fact-to-header join shuffles. Exercises Catalyst's join
+    * ordering over a 5-relation tree and sums BIGINT-cast cents-free
+    * doubles via roundN. */
+  def snowflakeRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).alias("li")
+    val o = Tables.orders(spark, dir).alias("o")
+    val c = Tables.customer(spark, dir).alias("c")
+    val n = Tables.nation(spark, dir).alias("n")
+    val r = Tables.region(spark, dir).alias("r")
+    li.join(o, col("li.l_orderkey") === col("o.o_orderkey"), "inner")
+      .join(broadcast(c), col("o.o_custkey") === col("c.c_custkey"), "inner")
+      .join(broadcast(n), col("c.c_nationkey") === col("n.n_nationkey"), "inner")
+      .join(broadcast(r), col("n.n_regionkey") === col("r.r_regionkey"), "inner")
+      .groupBy(col("r.r_name").as("region"), col("c.c_mktsegment").as("segment"))
+      .agg(
+        roundN(sum(col("li.l_extendedprice") * (lit(1) - col("li.l_discount"))), 2)
+          .as("revenue"),
+        countDistinct(col("o.o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_items"))
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_kpi_order_approx", kpiOrderApprox, None),
+    Q("q_join_snowflake", snowflakeRevenue, Some(
+      s"""SELECT r_name AS region, c_mktsegment AS segment,
+         |  ${roundNSql("sum(l_extendedprice * (1 - l_discount))", 2)} AS revenue,
+         |  count(DISTINCT o_custkey) AS n_customers, count(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY 1, 2""".stripMargin), bench = true),
     Q("q_withcolumn_todate", toDateDistinct, Some(
       "SELECT DISTINCT CAST(l_shipdate AS DATE) AS ship_date FROM lineitem")),
     Q("q_join_inner_items_orders", joinItemsOrders, Some(
