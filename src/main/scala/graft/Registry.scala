@@ -26,6 +26,7 @@ object Registry {
       operators.Analytics.queries ++
       operators.Events.queries ++
       operators.Dedup.queries ++
+      operators.Sampling.queries ++
       operators.Similarity.queries ++
       operators.TextAnalysis.queries ++
       operators.Multimodal.queries

@@ -80,8 +80,26 @@ object Dedup {
       .select(col("doc_id"), col("lang"), col("source"), col("fp"))
   }
 
+  /** Near-dup-free corpus: drop every doc that appears as the HIGHER id of
+    * a verified MinHash-LSH near-dup pair (greedy keep-lowest — one
+    * deterministic pass, no iterative union-find; transitive clusters keep
+    * their lowest member and possibly other mutually-distant members, the
+    * standard large-scale approximation). */
+  def materializeNearDupFree(spark: SparkSession, dir: String): DataFrame = {
+    val losers = NearDup.minhashPairs(spark, dir).select(col("id_b").as("doc_id"))
+    Tables.documents(spark, dir)
+      .join(losers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
+  private val nearDupFreeSql =
+    s"""WITH pairs AS (${NearDup.minhashPairsSql})
+       |SELECT doc_id, lang, source FROM documents
+       |WHERE doc_id NOT IN (SELECT id_b FROM pairs)""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q_dedup_kmv_sketch", kmvBySource, Some(kmvBySourceSql)),
+    Q("q_dedup_near_materialize", materializeNearDupFree, Some(nearDupFreeSql)),
     Q("q_dedup_materialize", materialize, Some(
       """WITH d AS (SELECT doc_id, lang, source, md5(text) AS fp FROM documents),
         |k AS (SELECT fp, min(doc_id) AS doc_id FROM d GROUP BY fp)

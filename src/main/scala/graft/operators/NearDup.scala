@@ -129,7 +129,7 @@ object NearDup {
     verifyJaccard(cand, shingleTbl)
   }
 
-  private val minhashPairsSql = {
+  private[operators] val minhashPairsSql = {
     val mhs = (0 until NumHashes).map(k => s"${minhashSql(k)} AS mh_$k").mkString(", ")
     val bandList = (0 until NumBands).map { b =>
       val parts = (b * BandSize until (b + 1) * BandSize).map(k => s"mh_$k")

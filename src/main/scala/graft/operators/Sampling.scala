@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.Q
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and split assignment — the selection operators a
+  * training-data pipeline runs before anything else.
+  *
+  * All selections key off `md5(doc_id)` rather than an RNG: reproducible
+  * across engines (oracle-checkable), across reruns, and across cluster
+  * sizes — `sample()`'s per-partition RNG gives a different corpus every
+  * time the partitioning changes, which is poison for dataset lineage.
+  * Narrow per-row maps: no shuffle, scales linearly with input splits.
+  */
+object Sampling {
+
+  /** Hash of the doc id's first byte as an integer 0..255. */
+  private def hashByte = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+    .cast("int")
+  private val hashByteSql =
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT"
+
+  /** Deterministic ~1/16 sample: md5 first byte < 16. */
+  def sampleHash(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("hb", hashByte)
+      .filter(col("hb") < 16)
+      .select(col("doc_id"), col("lang"), col("source"))
+
+  /** Train/val/test ≈ 80/10/10 split, stable under resharding/reruns. */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("hb", hashByte)
+      .select(col("doc_id"),
+        when(col("hb") < 205, "train")
+          .when(col("hb") < 230, "val")
+          .otherwise("test").as("split"))
+
+  val queries: Seq[Q] = Seq(
+    Q("q_sample_hash", sampleHash, Some(
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE $hashByteSql < 16""".stripMargin)),
+    Q("q_split_assign", splitAssign, Some(
+      s"""SELECT doc_id,
+         |  CASE WHEN $hashByteSql < 205 THEN 'train'
+         |       WHEN $hashByteSql < 230 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents""".stripMargin)),
+  )
+}
