@@ -68,8 +68,65 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Session extension registering the engine's native functions, the public
-  * `SparkSessionExtensions` path: sessions add
+/** Sum of squares of an `array<double>` — what `vec_dot(a, a)` means, with
+  * one array read per element instead of two. Produced by the optimizer
+  * rule [[RewriteSelfDot]]; also callable directly as `vec_norm2`. */
+case class Norm2(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_norm2"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { val v = x.getDouble(i); s += v * v; i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val v = ctx.freshName("v")
+      s"""
+         |final int $n = $a.numElements();
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final double $v = $a.getDouble($i);
+         |  $s += $v * $v;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Norm2 =
+    copy(child = newChild)
+}
+
+/** Optimizer rule: `vec_dot(a, a)` → `vec_norm2(a)` when the argument is
+  * deterministic — the self-dot (norm) case every similarity pipeline hits
+  * once per vector. Semantics identical: Σ aᵢ·aᵢ in the same order. */
+object RewriteSelfDot extends org.apache.spark.sql.catalyst.rules.Rule[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  override def apply(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    plan.transformAllExpressions {
+      case DotProduct(a, b) if a.deterministic && a.semanticEquals(b) => Norm2(a)
+    }
+}
+
+/** Session extension registering the engine's native functions and
+  * optimizer rules, the public `SparkSessionExtensions` path: sessions add
   * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")` and
   * call them via `call_function("vec_dot", a, b)` or SQL. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -78,6 +135,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
       (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_norm2"),
+      new ExpressionInfo(classOf[Norm2].getName, "vec_norm2"),
+      (children: Seq[Expression]) => Norm2(children.head)))
+    ext.injectOptimizerRule(_ => RewriteSelfDot)
   }
 }
 
