@@ -154,8 +154,32 @@ object Kpis {
         count(lit(1)).as("n_items"))
   }
 
+  /** Revenue by supplier nation — covers the last dimension chain
+    * (lineitem→supplier→nation); both dims broadcast, no fact shuffle
+    * before the partial aggregate. */
+  def supplierRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).alias("li")
+    val s = Tables.supplier(spark, dir).alias("s")
+    val n = Tables.nation(spark, dir).alias("n")
+    li.join(broadcast(s), col("li.l_suppkey") === col("s.s_suppkey"), "inner")
+      .join(broadcast(n), col("s.s_nationkey") === col("n.n_nationkey"), "inner")
+      .groupBy(col("n.n_name").as("nation"))
+      .agg(
+        roundN(sum(col("li.l_extendedprice") * (lit(1) - col("li.l_discount"))), 2)
+          .as("revenue"),
+        countDistinct(col("s.s_suppkey")).as("n_suppliers"))
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_kpi_order_approx", kpiOrderApprox, None),
+    Q("q_join_supplier_nation", supplierRevenue, Some(
+      s"""SELECT n_name AS nation,
+         |  ${roundNSql("sum(l_extendedprice * (1 - l_discount))", 2)} AS revenue,
+         |  count(DISTINCT s_suppkey) AS n_suppliers
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |GROUP BY 1""".stripMargin)),
     Q("q_join_snowflake", snowflakeRevenue, Some(
       s"""SELECT r_name AS region, c_mktsegment AS segment,
          |  ${roundNSql("sum(l_extendedprice * (1 - l_discount))", 2)} AS revenue,
