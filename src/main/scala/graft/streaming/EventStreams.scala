@@ -50,6 +50,16 @@ object EventStreams {
   def sessions(spark: SparkSession, srcDir: String, delay: String = "48 hours"): DataFrame =
     Events.sessionAgg(eventsStream(spark, srcDir).withWatermark("ts", delay))
 
+  /** Streaming deduplication: drop events whose (user_id, event_type,
+    * value) was already seen within the watermark horizon — the streaming
+    * form of the corpus dedup operators, with state bounded by the
+    * watermark instead of growing with the stream. */
+  def dedupStream(spark: SparkSession, srcDir: String,
+      delay: String = "48 hours"): DataFrame =
+    eventsStream(spark, srcDir)
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "value")
+
   /** Stream-stream interval join with watermarks on BOTH sides: each click
     * pairs with the same user's views from the preceding hour. The time
     * constraint + watermarks bound the join state Spark must hold (a view

@@ -71,6 +71,29 @@ class StreamingSinkSpec extends SparkSuite {
     assert(got.count() > 0)
   }
 
+  test("streaming dedup equals batch dropDuplicates after replay") {
+    val src = java.nio.file.Files.createTempDirectory("dd_src").toString
+    val base = Tables.events(spark, SparkSpec.sf0001).limit(500)
+    // duplicate the whole slice so every row has at least one twin
+    base.unionAll(base).repartition(3).write.mode("overwrite").parquet(src)
+
+    val q = EventStreams.dedupStream(spark, src, delay = "3650 days")
+      .writeStream.format("memory").queryName("dedup_stream").outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ck_dd").toString)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("dedup_stream")
+      .select("user_id", "event_type", "value")
+    val want = spark.read.parquet(src)
+      .dropDuplicates("user_id", "event_type", "value")
+      .select("user_id", "event_type", "value")
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("mapGroupsWithState running stats equal batch groupBy after replay") {
     val src = java.nio.file.Files.createTempDirectory("st_src").toString
     Tables.events(spark, SparkSpec.sf0001).limit(1000).repartition(4)
