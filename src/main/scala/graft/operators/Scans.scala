@@ -85,7 +85,26 @@ object Scans {
         sqrt((col("sumsq") - col("sum_qty").cast("double") * col("sum_qty") / col("n_rows"))
           / (col("n_rows") - 1)).as("std_qty"))
 
+  /** Exact percentiles per group: Spark `percentile` (sort + linear
+    * interpolation) matches DuckDB `quantile_cont` bit-for-bit on the same
+    * doubles (verified incl. trailing float digits). Exact percentile is a
+    * per-group sort — fine for bounded groups; the unbounded-scale path is
+    * approx_percentile (not oracle-comparable, like the HLL variant). */
+  def quantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile(col("l_extendedprice"), lit(0.25)).as("q25"),
+        percentile(col("l_extendedprice"), lit(0.5)).as("q50"),
+        percentile(col("l_extendedprice"), lit(0.75)).as("q75"))
+
   val queries: Seq[Q] = Seq(
+    Q("q_stats_quantiles", quantiles, Some(
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.25) AS q25,
+        |  quantile_cont(l_extendedprice, 0.5) AS q50,
+        |  quantile_cont(l_extendedprice, 0.75) AS q75
+        |FROM lineitem GROUP BY 1""".stripMargin)),
     Q("q_scan_schema", scanSchema, Some(
       "SELECT p_partkey, p_name, p_brand, p_type, p_size FROM part")),
     Q("q_scan_multifile", scanMultifile, Some(
