@@ -167,26 +167,34 @@ object NearDup {
 
   // ---------------------------------------------------------------- simhash
 
-  /** Per-word 60-bit hashes (md5-derived, tf-weighted via duplicates). */
-  private def wordHashes(c: Column): Column =
-    transform(split(normText(c), " "), t =>
-      conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
-
   private val wordHashesSql =
     s"list_transform(string_split($normSql, ' '), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT)"
 
-  /** 60-bit SimHash: majority vote per bit position over word hashes. */
+  /** 60-bit SimHash: majority vote per bit position over word hashes
+    * (tf-weighted via duplicate words).
+    *
+    * Shape matters: explode words → ONE codegen'd 60-column vote aggregate
+    * → assemble bits. The tempting nested-HOF form (transform over bits ×
+    * aggregate over hashes) is catastrophic: each single-referenced staged
+    * column gets re-inlined by CollapseProject into the enclosing lambda,
+    * so the word-hash array is recomputed per bit per bit (≈3600× per doc
+    * — observed wedging a whole core for minutes at 5k docs). The explode
+    * form computes each md5 once, stays in whole-stage codegen, and
+    * parallelizes over the doc_id shuffle regardless of input file count. */
   def simhashSignatures(spark: SparkSession, dir: String): DataFrame = {
-    val votes = transform(sequence(lit(0), lit(59)), i =>
-      aggregate(col("hs"), lit(0L), (acc, h) =>
-        acc + (call_function("shiftright", h, i).bitwiseAND(lit(1L)) * 2 - 1)))
-    val simhash = aggregate(sequence(lit(0), lit(59)), lit(0L), (acc, i) =>
-      acc + when(element_at(col("votes"), i + 1) > 0,
-        call_function("shiftleft", lit(1L), i)).otherwise(lit(0L)))
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), wordHashes(col("text")).as("hs"))
-      .select(col("doc_id"), votes.as("votes"))
-      .select(col("doc_id"), simhash.as("simhash"))
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"), normText(col("text")).as("norm"))
+      .select(col("doc_id"), explode(split(col("norm"), " ")).as("t"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long").as("h"))
+    val voteCols = (0 until 60).map { i =>
+      sum(shiftright(col("h"), i).bitwiseAND(lit(1L)) * 2 - 1).as(s"v_$i")
+    }
+    val votes = words.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
+    val simhash = (0 until 60).map { i =>
+      when(col(s"v_$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    votes.select(col("doc_id"), simhash.as("simhash"))
   }
 
   private val simhashSigSql =
