@@ -110,7 +110,28 @@ object Analytics {
       |  count(CASE WHEN TRY_CAST(regexp_extract(props, '"k": *(-?\d+)', 1) AS BIGINT) IS NULL THEN 1 END) AS n_missing
       |FROM events GROUP BY 1""".stripMargin
 
+  /** Cube over (returnflag, linestatus) with grouping indicators — all four
+    * grouping sets in one Expand pass; `grouping()` disambiguates real
+    * NULLs from subtotal rows. */
+  def cubeQty(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("returnflag"),
+        col("l_linestatus").as("linestatus"),
+        col("l_quantity").cast("long").as("q"))
+      .cube(col("returnflag"), col("linestatus"))
+      .agg(sum(col("q")).as("sum_qty"),
+        grouping(col("returnflag")).cast("int").as("g_flag"),
+        grouping(col("linestatus")).cast("int").as("g_status"))
+
+  private val cubeQtySql =
+    """SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+      |  CAST(GROUPING(l_linestatus) AS INT) AS g_status
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q_cube", cubeQty, Some(cubeQtySql)),
     Q("q_window_running", runningRevenue, Some(runningRevenueSql)),
     Q("q_rollup", rollupQty, Some(rollupQtySql)),
     Q("q_pivot", pivotStatus, Some(pivotStatusSql)),

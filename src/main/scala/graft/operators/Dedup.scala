@@ -97,7 +97,18 @@ object Dedup {
        |SELECT doc_id, lang, source FROM documents
        |WHERE doc_id NOT IN (SELECT id_b FROM pairs)""".stripMargin
 
+  /** Duplicate-cluster size distribution — the corpus-health histogram
+    * (how many content hashes occur 1×, 2×, …): two chained aggregations,
+    * both map-side combinable. */
+  def clusterSizes(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("fp")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+
   val queries: Seq[Q] = Seq(
+    Q("q_dedup_cluster_sizes", clusterSizes, Some(
+      """WITH c AS (SELECT md5(text) AS fp, count(*) AS sz FROM documents GROUP BY 1)
+        |SELECT sz, count(*) AS n_clusters FROM c GROUP BY 1""".stripMargin)),
     Q("q_dedup_kmv_sketch", kmvBySource, Some(kmvBySourceSql)),
     Q("q_dedup_near_materialize", materializeNearDupFree, Some(nearDupFreeSql)),
     Q("q_dedup_materialize", materialize, Some(

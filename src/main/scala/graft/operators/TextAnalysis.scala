@@ -146,7 +146,25 @@ object TextAnalysis {
        |              md5(concat_ws(' ', w[i+1], w[i+2], w[i+3], w[i+4])))) END AS fp_winnow
        |FROM s""".stripMargin
 
+  /** Corpus-wide top-20 word frequencies: explode → count → top-k via
+    * WindowGroupLimit (rank pushdown keeps only k rows per partition before
+    * the final sort — the corpus-stats pass that runs daily on a training
+    * pipeline). Ties broken by word for determinism. */
+  def topWords(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = withWords(spark, dir)
+      .select(explode(col("w")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("n").desc, col("word"))
+    counts.withColumn("rank", row_number().over(w)).filter(col("rank") <= 20)
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_text_top_words", topWords, Some(
+      s"""WITH w AS (SELECT unnest(string_split($normSql, ' ')) AS word FROM documents),
+         |c AS (SELECT word, count(*) AS n FROM w GROUP BY 1)
+         |SELECT word, n, CAST(row_number() OVER (ORDER BY n DESC, word) AS INT) AS rank
+         |FROM c QUALIFY rank <= 20""".stripMargin)),
     Q("q_text_tokens", tokenCount, Some(
       s"""SELECT doc_id, len(string_split($normSql, ' ')) AS n_tokens,
          |       length(text) AS n_chars_computed FROM documents""".stripMargin)),
