@@ -29,7 +29,8 @@ object Registry {
       operators.Sampling.queries ++
       operators.Similarity.queries ++
       operators.TextAnalysis.queries ++
-      operators.Multimodal.queries
+      operators.Multimodal.queries ++
+      sources.Bucketing.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

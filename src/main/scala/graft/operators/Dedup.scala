@@ -97,6 +97,41 @@ object Dedup {
        |SELECT doc_id, lang, source FROM documents
        |WHERE doc_id NOT IN (SELECT id_b FROM pairs)""".stripMargin
 
+  /** Transitive near-dup clusters: connected components over the verified
+    * MinHash-LSH pair list (Graph.connectedComponents — alternating
+    * min-label propagation, one shuffle-join + min-agg per round). Output is
+    * (doc_id, cluster_id) for every doc in at least one verified pair, with
+    * cluster_id = min doc_id of the component — the canonical labeling a
+    * DuckDB recursive CTE reproduces exactly. */
+  def nearDupClusters(spark: SparkSession, dir: String): DataFrame =
+    Graph.connectedComponents(
+        NearDup.minhashPairs(spark, dir).select(col("id_a"), col("id_b")))
+      .select(col("node").as("doc_id"), col("cluster").as("cluster_id"))
+
+  /** Shared oracle prefix: pairs → symmetric edges → transitive reachability
+    * (recursive CTE) → per-node min reachable id. */
+  private val clustersCteSql =
+    s"""WITH RECURSIVE pairs AS (${NearDup.minhashPairsSql}),
+       |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |      UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+       |reach(node, m) AS (
+       |  SELECT src, src FROM e
+       |  UNION
+       |  SELECT r.node, e.dst FROM reach r JOIN e ON r.m = e.src),
+       |comp AS (SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY node)""".stripMargin
+
+  /** Cluster-level dedup MATERIALIZATION: keep exactly ONE doc — the lowest
+    * doc_id — per transitive near-dup cluster (plus every doc in no cluster).
+    * This is the real corpus-dedup operator; `materializeNearDupFree` above
+    * is the cheaper greedy per-pair approximation kept for comparison. */
+  def materializeClusters(spark: SparkSession, dir: String): DataFrame = {
+    val losers = nearDupClusters(spark, dir)
+      .filter(col("doc_id") =!= col("cluster_id")).select(col("doc_id"))
+    Tables.documents(spark, dir)
+      .join(losers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
   /** Duplicate-cluster size distribution — the corpus-health histogram
     * (how many content hashes occur 1×, 2×, …): two chained aggregations,
     * both map-side combinable. */
@@ -110,7 +145,14 @@ object Dedup {
       """WITH c AS (SELECT md5(text) AS fp, count(*) AS sz FROM documents GROUP BY 1)
         |SELECT sz, count(*) AS n_clusters FROM c GROUP BY 1""".stripMargin)),
     Q("q_dedup_kmv_sketch", kmvBySource, Some(kmvBySourceSql)),
-    Q("q_dedup_near_materialize", materializeNearDupFree, Some(nearDupFreeSql)),
+    Q("q_dedup_near_materialize", materializeNearDupFree, Some(nearDupFreeSql), bench = true),
+    Q("q_dedup_clusters", nearDupClusters, Some(
+      s"""$clustersCteSql
+         |SELECT doc_id, cluster_id FROM comp""".stripMargin)),
+    Q("q_dedup_cluster_materialize", materializeClusters, Some(
+      s"""$clustersCteSql
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id != cluster_id)""".stripMargin)),
     Q("q_dedup_materialize", materialize, Some(
       """WITH d AS (SELECT doc_id, lang, source, md5(text) AS fp FROM documents),
         |k AS (SELECT fp, min(doc_id) AS doc_id FROM d GROUP BY fp)

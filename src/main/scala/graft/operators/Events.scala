@@ -40,6 +40,21 @@ object Events {
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("n_events"), col("total_value"))
 
+  /** Hopping (sliding) 1-hour window, 15-minute slide: each event lands in
+    * exactly 4 windows. Spark's `window(ts, dur, slide)` expands rows
+    * per-window BEFORE the aggregate (an explode by dur/slide), so the
+    * shuffle carries 4× the (still tiny, key-bounded) partial aggregates —
+    * the scale cost of hopping windows is the slide ratio, not the input. */
+  def hoppingAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), roundN(sum(col("value")), 2).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  def hoppingBatch(spark: SparkSession, dir: String): DataFrame =
+    hoppingAgg(Tables.events(spark, dir))
+
   def windowBatch(spark: SparkSession, dir: String): DataFrame =
     windowAgg(Tables.events(spark, dir))
 
@@ -78,5 +93,15 @@ object Events {
          |  count(*) AS n_events, ${roundNSql("sum(value)", 2)} AS total_value
          |FROM e GROUP BY 1, 2""".stripMargin), bench = true),
     Q("q_events_session", sessionBatch, Some(sessionSql), bench = true),
+    // oracle mirrors the expansion: each event replicated into the 4
+    // slide-aligned windows covering it
+    Q("q_events_hopping", hoppingBatch, Some(
+      s"""WITH $eventsUs,
+         |x AS (SELECT time_bucket(INTERVAL 15 MINUTE, ts) - to_minutes(15 * k) AS window_start,
+         |             event_type, value
+         |      FROM e CROSS JOIN range(0, 4) r(k))
+         |SELECT window_start, event_type, count(*) AS n_events,
+         |  ${roundNSql("sum(value)", 2)} AS total_value
+         |FROM x GROUP BY 1, 2""".stripMargin)),
   )
 }

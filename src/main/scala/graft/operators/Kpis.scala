@@ -116,10 +116,14 @@ object Kpis {
     * sketch estimates are implementation-specific — so the driver records
     * the weaker rows-only check; the spec bounds the estimate error vs the
     * exact result instead. */
-  def kpiOrderApprox(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(spark, dir).alias("o")
-    val li = Tables.lineitem(spark, dir).alias("li")
-    o.join(li, col("o.o_orderkey") === col("li.l_orderkey"), "inner")
+  /** Shared agg body (no orderBy — streaming update mode forbids sorting;
+    * the batch wrapper adds it). HLL register state is order-insensitive
+    * (per-register max, merge = elementwise max), so the incremental
+    * streaming fixpoint equals the batch result EXACTLY, not just within
+    * the error bound — tested by StreamingSinkSpec's replay. */
+  private[graft] def orderKpiApproxAgg(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders.alias("o")
+      .join(lineitem.alias("li"), col("o.o_orderkey") === col("li.l_orderkey"), "inner")
       .withColumn("order_date", to_date(col("o.o_orderdate")))
       .groupBy(col("order_date"))
       .agg(
@@ -127,8 +131,10 @@ object Kpis {
         roundN(sum(col("li.l_extendedprice")), 2).as("total_revenue"),
         sum(col("li.l_quantity")).as("total_items_sold"),
         approx_count_distinct(col("o.o_custkey"), 0.01).as("unique_customers"))
+
+  def kpiOrderApprox(spark: SparkSession, dir: String): DataFrame =
+    orderKpiApproxAgg(Tables.orders(spark, dir), Tables.lineitem(spark, dir))
       .orderBy(col("order_date"))
-  }
 
   /** Deep snowflake: revenue by region/market segment through the full
     * dimension chain lineitem→orders→customer→nation→region. Every

@@ -239,7 +239,7 @@ object NearDup {
     Q("q_dedup_minhash_sig", minhashSignatures, Some(minhashSigSql)),
     Q("q_dedup_minhash_lsh", minhashPairs, Some(minhashPairsSql), bench = true),
     Q("q_dedup_ngram_jaccard", ngramJaccardPairs, Some(ngramJaccardSql)),
-    Q("q_dedup_simhash_sig", simhashSignatures, Some(simhashSigSql)),
+    Q("q_dedup_simhash_sig", simhashSignatures, Some(simhashSigSql), bench = true),
     Q("q_dedup_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
   )
 }

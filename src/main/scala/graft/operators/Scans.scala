@@ -98,7 +98,82 @@ object Scans {
         percentile(col("l_extendedprice"), lit(0.5)).as("q50"),
         percentile(col("l_extendedprice"), lit(0.75)).as("q75"))
 
+  /** Approximate percentiles per group — the 100 TB path for `quantiles`.
+    * `approx_percentile` (Greenwald-Khanna, bounded rank error 1/Accuracy)
+    * aggregates in one pass with fixed-size mergeable state — no per-group
+    * sort, no O(group) memory, immune to group skew. Sketch outputs are
+    * implementation-specific (like the HLL KPI variant) so there is no
+    * DuckDB oracle; ApproxQuantilesSpec bounds |approx − exact| instead. */
+  val QuantileAccuracy = 1000
+
+  def quantilesApprox(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_percentile(col("l_extendedprice"), lit(0.25), lit(QuantileAccuracy)).as("q25"),
+        approx_percentile(col("l_extendedprice"), lit(0.5), lit(QuantileAccuracy)).as("q50"),
+        approx_percentile(col("l_extendedprice"), lit(0.75), lit(QuantileAccuracy)).as("q75"))
+
+  /** summary()-parity profiler over ALL numeric lineitem measures in ONE
+    * pass: melt (column, value) via explode, then a single
+    * map-side-combinable aggregate — one scan + one shuffle regardless of
+    * how many columns are profiled (describe() would re-scan per metric
+    * family at 100 TB).
+    *
+    * Bit-reproducibility: values are quantized to DECIMAL(18,4) (the data
+    * is 2-decimal, so never near a rounding tie) and summed exactly —
+    * sum and sum-of-squares are integers-in-disguise, immune to
+    * accumulation order; the only float math (avg/std) runs on identical
+    * exact inputs in both engines. */
+  private val ProfileCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  def profileNumeric(spark: SparkSession, dir: String): DataFrame = {
+    val entries = array(ProfileCols.map(c =>
+      struct(lit(c).as("c"), col(c).cast("double").as("v"))): _*)
+    // integer "cents": data is 2-decimal, so h is exact; h and h·h sum as
+    // decimals (no 64-bit overflow at any SF), and the only float math
+    // (divisions, sqrt) runs on identical exact inputs in both engines
+    Tables.lineitem(spark, dir)
+      .select(explode(entries).as("e"))
+      .select(col("e.c").as("col_name"), col("e.v").as("v"),
+        round(col("e.v") * 100).cast("long").as("h"))
+      .groupBy(col("col_name"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("h").cast("decimal(20,0)")).as("sum_h"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"),
+        sum((col("h") * col("h")).cast("decimal(28,0)")).as("sumsq_h"))
+      .select(col("col_name"), col("n_rows"),
+        (col("sum_h").cast("double") / 100).as("sum_v"),
+        col("min_v"), col("max_v"),
+        (col("sum_h").cast("double") / 100 / col("n_rows")).as("avg_v"),
+        sqrt((col("sumsq_h").cast("double") / 10000
+            - (col("sum_h").cast("double") / 100) * (col("sum_h").cast("double") / 100)
+              / col("n_rows"))
+          / (col("n_rows") - 1)).as("std_v"))
+  }
+
+  private val profileSql = {
+    val melted = ProfileCols.map(c =>
+      s"SELECT '$c' AS col_name, CAST($c AS DOUBLE) AS v FROM lineitem")
+      .mkString("\nUNION ALL ")
+    s"""WITH m AS ($melted),
+       |s AS (SELECT col_name, count(*) AS n_rows,
+       |        sum(CAST(round(v*100) AS BIGINT)) AS sum_h, min(v) AS min_v, max(v) AS max_v,
+       |        sum(CAST(round(v*100) AS BIGINT) * CAST(round(v*100) AS BIGINT)) AS sumsq_h
+       |      FROM m GROUP BY col_name)
+       |SELECT col_name, n_rows, CAST(sum_h AS DOUBLE) / 100 AS sum_v, min_v, max_v,
+       |  CAST(sum_h AS DOUBLE) / 100 / n_rows AS avg_v,
+       |  sqrt((CAST(sumsq_h AS DOUBLE) / 10000
+       |      - (CAST(sum_h AS DOUBLE) / 100) * (CAST(sum_h AS DOUBLE) / 100) / n_rows)
+       |    / (n_rows - 1)) AS std_v
+       |FROM s""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_profile_numeric", profileNumeric, Some(profileSql)),
+    Q("q_stats_quantiles_approx", quantilesApprox, None),
     Q("q_stats_quantiles", quantiles, Some(
       """SELECT l_returnflag,
         |  quantile_cont(l_extendedprice, 0.25) AS q25,

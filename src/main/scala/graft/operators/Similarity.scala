@@ -35,21 +35,42 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   val Dim = 64
-  val NumPlanes = 4
+  /** Registered default: 2^6 = 64 sign buckets. At sf0.1's corpus this keeps
+    * per-bucket candidate lists in the tens; beyond the registered scale,
+    * use `planesFor` to derive the count from corpus cardinality instead of
+    * trusting any constant (see knnLshAdaptive). */
+  val NumPlanes = 6
   val TopK = 5
   val QueryStride = 50 // vec_id % stride == 0 are the query vectors
   val NearDupCos = 0.15 // synthetic embeddings are near-orthogonal; see spec
 
-  /** Deterministic +-1 hyperplane components: sign of md5("p:d") nibble. */
-  val planes: IndexedSeq[IndexedSeq[Double]] = {
+  /** Target mean bucket population for the adaptive path. The self-join
+    * inside one bucket is O(pop²); holding pop near this constant makes
+    * total candidate volume O(corpus · TargetBucketRows), linear in corpus —
+    * the invariant that kills the quadratic blow-up at 100 TB. */
+  val TargetBucketRows = 64
+
+  /** Plane count such that corpus / 2^planes ≈ TargetBucketRows (floor at
+    * the registered default, cap at 30 to keep the bucket id an int). */
+  def planesFor(corpusRows: Long): Int = {
+    val needed = math.ceil(math.log(math.max(1.0,
+      corpusRows.toDouble / TargetBucketRows)) / math.log(2.0)).toInt
+    math.min(30, math.max(NumPlanes, needed))
+  }
+
+  /** Deterministic +-1 hyperplane components: sign of md5("p:d") nibble —
+    * no fit step, identical literals shipped to both engines. */
+  def planesMatrix(numPlanes: Int): IndexedSeq[IndexedSeq[Double]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    (0 until NumPlanes).map { p =>
+    (0 until numPlanes).map { p =>
       (0 until Dim).map { d =>
         val h = md.digest(s"$p:$d".getBytes("UTF-8"))
         if ((h(0) & 0xff) < 128) 1.0 else -1.0
       }
     }
   }
+
+  val planes: IndexedSeq[IndexedSeq[Double]] = planesMatrix(NumPlanes)
 
   private def vecD: Column = col("embedding").cast("array<double>")
 
@@ -76,11 +97,15 @@ object Similarity {
 
   private val dotSql = "list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i]))"
 
-  /** LSH sign bucket: bit p set iff dot(v, plane_p) > 0. */
-  private def bucket(v: Column): Column =
-    (0 until NumPlanes).map { p =>
-      when(dotLit(v, planes(p)) > 0, lit(1 << p)).otherwise(lit(0))
+  /** LSH sign bucket under an arbitrary plane matrix: bit p set iff
+    * dot(v, plane_p) > 0. */
+  private def bucketWith(v: Column, m: IndexedSeq[IndexedSeq[Double]]): Column =
+    m.indices.map { p =>
+      when(dotLit(v, m(p)) > 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
+
+  /** Registered-default sign bucket (NumPlanes planes). */
+  private def bucket(v: Column): Column = bucketWith(v, planes)
 
   private val bucketSql: String = {
     def planeLit(p: Int) = planes(p).map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
@@ -166,6 +191,33 @@ object Similarity {
        |QUALIFY rank <= $TopK""".stripMargin
   }
 
+  /** Adaptive LSH kNN: the plane count is DERIVED from the actual corpus
+    * cardinality (parquet row-count metadata — no data scan) so mean bucket
+    * population stays near TargetBucketRows no matter the scale; candidate
+    * volume is therefore O(corpus · TargetBucketRows) instead of
+    * O(corpus²/2^const). Sketch-parameterized like the HLL KPI — no static
+    * oracle (the plane count depends on the input), so the driver records
+    * the rows-only check and AdaptiveLshSpec bounds bucket population. */
+  def knnLshAdaptive(spark: SparkSession, dir: String): DataFrame = {
+    val m = planesMatrix(planesFor(Tables.embeddings(spark, dir).count()))
+    val vecs = vectors(spark, dir).withColumn("bkt", bucketWith(col("v"), m)).persist()
+    val q = vecs.filter(col("vec_id") % QueryStride === 0).alias("q")
+    val c = vecs.alias("c")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    q.join(c, col("q.bkt") === col("c.bkt") && col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"), cosine.as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+  }
+
+  /** Per-bucket population under the adaptive plane count — the spec input
+    * for the bucket-bound invariant. */
+  def bucketPopulations(spark: SparkSession, dir: String): DataFrame = {
+    val m = planesMatrix(planesFor(Tables.embeddings(spark, dir).count()))
+    vectors(spark, dir).select(bucketWith(col("v"), m).as("bkt"))
+      .groupBy(col("bkt")).count()
+  }
+
   /** Embedding-cosine near-dup pairs, blocked by the same LSH buckets. */
   def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
     val vecs = vectors(spark, dir).withColumn("bkt", bucket(col("v"))).persist()
@@ -184,9 +236,10 @@ object Similarity {
        |WHERE $cosineSql >= $NearDupCos""".stripMargin
 
   val queries: Seq[Q] = Seq(
-    Q("q_sim_knn_brute", knnBrute, Some(knnBruteSql), bench = true),
+    Q("q_sim_knn_brute", knnBrute, Some(knnBruteSql)),
     Q("q_sim_knn_lsh", knnLsh, Some(knnLshSql), bench = true),
     Q("q_sim_knn_lsh_multiprobe", knnLshMultiProbe, Some(knnLshMultiProbeSql)),
+    Q("q_sim_knn_lsh_adaptive", knnLshAdaptive, None),
     Q("q_dedup_embed_cos", embedNearDup, Some(embedNearDupSql)),
   )
 }

@@ -84,6 +84,26 @@ object EventStreams {
       "inner")
   }
 
+  /** Streaming re-expression of the reference's ORDER-KPI job
+    * (transform.py:123-147): lineitem is the unbounded stream, orders the
+    * static header side of a stream-static join, and the three exact
+    * countDistincts — unsupported in streaming — become the HLL sketches of
+    * [[graft.operators.Kpis.orderKpiApproxAgg]] (shared body, two execution
+    * modes). HLL state merges associatively, so after a full replay the
+    * keyed-upsert sink holds exactly the batch kpiOrderApprox rows. Pair
+    * with [[UpsertSink.keyedParquetUpsert]] keyed on order_date — the
+    * reference's per-run DynamoDB overwrite, closed end-to-end in
+    * streaming mode. */
+  def kpiOrderApproxStream(spark: SparkSession, liSrcDir: String,
+      orders: DataFrame, maxFilesPerTrigger: Int = 1): DataFrame = {
+    val schema = spark.read.parquet(liSrcDir).schema
+    val li = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(liSrcDir)
+    graft.operators.Kpis.orderKpiApproxAgg(orders, li)
+  }
+
   /** Streaming re-expression of the reference's category-KPI job
     * (transform.py:94-121) over the reference CSV layout: order_items is
     * the unbounded stream (files arrive one per micro-batch, exactly the

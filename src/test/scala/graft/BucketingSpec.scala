@@ -32,6 +32,21 @@ class BucketingSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("q_join_bucketed: registered query plan is shuffle-free and matches the plain join") {
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val q = Bucketing.bucketedItemsOrders(spark, SparkSpec.sf0001)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected zero Exchange nodes:\n$plan")
+      val li = Tables.lineitem(spark, SparkSpec.sf0001)
+      val o = Tables.orders(spark, SparkSpec.sf0001)
+      val plain = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "o_custkey", "o_orderstatus")
+      assert(q.exceptAll(plain).isEmpty && plain.exceptAll(q).isEmpty)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("aggregation on the bucket key also skips the exchange") {
     val agg = spark.table("li_bucketed")
       .groupBy("l_orderkey").count()

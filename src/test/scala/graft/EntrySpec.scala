@@ -12,9 +12,12 @@ class EntrySpec extends SparkSuite {
   test("registry names are unique and oracle coverage is near-total") {
     val names = Registry.all.map(_.name)
     assert(names.distinct.size === names.size)
-    val noOracle = Registry.all.filter(_.oracle.isEmpty).map(_.name)
-    // only the sketch-estimate query is allowed to skip the oracle
-    assert(noOracle === Seq("q_kpi_order_approx"), noOracle.toString)
-    assert(SparkEntry.queries.keySet === SparkEntry.oracleSql.keySet + "q_kpi_order_approx")
+    val noOracle = Registry.all.filter(_.oracle.isEmpty).map(_.name).toSet
+    // only sketch-estimate / input-parameterized queries may skip the
+    // oracle: HLL KPI, GK quantiles, corpus-adaptive LSH (each has an
+    // error-bound or invariant spec instead)
+    val allowed = Set("q_kpi_order_approx", "q_stats_quantiles_approx", "q_sim_knn_lsh_adaptive")
+    assert(noOracle === allowed, noOracle.toString)
+    assert(SparkEntry.queries.keySet === SparkEntry.oracleSql.keySet ++ allowed)
   }
 }

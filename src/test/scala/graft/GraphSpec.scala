@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.{Dedup, Graph}
+import org.apache.spark.sql.functions._
+
+/** Connected-components correctness: canonical min-labeling on known
+  * topologies, convergence on a diameter-7 chain (multiple propagation
+  * rounds), and cluster-materialize semantics vs the greedy per-pair drop. */
+class GraphSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("components: chain, triangle, pair, and min-labels") {
+    val edges = Seq(
+      (1L, 2L), (2L, 3L),            // chain     -> cluster 1
+      (20L, 21L), (21L, 22L), (22L, 20L), // triangle -> cluster 20
+      (11L, 10L)                     // pair, reversed order -> cluster 10
+    ).toDF("a", "b")
+    val got = Graph.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("components: long chain needs multiple rounds and still converges") {
+    // min label enters at the far end: 8-7-6-...-1 (diameter 7)
+    val edges = (1L until 8L).map(i => (i + 1, i)).toDF("a", "b")
+    val got = Graph.connectedComponents(edges).as[(Long, Long)].collect().toMap
+    assert(got.size == 8 && got.values.forall(_ == 1L))
+  }
+
+  test("cluster materialize keeps exactly one doc per transitive cluster") {
+    // docs 1,2,3 form a transitive near-dup chain: 1~2 and 2~3 are verified
+    // pairs but 1~3 is NOT (the case greedy per-pair handles correctly only
+    // by luck of id ordering; cluster semantics make it explicit).
+    val docs = Seq(
+      (1L, "a b c d e f g h", "en", "web"),
+      (2L, "a b c d e f g x", "en", "web"),
+      (3L, "a b c d e f g h i j k l m n o p", "en", "web"),
+      (9L, "totally different content here nothing shared", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val dir = fixtureDir("documents" -> docs)
+    val clusters = Dedup.nearDupClusters(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    // every clustered doc resolves to the min id of its component
+    clusters.foreach { case (d, c) => assert(c <= d && clusters(c) == c) }
+    val kept = Dedup.materializeClusters(spark, dir)
+      .select(col("doc_id")).as[Long].collect().toSet
+    // one keeper per cluster + all unclustered docs
+    val keepers = clusters.values.toSet
+    val unclustered = Set(1L, 2L, 3L, 9L) -- clusters.keySet
+    assert(kept == keepers ++ unclustered)
+    assert(kept.contains(9L))
+  }
+}

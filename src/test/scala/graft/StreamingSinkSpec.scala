@@ -29,6 +29,30 @@ class StreamingSinkSpec extends SparkSuite {
     assert(got.select(cols: _*).exceptAll(want.select(cols: _*)).isEmpty)
   }
 
+  test("streaming order-KPI through the upsert sink equals batch kpiOrderApprox") {
+    val src = java.nio.file.Files.createTempDirectory("okpi_src").toString
+    Tables.lineitem(spark, SparkSpec.sf0001).repartition(3)
+      .write.mode("overwrite").parquet(src)
+    val orders = Tables.orders(spark, SparkSpec.sf0001)
+
+    val stateDir = java.nio.file.Files.createTempDirectory("okpi_state").toString + "/kpi"
+    val ck = java.nio.file.Files.createTempDirectory("okpi_ck").toString
+    val q = UpsertSink.keyedParquetUpsert(
+      EventStreams.kpiOrderApproxStream(spark, src, orders),
+      Seq("order_date"), stateDir, ck)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.read.parquet(stateDir)
+    // HLL registers are order-insensitive and merge associatively, so the
+    // replayed stream converges to the batch sketch estimates exactly.
+    val want = graft.operators.Kpis.kpiOrderApprox(spark, SparkSpec.sf0001)
+    val cols = want.columns.sorted.map(col)
+    assert(got.count() === want.count())
+    assert(got.select(cols: _*).exceptAll(want.select(cols: _*)).isEmpty)
+    assert(got.count() > 0)
+  }
+
   test("upsert replaces rows for re-emitted keys, keeps others") {
     import spark.implicits._
     val stateDir = java.nio.file.Files.createTempDirectory("ups2").toString + "/s"
