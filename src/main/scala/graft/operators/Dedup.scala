@@ -132,6 +132,31 @@ object Dedup {
       .select(col("doc_id"), col("lang"), col("source"))
   }
 
+  /** INCREMENTAL dedup — the daily-ingest operator: a new batch (here the
+    * deterministic doc_id % 5 == 0 slice) is admitted only if its
+    * normalized content hash is absent from the existing corpus AND unique
+    * within the batch (lowest doc_id wins). Both passes shuffle 16-byte
+    * digests only; at 100 TB the corpus side is a Bloom-filter or bucketed
+    * fp index, same plan shape. */
+  def incremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("fp", md5(normText(col("text"))))
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0).select(col("fp"))
+    val fresh = batch.join(corpus, Seq("fp"), "left_anti")
+    val keepers = fresh.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+    fresh.join(keepers, Seq("fp", "doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"), col("source"), col("fp"))
+  }
+
+  private val incrementalSql =
+    s"""WITH d AS (SELECT doc_id, lang, source, md5(${TextAnalysis.normSql}) AS fp FROM documents),
+       |b AS (SELECT * FROM d WHERE doc_id % 5 = 0),
+       |f AS (SELECT * FROM b WHERE fp NOT IN (SELECT fp FROM d WHERE doc_id % 5 != 0)),
+       |k AS (SELECT fp, min(doc_id) AS doc_id FROM f GROUP BY fp)
+       |SELECT f.doc_id, f.lang, f.source, f.fp
+       |FROM f SEMI JOIN k ON f.fp = k.fp AND f.doc_id = k.doc_id""".stripMargin
+
   /** Duplicate-cluster size distribution — the corpus-health histogram
     * (how many content hashes occur 1×, 2×, …): two chained aggregations,
     * both map-side combinable. */
@@ -145,6 +170,7 @@ object Dedup {
       """WITH c AS (SELECT md5(text) AS fp, count(*) AS sz FROM documents GROUP BY 1)
         |SELECT sz, count(*) AS n_clusters FROM c GROUP BY 1""".stripMargin)),
     Q("q_dedup_kmv_sketch", kmvBySource, Some(kmvBySourceSql)),
+    Q("q_dedup_incremental", incremental, Some(incrementalSql)),
     Q("q_dedup_near_materialize", materializeNearDupFree, Some(nearDupFreeSql), bench = true),
     Q("q_dedup_clusters", nearDupClusters, Some(
       s"""$clustersCteSql

@@ -218,6 +218,80 @@ object Similarity {
       .groupBy(col("bkt")).count()
   }
 
+  // ------------------------------------------------------------------- IVF
+
+  val IvfCentroids = 8
+  val CentroidStride = 7 // vec_id % stride == 1 are centroid seeds
+  val IvfProbes = 2
+
+  /** IVF (inverted-file) ANN — the coarse-quantizer alternative to sign-LSH:
+    * corpus vectors are assigned to their nearest centroid (one inverted
+    * list per centroid), queries probe their IvfProbes nearest lists.
+    *
+    * Centroids are TRAINING-FREE: the first IvfCentroids corpus vectors
+    * with vec_id % CentroidStride == 1, in vec_id order. Real IVF runs
+    * k-means first; the plan is identical either way (tiny centroid table
+    * collected to the driver as the broadcast-build side — the IVF
+    * codebook always fits there — then a NARROW per-row argmax pass, no
+    * shuffle until the candidate equi-join on cid). Skipping the fit makes
+    * the whole operator deterministic, hence oracle-checkable — similarity
+    * is rounded to 6 decimals before any ranking and ties break on cid,
+    * so Spark and DuckDB rank identically.
+    *
+    * Scale notes: assignment is O(corpus · C) codegen'd dot products with
+    * zero shuffle; candidate volume is corpus · probes / C on balanced
+    * lists. At 100 TB you'd raise IvfCentroids to ~√corpus and ship the
+    * codebook via broadcast() instead of literals — same plan shape. */
+  def knnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val cents: IndexedSeq[(Array[Double], Double)] =
+      vectors(spark, dir)
+        .filter(col("vec_id") % CentroidStride === 1)
+        .orderBy(col("vec_id")).limit(IvfCentroids)
+        .select(col("v"), col("nrm")).collect().toIndexedSeq
+        .map(r => (r.getSeq[Double](0).toArray, r.getDouble(1)))
+    val sims = array(cents.map { case (cv, cn) =>
+      roundN(call_function("vec_dot", col("v"), lit(cv)) / (col("nrm") * lit(cn)), 6)
+    }: _*)
+    val ranked = array_sort(
+      transform(sims, (s, i) => struct(s.as("sim"), i.as("cid"))),
+      (l, r) => when(l.getField("sim") > r.getField("sim"), -1)
+        .when(l.getField("sim") < r.getField("sim"), 1)
+        .otherwise(l.getField("cid") - r.getField("cid")))
+    val vecs = vectors(spark, dir).withColumn("ranked", ranked).persist()
+    val c = vecs.select(col("vec_id"), col("v"), col("nrm"),
+      element_at(col("ranked"), 1).getField("cid").as("cid")).alias("c")
+    val q = vecs.filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id"), col("v"), col("nrm"),
+        explode(transform(slice(col("ranked"), 1, IvfProbes), p => p.getField("cid"))).as("cid"))
+      .alias("q")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    q.join(c, col("q.cid") === col("c.cid") && col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"), cosine.as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+  }
+
+  private val knnIvfSql = {
+    val simAC = s"list_sum(list_transform(range(1, ${Dim + 1}), i -> a.v[i] * c.cv[i]))"
+    s"""WITH v0 AS ($vectorsSql),
+       |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv, nrm AS cnrm
+       |         FROM v0 WHERE vec_id % $CentroidStride = 1 ORDER BY vec_id LIMIT $IvfCentroids),
+       |sims AS (SELECT a.vec_id, c.cid,
+       |           ${roundNSql(s"$simAC / (a.nrm * c.cnrm)", 6)} AS sim
+       |         FROM v0 a CROSS JOIN cent c),
+       |ranked AS (SELECT vec_id, cid,
+       |             row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+       |           FROM sims),
+       |assign AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
+       |probes AS (SELECT vec_id, cid FROM ranked WHERE rn <= $IvfProbes AND vec_id % $QueryStride = 0),
+       |cand AS (SELECT p.vec_id AS qid, a.vec_id AS nid
+       |         FROM probes p JOIN assign a ON p.cid = a.cid AND a.vec_id != p.vec_id)
+       |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $cosineSql AS sim,
+       |  CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY $cosineSql DESC, c.vec_id) AS INT) AS rank
+       |FROM cand JOIN v0 q ON q.vec_id = cand.qid JOIN v0 c ON c.vec_id = cand.nid
+       |QUALIFY rank <= $TopK""".stripMargin
+  }
+
   /** Embedding-cosine near-dup pairs, blocked by the same LSH buckets. */
   def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
     val vecs = vectors(spark, dir).withColumn("bkt", bucket(col("v"))).persist()
@@ -240,6 +314,7 @@ object Similarity {
     Q("q_sim_knn_lsh", knnLsh, Some(knnLshSql), bench = true),
     Q("q_sim_knn_lsh_multiprobe", knnLshMultiProbe, Some(knnLshMultiProbeSql)),
     Q("q_sim_knn_lsh_adaptive", knnLshAdaptive, None),
+    Q("q_sim_knn_ivf", knnIvf, Some(knnIvfSql)),
     Q("q_dedup_embed_cos", embedNearDup, Some(embedNearDupSql)),
   )
 }

@@ -146,6 +146,31 @@ object TextAnalysis {
        |              md5(concat_ws(' ', w[i+1], w[i+2], w[i+3], w[i+4])))) END AS fp_winnow
        |FROM s""".stripMargin
 
+  /** Quality-gate MATERIALIZATION — the pretraining-corpus filter pass:
+    * keep documents with enough tokens, at least one stopword hit, and a
+    * sane average token length. One narrow filter over the scan (predicates
+    * on derived columns; no shuffle, no join) — at 100 TB this runs at scan
+    * speed and is the highest-volume operator in the pipeline. */
+  def filterQuality(spark: SparkSession, dir: String): DataFrame = {
+    val w = col("w")
+    val nTok = size(w)
+    val nStop = size(filter(w, t => t.isInCollection(stopwords)))
+    val avgLen = length(regexp_replace(col("norm"), " ", "")) / nTok.cast("double")
+    withWords(spark, dir)
+      .filter(nTok >= 10 && nStop > 0 && avgLen >= 2.0 && avgLen <= 12.0)
+      .select(col("doc_id"), col("lang"), col("source"), nTok.as("n_tokens"))
+  }
+
+  private val filterQualitySql =
+    s"""WITH s AS (SELECT doc_id, lang, source,
+       |  string_split($normSql, ' ') AS w,
+       |  length(replace($normSql, ' ', '')) AS n_word_chars FROM documents)
+       |SELECT doc_id, lang, source, len(w) AS n_tokens
+       |FROM s
+       |WHERE len(w) >= 10
+       |  AND len(list_filter(w, t -> list_contains($stopSqlList, t))) > 0
+       |  AND n_word_chars / CAST(len(w) AS DOUBLE) BETWEEN 2.0 AND 12.0""".stripMargin
+
   /** Corpus-wide top-20 word frequencies: explode → count → top-k via
     * WindowGroupLimit (rank pushdown keeps only k rows per partition before
     * the final sort — the corpus-stats pass that runs daily on a training
@@ -188,5 +213,6 @@ object TextAnalysis {
          |FROM s""".stripMargin)),
     Q("q_text_langid", langId, Some(langIdSql)),
     Q("q_text_fingerprint", fingerprint, Some(fingerprintSql)),
+    Q("q_text_filter_quality", filterQuality, Some(filterQualitySql)),
   )
 }

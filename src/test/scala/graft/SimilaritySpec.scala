@@ -49,6 +49,16 @@ class SimilaritySpec extends SparkSuite {
     assert(lsh.forall(p => brute.contains(p) || lsh.size <= brute.size))
   }
 
+  test("IVF kNN finds the identical vector (same centroid assignment by construction)") {
+    val out = Similarity.knnIvf(spark, dir)
+      .filter(col("query_id") === 0L).orderBy(col("rank")).collect()
+    assert(out.nonEmpty)
+    // identical vectors have identical centroid similarities -> same
+    // assignment -> the copy is always inside the probed list
+    assert(out.head.getAs[Long]("neighbor_id") === 100L)
+    assert(out.head.getAs[Double]("sim") === 1.0)
+  }
+
   test("embedding near-dup surfaces the identical pair at sim 1.0") {
     val out = Similarity.embedNearDup(spark, dir).collect()
     val pair = out.find(r => r.getAs[Long]("id_a") == 0L && r.getAs[Long]("id_b") == 100L)
