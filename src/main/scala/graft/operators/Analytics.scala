@@ -47,6 +47,55 @@ object Analytics {
        |    AS cum_revenue
        |FROM d""".stripMargin
 
+  /** Day-over-day revenue delta per brand (lag/lead over the daily
+    * aggregate — the trend-analysis window shape; same partition-parallel
+    * scale profile as the running total). */
+  def revenueDelta(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .withColumn("ship_date", to_date(col("l_shipdate")))
+      .groupBy(col("p_brand").as("brand"), col("ship_date"))
+      .agg(roundN(sum(col("l_extendedprice")), 2).as("daily_revenue"))
+    val w = Window.partitionBy(col("brand")).orderBy(col("ship_date"))
+    daily.select(col("brand"), col("ship_date"), col("daily_revenue"),
+      roundN(col("daily_revenue")
+        - coalesce(lag(col("daily_revenue"), 1).over(w), lit(0.0)), 2).as("delta_prev"),
+      lead(col("ship_date"), 1).over(w).as("next_active_date"))
+  }
+
+  private val revenueDeltaSql =
+    s"""WITH d AS (
+       |  SELECT p_brand AS brand, CAST(l_shipdate AS DATE) AS ship_date,
+       |    ${roundNSql("sum(l_extendedprice)", 2)} AS daily_revenue
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  GROUP BY 1, 2)
+       |SELECT brand, ship_date, daily_revenue,
+       |  ${roundNSql(
+          "daily_revenue - coalesce(lag(daily_revenue, 1) OVER (PARTITION BY brand ORDER BY ship_date), 0.0)", 2)} AS delta_prev,
+       |  lead(ship_date, 1) OVER (PARTITION BY brand ORDER BY ship_date) AS next_active_date
+       |FROM d""".stripMargin
+
+  /** Explicit GROUPING SETS — (brand), (returnflag), () in ONE Expand pass
+    * (cube/rollup's general form; never union separate aggregations). */
+  def groupingSetsQty(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"), col("l_returnflag").as("returnflag"),
+        col("l_quantity").cast("long").as("q"))
+      .groupingSets(Seq(Seq(col("brand")), Seq(col("returnflag")), Seq()),
+        col("brand"), col("returnflag"))
+      .agg(sum(col("q")).as("sum_qty"),
+        grouping(col("brand")).cast("int").as("g_brand"),
+        grouping(col("returnflag")).cast("int").as("g_flag"))
+
+  private val groupingSetsQtySql =
+    """SELECT p_brand AS brand, l_returnflag AS returnflag,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  CAST(GROUPING(p_brand) AS INT) AS g_brand,
+      |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY GROUPING SETS ((p_brand), (l_returnflag), ())""".stripMargin
+
   /** Rollup subtotals over (brand, returnflag) with exact integer sums. */
   def rollupQty(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -132,7 +181,9 @@ object Analytics {
 
   val queries: Seq[Q] = Seq(
     Q("q_cube", cubeQty, Some(cubeQtySql)),
+    Q("q_grouping_sets", groupingSetsQty, Some(groupingSetsQtySql)),
     Q("q_window_running", runningRevenue, Some(runningRevenueSql)),
+    Q("q_window_lag", revenueDelta, Some(revenueDeltaSql)),
     Q("q_rollup", rollupQty, Some(rollupQtySql)),
     Q("q_pivot", pivotStatus, Some(pivotStatusSql)),
     Q("q_set_intersect", customersBoth, Some(

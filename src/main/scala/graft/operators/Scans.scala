@@ -144,14 +144,20 @@ object Scans {
         min(col("v")).as("min_v"),
         max(col("v")).as("max_v"),
         sum((col("h") * col("h")).cast("decimal(28,0)")).as("sumsq_h"))
+      // avg/std are ROUNDED (6/4 dp): past 2^53 the exact integer sums no
+      // longer convert to double identically in both engines (DuckDB's
+      // int128→double cast is not correctly-rounded — observed 1-ulp drift
+      // in std at sf0.1), and rounding absorbs that
       .select(col("col_name"), col("n_rows"),
         (col("sum_h").cast("double") / 100).as("sum_v"),
         col("min_v"), col("max_v"),
-        (col("sum_h").cast("double") / 100 / col("n_rows")).as("avg_v"),
-        sqrt((col("sumsq_h").cast("double") / 10000
-            - (col("sum_h").cast("double") / 100) * (col("sum_h").cast("double") / 100)
-              / col("n_rows"))
-          / (col("n_rows") - 1)).as("std_v"))
+        graft.functions.Rounding.roundN(
+          col("sum_h").cast("double") / 100 / col("n_rows"), 6).as("avg_v"),
+        graft.functions.Rounding.roundN(
+          sqrt((col("sumsq_h").cast("double") / 10000
+              - (col("sum_h").cast("double") / 100) * (col("sum_h").cast("double") / 100)
+                / col("n_rows"))
+            / (col("n_rows") - 1)), 4).as("std_v"))
   }
 
   private val profileSql = {
@@ -164,10 +170,11 @@ object Scans {
        |        sum(CAST(round(v*100) AS BIGINT) * CAST(round(v*100) AS BIGINT)) AS sumsq_h
        |      FROM m GROUP BY col_name)
        |SELECT col_name, n_rows, CAST(sum_h AS DOUBLE) / 100 AS sum_v, min_v, max_v,
-       |  CAST(sum_h AS DOUBLE) / 100 / n_rows AS avg_v,
-       |  sqrt((CAST(sumsq_h AS DOUBLE) / 10000
-       |      - (CAST(sum_h AS DOUBLE) / 100) * (CAST(sum_h AS DOUBLE) / 100) / n_rows)
-       |    / (n_rows - 1)) AS std_v
+       |  ${graft.functions.Rounding.roundNSql("CAST(sum_h AS DOUBLE) / 100 / n_rows", 6)} AS avg_v,
+       |  ${graft.functions.Rounding.roundNSql(
+          """sqrt((CAST(sumsq_h AS DOUBLE) / 10000
+            |      - (CAST(sum_h AS DOUBLE) / 100) * (CAST(sum_h AS DOUBLE) / 100) / n_rows)
+            |    / (n_rows - 1))""".stripMargin, 4)} AS std_v
        |FROM s""".stripMargin
   }
 

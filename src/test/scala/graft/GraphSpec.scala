@@ -28,6 +28,26 @@ class GraphSpec extends SparkSuite {
     assert(got.size == 8 && got.values.forall(_ == 1L))
   }
 
+  test("components agree with a union-find reference on a seeded random graph") {
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(1500)((rnd.nextInt(800).toLong, rnd.nextInt(800).toLong))
+      .filter { case (a, b) => a != b }
+    // driver-side union-find reference
+    val parent = Array.tabulate(800)(identity)
+    def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(n => n -> find(n.toInt).toLong).toMap
+    val got = Graph.connectedComponents(edges.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == want.keySet)
+    // same partition AND same canonical (min-id) labels
+    assert(got == want)
+  }
+
   test("cluster materialize keeps exactly one doc per transitive cluster") {
     // docs 1,2,3 form a transitive near-dup chain: 1~2 and 2~3 are verified
     // pairs but 1~3 is NOT (the case greedy per-pair handles correctly only
