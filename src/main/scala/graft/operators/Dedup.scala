@@ -157,6 +157,14 @@ object Dedup {
        |SELECT f.doc_id, f.lang, f.source, f.fp
        |FROM f SEMI JOIN k ON f.fp = k.fp AND f.doc_id = k.doc_id""".stripMargin
 
+  /** Near-dup cluster size histogram — the fuzzy-dedup corpus-health
+    * metric (how many transitive near-dup clusters have 2, 3, … members):
+    * connected components + two map-side-combinable aggregations. */
+  def nearDupClusterSizes(spark: SparkSession, dir: String): DataFrame =
+    nearDupClusters(spark, dir)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+
   /** Duplicate-cluster size distribution — the corpus-health histogram
     * (how many content hashes occur 1×, 2×, …): two chained aggregations,
     * both map-side combinable. */
@@ -175,6 +183,10 @@ object Dedup {
     Q("q_dedup_clusters", nearDupClusters, Some(
       s"""$clustersCteSql
          |SELECT doc_id, cluster_id FROM comp""".stripMargin)),
+    Q("q_dedup_cluster_hist", nearDupClusterSizes, Some(
+      s"""$clustersCteSql,
+         |cs AS (SELECT cluster_id, count(*) AS sz FROM comp GROUP BY cluster_id)
+         |SELECT sz, count(*) AS n_clusters FROM cs GROUP BY sz""".stripMargin)),
     Q("q_dedup_cluster_materialize", materializeClusters, Some(
       s"""$clustersCteSql
          |SELECT doc_id, lang, source FROM documents
