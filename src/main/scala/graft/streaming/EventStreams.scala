@@ -46,6 +46,11 @@ object EventStreams {
   def windowed(spark: SparkSession, srcDir: String, delay: String = "48 hours"): DataFrame =
     Events.windowAgg(eventsStream(spark, srcDir).withWatermark("ts", delay))
 
+  /** Streaming hopping windows (1h window / 15min slide — each event
+    * contributes to 4 windows; same watermark-bounded state story). */
+  def hopping(spark: SparkSession, srcDir: String, delay: String = "48 hours"): DataFrame =
+    Events.hoppingAgg(eventsStream(spark, srcDir).withWatermark("ts", delay))
+
   /** Streaming session windows (stateful session merge per user_id). */
   def sessions(spark: SparkSession, srcDir: String, delay: String = "48 hours"): DataFrame =
     Events.sessionAgg(eventsStream(spark, srcDir).withWatermark("ts", delay))

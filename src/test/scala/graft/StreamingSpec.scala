@@ -44,6 +44,17 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.count() > 0)
   }
 
+  test("streaming hopping windows equal the batch hopping result") {
+    val src = java.nio.file.Files.createTempDirectory("ev_hop").toString
+    Tables.events(spark, SparkSpec.sf0001).limit(1000).repartition(2)
+      .write.mode("overwrite").parquet(src)
+    runComplete(EventStreams.hopping(spark, src, delay = "3650 days"), "hop_stream")
+    val streamed = spark.table("hop_stream")
+    val batch = Events.hoppingAgg(spark.read.parquet(src))
+    assert(canon(streamed) === canon(batch))
+    assert(streamed.count() > 0)
+  }
+
   test("streaming session windows equal the batch session result") {
     val src = java.nio.file.Files.createTempDirectory("ev_src2").toString
     // order within files is irrelevant; session merge is by event time
