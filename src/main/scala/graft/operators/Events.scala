@@ -61,6 +61,39 @@ object Events {
   def sessionBatch(spark: SparkSession, dir: String): DataFrame =
     sessionAgg(Tables.events(spark, dir))
 
+  /** Bucketized RANGE JOIN — pairs of same-user events within 5 minutes.
+    * A naive `|t_a − t_b| <= r` self-join has no equality key, so Spark
+    * plans a nested-loop join (quadratic per user). Bucketizing time into
+    * r-wide bins and exploding ONE side to its bin ±1 turns it into an
+    * equi-join on (user, bin): any qualifying pair differs by at most one
+    * bin, each candidate matches exactly one exploded bin (no dedup), and
+    * the residual exact filter runs on the candidates only. 3× replication
+    * of one side buys O(pairs-in-range) instead of O(n²/user) — the
+    * standard interval-join plan at 100 TB. */
+  val RangeUs: Long = 300L * 1000 * 1000 // 5 minutes in microseconds
+
+  def eventPairsRange(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("us"))
+    val a = e.withColumn("bkt", expr(s"us div $RangeUs")).alias("a")
+    val b = e.withColumn("bkt", explode(array(
+        expr(s"us div $RangeUs") - 1,
+        expr(s"us div $RangeUs"),
+        expr(s"us div $RangeUs") + 1))).alias("b")
+    a.join(b, col("a.user_id") === col("b.user_id") && col("a.bkt") === col("b.bkt")
+        && col("a.event_id") < col("b.event_id"))
+      .filter(abs(col("a.us") - col("b.us")) <= RangeUs)
+      .select(col("a.event_id").as("id_a"), col("b.event_id").as("id_b"),
+        (col("b.us") - col("a.us")).as("dt_us"))
+  }
+
+  /** Oracle: the plain (quadratic) range join — same relation. */
+  private val eventPairsRangeSql =
+    s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts::TIMESTAMP) AS us FROM events)
+       |SELECT a.event_id AS id_a, b.event_id AS id_b, b.us - a.us AS dt_us
+       |FROM e a JOIN e b ON a.user_id = b.user_id AND a.event_id < b.event_id
+       |WHERE abs(a.us - b.us) <= $RangeUs""".stripMargin
+
   /** Both oracles read events through this CTE: `ts::TIMESTAMP` truncates
     * the file's TIMESTAMP(NANOS) to microseconds exactly as the Spark side
     * does (Tables.events). */
@@ -93,6 +126,7 @@ object Events {
          |  count(*) AS n_events, ${roundNSql("sum(value)", 2)} AS total_value
          |FROM e GROUP BY 1, 2""".stripMargin), bench = true),
     Q("q_events_session", sessionBatch, Some(sessionSql), bench = true),
+    Q("q_join_range_events", eventPairsRange, Some(eventPairsRangeSql)),
     // oracle mirrors the expansion: each event replicated into the 4
     // slide-aligned windows covering it
     Q("q_events_hopping", hoppingBatch, Some(
