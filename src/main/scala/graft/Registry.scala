@@ -29,6 +29,7 @@ object Registry {
       operators.Sampling.queries ++
       operators.Similarity.queries ++
       operators.TextAnalysis.queries ++
+      operators.Packing.queries ++
       operators.Multimodal.queries ++
       sources.Bucketing.queries
 

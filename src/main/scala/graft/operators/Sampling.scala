@@ -38,7 +38,25 @@ object Sampling {
           .when(col("hb") < 230, "val")
           .otherwise("test").as("split"))
 
+  /** Stratified (per-source) sampling: each source gets its own keep-rate,
+    * derived here from the source id's hash (16..128 of 256) — the corpus
+    * rebalancing pass (downweight crawl, upweight books) as one narrow
+    * filter; rates in a real run come from a config map, same plan. */
+  private def sourceThreshold =
+    (conv(substring(md5(col("source")), 1, 2), 16, 10).cast("int") % 113) + 16
+  private val sourceThresholdSql =
+    "(('0x' || substr(md5(source), 1, 2))::INT % 113) + 16"
+
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("hb", hashByte)
+      .filter(col("hb") < sourceThreshold)
+      .select(col("doc_id"), col("source"))
+
   val queries: Seq[Q] = Seq(
+    Q("q_sample_stratified", sampleStratified, Some(
+      s"""SELECT doc_id, source FROM documents
+         |WHERE $hashByteSql < $sourceThresholdSql""".stripMargin)),
     Q("q_sample_hash", sampleHash, Some(
       s"""SELECT doc_id, lang, source FROM documents
          |WHERE $hashByteSql < 16""".stripMargin)),
