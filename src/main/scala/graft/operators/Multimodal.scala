@@ -8,11 +8,14 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: media payloads as opaque `binary` columns
   * with typed metadata, decoded/feature-extracted in distributed batches.
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * clearly-marked deterministic STUB (`StubDecoder`) — but everything
-  * Spark-side is real: the binary column, the metadata schema, the
-  * partition-parallel batch decode via `mapPartitions` over a typed
-  * Dataset, and the declarative metadata query with its DuckDB oracle.
+  * Still images are decoded FOR REAL via JDK `javax.imageio` (PNG/JPEG/
+  * BMP/GIF readers ship with the JVM — see [[decodeImages]], spec-tested
+  * against generated PNGs). Video/audio codecs are absent from the
+  * container, so those steps stay as clearly-marked deterministic STUBs
+  * (`StubDecoder`) — while everything Spark-side is real: the binary
+  * column, the metadata schema, the partition-parallel batch decode via
+  * `mapPartitions` over a typed Dataset, and the declarative metadata
+  * query with its DuckDB oracle.
   *
   * Scale notes (100 TB):
   *  - Payload bytes never shuffle: metadata extraction is a narrow map, so
@@ -50,6 +53,42 @@ object Multimodal {
         height = 1 + (n / 7) % 64,
         n_frames = 1 + n / 256,
         mean_byte = if (n == 0) 0.0 else s.toDouble / n)
+    }
+  }
+
+  /** REAL image decode — javax.imageio ships with the JDK (PNG/JPEG/BMP/
+    * GIF readers, no external codecs), so still images are decoded for
+    * real; only video/audio remain stubbed. Same partition-parallel shape:
+    * payload bytes never shuffle, reader state amortized per partition. */
+  final case class ImageMeta(
+      doc_id: Long, ok: Boolean, width: Int, height: Int, mean_lum: Double)
+
+  def decodeImages(images: Dataset[MediaRow]): Dataset[ImageMeta] = {
+    import images.sparkSession.implicits._
+    images.mapPartitions { it =>
+      it.map { r =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+          catch { case _: Throwable => null }
+        if (img == null) ImageMeta(r.doc_id, ok = false, -1, -1, 0.0)
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          var s = 0.0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              s += ((rgb >> 16 & 0xff) * 299 + (rgb >> 8 & 0xff) * 587 +
+                (rgb & 0xff) * 114) / 1000.0
+              x += 1
+            }
+            y += 1
+          }
+          ImageMeta(r.doc_id, ok = true, w, h, s / (w.toLong * h))
+        }
+      }
     }
   }
 

@@ -28,6 +28,32 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("real PNG decode via JDK ImageIO recovers dims and luminance") {
+    import spark.implicits._
+    // generate solid-color PNGs of known size/color in-process
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      Multimodal.MediaRow(1L, png(8, 4, 0xffffff)),  // white
+      Multimodal.MediaRow(2L, png(3, 5, 0x000000)),  // black
+      Multimodal.MediaRow(3L, png(2, 2, 0xff0000)),  // red
+      Multimodal.MediaRow(4L, "not an image".getBytes("UTF-8")))
+    val out = Multimodal.decodeImages(spark.createDataset(rows).repartition(2))
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(out(1L).ok && out(1L).width == 8 && out(1L).height == 4
+      && math.abs(out(1L).mean_lum - 255.0) < 1e-9)
+    assert(out(2L).ok && out(2L).width == 3 && out(2L).height == 5
+      && out(2L).mean_lum == 0.0)
+    assert(out(3L).ok && math.abs(out(3L).mean_lum - 255 * 0.299) < 0.5)
+    assert(!out(4L).ok && out(4L).width == -1)
+  }
+
   test("mean_byte is the payload byte average (decoder arithmetic)") {
     val f = Multimodal.StubDecoder.decode(Multimodal.MediaRow(1L, "ab".getBytes("UTF-8")))
     assert(f.n_bytes === 2)
