@@ -157,6 +157,29 @@ object Dedup {
        |SELECT f.doc_id, f.lang, f.source, f.fp
        |FROM f SEMI JOIN k ON f.fp = k.fp AND f.doc_id = k.doc_id""".stripMargin
 
+  /** Train/test CONTAMINATION check — the eval-leakage scan: test-split
+    * documents whose normalized content hash also appears in the train
+    * split. Composes the deterministic split assignment (Sampling) with
+    * content fingerprints; a semi-join on 16-byte digests, so the scan
+    * cost is the corpus and the shuffle cost is the digests. */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val withSplit = Sampling.splitAssign(spark, dir)
+    val docs = Tables.documents(spark, dir)
+      .withColumn("fp", md5(normText(col("text"))))
+      .join(withSplit, Seq("doc_id"))
+    val trainFps = docs.filter(col("split") === "train").select(col("fp"))
+    docs.filter(col("split") === "test")
+      .join(trainFps, Seq("fp"), "left_semi")
+      .select(col("doc_id"), col("fp"))
+  }
+
+  private val contaminationSql =
+    s"""WITH d AS (SELECT doc_id, md5(${TextAnalysis.normSql}) AS fp,
+       |  ${Sampling.splitCaseSql} AS split FROM documents)
+       |SELECT doc_id, fp FROM d
+       |WHERE split = 'test'
+       |  AND fp IN (SELECT fp FROM d WHERE split = 'train')""".stripMargin
+
   /** Near-dup cluster size histogram — the fuzzy-dedup corpus-health
     * metric (how many transitive near-dup clusters have 2, 3, … members):
     * connected components + two map-side-combinable aggregations. */
@@ -179,6 +202,7 @@ object Dedup {
         |SELECT sz, count(*) AS n_clusters FROM c GROUP BY 1""".stripMargin)),
     Q("q_dedup_kmv_sketch", kmvBySource, Some(kmvBySourceSql)),
     Q("q_dedup_incremental", incremental, Some(incrementalSql)),
+    Q("q_dedup_contamination", contamination, Some(contaminationSql)),
     Q("q_dedup_near_materialize", materializeNearDupFree, Some(nearDupFreeSql), bench = true),
     Q("q_dedup_clusters", nearDupClusters, Some(
       s"""$clustersCteSql

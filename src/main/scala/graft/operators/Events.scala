@@ -126,7 +126,7 @@ object Events {
          |  count(*) AS n_events, ${roundNSql("sum(value)", 2)} AS total_value
          |FROM e GROUP BY 1, 2""".stripMargin), bench = true),
     Q("q_events_session", sessionBatch, Some(sessionSql), bench = true),
-    Q("q_join_range_events", eventPairsRange, Some(eventPairsRangeSql)),
+    Q("q_join_range_events", eventPairsRange, Some(eventPairsRangeSql), bench = true),
     // oracle mirrors the expansion: each event replicated into the 4
     // slide-aligned windows covering it
     Q("q_events_hopping", hoppingBatch, Some(

@@ -70,6 +70,6 @@ object Packing {
        |SELECT doc_id, shard, bin, n_tokens::BIGINT AS n_tokens FROM p""".stripMargin
 
   val queries: Seq[Q] = Seq(
-    Q("q_text_pack", packGreedy, Some(packGreedySql)),
+    Q("q_text_pack", packGreedy, Some(packGreedySql), bench = true),
   )
 }

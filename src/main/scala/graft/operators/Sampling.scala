@@ -19,8 +19,14 @@ object Sampling {
   /** Hash of the doc id's first byte as an integer 0..255. */
   private def hashByte = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
     .cast("int")
-  private val hashByteSql =
+  private[operators] val hashByteSql =
     "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT"
+
+  /** The split CASE expression, shared with the contamination oracle. */
+  private[operators] val splitCaseSql =
+    s"""CASE WHEN $hashByteSql < 205 THEN 'train'
+       |     WHEN $hashByteSql < 230 THEN 'val'
+       |     ELSE 'test' END""".stripMargin
 
   /** Deterministic ~1/16 sample: md5 first byte < 16. */
   def sampleHash(spark: SparkSession, dir: String): DataFrame =
@@ -61,10 +67,7 @@ object Sampling {
       s"""SELECT doc_id, lang, source FROM documents
          |WHERE $hashByteSql < 16""".stripMargin)),
     Q("q_split_assign", splitAssign, Some(
-      s"""SELECT doc_id,
-         |  CASE WHEN $hashByteSql < 205 THEN 'train'
-         |       WHEN $hashByteSql < 230 THEN 'val'
-         |       ELSE 'test' END AS split
+      s"""SELECT doc_id, $splitCaseSql AS split
          |FROM documents""".stripMargin)),
   )
 }

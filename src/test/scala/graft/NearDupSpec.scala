@@ -75,6 +75,26 @@ class NearDupSpec extends SparkSuite {
     assert(blocked === brute)
   }
 
+  test("contamination scan flags test docs whose content exists in train") {
+    // pick ids that deterministically land in train (<205) / test (>=230)
+    def hashByte(id: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Integer.parseInt(md.digest(id.toString.getBytes("UTF-8"))
+        .take(1).map("%02x".format(_)).mkString, 16)
+    }
+    val trainId = (1L to 500L).find(hashByte(_) < 205).get
+    val testId = (1L to 500L).find(hashByte(_) >= 230).get
+    val cleanTestId = (testId + 1 to 1000L).find(hashByte(_) >= 230).get
+    val d = fixtureDir("documents" -> Seq(
+      (trainId, "shared leaked evaluation passage", "en", "s", 10L),
+      (testId, "shared leaked evaluation passage", "en", "s", 10L),
+      (cleanTestId, "unique held-out content", "en", "s", 10L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val flagged = Dedup.contamination(spark, d)
+      .select("doc_id").as[Long].collect().toSet
+    assert(flagged === Set(testId))
+  }
+
   test("ngram-jaccard blocking finds the exact-dup pair") {
     val pairs = NearDup.ngramJaccardPairs(spark, dir)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
