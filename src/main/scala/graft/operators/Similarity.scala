@@ -242,13 +242,19 @@ object Similarity {
     * zero shuffle; candidate volume is corpus · probes / C on balanced
     * lists. At 100 TB you'd raise IvfCentroids to ~√corpus and ship the
     * codebook via broadcast() instead of literals — same plan shape. */
+  /** Centroid seed ids: 1, 1+stride, 1+2·stride, … — an EXPLICIT id list,
+    * so the codebook fetch is a pushed-down `vec_id IN (…)` point lookup
+    * (8 rows), never a corpus-wide sort-and-limit. */
+  def ivfSeedIds: Seq[Long] = (0 until IvfCentroids).map(c => 1L + c * CentroidStride)
+
   def knnIvf(spark: SparkSession, dir: String): DataFrame = {
     val cents: IndexedSeq[(Array[Double], Double)] =
       vectors(spark, dir)
-        .filter(col("vec_id") % CentroidStride === 1)
-        .orderBy(col("vec_id")).limit(IvfCentroids)
-        .select(col("v"), col("nrm")).collect().toIndexedSeq
-        .map(r => (r.getSeq[Double](0).toArray, r.getDouble(1)))
+        .filter(col("vec_id").isin(ivfSeedIds: _*))
+        .select(col("vec_id"), col("v"), col("nrm")).collect().toIndexedSeq
+        .sortBy(_.getLong(0))
+        .map(r => (r.getSeq[Double](1).toArray, r.getDouble(2)))
+    require(cents.nonEmpty, s"no centroid seeds found (expected ids $ivfSeedIds)")
     val sims = array(cents.map { case (cv, cn) =>
       roundN(call_function("vec_dot", col("v"), lit(cv)) / (col("nrm") * lit(cn)), 6)
     }: _*)
@@ -275,7 +281,7 @@ object Similarity {
     val simAC = s"list_sum(list_transform(range(1, ${Dim + 1}), i -> a.v[i] * c.cv[i]))"
     s"""WITH v0 AS ($vectorsSql),
        |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv, nrm AS cnrm
-       |         FROM v0 WHERE vec_id % $CentroidStride = 1 ORDER BY vec_id LIMIT $IvfCentroids),
+       |         FROM v0 WHERE vec_id IN (${ivfSeedIds.mkString(", ")})),
        |sims AS (SELECT a.vec_id, c.cid,
        |           ${roundNSql(s"$simAC / (a.nrm * c.cnrm)", 6)} AS sim
        |         FROM v0 a CROSS JOIN cent c),
