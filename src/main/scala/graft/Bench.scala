@@ -32,12 +32,12 @@ object Bench {
       catch { case _: Throwable => () }
     }
     spark.catalog.clearCache() // drop warmup persists before timing
-    // Best-of-2 per query: single-shot timings on a shared VM include
-    // CPU-steal/GC noise (observed 1.6s..17.8s for the same plan); the min
+    // Best-of-3 per query: single-shot timings on a shared VM include
+    // CPU-steal/GC noise (observed same-plan swings of 6-10×); the min
     // is the steady-state number. Cache cleared between runs so each
     // timing pays its own materialization.
     val results = headline.map { q =>
-      val t = (1 to 2).map { _ =>
+      val t = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try q.run(spark, sfDir).count()
         catch { case _: Throwable => () }
