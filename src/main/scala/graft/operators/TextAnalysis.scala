@@ -171,6 +171,36 @@ object TextAnalysis {
        |  AND len(list_filter(w, t -> list_contains($stopSqlList, t))) > 0
        |  AND n_word_chars / CAST(len(w) AS DOUBLE) BETWEEN 2.0 AND 12.0""".stripMargin
 
+  /** PII pattern scan — per-document counts of email / URL / IPv4-shaped
+    * substrings plus a has_pii flag (the redaction-or-drop gate before
+    * training). Patterns are conservative character-class regexes with
+    * identical semantics in Java regex and RE2, so the scan is fully
+    * oracle-checked; narrow per-row map, scan-speed at 100 TB. */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val UrlRe = "https?://[^ ]+"
+  val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  def piiScan(spark: SparkSession, dir: String): DataFrame = {
+    def cnt(re: String) = size(regexp_extract_all(col("norm"), lit(re), lit(0)))
+    Tables.documents(spark, dir)
+      .withColumn("norm", normText(col("text")))
+      .select(col("doc_id"),
+        cnt(EmailRe).as("n_emails"),
+        cnt(UrlRe).as("n_urls"),
+        cnt(Ipv4Re).as("n_ipv4"),
+        (cnt(EmailRe) + cnt(UrlRe) + cnt(Ipv4Re) > 0).as("has_pii"))
+  }
+
+  private val piiScanSql = {
+    def cnt(re: String) = s"len(regexp_extract_all($normSql, '$re'))"
+    s"""SELECT doc_id,
+       |  ${cnt(EmailRe)} AS n_emails,
+       |  ${cnt(UrlRe)} AS n_urls,
+       |  ${cnt(Ipv4Re)} AS n_ipv4,
+       |  (${cnt(EmailRe)} + ${cnt(UrlRe)} + ${cnt(Ipv4Re)}) > 0 AS has_pii
+       |FROM documents""".stripMargin
+  }
+
   /** Corpus-wide top-20 word frequencies: explode → count → top-k via
     * WindowGroupLimit (rank pushdown keeps only k rows per partition before
     * the final sort — the corpus-stats pass that runs daily on a training
@@ -214,5 +244,6 @@ object TextAnalysis {
     Q("q_text_langid", langId, Some(langIdSql)),
     Q("q_text_fingerprint", fingerprint, Some(fingerprintSql)),
     Q("q_text_filter_quality", filterQuality, Some(filterQualitySql)),
+    Q("q_text_pii", piiScan, Some(piiScanSql)),
   )
 }

@@ -42,6 +42,21 @@ class TextAnalysisSpec extends SparkSuite {
     assert(byId(2L).getAs[Boolean]("matches_label"))
   }
 
+  test("pii scan counts planted emails, urls and ipv4s; clean docs flagged false") {
+    val d = fixtureDir("documents" -> Seq(
+      (1L, "contact Alice.Smith+x@example.org or bob@test.co today", "en", "s", 10L),
+      (2L, "see https://example.com/a?b=1 and http://x.io then 10.0.0.1 and 192.168.1.255", "en", "s", 10L),
+      (3L, "perfectly clean prose with no identifiers at all", "en", "s", 10L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = TextAnalysis.piiScan(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_emails"), r.getAs[Int]("n_urls"),
+          r.getAs[Int]("n_ipv4"), r.getAs[Boolean]("has_pii")))).toMap
+    assert(out(1L) == ((2, 0, 0, true)))
+    assert(out(2L) == ((0, 2, 2, true)))
+    assert(out(3L) == ((0, 0, 0, false)))
+  }
+
   test("fingerprints: identical normalized content -> identical fp; winnow for short docs falls back") {
     val d2 = fixtureDir("documents" -> Seq(
       (1L, "Hello  World again", "en", "s", 18L),
