@@ -214,7 +214,33 @@ object TextAnalysis {
     counts.withColumn("rank", row_number().over(w)).filter(col("rank") <= 20)
   }
 
+  /** Corpus-wide top-20 bigram frequencies — same WindowGroupLimit top-k
+    * shape as topWords, over word 2-grams. */
+  def topBigrams(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = col("w")
+    val grams = when(size(w) < 2, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), size(w) - 2), i =>
+        concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2))))
+    val counts = withWords(spark, dir)
+      .select(explode(grams).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+    val win = Window.orderBy(col("n").desc, col("bigram"))
+    counts.withColumn("rank", row_number().over(win)).filter(col("rank") <= 20)
+  }
+
+  private val topBigramsSql = {
+    val w = s"string_split($normSql, ' ')"
+    s"""WITH g AS (SELECT unnest(CASE WHEN len($w) < 2 THEN []::VARCHAR[]
+       |  ELSE list_transform(range(0, len($w) - 1), i ->
+       |    concat_ws(' ', ($w)[i+1], ($w)[i+2])) END) AS bigram FROM documents),
+       |c AS (SELECT bigram, count(*) AS n FROM g GROUP BY 1)
+       |SELECT bigram, n, CAST(row_number() OVER (ORDER BY n DESC, bigram) AS INT) AS rank
+       |FROM c QUALIFY rank <= 20""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_text_top_bigrams", topBigrams, Some(topBigramsSql)),
     Q("q_text_top_words", topWords, Some(
       s"""WITH w AS (SELECT unnest(string_split($normSql, ' ')) AS word FROM documents),
          |c AS (SELECT word, count(*) AS n FROM w GROUP BY 1)
