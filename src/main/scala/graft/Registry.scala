@@ -21,6 +21,7 @@ object Registry {
     operators.Scans.queries ++
       operators.Validation.queries ++
       operators.Kpis.queries ++
+      operators.Tpch.queries ++
       operators.Skew.queries ++
       operators.AsOf.queries ++
       operators.Analytics.queries ++

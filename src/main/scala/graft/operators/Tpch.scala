@@ -1,0 +1,173 @@
+package graft.operators
+
+import graft.Q
+import graft.functions.Rounding.{roundN, roundNSql}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Classic warehouse benchmark shapes (TPC-H Q1/Q3/Q5/Q6 analogues) over the
+  * harness star schema — the completeness proof that the engine handles the
+  * canonical decision-support patterns a reference user would eventually
+  * write, beyond the reference's own two KPIs (transform.py:94-147).
+  *
+  * Scale notes (100 TB):
+  *  - Q1 (pricing summary) is the pure scan→partial-agg shape: the date
+  *    filter pushes to the parquet scan (row-group stats skip), grouping
+  *    cardinality is tiny (flag × status), so the plan is one map-side
+  *    combine + a 6-row final agg — no data-volume shuffle at any SF.
+  *  - Q3 (shipping priority) filters BOTH fact sides before the join, keeps
+  *    the customer dimension broadcast, and takes top-k through a
+  *    rank-pushdown sort (WindowGroupLimit/TakeOrderedAndProject) — never a
+  *    global sort of the full aggregate.
+  *  - Q5 (local supplier volume) is the join-order stress: the
+  *    customer-nation = supplier-nation equality is a SECOND join predicate
+  *    on the fact row, not a dimension lookup, and all dimensions stay
+  *    broadcast so the only shuffle is lineitem⋈orders.
+  *  - Q6 (forecast revenue delta) is the pushdown showcase: every predicate
+  *    (date range, discount band, quantity cap) reaches PushedFilters, and
+  *    the aggregate is a single double sum — the whole query is one
+  *    codegen'd scan stage.
+  *
+  * Integer-valued measures sum as BIGINT (partial-agg order can't perturb
+  * them); money sums round through roundN so Spark and DuckDB do identical
+  * IEEE-754 ops (functions/Rounding.scala).
+  */
+object Tpch {
+
+  /** Q1 analogue: pricing summary report at a ship-date cutoff. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(to_date(col("l_shipdate")) <= lit("2000-12-01"))
+      .select(
+        col("l_returnflag").as("returnflag"), col("l_linestatus").as("linestatus"),
+        col("l_quantity").cast("long").as("q"), col("l_extendedprice").as("price"),
+        col("l_discount").as("disc"), col("l_tax").as("tax"))
+      .groupBy(col("returnflag"), col("linestatus"))
+      .agg(
+        sum(col("q")).as("sum_qty"),
+        roundN(sum(col("price")), 2).as("sum_base_price"),
+        roundN(sum(col("price") * (lit(1) - col("disc"))), 2).as("sum_disc_price"),
+        roundN(sum(col("price") * (lit(1) - col("disc")) * (lit(1) + col("tax"))), 2)
+          .as("sum_charge"),
+        roundN(avg(col("q")), 2).as("avg_qty"),
+        roundN(avg(col("price")), 2).as("avg_price"),
+        roundN(avg(col("disc")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  private val pricingSummarySql =
+    s"""SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+       |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       |  ${roundNSql("sum(l_extendedprice)", 2)} AS sum_base_price,
+       |  ${roundNSql("sum(l_extendedprice * (1 - l_discount))", 2)} AS sum_disc_price,
+       |  ${roundNSql("sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))", 2)} AS sum_charge,
+       |  ${roundNSql("avg(CAST(l_quantity AS BIGINT))", 2)} AS avg_qty,
+       |  ${roundNSql("avg(l_extendedprice)", 2)} AS avg_price,
+       |  ${roundNSql("avg(l_discount)", 4)} AS avg_disc,
+       |  count(*) AS count_order
+       |FROM lineitem
+       |WHERE CAST(l_shipdate AS DATE) <= DATE '2000-12-01'
+       |GROUP BY 1, 2""".stripMargin
+
+  /** Q3 analogue: top-10 open-revenue orders for one market segment.
+    * Both fact filters run BEFORE the join; l_orderkey breaks revenue ties
+    * so the limit is deterministic on both engines. */
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val o = Tables.orders(spark, dir)
+      .filter(to_date(col("o_orderdate")) < lit("1998-01-01"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority"))
+    val li = Tables.lineitem(spark, dir)
+      .filter(to_date(col("l_shipdate")) > lit("1998-01-01"))
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"), "inner")
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"), "inner")
+      .groupBy(col("l_orderkey").as("orderkey"),
+        to_date(col("o_orderdate")).as("orderdate"),
+        col("o_orderpriority").as("priority"))
+      .agg(roundN(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("orderkey"))
+      .limit(10)
+  }
+
+  private val shippingPrioritySql =
+    s"""SELECT l_orderkey AS orderkey, CAST(o_orderdate AS DATE) AS orderdate,
+       |  o_orderpriority AS priority,
+       |  ${roundNSql("sum(l_extendedprice * (1 - l_discount))", 2)} AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+       |  AND CAST(l_shipdate AS DATE) > DATE '1998-01-01'
+       |GROUP BY 1, 2, 3
+       |ORDER BY revenue DESC, orderkey
+       |LIMIT 10""".stripMargin
+
+  /** Q5 analogue: revenue by nation where the supplying and buying nations
+    * coincide, restricted to one region and a date window. */
+  def localSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).alias("li")
+    val o = Tables.orders(spark, dir)
+      .filter(to_date(col("o_orderdate")) >= lit("1996-01-01") &&
+        to_date(col("o_orderdate")) < lit("1998-01-01")).alias("o")
+    val c = Tables.customer(spark, dir).alias("c")
+    val s = Tables.supplier(spark, dir).alias("s")
+    val n = Tables.nation(spark, dir).alias("n")
+    val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA").alias("r")
+    li.join(o, col("li.l_orderkey") === col("o.o_orderkey"), "inner")
+      .join(broadcast(c), col("o.o_custkey") === col("c.c_custkey"), "inner")
+      .join(broadcast(s), col("li.l_suppkey") === col("s.s_suppkey") &&
+        col("c.c_nationkey") === col("s.s_nationkey"), "inner")
+      .join(broadcast(n), col("s.s_nationkey") === col("n.n_nationkey"), "inner")
+      .join(broadcast(r), col("n.n_regionkey") === col("r.r_regionkey"), "inner")
+      .groupBy(col("n.n_name").as("nation"))
+      .agg(roundN(sum(col("li.l_extendedprice") * (lit(1) - col("li.l_discount"))), 2)
+        .as("revenue"))
+
+  }
+
+  private val localSupplierVolumeSql =
+    s"""SELECT n_name AS nation,
+       |  ${roundNSql("sum(l_extendedprice * (1 - l_discount))", 2)} AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+       |  AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+       |GROUP BY 1""".stripMargin
+
+  /** Q6 analogue: forecast revenue change — single-table scan with every
+    * predicate pushed, one global sum. */
+  def forecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(to_date(col("l_shipdate")) >= lit("1997-01-01") &&
+        to_date(col("l_shipdate")) < lit("1998-01-01") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(roundN(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  private val forecastRevenueSql =
+    s"""SELECT ${roundNSql("sum(l_extendedprice * l_discount)", 2)} AS revenue,
+       |  count(*) AS n_rows
+       |FROM lineitem
+       |WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+       |  AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+       |  AND l_discount >= 0.05 AND l_discount <= 0.07
+       |  AND l_quantity < 24""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    Q("q_tpch_pricing", pricingSummary, Some(pricingSummarySql), bench = true),
+    Q("q_tpch_shipping", shippingPriority, Some(shippingPrioritySql)),
+    Q("q_tpch_volume", localSupplierVolume, Some(localSupplierVolumeSql)),
+    Q("q_tpch_forecast", forecastRevenue, Some(forecastRevenueSql)),
+  )
+}

@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.Tpch
+import org.apache.spark.sql.functions._
+
+/** Classic decision-support shapes (operators/Tpch.scala): result sanity at
+  * sf0.001 plus the plan properties each query exists to demonstrate. */
+class TpchSpec extends SparkSuite {
+
+  test("pricing summary groups by (returnflag, linestatus) with exact counts") {
+    val out = Tpch.pricingSummary(spark, SparkSpec.sf0001)
+    val rows = out.collect()
+    assert(rows.nonEmpty && rows.length <= 6) // |returnflag| x |linestatus|
+    // count_order must add back to the filtered row count
+    val total = rows.map(_.getAs[Long]("count_order")).sum
+    val expected = sources.Tables.lineitem(spark, SparkSpec.sf0001)
+      .filter(to_date(col("l_shipdate")) <= lit("2000-12-01")).count()
+    assert(total === expected)
+    // avg consistency: sum_qty / count_order == avg_qty (2dp)
+    rows.foreach { r =>
+      val avg = r.getAs[Double]("avg_qty")
+      val recomputed = math.floor(
+        r.getAs[Long]("sum_qty").toDouble / r.getAs[Long]("count_order") * 100 + 0.5) / 100
+      assert(avg === recomputed)
+    }
+  }
+
+  test("pricing summary pushes the date filter into the parquet scan") {
+    val plan = Tpch.pricingSummary(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    // filter exists above the scan; scan reads only the 6 referenced columns
+    assert(plan.contains("l_returnflag"))
+    val readSchema = "ReadSchema: .*".r.findFirstIn(plan).getOrElse("")
+    assert(!readSchema.contains("l_orderkey"), s"unpruned scan: $readSchema")
+  }
+
+  test("shipping priority returns at most 10 rows, descending revenue") {
+    val rows = Tpch.shippingPriority(spark, SparkSpec.sf0001).collect()
+    assert(rows.length <= 10 && rows.nonEmpty)
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("shipping priority takes top-k without a full global sort") {
+    val plan = Tpch.shippingPriority(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$plan")
+  }
+
+  test("local supplier volume: every nation is in ASIA and revenue positive") {
+    val spark0 = spark
+    import spark0.implicits._
+    val out = Tpch.localSupplierVolume(spark, SparkSpec.sf0001)
+    val asiaNations = sources.Tables.nation(spark, SparkSpec.sf0001).alias("n")
+      .join(sources.Tables.region(spark, SparkSpec.sf0001).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_name")).as[String].collect().toSet
+    out.collect().foreach { r =>
+      assert(asiaNations.contains(r.getAs[String]("nation")))
+      assert(r.getAs[Double]("revenue") > 0)
+    }
+  }
+
+  test("forecast revenue matches a hand-computed fold at sf0.001") {
+    val li = sources.Tables.lineitem(spark, SparkSpec.sf0001)
+      .filter(to_date(col("l_shipdate")) >= lit("1997-01-01") &&
+        to_date(col("l_shipdate")) < lit("1998-01-01") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .select(col("l_extendedprice"), col("l_discount")).collect()
+    val manual = li.map(r => r.getDouble(0) * r.getDouble(1)).sum
+    val expected = math.floor(manual * 100 + 0.5) / 100
+    val row = graft.operators.Tpch.forecastRevenue(spark, SparkSpec.sf0001).head()
+    assert(row.getAs[Long]("n_rows") === li.length)
+    assert(math.abs(row.getAs[Double]("revenue") - expected) <= 0.01)
+  }
+}
