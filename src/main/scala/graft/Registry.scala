@@ -22,6 +22,7 @@ object Registry {
       operators.Validation.queries ++
       operators.Kpis.queries ++
       operators.Tpch.queries ++
+      operators.Joins.queries ++
       operators.Skew.queries ++
       operators.AsOf.queries ++
       operators.Analytics.queries ++
