@@ -239,7 +239,93 @@ object TextAnalysis {
        |FROM c QUALIFY rank <= 20""".stripMargin
   }
 
+  /** Gopher-style repetition signals per document (the pretraining-corpus
+    * repetition filters: Rae et al. 2021 "Scaling Language Models", table A1
+    * — adapted to word level because this corpus has no line structure):
+    *  - dup_word_frac      fraction of word occurrences that are repeats
+    *  - dup_trigram_frac   fraction of word-3-gram occurrences that are repeats
+    *  - n_adjacent_repeats count of immediately-repeated words (w[i]==w[i+1])
+    *  - top_bigram_frac    fraction of bigram occurrences taken by the most
+    *                       frequent bigram (tie-break: lexicographic)
+    *
+    * Scale shape: everything except the bigram mode is a narrow per-row map
+    * (array ops over the staged word column — zero shuffle). The per-doc
+    * bigram mode needs a histogram per document, which no Spark HOF
+    * expresses without per-element × per-element recomputation (see the
+    * SimHash note above), so it is the classic explode → groupBy(doc,
+    * bigram) → row_number()=1 pipeline: one shuffle keyed by (doc_id,
+    * bigram), partial-aggregated map-side, top-1 taken under
+    * WindowGroupLimit. The doc_id join back to the narrow frame is
+    * same-cardinality and AQE picks the strategy. */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = col("w")
+    val nTok = size(w)
+    val tri = when(nTok < 3, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), nTok - 3), i =>
+        concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))))
+    val adj = when(nTok < 2, lit(0)).otherwise(
+      size(filter(sequence(lit(0), nTok - 2), i =>
+        element_at(w, i + 1) === element_at(w, i + 2))))
+    val narrow = withWords(spark, dir)
+      .withColumn("tri", tri)
+      .select(
+        col("doc_id"), nTok.as("n_tokens"),
+        roundN(lit(1) - size(array_distinct(w)) / nTok.cast("double"), 4)
+          .as("dup_word_frac"),
+        when(size(col("tri")) === 0, lit(0.0)).otherwise(
+          roundN(lit(1) - size(array_distinct(col("tri"))) / size(col("tri")).cast("double"), 4))
+          .as("dup_trigram_frac"),
+        adj.as("n_adjacent_repeats"))
+    val bigrams = withWords(spark, dir)
+      .select(col("doc_id"), explode(
+        when(size(w) < 2, array().cast("array<string>")).otherwise(
+          transform(sequence(lit(0), size(w) - 2), i =>
+            concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2))))).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("n"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("n").desc, col("bigram"))
+    val top = bigrams
+      .withColumn("rn", row_number().over(win)).filter(col("rn") === 1)
+      .select(col("doc_id").as("b_doc_id"), col("bigram").as("top_bigram"), col("n").as("top_bigram_n"))
+    narrow.join(top, col("doc_id") === col("b_doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"), col("dup_word_frac"),
+        col("dup_trigram_frac"), col("n_adjacent_repeats"),
+        col("top_bigram"),
+        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
+        when(col("n_tokens") < 2, lit(0.0)).otherwise(
+          roundN(col("top_bigram_n") / (col("n_tokens") - 1).cast("double"), 4))
+          .as("top_bigram_frac"))
+  }
+
+  private val repetitionSql = {
+    val w = s"string_split($normSql, ' ')"
+    s"""WITH s AS (SELECT doc_id, $w AS w, len($w) AS n_tokens FROM documents),
+       |n AS (SELECT doc_id, n_tokens,
+       |  ${roundNSql("1 - len(list_distinct(w)) / CAST(n_tokens AS DOUBLE)", 4)} AS dup_word_frac,
+       |  CASE WHEN n_tokens < 3 THEN 0.0 ELSE
+       |    ${roundNSql(
+            "1 - len(list_distinct(list_transform(range(0, n_tokens - 2), i -> concat_ws(' ', w[i+1], w[i+2], w[i+3])))) / CAST(n_tokens - 2 AS DOUBLE)", 4)}
+       |  END AS dup_trigram_frac,
+       |  CASE WHEN n_tokens < 2 THEN 0 ELSE
+       |    len(list_filter(range(0, n_tokens - 1), i -> w[i+1] = w[i+2]))
+       |  END AS n_adjacent_repeats FROM s),
+       |g AS (SELECT doc_id, unnest(list_transform(range(0, len(w) - 1), i ->
+       |        concat_ws(' ', w[i+1], w[i+2]))) AS bigram FROM s WHERE len(w) >= 2),
+       |c AS (SELECT doc_id, bigram, count(*) AS n FROM g GROUP BY 1, 2),
+       |t AS (SELECT doc_id, bigram AS top_bigram, n AS top_bigram_n,
+       |        row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, bigram) AS rn
+       |      FROM c)
+       |SELECT n.doc_id, n.n_tokens, n.dup_word_frac, n.dup_trigram_frac,
+       |  n.n_adjacent_repeats, t.top_bigram,
+       |  coalesce(t.top_bigram_n, 0) AS top_bigram_n,
+       |  CASE WHEN n.n_tokens < 2 THEN 0.0 ELSE
+       |    ${roundNSql("t.top_bigram_n / CAST(n.n_tokens - 1 AS DOUBLE)", 4)}
+       |  END AS top_bigram_frac
+       |FROM n LEFT JOIN t ON n.doc_id = t.doc_id AND t.rn = 1""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_text_repetition", repetition, Some(repetitionSql)),
     Q("q_text_top_bigrams", topBigrams, Some(topBigramsSql)),
     Q("q_text_top_words", topWords, Some(
       s"""WITH w AS (SELECT unnest(string_split($normSql, ' ')) AS word FROM documents),
