@@ -23,6 +23,7 @@ object Registry {
       operators.Kpis.queries ++
       operators.Tpch.queries ++
       operators.Joins.queries ++
+      operators.Scd.queries ++
       operators.Skew.queries ++
       operators.AsOf.queries ++
       operators.Analytics.queries ++

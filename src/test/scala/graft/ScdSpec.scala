@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.Scd
+import org.apache.spark.sql.functions._
+
+/** SCD Type-2 merge semantics on a controlled dimension. */
+class ScdSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def date(s: String) = java.sql.Date.valueOf(s)
+
+  // key 1: history + current (price 10 since 2001); key 2: current only;
+  // key 3: current only
+  private lazy val dim = Seq(
+    (1L, "b1", 5.0, date("2000-01-01"), Option(date("2001-01-01")), false),
+    (1L, "b1", 10.0, date("2001-01-01"), None: Option[java.sql.Date], true),
+    (2L, "b2", 20.0, date("2001-01-01"), None: Option[java.sql.Date], true),
+    (3L, "b3", 30.0, date("2001-01-01"), None: Option[java.sql.Date], true))
+    .toDF("key", "brand", "price", "valid_from", "valid_to", "is_current")
+
+  // key 1 changes price; key 2 is a NO-OP (same attrs); key 9 is new
+  private lazy val updates = Seq(
+    (1L, "b1", 11.0), (2L, "b2", 20.0), (9L, "b9", 90.0))
+    .toDF("key", "brand", "price")
+
+  private lazy val out =
+    Scd.applyScd2(dim, updates, "key", Seq("brand", "price"), lit("2002-06-01"))
+      .orderBy("key", "valid_from").collect()
+
+  test("changed key gets closed old version plus new current version") {
+    val k1 = out.filter(_.getLong(0) == 1L)
+    assert(k1.length === 3) // history + closed + new current
+    val closed = k1(1)
+    assert(closed.getAs[java.sql.Date]("valid_to").toString === "2002-06-01")
+    assert(!closed.getAs[Boolean]("is_current"))
+    assert(closed.getAs[Double]("price") === 10.0)
+    val current = k1(2)
+    assert(current.getAs[Boolean]("is_current"))
+    assert(current.getAs[Double]("price") === 11.0)
+    assert(current.getAs[java.sql.Date]("valid_from").toString === "2002-06-01")
+    assert(current.isNullAt(current.fieldIndex("valid_to")))
+  }
+
+  test("no-op update leaves the row untouched; unmentioned key passes through") {
+    val k2 = out.filter(_.getLong(0) == 2L)
+    assert(k2.length === 1 && k2(0).getAs[Boolean]("is_current"))
+    assert(k2(0).getAs[java.sql.Date]("valid_from").toString === "2001-01-01")
+    val k3 = out.filter(_.getLong(0) == 3L)
+    assert(k3.length === 1 && k3(0).getAs[Boolean]("is_current"))
+  }
+
+  test("new key is inserted as a first version") {
+    val k9 = out.filter(_.getLong(0) == 9L)
+    assert(k9.length === 1)
+    assert(k9(0).getAs[Boolean]("is_current"))
+    assert(k9(0).getAs[java.sql.Date]("valid_from").toString === "2002-06-01")
+  }
+
+  test("row count: dim + changed + new (no-op adds nothing)") {
+    assert(out.length === dim.count() + 1 + 1)
+  }
+
+  test("registered part instantiation: every current key is unique") {
+    val cur = Scd.scd2Part(spark, SparkSpec.sf0001).filter(col("is_current"))
+    assert(cur.groupBy("key").count().filter(col("count") > 1).isEmpty)
+  }
+}
