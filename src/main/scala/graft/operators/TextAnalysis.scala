@@ -324,7 +324,43 @@ object TextAnalysis {
        |FROM n LEFT JOIN t ON n.doc_id = t.doc_id AND t.rn = 1""".stripMargin
   }
 
+  /** Corpus heavy hitters, two-pass: a Misra-Gries summary (typed
+    * Aggregator, O(K) state, associative merge — functions/HeavyHitters)
+    * generates ≤K candidate words in one pass; a second pass exact-counts
+    * ONLY the candidates (broadcast semi-join — the corpus-sized exact
+    * vocabulary aggregation never happens) and keeps words above the
+    * n/(K+1) frequency threshold. MG's coverage guarantee (every item
+    * above the threshold is in the summary) makes the two-pass result
+    * EXACT, hence deterministic and fully oracle-checkable even though the
+    * sketch internals are merge-order-dependent. */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = graft.functions.HeavyHitters.K
+    val words = withWords(spark, dir).select(explode(col("w")).as("word"))
+    val mg = words.as[String]
+      .select(graft.functions.HeavyHitters.aggregator(k).toColumn.name("mg"))
+    val cand = mg.select(explode(col("mg"))).select(col("key").as("word"))
+    val total = words.agg(count(lit(1)).as("total"))
+    words.join(broadcast(cand), Seq("word"), "left_semi")
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .filter(col("n") > col("total") / (k + 1.0))
+      .select(col("word"), col("n"),
+        roundN(col("n") / col("total").cast("double") * 100, 4).as("pct"))
+  }
+
+  private val heavyHittersSql = {
+    val k = graft.functions.HeavyHitters.K
+    s"""WITH w AS (SELECT unnest(string_split($normSql, ' ')) AS word FROM documents),
+       |t AS (SELECT count(*) AS total FROM w)
+       |SELECT word, count(*) AS n,
+       |  ${roundNSql("count(*) / CAST(total AS DOUBLE) * 100", 4)} AS pct
+       |FROM w, t GROUP BY word, total
+       |HAVING count(*) > total / ${k + 1}.0""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_text_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     Q("q_text_repetition", repetition, Some(repetitionSql)),
     Q("q_text_top_bigrams", topBigrams, Some(topBigramsSql)),
     Q("q_text_top_words", topWords, Some(
