@@ -10,12 +10,14 @@ import org.apache.spark.sql.functions._
   *
   * Still images are decoded FOR REAL via JDK `javax.imageio` (PNG/JPEG/
   * BMP/GIF readers ship with the JVM — see [[decodeImages]], spec-tested
-  * against generated PNGs). Video/audio codecs are absent from the
-  * container, so those steps stay as clearly-marked deterministic STUBs
-  * (`StubDecoder`) — while everything Spark-side is real: the binary
-  * column, the metadata schema, the partition-parallel batch decode via
-  * `mapPartitions` over a typed Dataset, and the declarative metadata
-  * query with its DuckDB oracle.
+  * against generated PNGs), and audio is decoded FOR REAL via the
+  * [[WavCodec]] RIFF/WAVE PCM16 parser (plain byte layout, no codec
+  * library needed). Video container parsing is absent from the JVM, so
+  * that step stays a clearly-marked deterministic STUB (`StubDecoder`) —
+  * while everything Spark-side is real: the binary column, the metadata
+  * schema, the partition-parallel batch decode via `mapPartitions` over a
+  * typed Dataset, and the declarative metadata query with its DuckDB
+  * oracle.
   *
   * Scale notes (100 TB):
   *  - Payload bytes never shuffle: metadata extraction is a narrow map, so
@@ -161,6 +163,138 @@ object Multimodal {
       }
   }
 
+  // ---------------------------------------------------------------------
+  // REAL audio decode: RIFF/WAVE PCM is a plain byte layout (header + raw
+  // little-endian samples), so it parses with zero external codecs — like
+  // the ImageIO path, this upgrades audio from stub to real. Only video
+  // remains stubbed (no container parser in the JVM).
+  // ---------------------------------------------------------------------
+
+  /** Decoded audio features. `ok=false` rows carry -1/-0.0 defaults. */
+  final case class AudioMeta(
+      doc_id: Long, ok: Boolean, sample_rate: Int, n_channels: Int,
+      bits: Int, n_samples: Int, duration_s: Double, rms: Double,
+      n_zero_cross: Int, peak: Int)
+
+  /** Minimal RIFF/WAVE PCM16 codec (synthesize for fixtures, parse for
+    * real): chunk-walking parser, little-endian, even-padded chunks. */
+  object WavCodec {
+    import java.nio.{ByteBuffer, ByteOrder}
+
+    /** A deterministic mono PCM16 sine clip — the fixture generator. */
+    def synthesize(freqHz: Double, nSamples: Int, rate: Int = 8000,
+        amp: Double = 0.6): Array[Byte] = {
+      val dataLen = nSamples * 2
+      val buf = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+      buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1) // PCM, mono
+        .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+      buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      var i = 0
+      while (i < nSamples) {
+        val v = math.round(amp * 32767.0 *
+          math.sin(2.0 * math.Pi * freqHz * i / rate)).toShort
+        buf.putShort(v)
+        i += 1
+      }
+      buf.array()
+    }
+
+    /** Parse header + PCM16 samples; None on anything malformed. */
+    def parse(payload: Array[Byte]): Option[(Int, Int, Int, Array[Short])] = {
+      if (payload.length < 44) return None
+      val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+      def tag(): String = {
+        val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+      }
+      if (tag() != "RIFF") return None
+      buf.getInt // declared riff size (tolerate truncated writers)
+      if (tag() != "WAVE") return None
+      var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
+      var data: Option[Array[Short]] = None
+      while (buf.remaining() >= 8 && (fmt.isEmpty || data.isEmpty)) {
+        val id = tag()
+        val size = buf.getInt
+        if (size < 0 || size > buf.remaining()) return None
+        val next = buf.position() + size + (size & 1) // chunks even-padded
+        id match {
+          case "fmt " =>
+            if (size < 16) return None
+            val audioFormat = buf.getShort
+            val channels = buf.getShort.toInt
+            val rate = buf.getInt
+            buf.getInt; buf.getShort // byteRate, blockAlign
+            val bits = buf.getShort.toInt
+            if (audioFormat != 1 || bits != 16 || channels < 1) return None
+            fmt = Some((channels, rate, bits))
+          case "data" =>
+            val out = new Array[Short](size / 2)
+            var i = 0
+            while (i < out.length) { out(i) = buf.getShort; i += 1 }
+            data = Some(out)
+          case _ => // skip unknown chunk (LIST, cue, …)
+        }
+        buf.position(math.min(next, buf.limit()))
+      }
+      for ((c, r, b) <- fmt; d <- data) yield (c, r, b, d)
+    }
+
+    def features(docId: Long, payload: Array[Byte]): AudioMeta =
+      parse(payload) match {
+        case None =>
+          AudioMeta(docId, ok = false, -1, -1, -1, -1, 0.0, 0.0, -1, -1)
+        case Some((channels, rate, bits, samples)) =>
+          var sumSq = 0.0
+          var crossings = 0
+          var peak = 0
+          var i = 0
+          while (i < samples.length) {
+            val s = samples(i).toInt
+            val norm = s / 32768.0
+            sumSq += norm * norm
+            if (math.abs(s) > peak) peak = math.abs(s)
+            if (i > 0 && ((samples(i - 1) < 0) != (s < 0))) crossings += 1
+            i += 1
+          }
+          val n = samples.length / channels
+          AudioMeta(docId, ok = true, rate, channels, bits, n,
+            duration_s = n.toDouble / rate,
+            rms = if (samples.isEmpty) 0.0 else math.sqrt(sumSq / samples.length),
+            n_zero_cross = crossings, peak = peak)
+      }
+  }
+
+  /** Partition-parallel REAL audio decode — same shape as decodeImages:
+    * payload bytes never shuffle, per-partition init amortized. */
+  def decodeAudio(audio: Dataset[MediaRow]): Dataset[AudioMeta] = {
+    import audio.sparkSession.implicits._
+    audio.mapPartitions(it => it.map(r => WavCodec.features(r.doc_id, r.payload)))
+  }
+
+  /** Registered audio pipeline: synthesize a deterministic WAV per document
+    * (frequency/length keyed off doc_id — stands in for reading a payload
+    * column), then decode it FOR REAL through the RIFF parser. Not
+    * SQL-expressible (binary codec), so the driver records the rows-only
+    * check; AudioSpec asserts the decoded features against closed-form
+    * sine-wave values instead. */
+  def audioFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val freq = 100.0 + (id % 40) * 20.0 // 100..880 Hz
+          val n = 4000 + (id % 16).toInt * 500 // 0.5..1.4 s @ 8 kHz
+          MediaRow(id, WavCodec.synthesize(freq, n))
+        }
+      }
+      .transform(decodeAudio)
+      .toDF()
+  }
+
   /** Declarative metadata query over the binary column — same fake-decode
     * arithmetic expressed in codegen'd functions, with a DuckDB oracle. */
   def mediaMeta(spark: SparkSession, dir: String): DataFrame = {
@@ -184,5 +318,6 @@ object Multimodal {
 
   val queries: Seq[Q] = Seq(
     Q("q_mm_meta", mediaMeta, Some(mediaMetaSql)),
+    Q("q_mm_audio", audioFeatures, None),
   )
 }
