@@ -298,6 +298,88 @@ object Similarity {
        |QUALIFY rank <= $TopK""".stripMargin
   }
 
+  // ------------------------------------------------------- int8 quantized
+
+  val RerankK = 2 * TopK
+
+  /** Per-vector symmetric int8 quantization: scale = max|v_i|/127,
+    * q_i = floor(v_i/scale + 0.5). The floor(+0.5) form is the same
+    * half-up-toward-+inf rounding used everywhere else (Rounding.scala),
+    * identical in both engines, so the quantized index is deterministic
+    * and the whole pipeline oracle-checkable.
+    *
+    * Scale story (100 TB): the int8 index is the resident structure —
+    * 4× smaller than float32 in memory/IO and integer dot products for
+    * candidate scoring; full-precision vectors are touched only for the
+    * RerankK candidates per query that survive the quantized ranking. */
+  def sq8Vectors(spark: SparkSession, dir: String): DataFrame =
+    vectors(spark, dir)
+      .withColumn("scale",
+        greatest(array_max(transform(col("v"), x => abs(x))), lit(1e-9)) / 127.0)
+      .withColumn("qv",
+        transform(col("v"), x => floor(x / col("scale") + 0.5).cast("double")))
+      .withColumn("qnrm", col("scale") * sqrt(dot(col("qv"), col("qv"))))
+
+  private val sq8VectorsSql =
+    s"""SELECT vec_id, v, nrm, scale,
+       |  list_transform(v, x -> floor(x / scale + 0.5)) AS qv
+       |FROM (SELECT vec_id, v, nrm,
+       |        greatest(list_max(list_transform(v, x -> abs(x))), 1e-9) / 127.0 AS scale
+       |      FROM v0)""".stripMargin
+
+  private val sq8NrmSql =
+    s"scale * sqrt(list_sum(list_transform(range(1, ${Dim + 1}), i -> qv[i] * qv[i])))"
+
+  /** Quantized ANN with exact re-rank: LSH-bucket candidates are ranked by
+    * the INT8 cosine (integer dot — exact and identical in both engines),
+    * the top RerankK per query re-join the full-precision vectors, and the
+    * final top-K is exact cosine. Plan: bucket equi-join over the compact
+    * quantized projection → WindowGroupLimit top-RerankK → two id-equi
+    * joins back to full vectors (candidate-count-sized — at scale these
+    * broadcast) → exact top-K. */
+  def knnSq8(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = sq8Vectors(spark, dir).withColumn("bkt", bucket(col("v"))).persist()
+    val q = vecs.filter(col("vec_id") % QueryStride === 0).alias("q")
+    val c = vecs.alias("c")
+    val approx = roundN(
+      (col("q.scale") * col("c.scale") * dot(col("q.qv"), col("c.qv"))) /
+        (col("q.qnrm") * col("c.qnrm")), 6)
+    val wA = Window.partitionBy(col("query_id")).orderBy(col("asim").desc, col("neighbor_id"))
+    val cand = q.join(c, col("q.bkt") === col("c.bkt") && col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"), approx.as("asim"))
+      .withColumn("arank", row_number().over(wA))
+      .filter(col("arank") <= RerankK)
+      .select(col("query_id"), col("neighbor_id"))
+    val full = vecs.select(col("vec_id"), col("v"), col("nrm"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    cand
+      .join(full.alias("q"), col("query_id") === col("q.vec_id"))
+      .join(full.alias("c"), col("neighbor_id") === col("c.vec_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine.as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+  }
+
+  private val knnSq8Sql = {
+    val aDot = s"list_sum(list_transform(range(1, ${Dim + 1}), i -> q.qv[i] * c.qv[i]))"
+    s"""WITH v0 AS ($vectorsSql),
+       |sq AS ($sq8VectorsSql),
+       |vecs AS (SELECT vec_id, v, nrm, scale, qv, $sq8NrmSql AS qnrm, $bucketSql AS bkt FROM sq),
+       |cand AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${roundNSql("(q.scale * c.scale * " + aDot + ") / (q.qnrm * c.qnrm)", 6)} AS asim,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${roundNSql("(q.scale * c.scale * " + aDot + ") / (q.qnrm * c.qnrm)", 6)} DESC, c.vec_id) AS arank
+       |  FROM vecs q JOIN vecs c ON q.bkt = c.bkt AND q.vec_id != c.vec_id
+       |  WHERE q.vec_id % $QueryStride = 0
+       |  QUALIFY arank <= $RerankK)
+       |SELECT cand.query_id, cand.neighbor_id, $cosineSql AS sim,
+       |  CAST(row_number() OVER (PARTITION BY cand.query_id ORDER BY $cosineSql DESC, cand.neighbor_id) AS INT) AS rank
+       |FROM cand JOIN v0 q ON q.vec_id = cand.query_id
+       |          JOIN v0 c ON c.vec_id = cand.neighbor_id
+       |QUALIFY rank <= $TopK""".stripMargin
+  }
+
   /** Embedding-cosine near-dup pairs, blocked by the same LSH buckets. */
   def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
     val vecs = vectors(spark, dir).withColumn("bkt", bucket(col("v"))).persist()
@@ -321,6 +403,7 @@ object Similarity {
     Q("q_sim_knn_lsh_multiprobe", knnLshMultiProbe, Some(knnLshMultiProbeSql)),
     Q("q_sim_knn_lsh_adaptive", knnLshAdaptive, None),
     Q("q_sim_knn_ivf", knnIvf, Some(knnIvfSql)),
+    Q("q_sim_knn_sq8", knnSq8, Some(knnSq8Sql)),
     Q("q_dedup_embed_cos", embedNearDup, Some(embedNearDupSql)),
   )
 }
