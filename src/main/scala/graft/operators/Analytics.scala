@@ -179,7 +179,35 @@ object Analytics {
       |  CAST(GROUPING(l_linestatus) AS INT) AS g_status
       |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
 
+  /** Top-3 parts by revenue within each brand — the canonical top-k-per-
+    * group. Aggregate first (one hash shuffle), then rank: row_number over
+    * (brand) runs under WindowGroupLimit, so each partition keeps only k
+    * rows per brand before the final exchange — never a global sort of the
+    * full aggregate. Revenue rounds via roundN before it becomes a sort
+    * key; ties break on partkey so both engines rank identically. */
+  def topPartsPerBrand(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("brand"))
+      .orderBy(col("revenue").desc, col("p_partkey"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"), col("p_partkey"))
+      .agg(roundN(sum(col("l_extendedprice")), 2).as("revenue"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+  }
+
+  private val topPartsPerBrandSql =
+    s"""WITH a AS (
+       |  SELECT p_brand AS brand, p_partkey,
+       |    ${roundNSql("sum(l_extendedprice)", 2)} AS revenue
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  GROUP BY 1, 2)
+       |SELECT brand, p_partkey, revenue,
+       |  CAST(row_number() OVER (PARTITION BY brand ORDER BY revenue DESC, p_partkey) AS INT) AS rank
+       |FROM a QUALIFY rank <= 3""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q_topk_per_group", topPartsPerBrand, Some(topPartsPerBrandSql)),
     Q("q_cube", cubeQty, Some(cubeQtySql)),
     Q("q_grouping_sets", groupingSetsQty, Some(groupingSetsQtySql)),
     Q("q_window_running", runningRevenue, Some(runningRevenueSql)),

@@ -119,7 +119,76 @@ object Events {
        |  ${roundNSql("sum(value)", 2)} AS total_value
        |FROM y GROUP BY user_id, sid""".stripMargin
 
+  /** Funnel analysis (view → click → purchase): per user, the earliest
+    * view, the earliest click AFTER that view, and the earliest purchase
+    * after that click — the canonical product-analytics sequence query.
+    * Expressed as three user-keyed min-aggregates chained by strict
+    * time-order joins: every stage is a groupBy + equi-join on user_id
+    * (no window over raw events, no per-user sort), so the whole funnel
+    * shuffles on one key and partial-aggregates map-side at any scale. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("ts") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("ts") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    v.join(c, Seq("user_id"), "left_outer")
+      .join(p, Seq("user_id"), "left_outer")
+      .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+        (lit(1) + when(col("t_click").isNotNull, 1).otherwise(0)
+          + when(col("t_purchase").isNotNull, 1).otherwise(0)).as("stage_reached"))
+  }
+
+  private val funnelSql =
+    s"""WITH $eventsUs,
+       |v AS (SELECT user_id, min(ts) AS t_view FROM e
+       |      WHERE event_type = 'view' GROUP BY 1),
+       |c AS (SELECT e.user_id, min(e.ts) AS t_click
+       |      FROM e JOIN v ON e.user_id = v.user_id
+       |      WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+       |p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+       |      FROM e JOIN c ON e.user_id = c.user_id
+       |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1)
+       |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+       |  1 + (CASE WHEN c.t_click IS NOT NULL THEN 1 ELSE 0 END)
+       |    + (CASE WHEN p.t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS stage_reached
+       |FROM v LEFT JOIN c ON v.user_id = c.user_id
+       |       LEFT JOIN p ON v.user_id = p.user_id""".stripMargin
+
+  /** Cohort retention: users bucketed by first-activity week (anchor-based
+    * integer weeks — no engine-specific week() semantics), counted in every
+    * later week they return, keyed (cohort_week, week_offset). Two
+    * user-keyed aggregates + one join: the retention matrix is
+    * group-cardinality-sized, never user-sized, on the wire. */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val wk = expr("datediff(CAST(ts AS DATE), DATE '2024-01-01') div 7")
+    val active = Tables.events(spark, dir)
+      .select(col("user_id"), wk.as("wk")).distinct()
+    val cohort = active.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    active.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  private val retentionSql =
+    s"""WITH $eventsUs,
+       |active AS (SELECT DISTINCT user_id,
+       |             date_diff('day', DATE '2024-01-01', ts::DATE) // 7 AS wk
+       |           FROM e),
+       |cohort AS (SELECT user_id, min(wk) AS cohort_wk FROM active GROUP BY 1)
+       |SELECT c.cohort_wk, a.wk - c.cohort_wk AS week_offset, count(*) AS n_users
+       |FROM active a JOIN cohort c ON a.user_id = c.user_id
+       |GROUP BY 1, 2""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q_events_funnel", funnel, Some(funnelSql)),
+    Q("q_events_retention", retention, Some(retentionSql)),
     Q("q_events_window", windowBatch, Some(
       s"""WITH $eventsUs
          |SELECT date_trunc('hour', ts) AS window_start, event_type,

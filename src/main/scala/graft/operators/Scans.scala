@@ -178,7 +178,120 @@ object Scans {
        |FROM s""".stripMargin
   }
 
+  /** Pearson correlation + covariance (quantity vs price) per group from
+    * EXACT integer sums. Spark's built-in `corr`/`covar_samp` accumulate
+    * co-moments in partition order (nondeterministic low bits, and a
+    * different recurrence from DuckDB's) — this form instead sums
+    * n/Σx/Σy/Σxy/Σx²/Σy² exactly (quantity is integral, price is 2-decimal
+    * cents; products sum as DECIMAL so partial-agg order cannot perturb
+    * them) and then runs the identical float ops on identical inputs in
+    * both engines. Same one-pass, map-side-combinable shape as the built-in
+    * — order-insensitivity costs nothing. */
+  def corrStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("n_rows").cast("double")
+    val sq = col("s_q").cast("double")
+    val sh = col("s_h").cast("double")
+    val cov = (col("s_qh").cast("double") - sq * sh / d) / (d - 1)
+    val varQ = (col("s_qq").cast("double") - sq * sq / d) / (d - 1)
+    val varH = (col("s_hh").cast("double") - sh * sh / d) / (d - 1)
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("q"),
+        round(col("l_extendedprice") * 100).cast("long").as("h"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("q")).as("s_q"),
+        sum(col("h").cast("decimal(20,0)")).as("s_h"),
+        sum((col("q") * col("h")).cast("decimal(28,0)")).as("s_qh"),
+        sum(col("q") * col("q")).as("s_qq"),
+        sum((col("h") * col("h")).cast("decimal(28,0)")).as("s_hh"))
+      .select(col("l_returnflag"), col("n_rows"),
+        graft.functions.Rounding.roundN(cov / 100, 4).as("cov_qty_price"),
+        graft.functions.Rounding.roundN(cov / sqrt(varQ * varH), 6).as("corr_qty_price"))
+  }
+
+  private val corrSql = {
+    val cov = "(CAST(s_qh AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_h AS DOUBLE) / CAST(n_rows AS DOUBLE)) / (CAST(n_rows AS DOUBLE) - 1)"
+    val varQ = "(CAST(s_qq AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE) / CAST(n_rows AS DOUBLE)) / (CAST(n_rows AS DOUBLE) - 1)"
+    val varH = "(CAST(s_hh AS DOUBLE) - CAST(s_h AS DOUBLE) * CAST(s_h AS DOUBLE) / CAST(n_rows AS DOUBLE)) / (CAST(n_rows AS DOUBLE) - 1)"
+    s"""WITH b AS (
+       |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+       |         CAST(round(l_extendedprice * 100) AS BIGINT) AS h
+       |  FROM lineitem),
+       |s AS (
+       |  SELECT l_returnflag, count(*) AS n_rows,
+       |         CAST(sum(q) AS BIGINT) AS s_q, sum(h) AS s_h, sum(q * h) AS s_qh,
+       |         CAST(sum(q * q) AS BIGINT) AS s_qq, sum(h * h) AS s_hh
+       |  FROM b GROUP BY 1)
+       |SELECT l_returnflag, n_rows,
+       |  ${graft.functions.Rounding.roundNSql(s"($cov) / 100", 4)} AS cov_qty_price,
+       |  ${graft.functions.Rounding.roundNSql(s"($cov) / sqrt(($varQ) * ($varH))", 6)} AS corr_qty_price
+       |FROM s""".stripMargin
+  }
+
+  /** Fixed-width histogram of l_extendedprice (10 bins over the observed
+    * [min,max]): one metadata-sized min/max agg broadcast-cross-joined into
+    * a narrow bin projection, then a 10-key aggregate — two passes, both
+    * scan-speed, no sort. Bin edges are double ops in one fixed order. */
+  val HistBins = 10
+
+  def histogram(spark: SparkSession, dir: String): DataFrame = {
+    val mm = Tables.lineitem(spark, dir)
+      .agg(min(col("l_extendedprice")).as("lo"), max(col("l_extendedprice")).as("hi"))
+    val bin = least(lit(HistBins - 1),
+      floor((col("l_extendedprice") - col("lo")) / (col("hi") - col("lo")) * HistBins))
+      .cast("int")
+    Tables.lineitem(spark, dir)
+      .crossJoin(broadcast(mm))
+      .select(bin.as("bin"), col("lo"), col("hi"))
+      .groupBy(col("bin"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n_rows"))
+      .select(col("bin"),
+        graft.functions.Rounding.roundN(
+          col("lo") + (col("hi") - col("lo")) / HistBins * col("bin"), 4).as("bin_lo"),
+        col("n_rows"))
+  }
+
+  private val histogramSql =
+    s"""WITH mm AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem),
+       |b AS (SELECT CAST(least($HistBins - 1,
+       |               floor((l_extendedprice - lo) / (hi - lo) * $HistBins)) AS INT) AS bin,
+       |             lo, hi
+       |      FROM lineitem CROSS JOIN mm)
+       |SELECT bin,
+       |  ${graft.functions.Rounding.roundNSql(s"lo + (hi - lo) / $HistBins * bin", 4)} AS bin_lo,
+       |  count(*) AS n_rows
+       |FROM b GROUP BY bin, lo, hi""".stripMargin
+
+  /** Exact mode (most frequent quantity) per group, smallest-value
+    * tie-break: count per (group, value) then top-1 under WindowGroupLimit
+    * — never a driver-side histogram. */
+  def modeQty(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("n").desc, col("q"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("q"))
+      .groupBy(col("l_returnflag"), col("q"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("q").as("mode_qty"), col("n").as("mode_n"))
+  }
+
+  private val modeSql =
+    """WITH c AS (
+      |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q, count(*) AS n
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT l_returnflag, q AS mode_qty, n AS mode_n
+      |FROM c
+      |QUALIFY row_number() OVER (PARTITION BY l_returnflag ORDER BY n DESC, q) = 1""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q_stats_corr", corrStats, Some(corrSql)),
+    Q("q_stats_histogram", histogram, Some(histogramSql)),
+    Q("q_stats_mode", modeQty, Some(modeSql)),
     Q("q_profile_numeric", profileNumeric, Some(profileSql)),
     Q("q_stats_quantiles_approx", quantilesApprox, None),
     Q("q_stats_quantiles", quantiles, Some(

@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators.{Analytics, Events, Scans}
+import org.apache.spark.sql.functions._
+
+/** Funnel, retention, top-k-per-group, and the exact-sums statistics —
+  * semantics on controlled fixtures plus plan shape. */
+class ProductAnalyticsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private lazy val dir = fixtureDir(
+    "events" -> Seq(
+      // user 1: full funnel in order
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:05:00"), 1L, "click", 1.0, "{}"),
+      (3L, ts("2024-01-01 10:10:00"), 1L, "purchase", 1.0, "{}"),
+      // user 2: purchase BEFORE any view click — stages must not count it
+      (4L, ts("2024-01-02 09:00:00"), 2L, "purchase", 1.0, "{}"),
+      (5L, ts("2024-01-02 10:00:00"), 2L, "view", 1.0, "{}"),
+      (6L, ts("2024-01-02 10:30:00"), 2L, "click", 1.0, "{}"),
+      // user 3: view only; returns 2 weeks later (retention)
+      (7L, ts("2024-01-03 08:00:00"), 3L, "view", 1.0, "{}"),
+      (8L, ts("2024-01-17 08:00:00"), 3L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+
+  test("funnel: stages count only strictly-ordered view->click->purchase") {
+    val rows = Events.funnel(spark, dir).orderBy("user_id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getInt(4))).toSeq ===
+      Seq((1L, 3), (2L, 2), (3L, 1)))
+    // user 2's pre-view purchase is not stage 3
+    val u2 = rows(1)
+    assert(u2.isNullAt(u2.fieldIndex("t_purchase")))
+  }
+
+  test("retention: cohort week 0 with a week-2 return") {
+    val rows = Events.retention(spark, dir)
+      .orderBy("cohort_wk", "week_offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // users 1,2,3 all start week 0; user 3 returns at offset 2
+    assert(rows.toSeq === Seq((0L, 0L, 3L), (0L, 2L, 1L)))
+  }
+
+  test("top-k per group ranks under WindowGroupLimit with per-group limit 3") {
+    val df = Analytics.topPartsPerBrand(spark, SparkSpec.sf0001)
+    assert(df.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+    val counts = df.groupBy("brand").count().select(max("count")).head().getLong(0)
+    assert(counts <= 3)
+  }
+
+  test("exact-sums corr matches built-in corr to float tolerance") {
+    val ours = Scans.corrStats(spark, SparkSpec.sf0001)
+      .select("l_returnflag", "corr_qty_price").as[(String, Double)].collect().toMap
+    val builtin = graft.sources.Tables.lineitem(spark, SparkSpec.sf0001)
+      .groupBy("l_returnflag")
+      .agg(corr(col("l_quantity"), col("l_extendedprice")).as("c"))
+      .as[(String, Double)].collect().toMap
+    ours.foreach { case (k, v) =>
+      assert(math.abs(v - builtin(k)) < 1e-6, s"$k: $v vs ${builtin(k)}")
+    }
+  }
+
+  test("histogram bins cover all rows and edges are monotone") {
+    val rows = Scans.histogram(spark, SparkSpec.sf0001).orderBy("bin").collect()
+    val total = rows.map(_.getAs[Long]("n_rows")).sum
+    assert(total === graft.sources.Tables.lineitem(spark, SparkSpec.sf0001).count())
+    val edges = rows.map(_.getAs[Double]("bin_lo"))
+    assert(edges.zip(edges.tail).forall { case (a, b) => a < b })
+  }
+
+  test("mode returns the most frequent quantity per flag") {
+    val m = Scans.modeQty(spark, SparkSpec.sf0001).collect()
+    m.foreach { r =>
+      val flag = r.getString(0)
+      val expected = graft.sources.Tables.lineitem(spark, SparkSpec.sf0001)
+        .filter(col("l_returnflag") === flag)
+        .groupBy(col("l_quantity").cast("long")).count()
+        .orderBy(col("count").desc, col("l_quantity")).head()
+      assert(r.getLong(1) === expected.getLong(0))
+      assert(r.getLong(2) === expected.getLong(1))
+    }
+  }
+}
