@@ -206,7 +206,81 @@ object Analytics {
        |  CAST(row_number() OVER (PARTITION BY brand ORDER BY revenue DESC, p_partkey) AS INT) AS rank
        |FROM a QUALIFY rank <= 3""".stripMargin
 
+  /** Unpivot (melt) the lineitem measures to long form — the inverse of
+    * pivot, the other half of the reshape toolbox. Spark's `unpivot`
+    * compiles to an Expand (each row emitted once per measure, no shuffle
+    * at all); the oracle reaches the same relation through UNION ALL. */
+  def unpivotMeasures(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "measure", "v")
+
+  private val unpivotSql =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map(m =>
+      s"SELECT l_orderkey, l_linenumber, '$m' AS measure, $m AS v FROM lineitem")
+      .mkString("\nUNION ALL ")
+
+  /** Quartile assignment per brand by part revenue (ntile window): the
+    * bucketing form of top-k-per-group — same WindowGroupLimit-free ranked
+    * pass over the pre-aggregated (brand, part) relation, with ntile's
+    * earlier-buckets-get-extras semantics identical in both engines under
+    * a total order (revenue desc, partkey). */
+  def revenueQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("brand"))
+      .orderBy(col("revenue").desc, col("p_partkey"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"), col("p_partkey"))
+      .agg(roundN(sum(col("l_extendedprice")), 2).as("revenue"))
+      .withColumn("quartile", ntile(4).over(w))
+  }
+
+  private val revenueQuartilesSql =
+    s"""WITH a AS (
+       |  SELECT p_brand AS brand, p_partkey,
+       |    ${roundNSql("sum(l_extendedprice)", 2)} AS revenue
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  GROUP BY 1, 2)
+       |SELECT brand, p_partkey, revenue,
+       |  CAST(ntile(4) OVER (PARTITION BY brand ORDER BY revenue DESC, p_partkey) AS INT) AS quartile
+       |FROM a""".stripMargin
+
+  /** Time-series gap filling: daily revenue re-sampled onto a complete
+    * date spine (no missing days). The spine is sequence()-generated from
+    * the observed min/max — metadata-sized, broadcast — and left-joins the
+    * daily aggregate; absent days surface as zero with is_active=false.
+    * The standard resample step before any windowed trend computation. */
+  def dailyRevenueFilled(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.lineitem(spark, dir)
+      .withColumn("d", to_date(col("l_shipdate")))
+      .groupBy(col("d")).agg(roundN(sum(col("l_extendedprice")), 2).as("revenue"))
+    val spine = Tables.lineitem(spark, dir)
+      .agg(min(to_date(col("l_shipdate"))).as("lo"), max(to_date(col("l_shipdate"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    spine.join(daily, col("day") === col("d"), "left_outer")
+      .select(col("day"),
+        coalesce(col("revenue"), lit(0.0)).as("revenue"),
+        col("d").isNotNull.as("is_active"))
+  }
+
+  private val dailyRevenueFilledSql =
+    s"""WITH daily AS (
+       |  SELECT CAST(l_shipdate AS DATE) AS d,
+       |    ${roundNSql("sum(l_extendedprice)", 2)} AS revenue
+       |  FROM lineitem GROUP BY 1),
+       |mm AS (SELECT min(CAST(l_shipdate AS DATE)) AS lo,
+       |              max(CAST(l_shipdate AS DATE)) AS hi FROM lineitem),
+       |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day FROM mm)
+       |SELECT s.day, coalesce(d.revenue, 0.0) AS revenue,
+       |  d.d IS NOT NULL AS is_active
+       |FROM spine s LEFT JOIN daily d ON s.day = d.d""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q_unpivot", unpivotMeasures, Some(unpivotSql)),
+    Q("q_window_ntile", revenueQuartiles, Some(revenueQuartilesSql)),
+    Q("q_timeseries_fill", dailyRevenueFilled, Some(dailyRevenueFilledSql)),
     Q("q_topk_per_group", topPartsPerBrand, Some(topPartsPerBrandSql)),
     Q("q_cube", cubeQty, Some(cubeQtySql)),
     Q("q_grouping_sets", groupingSetsQty, Some(groupingSetsQtySql)),

@@ -69,6 +69,32 @@ class ProductAnalyticsSpec extends SparkSuite {
     assert(edges.zip(edges.tail).forall { case (a, b) => a < b })
   }
 
+  test("unpivot melts via Expand with no shuffle, 4x rows") {
+    val df = Analytics.unpivotMeasures(spark, SparkSpec.sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand") && !plan.contains("Exchange"),
+      s"melt should be a narrow Expand:\n$plan")
+    assert(df.count() ===
+      4 * graft.sources.Tables.lineitem(spark, SparkSpec.sf0001).count())
+  }
+
+  test("ntile quartiles are balanced per brand (sizes differ by at most 1)") {
+    val sizes = Analytics.revenueQuartiles(spark, SparkSpec.sf0001)
+      .groupBy("brand", "quartile").count()
+      .groupBy("brand").agg((max("count") - min("count")).as("spread"))
+      .select(max("spread")).head().getLong(0)
+    assert(sizes <= 1)
+  }
+
+  test("gap-filled series has one row per calendar day, zeros on gaps") {
+    val rows = Analytics.dailyRevenueFilled(spark, SparkSpec.sf0001)
+      .orderBy("day").collect()
+    val days = rows.map(_.getAs[java.sql.Date]("day").toLocalDate)
+    days.zip(days.tail).foreach { case (a, b) => assert(b === a.plusDays(1)) }
+    rows.filter(!_.getAs[Boolean]("is_active"))
+      .foreach(r => assert(r.getAs[Double]("revenue") === 0.0))
+  }
+
   test("mode returns the most frequent quantity per flag") {
     val m = Scans.modeQty(spark, SparkSpec.sf0001).collect()
     m.foreach { r =>
