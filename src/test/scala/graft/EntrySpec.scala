@@ -13,10 +13,12 @@ class EntrySpec extends SparkSuite {
     val names = Registry.all.map(_.name)
     assert(names.distinct.size === names.size)
     val noOracle = Registry.all.filter(_.oracle.isEmpty).map(_.name).toSet
-    // only sketch-estimate / input-parameterized queries may skip the
-    // oracle: HLL KPI, GK quantiles, corpus-adaptive LSH (each has an
-    // error-bound or invariant spec instead)
-    val allowed = Set("q_kpi_order_approx", "q_stats_quantiles_approx", "q_sim_knn_lsh_adaptive")
+    // only sketch-estimate / input-parameterized / engine-side-codec
+    // queries may skip the oracle: HLL KPI, GK quantiles, corpus-adaptive
+    // LSH (error-bound or invariant specs) and the WAV decode (binary
+    // parser, closed-form sine spec in AudioSpec)
+    val allowed = Set("q_kpi_order_approx", "q_stats_quantiles_approx",
+      "q_sim_knn_lsh_adaptive", "q_mm_audio")
     assert(noOracle === allowed, noOracle.toString)
     assert(SparkEntry.queries.keySet === SparkEntry.oracleSql.keySet ++ allowed)
   }
