@@ -277,7 +277,41 @@ object Analytics {
        |  d.d IS NOT NULL AS is_active
        |FROM spine s LEFT JOIN daily d ON s.day = d.d""".stripMargin
 
+  /** 7-day moving average of daily revenue per brand (RANGE frame over
+    * integer days — event-time-correct across gaps, unlike a ROWS frame
+    * which would span 7 ROWS regardless of missing days) plus percent_rank
+    * of each day within its brand. Frame evaluation is partition-parallel
+    * over brands; the aggregate input is group-cardinality-sized. */
+  def movingAvgRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .withColumn("d", datediff(to_date(col("l_shipdate")), lit("1995-01-01").cast("date")))
+      .groupBy(col("p_brand").as("brand"), col("d"))
+      .agg(roundN(sum(col("l_extendedprice")), 2).as("daily_revenue"))
+    val wAvg = Window.partitionBy(col("brand")).orderBy(col("d"))
+      .rangeBetween(-6, Window.currentRow)
+    val wRank = Window.partitionBy(col("brand")).orderBy(col("daily_revenue"), col("d"))
+    daily.select(col("brand"), col("d").as("day_idx"), col("daily_revenue"),
+      roundN(avg(col("daily_revenue")).over(wAvg), 4).as("ma7"),
+      roundN(percent_rank().over(wRank), 6).as("pct_rank"))
+  }
+
+  private val movingAvgRevenueSql =
+    s"""WITH daily AS (
+       |  SELECT p_brand AS brand,
+       |    date_diff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS d,
+       |    ${roundNSql("sum(l_extendedprice)", 2)} AS daily_revenue
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  GROUP BY 1, 2)
+       |SELECT brand, d AS day_idx, daily_revenue,
+       |  ${roundNSql(
+          "avg(daily_revenue) OVER (PARTITION BY brand ORDER BY d RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)", 4)} AS ma7,
+       |  ${roundNSql(
+          "percent_rank() OVER (PARTITION BY brand ORDER BY daily_revenue, d)", 6)} AS pct_rank
+       |FROM daily""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q_window_moving_avg", movingAvgRevenue, Some(movingAvgRevenueSql)),
     Q("q_unpivot", unpivotMeasures, Some(unpivotSql)),
     Q("q_window_ntile", revenueQuartiles, Some(revenueQuartilesSql)),
     Q("q_timeseries_fill", dailyRevenueFilled, Some(dailyRevenueFilledSql)),

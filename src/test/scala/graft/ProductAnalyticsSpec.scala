@@ -95,6 +95,21 @@ class ProductAnalyticsSpec extends SparkSuite {
       .foreach(r => assert(r.getAs[Double]("revenue") === 0.0))
   }
 
+  test("moving average uses an event-time RANGE frame, not a ROWS frame") {
+    // fixture with a gap: days 0,1,9 — at day 9 the 7-day frame must see
+    // ONLY day 9 (a ROWS frame would wrongly average days 1 and 9)
+    val d = fixtureDir(
+      "part" -> Seq((1L, "B1")).toDF("p_partkey", "p_brand"),
+      "lineitem" -> Seq(
+        (1L, "1995-01-01", 10.0), (1L, "1995-01-02", 20.0), (1L, "1995-01-10", 40.0))
+        .toDF("l_partkey", "l_shipdate", "l_extendedprice")
+        .withColumn("l_shipdate", col("l_shipdate").cast("timestamp")))
+    val rows = Analytics.movingAvgRevenue(spark, d).orderBy("day_idx").collect()
+    assert(rows.map(_.getAs[Double]("ma7")).toSeq === Seq(10.0, 15.0, 40.0))
+    // percent_rank under total order: 3 distinct revenues -> 0, 0.5, 1
+    assert(rows.map(_.getAs[Double]("pct_rank")).sorted.toSeq === Seq(0.0, 0.5, 1.0))
+  }
+
   test("mode returns the most frequent quantity per flag") {
     val m = Scans.modeQty(spark, SparkSpec.sf0001).collect()
     m.foreach { r =>

@@ -60,6 +60,15 @@ class ScdSpec extends SparkSuite {
     assert(out.length === dim.count() + 1 + 1)
   }
 
+  test("idempotence: re-applying the same updates is a no-op") {
+    val once = Scd.applyScd2(dim, updates, "key", Seq("brand", "price"), lit("2002-06-01"))
+    val twice = Scd.applyScd2(once, updates, "key", Seq("brand", "price"), lit("2002-07-01"))
+    // every update now matches its current version exactly -> nothing closes,
+    // nothing inserts; row sets are identical
+    assert(twice.count() === once.count())
+    assert(twice.exceptAll(once).isEmpty && once.exceptAll(twice).isEmpty)
+  }
+
   test("registered part instantiation: every current key is unique") {
     val cur = Scd.scd2Part(spark, SparkSpec.sf0001).filter(col("is_current"))
     assert(cur.groupBy("key").count().filter(col("count") > 1).isEmpty)
