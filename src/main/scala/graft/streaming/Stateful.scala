@@ -37,6 +37,55 @@ object Stateful {
       }
   }
 
+  // ------------------------------------------------------ streaming funnel
+
+  final case class FunnelEvent(user_id: Long, event_type: String, ts_us: Long)
+  final case class FunnelState(
+      t_view: Option[Long], clicks: List[Long], purchases: List[Long])
+  final case class FunnelResult(
+      user_id: Long, t_view: Option[Long], t_click: Option[Long],
+      t_purchase: Option[Long], stage_reached: Int)
+
+  /** Streaming funnel (view → click → purchase) — the stateful CEP twin of
+    * the batch `operators.Events.funnel`, exact under ARBITRARY arrival
+    * order: a late-arriving earlier view can re-select an earlier click, so
+    * the state keeps the min view plus the click/purchase candidate sets
+    * and re-derives the funnel on every update (monotone inputs, so the
+    * fixpoint equals the batch result — StreamingFunnelSpec replays it).
+    *
+    * Scale notes: state is keyed by user (one shuffle), min-view is O(1),
+    * and candidate sets grow only with per-user clicks/purchases. A
+    * production deployment bounds them with an event-time timeout
+    * (finalize the funnel once the watermark passes, drop the sets) —
+    * kept NoTimeout here so replay equivalence is exact. */
+  def funnelState(spark: SparkSession, events: Dataset[FunnelEvent]): Dataset[FunnelResult] = {
+    import spark.implicits._
+    def derive(uid: Long, s: FunnelState): FunnelResult = {
+      val tClick = s.t_view.flatMap(v => s.clicks.filter(_ > v).minOption)
+      val tPurchase = tClick.flatMap(c => s.purchases.filter(_ > c).minOption)
+      FunnelResult(uid, s.t_view, tClick, tPurchase,
+        if (s.t_view.isEmpty) 0
+        else 1 + tClick.size + tPurchase.size)
+    }
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelResult](GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(None, Nil, Nil))
+          batch.foreach { e =>
+            e.event_type match {
+              case "view" =>
+                if (s.t_view.forall(e.ts_us < _)) s = s.copy(t_view = Some(e.ts_us))
+              case "click" => s = s.copy(clicks = e.ts_us :: s.clicks)
+              case "purchase" => s = s.copy(purchases = e.ts_us :: s.purchases)
+              case _ =>
+            }
+          }
+          state.update(s)
+          derive(uid, s)
+      }
+  }
+
   /** Convenience: run the stateful stream from a file-source events dir to
     * a memory sink (update mode), returning the sink table name. */
   def runToMemory(spark: SparkSession, srcDir: String, sinkName: String): Unit = {
