@@ -29,6 +29,7 @@ object Registry {
       operators.Analytics.queries ++
       operators.Events.queries ++
       operators.Dedup.queries ++
+      operators.Graph.queries ++
       operators.Sampling.queries ++
       operators.Similarity.queries ++
       operators.TextAnalysis.queries ++

@@ -1,6 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import graft.Q
+import graft.functions.Rounding.{roundN, roundNSql}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Distributed connected components over an edge list — the cluster-level
@@ -63,4 +66,85 @@ object Graph {
     require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
     labels
   }
+
+  // -------------------------------------------------------------- PageRank
+
+  val PrIters = 5
+  val PrDamping = 0.85
+
+  /** PageRank by the power method for a FIXED iteration count — the other
+    * iterative-graph primitive (importance scoring, where components give
+    * membership). Fixed iterations keep the operator deterministic, and
+    * each round quantizes ranks to 12 decimals (roundN — identical IEEE-754
+    * ops both engines), so engine and oracle stay bit-identical round by
+    * round: summation-order drift (~1e-19 here) can never cross a 5e-13
+    * rounding boundary. The DuckDB oracle is the same recurrence unrolled
+    * as chained CTEs.
+    *
+    * Scale notes: one shuffle-join (edges ⋈ ranks on src) + one
+    * map-side-combinable sum per round — the connectedComponents cost
+    * model; `localCheckpoint` truncates per-round lineage. Edges here are
+    * symmetric (both directions present), so out-degree ≥ 1 everywhere and
+    * there is no dangling-mass term. */
+  def pageRank(edges: DataFrame, iters: Int = PrIters,
+      damping: Double = PrDamping): DataFrame = {
+    val e = edges.select(col(edges.columns(0)).as("src"), col(edges.columns(1)).as("dst"))
+      .localCheckpoint()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).localCheckpoint()
+    val n = broadcast(deg.agg(count(lit(1)).as("n")))
+    var ranks = deg.crossJoin(n)
+      .select(col("src").as("node"), (lit(1.0) / col("n")).as("rank"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      ranks = e
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("rank") / col("outdeg")).as("mass"))
+        .crossJoin(n)
+        .select(col("node"),
+          roundN(lit(1 - damping) / col("n") + lit(damping) * col("mass"), 12).as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
+  /** Registered instantiation: PageRank over the part co-purchase graph
+    * (parts sharing an order are linked; both directions kept, so the
+    * graph is symmetric). Per-order pair generation is a self-join bounded
+    * by order size — never a global cross product. */
+  def pageRankCoPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
+    val edges = li.alias("a")
+      .join(li.alias("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .distinct()
+    pageRank(edges)
+  }
+
+  private val pageRankSql: String = {
+    val rounds = (1 to PrIters).map { i =>
+      s"""r$i AS (
+         |  SELECT e.dst AS node,
+         |    ${roundNSql(s"(1 - $PrDamping) / n.n + $PrDamping * sum(r${i - 1}.rank / deg.outdeg)", 12)} AS rank
+         |  FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node
+         |         JOIN deg ON e.src = deg.src
+         |         CROSS JOIN n
+         |  GROUP BY e.dst, n.n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey),
+       |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+       |n AS (SELECT count(*) AS n FROM deg),
+       |r0 AS (SELECT src AS node, 1.0 / n.n AS rank FROM deg CROSS JOIN n),
+       |$rounds
+       |SELECT node, rank FROM r$PrIters""".stripMargin
+  }
+
+  val queries: Seq[Q] = Seq(
+    Q("q_graph_pagerank", pageRankCoPurchase, Some(pageRankSql)),
+  )
 }
