@@ -359,7 +359,78 @@ object TextAnalysis {
        |HAVING count(*) > total / ${k + 1}.0""".stripMargin
   }
 
+  /** Document chunking for retrieval pipelines: fixed token-budget chunks
+    * with overlap (stride = ChunkTokens − ChunkOverlap). A narrow per-row
+    * slice-and-posexplode — each document fans out to ceil(max(n−overlap,1)
+    * / stride) rows with zero shuffle; at 100 TB this runs at scan speed
+    * like the quality gate. */
+  val ChunkTokens = 64
+  val ChunkOverlap = 16
+
+  def chunk(spark: SparkSession, dir: String): DataFrame = {
+    val stride = ChunkTokens - ChunkOverlap
+    val w = col("w")
+    val nChunks = greatest(lit(1),
+      ceil((size(w) - ChunkOverlap).cast("double") / stride).cast("int"))
+    val chunks = transform(sequence(lit(0), nChunks - 1), i =>
+      slice(w, i * stride + 1, lit(ChunkTokens)))
+    withWords(spark, dir)
+      .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "toks")))
+      .select(col("doc_id"), col("chunk_idx"),
+        concat_ws(" ", col("toks")).as("chunk_text"),
+        size(col("toks")).as("n_tokens"))
+  }
+
+  private val chunkSql = {
+    val stride = ChunkTokens - ChunkOverlap
+    s"""WITH s AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+       |c AS (SELECT doc_id, w,
+       |        greatest(1, CAST(ceil((len(w) - $ChunkOverlap) / $stride.0) AS INT)) AS n_chunks
+       |      FROM s)
+       |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+       |  array_to_string(w[i * $stride + 1 : i * $stride + $ChunkTokens], ' ') AS chunk_text,
+       |  len(w[i * $stride + 1 : i * $stride + $ChunkTokens]) AS n_tokens
+       |FROM c CROSS JOIN range(0, 10000) r(i)
+       |WHERE i < n_chunks""".stripMargin
+  }
+
+  /** TF-IDF top terms per document: term frequency from one explode +
+    * count, document frequency from a distinct count per term, idf =
+    * ln(N/df) on identical exact integer inputs (1-ulp libm differences
+    * absorbed by roundN), top-3 terms per doc under WindowGroupLimit.
+    * Two shuffles (doc-term counts, term df) — the canonical inverted-
+    * index statistics pass. */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = withWords(spark, dir).select(col("doc_id"), explode(col("w")).as("term"))
+    val tf = words.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = words.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = broadcast(Tables.documents(spark, dir).agg(count(lit(1)).as("n")))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+    tf.join(broadcast(df), Seq("term"))
+      .crossJoin(n)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        roundN(col("tf") * log(col("n").cast("double") / col("df")), 6).as("tfidf"))
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= 3)
+  }
+
+  private val tfidfSql =
+    s"""WITH w AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+       |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM w GROUP BY 1),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |x AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+       |        ${roundNSql("tf.tf * ln(CAST(n.n AS DOUBLE) / df.df)", 6)} AS tfidf
+       |      FROM tf JOIN df USING (term) CROSS JOIN n)
+       |SELECT doc_id, term, tf, df, tfidf,
+       |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS rank
+       |FROM x QUALIFY rank <= 3""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q_text_chunk", chunk, Some(chunkSql)),
+    Q("q_text_tfidf", tfidf, Some(tfidfSql)),
     Q("q_text_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     Q("q_text_repetition", repetition, Some(repetitionSql)),
     Q("q_text_top_bigrams", topBigrams, Some(topBigramsSql)),

@@ -57,6 +57,48 @@ class TextAnalysisSpec extends SparkSuite {
     assert(out(3L) == ((0, 0, 0, false)))
   }
 
+  test("chunking: stride/overlap invariants and full coverage") {
+    // 130 tokens -> ceil((130-16)/48) = 3 chunks; starts 0,48,96
+    val words = (1 to 130).map(i => s"w$i").mkString(" ")
+    val d = fixtureDir("documents" -> Seq(
+      (1L, words, "en", "s", words.length.toLong),
+      (2L, "tiny doc", "en", "s", 8L) // < overlap -> single chunk
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = TextAnalysis.chunk(spark, d).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_idx")) -> r).toMap
+    assert(rows.keys.count(_._1 == 1L) === 3)
+    assert(rows.keys.count(_._2 == 0) === 2)
+    val c0 = rows((1L, 0)).getAs[String]("chunk_text").split(" ")
+    val c1 = rows((1L, 1)).getAs[String]("chunk_text").split(" ")
+    assert(c0.length === TextAnalysis.ChunkTokens)
+    assert(c0.head === "w1" && c1.head === "w49") // stride 48
+    // consecutive chunks overlap by exactly ChunkOverlap tokens
+    assert(c0.takeRight(TextAnalysis.ChunkOverlap).toSeq === c1.take(TextAnalysis.ChunkOverlap).toSeq)
+    // last chunk reaches the final token -> full coverage
+    assert(rows((1L, 2)).getAs[String]("chunk_text").split(" ").last === "w130")
+    assert(rows((2L, 0)).getAs[Int]("n_tokens") === 2)
+  }
+
+  test("tfidf: corpus-wide terms get zero idf; doc-unique terms rank first") {
+    val d = fixtureDir("documents" -> Seq(
+      (1L, "apple apple banana shared", "en", "s", 10L),
+      (2L, "cherry cherry cherry shared", "en", "s", 10L),
+      (3L, "banana date shared", "en", "s", 10L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = TextAnalysis.tfidf(spark, d).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("term")) -> r).toMap
+    // "shared" appears in all 3 docs -> idf = ln(3/3) = 0
+    rows.collect { case ((_, "shared"), r) => r }
+      .foreach(r => assert(r.getAs[Double]("tfidf") === 0.0))
+    // doc 1's top term is apple: tf=2, df=1 -> 2*ln(3)
+    val top1 = TextAnalysis.tfidf(spark, d).collect()
+      .filter(r => r.getAs[Long]("doc_id") == 1L && r.getAs[Int]("rank") == 1).head
+    assert(top1.getAs[String]("term") === "apple")
+    assert(math.abs(top1.getAs[Double]("tfidf") - 2 * math.log(3.0)) < 1e-5)
+    // every doc keeps at most 3 ranked terms
+    assert(rows.keys.groupBy(_._1).values.forall(_.size <= 3))
+  }
+
   test("fingerprints: identical normalized content -> identical fp; winnow for short docs falls back") {
     val d2 = fixtureDir("documents" -> Seq(
       (1L, "Hello  World again", "en", "s", 18L),
