@@ -32,6 +32,7 @@ object Registry {
       operators.Graph.queries ++
       operators.Sampling.queries ++
       operators.Similarity.queries ++
+      operators.EmbedClassify.queries ++
       operators.TextAnalysis.queries ++
       operators.Packing.queries ++
       operators.Multimodal.queries ++

@@ -99,15 +99,15 @@ object Similarity {
 
   /** LSH sign bucket under an arbitrary plane matrix: bit p set iff
     * dot(v, plane_p) > 0. */
-  private def bucketWith(v: Column, m: IndexedSeq[IndexedSeq[Double]]): Column =
+  private[operators] def bucketWith(v: Column, m: IndexedSeq[IndexedSeq[Double]]): Column =
     m.indices.map { p =>
       when(dotLit(v, m(p)) > 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
 
   /** Registered-default sign bucket (NumPlanes planes). */
-  private def bucket(v: Column): Column = bucketWith(v, planes)
+  private[operators] def bucket(v: Column): Column = bucketWith(v, planes)
 
-  private val bucketSql: String = {
+  private[operators] val bucketSql: String = {
     def planeLit(p: Int) = planes(p).map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
     (0 until NumPlanes).map { p =>
       s"""(CASE WHEN list_sum(list_transform(range(1, ${Dim + 1}), i -> v[i] * (${planeLit(p)}::DOUBLE[])[i])) > 0 THEN ${1 << p} ELSE 0 END)"""
