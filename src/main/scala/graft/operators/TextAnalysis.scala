@@ -428,7 +428,74 @@ object TextAnalysis {
        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS rank
        |FROM x QUALIFY rank <= 3""".stripMargin
 
+  /** Distributed BPE merge learning — the train step behind the tokenizer
+    * the BPE-ish counter (`q_text_tokens_bpe`) only applies. Classic
+    * Sennrich BPE over the word-frequency table: each round counts
+    * adjacent-symbol pairs weighted by word frequency, picks the most
+    * frequent pair (ties → lexicographic), and rewrites every word by the
+    * non-overlapping left-to-right literal `replace` (identical semantics
+    * in both engines).
+    *
+    * Scale: the state is the DISTINCT-word frequency table (vocab-sized —
+    * millions of rows at 100 TB, not corpus-sized), computed by one
+    * map-side-combinable groupBy over the corpus. Each round is one
+    * explode+groupBy over the vocab plus a broadcast of the single best
+    * pair — a fully unrolled static plan of BpeRounds shuffles, the same
+    * iterative shape as PageRank (no driver-side collect; the argmax rides
+    * the plan as a 1-row broadcast cross join). */
+  val BpeRounds = 8
+
+  def bpeLearn(spark: SparkSession, dir: String): DataFrame = {
+    // char-spaced symbol string per distinct word: "cat" -> "c a t"
+    val wf0 = withWords(spark, dir)
+      .select(explode(col("w")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(trim(regexp_replace(col("word"), "(.)", "$1 ")).as("cur"), col("freq"))
+      .persist()
+    def pairsOf(l: Column): Column = {
+      val idx = when(size(l) >= 2, sequence(lit(1), size(l) - 1))
+        .otherwise(array().cast("array<int>"))
+      transform(idx, i => concat(element_at(l, i), lit(" "), element_at(l, i + 1)))
+    }
+    var wf = wf0
+    var merges = Vector.empty[DataFrame]
+    for (r <- 1 to BpeRounds) {
+      val best = wf
+        .select(explode(pairsOf(split(col("cur"), " "))).as("pair"), col("freq"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("f"))
+        .orderBy(col("f").desc, col("pair")).limit(1)
+      merges :+= best.select(lit(r).as("rank"), col("pair"),
+        call_function("replace", col("pair"), lit(" "), lit("")).as("merged"), col("f"))
+      wf = wf.crossJoin(broadcast(best.select(col("pair").as("mp"))))
+        .select(call_function("replace", col("cur"), col("mp"),
+          call_function("replace", col("mp"), lit(" "), lit(""))).as("cur"), col("freq"))
+    }
+    merges.reduce(_ unionAll _)
+  }
+
+  private val bpeLearnSql = {
+    val rounds = (1 to BpeRounds).map { r =>
+      val prev = if (r == 1) "wf" else s"w${r - 1}"
+      s"""p$r AS (SELECT unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS pair, freq
+         |        FROM (SELECT string_split(cur, ' ') AS l, freq FROM $prev)),
+         |a$r AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS f FROM p$r GROUP BY 1),
+         |b$r AS (SELECT pair, f FROM a$r ORDER BY f DESC, pair LIMIT 1),
+         |w$r AS (SELECT replace(cur, b$r.pair, replace(b$r.pair, ' ', '')) AS cur, freq
+         |        FROM $prev CROSS JOIN b$r)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to BpeRounds).map(r =>
+      s"SELECT $r AS rank, pair, replace(pair, ' ', '') AS merged, f FROM b$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH words AS (SELECT unnest(string_split($normSql, ' ')) AS word FROM documents),
+       |wf AS (SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS cur, count(*) AS freq
+       |       FROM words WHERE word != '' GROUP BY 1),
+       |$rounds
+       |$out""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_text_bpe_learn", bpeLearn, Some(bpeLearnSql)),
     Q("q_text_chunk", chunk, Some(chunkSql)),
     Q("q_text_tfidf", tfidf, Some(tfidfSql)),
     Q("q_text_heavy_hitters", heavyHitters, Some(heavyHittersSql)),

@@ -99,6 +99,24 @@ class TextAnalysisSpec extends SparkSuite {
     assert(rows.keys.groupBy(_._1).values.forall(_.size <= 3))
   }
 
+  test("bpe learn: classic hand-run on aaab aaab ab; graceful merge exhaustion") {
+    val d = fixtureDir("documents" -> Seq(
+      (1L, "aaab aaab ab", "en", "s", 12L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = TextAnalysis.bpeLearn(spark, d).collect()
+      .map(r => r.getAs[Int]("rank") -> ((r.getAs[String]("pair"),
+        r.getAs[String]("merged"), r.getAs[Long]("f")))).toMap
+    // round 1: "a a" wins with weight 4 (aaab has two overlap-free a-a pairs? no —
+    // left-to-right pair COUNTING sees both "a a" positions: 2 per aaab × freq 2 = 4)
+    assert(rows(1) === (("a a", "aa", 4L)))
+    // round 2: aaab -> "aa a b", so "a b" (2+1) beats "aa a" (2)
+    assert(rows(2) === (("a b", "ab", 3L)))
+    // round 3: "aa ab" from both aaab occurrences
+    assert(rows(3) === (("aa ab", "aaab", 2L)))
+    // vocabulary exhausts: later rounds produce no pairs and drop out
+    assert(rows.size === 3)
+  }
+
   test("fingerprints: identical normalized content -> identical fp; winnow for short docs falls back") {
     val d2 = fixtureDir("documents" -> Seq(
       (1L, "Hello  World again", "en", "s", 18L),
