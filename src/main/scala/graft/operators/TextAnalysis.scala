@@ -445,13 +445,30 @@ object TextAnalysis {
     * the plan as a 1-row broadcast cross join). */
   val BpeRounds = 8
 
-  def bpeLearn(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared BPE training chain: per-round best-pair tables plus the
+    * final vocabulary state (word → merged symbol string). The vocab table
+    * keeps the original `word` column so the encode step is a vocab-sized
+    * JOIN, never a per-occurrence re-replace.
+    *
+    * Merge application is a left-to-right non-overlapping literal string
+    * `replace` on the space-joined symbols — identical semantics in both
+    * engines, hence oracle-exact. Known deviation from textbook
+    * symbol-level BPE: once merges create multi-char symbols, a pair
+    * pattern can match ACROSS a symbol boundary (symbols ["xa","b"] are
+    * rewritten by pair "a b"), which Sennrich's boundary-anchored regex
+    * (`(?<!\S)`) would reject; RE2 (DuckDB) has no lookbehind, so the
+    * oracle-expressible form accepts that rare greedy re-merge. An exact
+    * symbol-level encoder is a trivial per-partition scan (mapPartitions)
+    * if the deviation ever matters; the learned merge RANKING is identical
+    * either way on this corpus (spec-replayed). */
+  private def bpeChain(spark: SparkSession, dir: String): (Vector[DataFrame], DataFrame) = {
     // char-spaced symbol string per distinct word: "cat" -> "c a t"
     val wf0 = withWords(spark, dir)
       .select(explode(col("w")).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      .select(trim(regexp_replace(col("word"), "(.)", "$1 ")).as("cur"), col("freq"))
+      .select(col("word"),
+        trim(regexp_replace(col("word"), "(.)", "$1 ")).as("cur"), col("freq"))
       .persist()
     def pairsOf(l: Column): Column = {
       val idx = when(size(l) >= 2, sequence(lit(1), size(l) - 1))
@@ -468,34 +485,68 @@ object TextAnalysis {
       merges :+= best.select(lit(r).as("rank"), col("pair"),
         call_function("replace", col("pair"), lit(" "), lit("")).as("merged"), col("f"))
       wf = wf.crossJoin(broadcast(best.select(col("pair").as("mp"))))
-        .select(call_function("replace", col("cur"), col("mp"),
+        .select(col("word"), call_function("replace", col("cur"), col("mp"),
           call_function("replace", col("mp"), lit(" "), lit(""))).as("cur"), col("freq"))
     }
-    merges.reduce(_ unionAll _)
+    (merges, wf)
   }
 
-  private val bpeLearnSql = {
+  def bpeLearn(spark: SparkSession, dir: String): DataFrame =
+    bpeChain(spark, dir)._1.reduce(_ unionAll _)
+
+  /** Tokenize with the learned merges: every document word joins the final
+    * vocabulary state and contributes its merged-symbol count. Output is
+    * the per-doc compression report (whitespace words vs BPE tokens).
+    * Scale: the replace chain runs once over the DISTINCT-word table; the
+    * corpus-sized side only does one equi-join on `word` (broadcastable
+    * while the vocab is small; shuffle join beyond) plus a
+    * map-side-combinable per-doc sum. */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = bpeChain(spark, dir)._2.select(col("word"), size(split(col("cur"), " ")).as("n_sym"))
+    withWords(spark, dir)
+      .select(col("doc_id"), explode(col("w")).as("word"))
+      .filter(col("word") =!= "")
+      .join(vocab, "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_bpe_tokens"))
+  }
+
+  /** Shared unrolled-CTE training chain (wf, p/a/b/w per round). */
+  private val bpeChainSql = {
     val rounds = (1 to BpeRounds).map { r =>
       val prev = if (r == 1) "wf" else s"w${r - 1}"
       s"""p$r AS (SELECT unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS pair, freq
          |        FROM (SELECT string_split(cur, ' ') AS l, freq FROM $prev)),
          |a$r AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS f FROM p$r GROUP BY 1),
          |b$r AS (SELECT pair, f FROM a$r ORDER BY f DESC, pair LIMIT 1),
-         |w$r AS (SELECT replace(cur, b$r.pair, replace(b$r.pair, ' ', '')) AS cur, freq
+         |w$r AS (SELECT word, replace(cur, b$r.pair, replace(b$r.pair, ' ', '')) AS cur, freq
          |        FROM $prev CROSS JOIN b$r)""".stripMargin
     }.mkString(",\n")
+    s"""words AS (SELECT unnest(string_split($normSql, ' ')) AS word FROM documents),
+       |wf AS (SELECT word, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS cur, count(*) AS freq
+       |       FROM words WHERE word != '' GROUP BY 1, 2),
+       |$rounds""".stripMargin
+  }
+
+  private val bpeLearnSql = {
     val out = (1 to BpeRounds).map(r =>
       s"SELECT $r AS rank, pair, replace(pair, ' ', '') AS merged, f FROM b$r")
       .mkString("\nUNION ALL\n")
-    s"""WITH words AS (SELECT unnest(string_split($normSql, ' ')) AS word FROM documents),
-       |wf AS (SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS cur, count(*) AS freq
-       |       FROM words WHERE word != '' GROUP BY 1),
-       |$rounds
-       |$out""".stripMargin
+    s"WITH $bpeChainSql\n$out"
   }
+
+  private val bpeEncodeSql =
+    s"""WITH $bpeChainSql,
+       |vocab AS (SELECT word, len(string_split(cur, ' ')) AS n_sym FROM w$BpeRounds),
+       |dw AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS word FROM documents)
+       |SELECT doc_id, count(*) AS n_words, CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens
+       |FROM dw JOIN vocab USING (word)
+       |WHERE word != ''
+       |GROUP BY doc_id""".stripMargin
 
   val queries: Seq[Q] = Seq(
     Q("q_text_bpe_learn", bpeLearn, Some(bpeLearnSql)),
+    Q("q_text_bpe_encode", bpeEncode, Some(bpeEncodeSql)),
     Q("q_text_chunk", chunk, Some(chunkSql)),
     Q("q_text_tfidf", tfidf, Some(tfidfSql)),
     Q("q_text_heavy_hitters", heavyHitters, Some(heavyHittersSql)),

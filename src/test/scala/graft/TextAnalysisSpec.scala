@@ -117,6 +117,47 @@ class TextAnalysisSpec extends SparkSuite {
     assert(rows.size === 3)
   }
 
+  test("bpe encode: matches an independent replay of the learn+apply chain") {
+    // rich enough corpus for all 8 merge rounds
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox and the quick red fox"),
+      (3L, "lazy dogs and quick foxes jump over logs"))
+    val d = fixtureDir("documents" -> texts.map { case (id, t) =>
+      (id, t, "en", "s", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars"))
+
+    // reference replay with the engine's exact string semantics
+    val allWords = texts.flatMap(_._2.split(" "))
+    var vocab: Map[String, String] =
+      allWords.distinct.map(w => w -> w.toSeq.mkString(" ")).toMap
+    val freq = allWords.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for (_ <- 1 to TextAnalysis.BpeRounds) {
+      val counts = vocab.toSeq.flatMap { case (w, cur) =>
+        val syms = cur.split(" ")
+        syms.zip(syms.tail).map { case (a, b) => (s"$a $b", freq(w)) }
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      if (counts.nonEmpty) {
+        val best = counts.toSeq.minBy { case (p, f) => (-f, p) }._1
+        vocab = vocab.view.mapValues(_.replace(best, best.replace(" ", ""))).toMap
+      }
+    }
+    val expected = texts.map { case (id, t) =>
+      id -> t.split(" ").map(w => vocab(w).split(" ").length.toLong).sum
+    }.toMap
+
+    val out = TextAnalysis.bpeEncode(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_bpe_tokens")).toMap
+    assert(out === expected)
+    // merges compress: strictly fewer symbols than characters, at least one per word
+    val nWords = TextAnalysis.bpeEncode(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_words")).toMap
+    texts.foreach { case (id, t) =>
+      assert(out(id) >= nWords(id))
+      assert(out(id) < t.replace(" ", "").length)
+    }
+  }
+
   test("fingerprints: identical normalized content -> identical fp; winnow for short docs falls back") {
     val d2 = fixtureDir("documents" -> Seq(
       (1L, "Hello  World again", "en", "s", 18L),
