@@ -132,6 +132,28 @@ object Dedup {
       .select(col("doc_id"), col("lang"), col("source"))
   }
 
+  /** LEAKAGE-FREE train/val/test split — the dedup-aware version of
+    * `q_split_assign`: the split key is the near-dup CLUSTER id (singleton
+    * docs key on their own id), so every member of a duplicate cluster
+    * lands in the same split and eval can never see a near-copy of a
+    * training doc. Composition of the two primitives a real pipeline runs
+    * back-to-back: transitive clusters → hash split on the canonical id.
+    * Scale: clusters are pair-list-sized; the corpus side is one left
+    * join + a narrow hash map. */
+  def leakageFreeSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(nearDupClusters(spark, dir), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("split", Sampling.splitCaseOf(col("cluster_id")))
+
+  private val leakageFreeSplitSql =
+    s"""$clustersCteSql,
+       |alldocs AS (
+       |  SELECT d.doc_id, coalesce(comp.cluster_id, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN comp ON d.doc_id = comp.doc_id)
+       |SELECT doc_id, cluster_id, ${Sampling.splitCaseSqlOf("cluster_id")} AS split
+       |FROM alldocs""".stripMargin
+
   /** INCREMENTAL dedup — the daily-ingest operator: a new batch (here the
     * deterministic doc_id % 5 == 0 slice) is admitted only if its
     * normalized content hash is absent from the existing corpus AND unique
@@ -202,6 +224,7 @@ object Dedup {
         |SELECT sz, count(*) AS n_clusters FROM c GROUP BY 1""".stripMargin)),
     Q("q_dedup_kmv_sketch", kmvBySource, Some(kmvBySourceSql)),
     Q("q_dedup_incremental", incremental, Some(incrementalSql)),
+    Q("q_split_leakage_free", leakageFreeSplit, Some(leakageFreeSplitSql)),
     Q("q_dedup_contamination", contamination, Some(contaminationSql)),
     Q("q_dedup_near_materialize", materializeNearDupFree, Some(nearDupFreeSql), bench = true),
     Q("q_dedup_clusters", nearDupClusters, Some(

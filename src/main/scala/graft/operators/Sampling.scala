@@ -16,17 +16,27 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Hash of the doc id's first byte as an integer 0..255. */
-  private def hashByte = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
-    .cast("int")
-  private[operators] val hashByteSql =
-    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT"
+  /** Hash of an id's md5 first byte as an integer 0..255. */
+  private[operators] def hashByteOf(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(c.cast("string")), 1, 2), 16, 10).cast("int")
+  private def hashByte = hashByteOf(col("doc_id"))
+  private[operators] def hashByteSqlOf(expr: String) =
+    s"('0x' || substr(md5(CAST($expr AS VARCHAR)), 1, 2))::INT"
+  private[operators] val hashByteSql = hashByteSqlOf("doc_id")
 
-  /** The split CASE expression, shared with the contamination oracle. */
-  private[operators] val splitCaseSql =
-    s"""CASE WHEN $hashByteSql < 205 THEN 'train'
-       |     WHEN $hashByteSql < 230 THEN 'val'
+  /** The split CASE expression over an id, shared with the contamination
+    * and leakage-free-split oracles. */
+  private[operators] def splitCaseSqlOf(expr: String) =
+    s"""CASE WHEN ${hashByteSqlOf(expr)} < 205 THEN 'train'
+       |     WHEN ${hashByteSqlOf(expr)} < 230 THEN 'val'
        |     ELSE 'test' END""".stripMargin
+  private[operators] val splitCaseSql = splitCaseSqlOf("doc_id")
+
+  /** The split CASE as a Column, keyed on an arbitrary id column. */
+  private[operators] def splitCaseOf(c: org.apache.spark.sql.Column) = {
+    val hb = hashByteOf(c)
+    when(hb < 205, "train").when(hb < 230, "val").otherwise("test")
+  }
 
   /** Deterministic ~1/16 sample: md5 first byte < 16. */
   def sampleHash(spark: SparkSession, dir: String): DataFrame =

@@ -544,7 +544,51 @@ object TextAnalysis {
        |WHERE word != ''
        |GROUP BY doc_id""".stripMargin
 
+  /** Unigram language-model scoring — the CCNet/KenLM-style quality
+    * signal: train word-unigram probabilities on the corpus itself
+    * (p(w) = count(w)/total), then score each document by its mean word
+    * log-probability and perplexity. Low-probability-mass docs (gibberish,
+    * boilerplate alphabets, wrong-language) sink to the bottom.
+    *
+    * Portability: p(w) is one exact integer division (identical doubles
+    * both engines); each ln(p) is quantized to integer millionths before
+    * the per-doc SUM — the order-insensitive fixed-point pattern — so the
+    * aggregation order can never drift the result. Scale: the LM is the
+    * vocab-sized count table (broadcastable); scoring is one equi-join on
+    * word + one map-side-combinable per-doc sum — two shuffles total, the
+    * inverted-index cost model of tfidf. */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val words = withWords(spark, dir)
+      .select(col("doc_id"), explode(col("w")).as("word"))
+      .filter(col("word") =!= "")
+    val lm = words.groupBy(col("word")).agg(count(lit(1)).as("c"))
+    val total = broadcast(words.agg(count(lit(1)).as("total")))
+    val qlp = floor(log(col("c").cast("double") / col("total")) * 1e6 + 0.5).cast("long")
+    words.join(lm, "word").crossJoin(total)
+      .select(col("doc_id"), qlp.as("qlp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("qlp")).as("s"))
+      .select(col("doc_id"), col("n_words"),
+        roundN(col("s").cast("double") / 1e6 / col("n_words"), 6).as("avg_logprob"),
+        roundN(exp(-(col("s").cast("double") / 1e6 / col("n_words"))), 4).as("ppl"))
+  }
+
+  private val lmScoreSql =
+    s"""WITH w AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS word
+       |           FROM documents),
+       |w2 AS (SELECT doc_id, word FROM w WHERE word != ''),
+       |lm AS (SELECT word, count(*) AS c FROM w2 GROUP BY 1),
+       |t AS (SELECT count(*) AS total FROM w2),
+       |q AS (SELECT w2.doc_id,
+       |        CAST(floor(ln(CAST(lm.c AS DOUBLE) / t.total) * 1e6 + 0.5) AS BIGINT) AS qlp
+       |      FROM w2 JOIN lm USING (word) CROSS JOIN t)
+       |SELECT doc_id, count(*) AS n_words,
+       |  ${roundNSql("CAST(sum(qlp) AS DOUBLE) / 1e6 / count(*)", 6)} AS avg_logprob,
+       |  ${roundNSql("exp(-(CAST(sum(qlp) AS DOUBLE) / 1e6 / count(*)))", 4)} AS ppl
+       |FROM q GROUP BY doc_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q_text_lm_score", lmScore, Some(lmScoreSql)),
     Q("q_text_bpe_learn", bpeLearn, Some(bpeLearnSql)),
     Q("q_text_bpe_encode", bpeEncode, Some(bpeEncodeSql)),
     Q("q_text_chunk", chunk, Some(chunkSql)),

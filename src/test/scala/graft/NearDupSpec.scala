@@ -100,4 +100,19 @@ class NearDupSpec extends SparkSuite {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 4L)))
   }
+
+  test("leakage-free split: cluster members share one split, singletons keep their own") {
+    val rows = Dedup.leakageFreeSplit(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("cluster_id"), r.getAs[String]("split")))).toMap
+    assert(rows.size === 4) // every doc assigned exactly once
+    // docs 1, 2, 4 are one near-dup cluster -> same canonical id, same split
+    assert(rows(1L)._1 === 1L && rows(2L)._1 === 1L && rows(4L)._1 === 1L)
+    assert(Set(rows(1L)._2, rows(2L)._2, rows(4L)._2).size === 1)
+    // doc 3 is a singleton: keys on its own id, and matches the plain split
+    assert(rows(3L)._1 === 3L)
+    val plain = graft.operators.Sampling.splitAssign(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(rows(3L)._2 === plain(3L))
+  }
 }

@@ -158,6 +158,24 @@ class TextAnalysisSpec extends SparkSuite {
     }
   }
 
+  test("lm score: hand-computed unigram log-probs; rare-word doc scores lower") {
+    val d = fixtureDir("documents" -> Seq(
+      (1L, "a a a", "en", "s", 5L),
+      (2L, "a b", "en", "s", 3L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    // corpus: a×4, b×1, total 5 -> p(a)=0.8, p(b)=0.2
+    // qlp(a) = floor(ln(0.8)·1e6 + 0.5) = -223144, qlp(b) = -1609438
+    val rows = TextAnalysis.lmScore(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows(1L).getAs[Long]("n_words") === 3)
+    assert(rows(1L).getAs[Double]("avg_logprob") === -0.223144)
+    assert(rows(2L).getAs[Double]("avg_logprob") === -0.916291)
+    assert(rows(1L).getAs[Double]("avg_logprob") > rows(2L).getAs[Double]("avg_logprob"))
+    assert(rows(2L).getAs[Double]("ppl") > rows(1L).getAs[Double]("ppl"))
+    assert(math.abs(rows(1L).getAs[Double]("ppl") - 1.25) < 1e-3)
+    assert(math.abs(rows(2L).getAs[Double]("ppl") - 2.5) < 1e-3)
+  }
+
   test("fingerprints: identical normalized content -> identical fp; winnow for short docs falls back") {
     val d2 = fixtureDir("documents" -> Seq(
       (1L, "Hello  World again", "en", "s", 18L),
