@@ -69,7 +69,67 @@ object Sampling {
       .filter(col("hb") < sourceThreshold)
       .select(col("doc_id"), col("source"))
 
+  /** Temperature-2 language rebalancing — the multinomial
+    * mixture-flattening step of multilingual corpus assembly (upweight
+    * rare languages relative to the dominant one; same pattern keys on any
+    * group column). Target distribution q_s ∝ w_s^(1/T); with T = 2
+    * the downsample-only keep rate reduces to rate_s = sqrt(n_min / n_s)
+    * (rarest source kept whole) — derived entirely from exact integer
+    * counts through correctly-rounded sqrt/division, so both engines
+    * compute bit-identical rates with NO order-dependent float sum at all.
+    * Per-doc selection is the same md5-byte gate as every sampler here:
+    * keep iff hash_byte < floor(rate·256 + 0.5).
+    * Scale: one count aggregation + a broadcast of per-source rates + a
+    * narrow filter — no corpus shuffle. */
+  def sampleTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_s"))
+    val rates = counts.crossJoin(broadcast(counts.agg(min(col("n_s")).as("n_min"))))
+      .select(col("lang"),
+        floor(sqrt(col("n_min").cast("double") / col("n_s")) * 256 + 0.5)
+          .cast("int").as("thresh"))
+    Tables.documents(spark, dir)
+      .join(broadcast(rates), "lang")
+      .filter(hashByte < col("thresh"))
+      .select(col("doc_id"), col("lang"))
+  }
+
+  private val sampleTemperatureSql =
+    s"""WITH c AS (SELECT lang, count(*) AS n_s FROM documents GROUP BY 1),
+       |r AS (SELECT lang,
+       |        CAST(floor(sqrt(CAST((SELECT min(n_s) FROM c) AS DOUBLE) / n_s) * 256 + 0.5) AS INT) AS thresh
+       |      FROM c)
+       |SELECT d.doc_id, d.lang
+       |FROM documents d JOIN r USING (lang)
+       |WHERE $hashByteSql < r.thresh""".stripMargin
+
+  /** Per-source token-budget capping — "take documents per source until
+    * the budget is spent": deterministic doc order (id) per source, exact
+    * integer running sum of n_chars, keep while the INCLUSIVE prefix sum
+    * fits. One hash exchange on source + a linear window pass — the same
+    * shape as the as-of join; no global sort. */
+  val SourceCharBudget = 5000L
+
+  def sampleTokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        sum(col("n_chars")).over(w).as("cum_chars"))
+      .filter(col("cum_chars") <= SourceCharBudget)
+  }
+
+  private val sampleTokenBudgetSql =
+    s"""SELECT doc_id, source, n_chars,
+       |  CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_chars
+       |FROM documents
+       |QUALIFY cum_chars <= $SourceCharBudget""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q_sample_temperature", sampleTemperature, Some(sampleTemperatureSql)),
+    Q("q_sample_token_budget", sampleTokenBudget, Some(sampleTokenBudgetSql)),
     Q("q_sample_stratified", sampleStratified, Some(
       s"""SELECT doc_id, source FROM documents
          |WHERE $hashByteSql < $sourceThresholdSql""".stripMargin)),

@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.Sampling
+import org.apache.spark.sql.functions._
+
+/** Deterministic samplers on hand-built corpora. */
+class SamplingSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** Engine's hash gate replicated independently: first md5 byte of the
+    * decimal doc_id string. */
+  private def hashByte(id: Long): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(id.toString.getBytes("UTF-8"))(0) & 0xff
+  }
+
+  test("temperature rebalance: rarest language kept whole, dominant language halved") {
+    // 8 "en" docs vs 2 "fr" docs: rate(en)=sqrt(2/8)=0.5 -> thresh 128
+    val docs = (1L to 8L).map(i => (i, s"doc $i", "en", "s", 10L)) ++
+      Seq((100L, "s", "fr", "s", 1L), (101L, "s", "fr", "s", 1L))
+    val d = fixtureDir("documents" -> docs.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val kept = Sampling.sampleTemperature(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id")).toSet
+    assert(kept.contains(100L) && kept.contains(101L)) // rate 1.0
+    val expectedEn = (1L to 8L).filter(hashByte(_) < 128).toSet
+    assert(kept.filter(_ <= 8L) === expectedEn)
+  }
+
+  test("token budget: inclusive prefix per source in id order") {
+    val docs = Seq(
+      (1L, "a", "en", "s1", 2000L), (2L, "b", "en", "s1", 2000L),
+      (3L, "c", "en", "s1", 1500L), (4L, "d", "en", "s1", 1000L),
+      (9L, "e", "en", "s2", 4999L), (10L, "f", "en", "s2", 2L))
+    val d = fixtureDir("documents" -> docs.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = Sampling.sampleTokenBudget(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cum_chars")).toMap
+    // s1: cum 2000, 4000, 5500 (over), 6500 (over) -> keep 1, 2 only
+    // s2: cum 4999, 5001 (over) -> keep 9 only
+    assert(rows.keySet === Set(1L, 2L, 9L))
+    assert(rows(2L) === 4000L && rows(9L) === 4999L)
+  }
+
+  test("hash sampler and split are stable under repartitioning") {
+    val docs = (1L to 200L).map(i => (i, s"text $i", "en", s"src${i % 3}", 10L))
+    val d = fixtureDir("documents" -> docs.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val once = Sampling.sampleHash(spark, d).collect().map(_.getAs[Long]("doc_id")).toSet
+    val again = Sampling.sampleHash(spark, d).repartition(7).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(once === again)
+    val splits = Sampling.splitAssign(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(splits.values.toSet.subsetOf(Set("train", "val", "test")))
+    assert(splits.size === 200)
+  }
+}
