@@ -178,7 +178,7 @@ object EmbedClassify {
 
   val queries: Seq[Q] = Seq(
     Q("q_embed_centroids", centroids, Some(centroidsSql)),
-    Q("q_embed_nearest_centroid", nearestCentroid, Some(nearestCentroidSql)),
+    Q("q_embed_nearest_centroid", nearestCentroid, Some(nearestCentroidSql), bench = true),
     Q("q_sim_knn_eval", knnEval, Some(knnEvalSql)),
   )
 }
