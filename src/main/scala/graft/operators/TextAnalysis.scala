@@ -25,10 +25,13 @@ object TextAnalysis {
     * downstream expressions reference the attributes, so normalize+split run
     * once per row instead of once per use site (or per array element when
     * the subtree lands inside a lambda). */
-  private def withWords(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  private[graft] def withWordsOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("norm", normText(col("text")))
       .withColumn("w", split(col("norm"), " "))
+
+  private def withWords(spark: SparkSession, dir: String): DataFrame =
+    withWordsOf(Tables.documents(spark, dir))
 
   private val stopwords = Seq("the", "a", "an", "and", "of", "to", "in", "is", "on", "for")
   private val stopSqlList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -367,19 +370,25 @@ object TextAnalysis {
   val ChunkTokens = 64
   val ChunkOverlap = 16
 
-  def chunk(spark: SparkSession, dir: String): DataFrame = {
+  /** The chunk fan-out over a staged-words frame, keyed by `idCol` —
+    * shared by the registered batch query (doc_id key) and the streaming
+    * ingest pipeline (content-fp key). */
+  private def chunkExplode(staged: DataFrame, idCol: Column, idName: String): DataFrame = {
     val stride = ChunkTokens - ChunkOverlap
     val w = col("w")
     val nChunks = greatest(lit(1),
       ceil((size(w) - ChunkOverlap).cast("double") / stride).cast("int"))
     val chunks = transform(sequence(lit(0), nChunks - 1), i =>
       slice(w, i * stride + 1, lit(ChunkTokens)))
-    withWords(spark, dir)
-      .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "toks")))
-      .select(col("doc_id"), col("chunk_idx"),
+    staged
+      .select(idCol.as(idName), posexplode(chunks).as(Seq("chunk_idx", "toks")))
+      .select(col(idName), col("chunk_idx"),
         concat_ws(" ", col("toks")).as("chunk_text"),
         size(col("toks")).as("n_tokens"))
   }
+
+  def chunk(spark: SparkSession, dir: String): DataFrame =
+    chunkExplode(withWords(spark, dir), col("doc_id"), "doc_id")
 
   private val chunkSql = {
     val stride = ChunkTokens - ChunkOverlap
@@ -593,7 +602,44 @@ object TextAnalysis {
        |  ${roundNSql("exp(-(CAST(sum(qlp) AS DOUBLE) / 1e6 / count(*)))", 4)} AS ppl
        |FROM q GROUP BY doc_id""".stripMargin
 
+  /** The LLM-ingest pipeline body — quality gate → exact content dedup →
+    * retrieval chunking — over ANY documents frame, batch or streaming
+    * (the streaming twin is [[graft.streaming.DocIngest]]). Output is
+    * keyed by content fingerprint, not doc_id: which duplicate survives a
+    * dedup is arrival-order-dependent in a stream, but every surviving
+    * row's chunks are byte-identical (chunks derive from normalized
+    * content only), so the content-keyed output is deterministic and
+    * streaming ≡ batch ≡ oracle. */
+  def ingestChunksOf(docs: DataFrame): DataFrame = {
+    val staged = withWordsOf(docs)
+    val gated = staged.filter(size(col("w")) >= 10 &&
+      size(filter(col("w"), t => t.isInCollection(stopwords))) > 0)
+    val deduped = gated.withColumn("fp", md5(col("norm"))).dropDuplicates("fp")
+    chunkExplode(deduped, col("fp"), "fp")
+  }
+
+  def ingestChunks(spark: SparkSession, dir: String): DataFrame =
+    ingestChunksOf(Tables.documents(spark, dir))
+
+  /** Oracle: dedup-then-chunk equals chunk-then-DISTINCT because chunking
+    * is a pure function of normalized content. */
+  private val ingestChunksSql = {
+    val stride = ChunkTokens - ChunkOverlap
+    s"""WITH s AS (SELECT md5($normSql) AS fp, string_split($normSql, ' ') AS w FROM documents),
+       |g AS (SELECT fp, w,
+       |        greatest(1, CAST(ceil((len(w) - $ChunkOverlap) / $stride.0) AS INT)) AS n_chunks
+       |      FROM s
+       |      WHERE len(w) >= 10
+       |        AND len(list_filter(w, t -> list_contains($stopSqlList, t))) > 0)
+       |SELECT DISTINCT fp, CAST(i AS INT) AS chunk_idx,
+       |  array_to_string(w[i * $stride + 1 : i * $stride + $ChunkTokens], ' ') AS chunk_text,
+       |  len(w[i * $stride + 1 : i * $stride + $ChunkTokens]) AS n_tokens
+       |FROM g CROSS JOIN range(0, 10000) r(i)
+       |WHERE i < n_chunks""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_ingest_chunks", ingestChunks, Some(ingestChunksSql)),
     Q("q_text_lm_score", lmScore, Some(lmScoreSql), bench = true),
     Q("q_text_bpe_learn", bpeLearn, Some(bpeLearnSql), bench = true),
     Q("q_text_bpe_encode", bpeEncode, Some(bpeEncodeSql)),
