@@ -186,7 +186,49 @@ object Events {
        |FROM active a JOIN cohort c ON a.user_id = c.user_id
        |GROUP BY 1, 2""".stripMargin
 
+  /** z-score anomaly scan — the monitoring primitive: flag events whose
+    * `value` sits more than 3 sample standard deviations from their
+    * event-type mean. Moments come from the integer-cents pattern (value
+    * is 2-decimal data): Σcents and Σcents² are EXACT order-free BIGINTs,
+    * mean/var/std then divide back through identical double ops in both
+    * engines — no order-dependent float aggregation anywhere. One
+    * map-side-combinable moment pass over a bounded key set (event types)
+    * + a broadcast join back; scan-speed at any scale. */
+  def anomalies(spark: SparkSession, dir: String): DataFrame = {
+    val cents = floor(col("value") * 100 + 0.5).cast("long")
+    val stats = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(cents).as("s"), sum(cents * cents).as("s2"))
+      .select(col("event_type"), col("n"),
+        (col("s").cast("double") / 100.0 / col("n")).as("mean"),
+        sqrt((col("s2").cast("double") / 10000.0 -
+          col("n").cast("double") * (col("s").cast("double") / 100.0 / col("n")) *
+            (col("s").cast("double") / 100.0 / col("n"))) / (col("n") - 1)).as("std"))
+    Tables.events(spark, dir)
+      .join(broadcast(stats), "event_type")
+      .withColumn("z", roundN((col("value") - col("mean")) / col("std"), 4))
+      .filter(abs(col("z")) > 3)
+      .select(col("event_id"), col("event_type"), col("value"), col("z"))
+  }
+
+  private val anomaliesSql =
+    s"""WITH $eventsUs,
+       |m AS (SELECT event_type, count(*) AS n,
+       |        CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) AS s,
+       |        CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT) *
+       |                 CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) AS s2
+       |      FROM e GROUP BY 1),
+       |st AS (SELECT event_type, n, s / 100.0 / n AS mean,
+       |         sqrt((s2 / 10000.0 - CAST(n AS DOUBLE) * (s / 100.0 / n) * (s / 100.0 / n))
+       |              / (n - 1)) AS std
+       |       FROM m)
+       |SELECT e.event_id, e.event_type, e.value,
+       |  ${roundNSql("(e.value - st.mean) / st.std", 4)} AS z
+       |FROM e JOIN st USING (event_type)
+       |WHERE abs(${roundNSql("(e.value - st.mean) / st.std", 4)}) > 3""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q_events_anomaly", anomalies, Some(anomaliesSql)),
     Q("q_events_funnel", funnel, Some(funnelSql)),
     Q("q_events_retention", retention, Some(retentionSql)),
     Q("q_events_window", windowBatch, Some(

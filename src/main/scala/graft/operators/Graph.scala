@@ -144,7 +144,41 @@ object Graph {
        |SELECT node, rank FROM r$PrIters""".stripMargin
   }
 
+  // ------------------------------------------------------------ Triangles
+
+  /** Triangle enumeration over an ORIENTED edge list (first col < second
+    * col, one row per undirected edge): the classic two-join form —
+    * path a→b→c (a<b<c by orientation) closed by the a→c edge. Ordering
+    * every edge low-id→high-id means each triangle appears exactly ONCE,
+    * no post-dedup. Scale notes: at real scale the orientation key is
+    * DEGREE (low-degree→high-degree), which bounds join fan-out by
+    * arboricity — same plan, different ordering column; both joins are
+    * equi-joins on edge endpoints and shuffle edge-list-sized data only. */
+  def triangles(edges: DataFrame): DataFrame = {
+    val a = edges.columns(0); val b = edges.columns(1)
+    val e = edges.select(col(a).as("lo"), col(b).as("hi"))
+    e.alias("ab")
+      .join(e.alias("bc"), col("ab.hi") === col("bc.lo"))
+      .join(e.alias("ac"),
+        col("ac.lo") === col("ab.lo") && col("ac.hi") === col("bc.hi"))
+      .select(col("ab.lo").as("id_a"), col("ab.hi").as("id_b"), col("bc.hi").as("id_c"))
+  }
+
+  /** Registered instantiation: mutual-near-dup triangles over the verified
+    * MinHash pair list (clusters of three pairwise-similar docs — the
+    * signal that a dup cluster is a true clique, not a chain). */
+  def nearDupTriangles(spark: SparkSession, dir: String): DataFrame =
+    triangles(NearDup.minhashPairs(spark, dir).select(col("id_a"), col("id_b")))
+
+  private val trianglesSql =
+    s"""WITH pairs AS (${NearDup.minhashPairsSql}),
+       |e AS (SELECT id_a AS lo, id_b AS hi FROM pairs)
+       |SELECT ab.lo AS id_a, ab.hi AS id_b, bc.hi AS id_c
+       |FROM e ab JOIN e bc ON ab.hi = bc.lo
+       |          JOIN e ac ON ac.lo = ab.lo AND ac.hi = bc.hi""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q_graph_pagerank", pageRankCoPurchase, Some(pageRankSql)),
+    Q("q_graph_triangles", nearDupTriangles, Some(trianglesSql)),
   )
 }

@@ -48,6 +48,19 @@ class GraphSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("triangles: oriented two-join finds each triangle exactly once") {
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L), // triangle 1-2-3
+      (3L, 4L),                     // pendant edge, no triangle
+      (1L, 4L), (2L, 4L)            // 4 closes two more: 1-2-4, (1-3-4? needs 3-4 yes), (2-3-4? needs 2-3 yes)
+    ).toDF("a", "b")
+    val got = Graph.triangles(edges)
+      .as[(Long, Long, Long)].collect().toSet
+    // all 4 triangles of K4 on {1,2,3,4}, each exactly once, ordered a<b<c
+    assert(got === Set((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L)))
+    assert(Graph.triangles(edges).count() === 4)
+  }
+
   test("cluster materialize keeps exactly one doc per transitive cluster") {
     // docs 1,2,3 form a transitive near-dup chain: 1~2 and 2~3 are verified
     // pairs but 1~3 is NOT (the case greedy per-pair handles correctly only

@@ -25,6 +25,17 @@ class ProductAnalyticsSpec extends SparkSuite {
       (8L, ts("2024-01-17 08:00:00"), 3L, "view", 1.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
 
+  test("anomaly scan flags only the planted outlier") {
+    val normal = (1L to 20L).map(i =>
+      (i, ts("2024-01-01 10:00:00"), i, "click", 10.0 + (i % 3) * 0.5, "{}"))
+    val outlier = Seq((99L, ts("2024-01-01 11:00:00"), 99L, "click", 500.0, "{}"))
+    val d = fixtureDir("events" -> (normal ++ outlier)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val out = Events.anomalies(spark, d).collect()
+    assert(out.map(_.getAs[Long]("event_id")).toSeq === Seq(99L))
+    assert(out.head.getAs[Double]("z") > 3)
+  }
+
   test("funnel: stages count only strictly-ordered view->click->purchase") {
     val rows = Events.funnel(spark, dir).orderBy("user_id").collect()
     assert(rows.map(r => (r.getLong(0), r.getInt(4))).toSeq ===
