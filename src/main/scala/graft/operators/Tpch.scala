@@ -164,7 +164,71 @@ object Tpch {
        |  AND l_discount >= 0.05 AND l_discount <= 0.07
        |  AND l_quantity < 24""".stripMargin
 
+  /** Q14 analogue: promo revenue share — two-branch conditional aggregate
+    * over the part⋈lineitem join, part broadcast. The ratio divides two
+    * rounded sums (identical inputs → identical quotient both engines). */
+  def promoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(to_date(col("l_shipdate")) >= lit("1997-01-01") &&
+        to_date(col("l_shipdate")) < lit("1997-07-01"))
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+    val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_type"))
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(
+        roundN(sum(when(col("p_type").startsWith("PROMO"), rev).otherwise(lit(0.0))), 2)
+          .as("promo_revenue"),
+        roundN(sum(rev), 2).as("total_revenue"))
+      .select(col("promo_revenue"), col("total_revenue"),
+        roundN(lit(100.0) * col("promo_revenue") / col("total_revenue"), 4)
+          .as("promo_pct"))
+  }
+
+  private val promoRevenueSql = {
+    val promo = roundNSql(
+      "sum(CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)", 2)
+    val total = roundNSql("sum(l_extendedprice * (1 - l_discount))", 2)
+    s"""SELECT $promo AS promo_revenue, $total AS total_revenue,
+       |  ${roundNSql(s"100.0 * ($promo) / ($total)", 4)} AS promo_pct
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+       |  AND CAST(l_shipdate AS DATE) < DATE '1997-07-01'""".stripMargin
+  }
+
+  /** Q18 analogue: large-volume orders — a HAVING over an integer fact
+    * aggregate gates which orders re-join the header/customer side. The
+    * quantity sums are BIGINT (order-insensitive), so the gate is exact;
+    * the keeper set is order-count-sized and the second join broadcasts
+    * at any SF where big orders are rare (AQE decides). */
+  val BigOrderQty = 250L
+
+  def bigOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+      .filter(col("total_qty") > BigOrderQty)
+    Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_orderkey").as("orderkey"),
+        to_date(col("o_orderdate")).as("orderdate"),
+        col("o_totalprice").as("totalprice"), col("total_qty"))
+  }
+
+  private val bigOrdersSql =
+    s"""WITH big AS (
+       |  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+       |  FROM lineitem GROUP BY 1
+       |  HAVING sum(CAST(l_quantity AS BIGINT)) > $BigOrderQty)
+       |SELECT c_name, o_orderkey AS orderkey, CAST(o_orderdate AS DATE) AS orderdate,
+       |  o_totalprice AS totalprice, total_qty
+       |FROM orders
+       |JOIN big ON o_orderkey = big.l_orderkey
+       |JOIN customer ON o_custkey = c_custkey""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q_tpch_promo", promoRevenue, Some(promoRevenueSql)),
+    Q("q_tpch_bigorders", bigOrders, Some(bigOrdersSql)),
     Q("q_tpch_pricing", pricingSummary, Some(pricingSummarySql), bench = true),
     Q("q_tpch_shipping", shippingPriority, Some(shippingPrioritySql)),
     Q("q_tpch_volume", localSupplierVolume, Some(localSupplierVolumeSql)),
