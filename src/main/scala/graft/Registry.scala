@@ -36,7 +36,8 @@ object Registry {
       operators.TextAnalysis.queries ++
       operators.Packing.queries ++
       operators.Multimodal.queries ++
-      sources.Bucketing.queries
+      sources.Bucketing.queries ++
+      sources.SyntheticDocs.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

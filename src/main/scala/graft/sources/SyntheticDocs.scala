@@ -1,0 +1,124 @@
+package graft.sources
+
+import java.util
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 table provider — the remaining Spark extension axis after
+  * custom `Expression`s and the optimizer rule (`GraftExtensions`): a
+  * deterministic synthetic-documents generator with REAL source machinery —
+  * explicit partition planning (`rows` split across `partitions` input
+  * splits, the moral equivalent of parquet row-groups) and column pruning
+  * (`SupportsPushDownRequiredColumns`: a `select(doc_id)` never
+  * materializes the text column — check `.explain`'s ReadSchema).
+  *
+  * Usage: `spark.read.format("graft.sources.SyntheticDocs")
+  *   .option("rows", 1000).option("partitions", 8).load()`.
+  *
+  * Every column is a closed-form function of the row id, so the DuckDB
+  * oracle regenerates the identical table from `range()` — a fully
+  * oracle-checked custom source. At scale this pattern is how test/bench
+  * corpora are generated in place (no I/O at all, each executor
+  * synthesizes only its split).
+  */
+class SyntheticDocs extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SyntheticDocs.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new SyntheticDocsTable(
+      properties.getOrDefault("rows", "1000").toLong,
+      properties.getOrDefault("partitions", "8").toInt)
+}
+
+object SyntheticDocs {
+  val schema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("lang", StringType, nullable = false),
+    StructField("n_chars", LongType, nullable = false),
+    StructField("text", StringType, nullable = false)))
+
+  val langs: IndexedSeq[String] = IndexedSeq("en", "de", "fr")
+
+  /** Closed-form row content (mirrored in the DuckDB oracle): the text is
+    * `n_words` repeats of "w<id mod 7>". */
+  def lang(id: Long): String = langs((id % 3).toInt)
+  def nWords(id: Long): Int = (id % 5).toInt + 1
+  def text(id: Long): String =
+    Seq.fill(nWords(id))(s"w${id % 7}").mkString(" ")
+
+  val QueryRows = 1000
+
+  /** Registered query: the full synthetic table via the V2 source; the
+    * oracle regenerates it closed-form from range(). `dir` is unused —
+    * the source IS the data. */
+  val queries: Seq[graft.Q] = Seq(graft.Q(
+    "q_source_dsv2",
+    (spark, _) => spark.read.format("graft.sources.SyntheticDocs")
+      .option("rows", QueryRows.toString).option("partitions", "8").load(),
+    Some(
+      s"""SELECT i AS doc_id,
+         |  ['en', 'de', 'fr'][CAST(i % 3 AS INT) + 1] AS lang,
+         |  CAST(length(rtrim(repeat('w' || CAST(i % 7 AS VARCHAR) || ' ', CAST(i % 5 AS INT) + 1))) AS BIGINT) AS n_chars,
+         |  rtrim(repeat('w' || CAST(i % 7 AS VARCHAR) || ' ', CAST(i % 5 AS INT) + 1)) AS text
+         |FROM range(0, $QueryRows) r(i)""".stripMargin)))
+}
+
+class SyntheticDocsTable(rows: Long, partitions: Int) extends Table with SupportsRead {
+  override def name(): String = s"synthetic_docs($rows)"
+  override def schema(): StructType = SyntheticDocs.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SyntheticScanBuilder(rows, partitions)
+}
+
+class SyntheticScanBuilder(rows: Long, partitions: Int)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = SyntheticDocs.schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new SyntheticScan(rows, partitions, required)
+}
+
+case class SyntheticRange(start: Long, end: Long) extends InputPartition
+
+class SyntheticScan(rows: Long, partitions: Int, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] = {
+    val per = math.max(1L, (rows + partitions - 1) / partitions)
+    (0L until rows by per).map(s =>
+      SyntheticRange(s, math.min(rows, s + per)): InputPartition).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SyntheticReaderFactory(required)
+}
+
+class SyntheticReaderFactory(required: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val r = partition.asInstanceOf[SyntheticRange]
+    new PartitionReader[InternalRow] {
+      private var id = r.start - 1
+      override def next(): Boolean = { id += 1; id < r.end }
+      override def get(): InternalRow = {
+        // project ONLY the pruned columns, in the required order — the
+        // text column is never built unless asked for
+        val values = required.fields.map(_.name match {
+          case "doc_id" => id: java.lang.Long
+          case "lang" => UTF8String.fromString(SyntheticDocs.lang(id))
+          case "n_chars" => SyntheticDocs.text(id).length.toLong: java.lang.Long
+          case "text" => UTF8String.fromString(SyntheticDocs.text(id))
+        })
+        InternalRow.fromSeq(values.toIndexedSeq)
+      }
+      override def close(): Unit = ()
+    }
+  }
+}
