@@ -638,7 +638,48 @@ object TextAnalysis {
        |WHERE i < n_chunks""".stripMargin
   }
 
+  /** Typo/variant-pair detection — vocabulary-level fuzzy matching:
+    * distinct words (length ≥ 3) within edit distance 2, with corpus
+    * counts so a downstream cleaner can pick the dominant spelling.
+    * Candidate generation is an EQUI-join: each word probes the length
+    * band [len−2, len+2] (explode of 5 ints — the multiprobe-LSH move),
+    * the other side joins on its exact length, so a pair meets on exactly
+    * ONE probe (probe = len_b) — complete, never duplicated, never
+    * all-pairs. Both engines run classic Wagner-Fischer `levenshtein`, an
+    * exact integer. At real-vocab scale the block key is refined with a
+    * deletion-neighborhood hash (same plan, finer blocks). */
+  val TypoMaxDist = 2
+
+  def typoPairs(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = withWords(spark, dir)
+      .select(explode(col("w")).as("word"))
+      .filter(length(col("word")) >= 3)
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .withColumn("len", length(col("word")))
+      .persist()
+    val probes = vocab.withColumn("probe",
+      explode(sequence(col("len") - TypoMaxDist, col("len") + TypoMaxDist)))
+    val a = probes.alias("a")
+    val b = vocab.alias("b")
+    a.join(b, col("a.probe") === col("b.len") && col("a.word") < col("b.word"))
+      .withColumn("dist", levenshtein(col("a.word"), col("b.word")))
+      .filter(col("dist") <= TypoMaxDist)
+      .select(col("a.word").as("word_a"), col("b.word").as("word_b"),
+        col("dist"), col("a.n").as("n_a"), col("b.n").as("n_b"))
+  }
+
+  private val typoPairsSql =
+    s"""WITH w AS (SELECT unnest(string_split($normSql, ' ')) AS word FROM documents),
+       |v AS (SELECT word, count(*) AS n, length(word) AS len
+       |      FROM w WHERE length(word) >= 3 GROUP BY 1, 3)
+       |SELECT a.word AS word_a, b.word AS word_b,
+       |  CAST(levenshtein(a.word, b.word) AS INT) AS dist, a.n AS n_a, b.n AS n_b
+       |FROM v a JOIN v b ON a.word < b.word
+       |  AND b.len BETWEEN a.len - $TypoMaxDist AND a.len + $TypoMaxDist
+       |WHERE levenshtein(a.word, b.word) <= $TypoMaxDist""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q_text_typo_pairs", typoPairs, Some(typoPairsSql)),
     Q("q_ingest_chunks", ingestChunks, Some(ingestChunksSql)),
     Q("q_text_lm_score", lmScore, Some(lmScoreSql), bench = true),
     Q("q_text_bpe_learn", bpeLearn, Some(bpeLearnSql), bench = true),

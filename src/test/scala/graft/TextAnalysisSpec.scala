@@ -176,6 +176,21 @@ class TextAnalysisSpec extends SparkSuite {
     assert(math.abs(rows(2L).getAs[Double]("ppl") - 2.5) < 1e-3)
   }
 
+  test("typo pairs: distance-banded candidates, exact levenshtein gate") {
+    val d = fixtureDir("documents" -> Seq(
+      (1L, "color color colour cat kitten", "en", "s", 29L),
+      (2L, "mitten colour", "en", "s", 13L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = TextAnalysis.typoPairs(spark, d).collect()
+      .map(r => (r.getAs[String]("word_a"), r.getAs[String]("word_b")) ->
+        ((r.getAs[Int]("dist"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b")))).toMap
+    // color~colour d1 (with corpus counts 2 and 2), kitten~mitten d1;
+    // cat is within the length band of color but at distance 3 -> gated out
+    assert(rows.keySet === Set(("color", "colour"), ("kitten", "mitten")))
+    assert(rows(("color", "colour")) === ((1, 2L, 2L)))
+    assert(rows(("kitten", "mitten")) === ((1, 1L, 1L)))
+  }
+
   test("fingerprints: identical normalized content -> identical fp; winnow for short docs falls back") {
     val d2 = fixtureDir("documents" -> Seq(
       (1L, "Hello  World again", "en", "s", 18L),
