@@ -678,7 +678,47 @@ object TextAnalysis {
        |  AND b.len BETWEEN a.len - $TypoMaxDist AND a.len + $TypoMaxDist
        |WHERE levenshtein(a.word, b.word) <= $TypoMaxDist""".stripMargin
 
+  /** Capped inverted index — the retrieval-side structure chunking feeds:
+    * per term, document frequency plus the top-`IndexPostings` postings by
+    * term frequency (doc tie-break), serialized "doc:tf,doc:tf,…" so the
+    * row is flat and oracle-hashable. The cap is the scale decision: a
+    * stopword's posting list is corpus-sized, the capped list is O(k) —
+    * WindowGroupLimit keeps only k candidates per term before the final
+    * shuffle. One doc-term count + one per-term fold; postings order is
+    * total (tf desc, doc_id), so both engines serialize identically. */
+  val IndexPostings = 3
+
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = withWords(spark, dir)
+      .select(col("doc_id"), explode(col("w")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy(col("term")).orderBy(col("tf").desc, col("doc_id"))
+    tf.withColumn("rank", row_number().over(w))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .filter(col("rank") <= IndexPostings)
+      .groupBy(col("term"), col("df"))
+      .agg(concat_ws(",",
+        transform(array_sort(collect_list(struct(col("rank"),
+          concat(col("doc_id"), lit(":"), col("tf")).as("entry")))),
+          s => s.getField("entry"))).as("postings"))
+  }
+
+  private val invertedIndexSql =
+    s"""WITH w AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS term FROM documents),
+       |tf AS (SELECT term, doc_id, count(*) AS tf FROM w WHERE term != '' GROUP BY 1, 2),
+       |r AS (SELECT term, doc_id, tf,
+       |        row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rank,
+       |        count(*) OVER (PARTITION BY term) AS df
+       |      FROM tf)
+       |SELECT term, df,
+       |  string_agg(doc_id || ':' || tf, ',' ORDER BY rank) AS postings
+       |FROM r WHERE rank <= $IndexPostings
+       |GROUP BY 1, 2""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q_text_inverted_index", invertedIndex, Some(invertedIndexSql)),
     Q("q_text_typo_pairs", typoPairs, Some(typoPairsSql)),
     Q("q_ingest_chunks", ingestChunks, Some(ingestChunksSql)),
     Q("q_text_lm_score", lmScore, Some(lmScoreSql), bench = true),

@@ -191,6 +191,23 @@ class TextAnalysisSpec extends SparkSuite {
     assert(rows(("kitten", "mitten")) === ((1, 1L, 1L)))
   }
 
+  test("inverted index: df counts all docs, postings capped and tf-ordered") {
+    val d = fixtureDir("documents" -> Seq(
+      (1L, "apple apple apple", "en", "s", 17L),
+      (2L, "apple apple banana", "en", "s", 18L),
+      (3L, "apple banana", "en", "s", 12L),
+      (4L, "apple", "en", "s", 5L),
+      (5L, "apple cherry", "en", "s", 12L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = TextAnalysis.invertedIndex(spark, d).collect()
+      .map(r => r.getAs[String]("term") ->
+        ((r.getAs[Long]("df"), r.getAs[String]("postings")))).toMap
+    // apple in 5 docs, but postings capped at 3: tf 3 (doc1), 2 (doc2), then doc3 (tf1, id order)
+    assert(rows("apple") === ((5L, "1:3,2:2,3:1")))
+    assert(rows("banana") === ((2L, "2:1,3:1")))
+    assert(rows("cherry") === ((1L, "5:1")))
+  }
+
   test("fingerprints: identical normalized content -> identical fp; winnow for short docs falls back") {
     val d2 = fixtureDir("documents" -> Seq(
       (1L, "Hello  World again", "en", "s", 18L),
