@@ -139,6 +139,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_norm2"),
       new ExpressionInfo(classOf[Norm2].getName, "vec_norm2"),
       (children: Seq[Expression]) => Norm2(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("lev_within"),
+      new ExpressionInfo(classOf[LevWithin].getName, "lev_within"),
+      (children: Seq[Expression]) => LevWithin(children.head, children(1), children(2))))
     ext.injectOptimizerRule(_ => RewriteSelfDot)
   }
 }

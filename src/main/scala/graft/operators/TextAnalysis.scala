@@ -661,9 +661,12 @@ object TextAnalysis {
       explode(sequence(col("len") - TypoMaxDist, col("len") + TypoMaxDist)))
     val a = probes.alias("a")
     val b = vocab.alias("b")
+    // gate with the banded O(k·n) expression (functions/EditDistance.scala),
+    // exact distance only for survivors
     a.join(b, col("a.probe") === col("b.len") && col("a.word") < col("b.word"))
+      .filter(call_function("lev_within",
+        col("a.word"), col("b.word"), lit(TypoMaxDist)))
       .withColumn("dist", levenshtein(col("a.word"), col("b.word")))
-      .filter(col("dist") <= TypoMaxDist)
       .select(col("a.word").as("word_a"), col("b.word").as("word_b"),
         col("dist"), col("a.n").as("n_a"), col("b.n").as("n_b"))
   }
