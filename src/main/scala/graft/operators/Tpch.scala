@@ -226,7 +226,36 @@ object Tpch {
        |JOIN big ON o_orderkey = big.l_orderkey
        |JOIN customer ON o_custkey = c_custkey""".stripMargin
 
+  /** Q17 analogue: small-quantity revenue — the correlated-scalar-subquery
+    * shape (each lineitem gated by 0.2× its PART's average quantity),
+    * decorrelated the way Catalyst does it: per-part aggregate + equi-join
+    * back to the fact. The threshold derives from exact integer sums
+    * (sum(qty)/count as double — identical division both engines), so the
+    * gate cannot drift. One fact shuffle on l_partkey; at scale AQE turns
+    * the agg side into the broadcast build when it's small enough. */
+  def smallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val avgQty = li.groupBy(col("l_partkey").as("p_key"))
+      .agg((sum(col("l_quantity").cast("long")).cast("double") / count(lit(1)))
+        .as("avg_qty"))
+    li.join(avgQty, col("l_partkey") === col("p_key"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(roundN(sum(col("l_extendedprice")), 2).as("small_qty_revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  private val smallQtyRevenueSql =
+    s"""WITH a AS (
+       |  SELECT l_partkey AS p_key,
+       |    CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty
+       |  FROM lineitem GROUP BY 1)
+       |SELECT ${roundNSql("sum(l_extendedprice)", 2)} AS small_qty_revenue,
+       |  count(*) AS n_rows
+       |FROM lineitem JOIN a ON l_partkey = a.p_key
+       |WHERE l_quantity < 0.2 * avg_qty""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q_tpch_smallqty", smallQtyRevenue, Some(smallQtyRevenueSql)),
     Q("q_tpch_promo", promoRevenue, Some(promoRevenueSql)),
     Q("q_tpch_bigorders", bigOrders, Some(bigOrdersSql)),
     Q("q_tpch_pricing", pricingSummary, Some(pricingSummarySql), bench = true),
