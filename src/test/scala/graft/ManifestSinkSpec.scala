@@ -1,0 +1,46 @@
+package graft
+
+import graft.sources.ManifestSink
+import java.nio.file.{Files, Paths}
+
+/** Atomic-publish semantics: readers see committed snapshots only. */
+class ManifestSinkSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("snapshot publish is atomic: stray files from a dead writer are invisible") {
+    val table = Files.createTempDirectory("manifest_tbl").toString
+    ManifestSink.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), table)
+    assert(ManifestSink.read(spark, table).count() === 2)
+
+    // simulate a writer that died after moving data files but BEFORE the
+    // manifest rename: a stray parquet lands in the table dir
+    Seq((99L, "stray")).toDF("id", "v").write
+      .parquet(Paths.get(table, "_staging_dead").toString)
+    val stray = Files.list(Paths.get(table, "_staging_dead")).iterator()
+    var i = 0
+    while (stray.hasNext) {
+      val f = stray.next()
+      if (f.getFileName.toString.endsWith(".parquet")) {
+        Files.move(f, Paths.get(table, s"part-dead-$i.parquet")); i += 1
+      }
+    }
+    // reader still sees only the committed snapshot
+    val rows = ManifestSink.read(spark, table).collect()
+    assert(rows.length === 2)
+    assert(!rows.map(_.getLong(0)).contains(99L))
+
+    // a successful second write REPLACES the snapshot (and the reader
+    // flips atomically to it)
+    ManifestSink.write(Seq((10L, "x"), (11L, "y"), (12L, "z")).toDF("id", "v"), table)
+    val v2 = ManifestSink.read(spark, table).collect().map(_.getLong(0)).toSet
+    assert(v2 === Set(10L, 11L, 12L))
+  }
+
+  test("multi-partition writes list every file in the manifest") {
+    val table = Files.createTempDirectory("manifest_multi").toString
+    ManifestSink.write((1L to 100L).toDF("id").repartition(5), table)
+    val manifest = Files.readString(Paths.get(table, "_manifest.json"))
+    assert("\\.parquet".r.findAllIn(manifest).size === 5)
+    assert(ManifestSink.read(spark, table).count() === 100)
+  }
+}
