@@ -720,7 +720,24 @@ object TextAnalysis {
        |FROM r WHERE rank <= $IndexPostings
        |GROUP BY 1, 2""".stripMargin
 
+  /** Language-ID confusion matrix — the eval twin of `q_text_langid`:
+    * labeled vs predicted counts per language pair. One bounded-key
+    * aggregate over the classifier output (|langs|² cells max); the
+    * standard classifier-quality report shape, same as the kNN eval. */
+  def langIdConfusion(spark: SparkSession, dir: String): DataFrame =
+    langId(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n"))
+
+  private val langIdConfusionSql =
+    s"""WITH p AS ($langIdSql)
+       |SELECT d.lang, p.predicted_lang, count(*) AS n
+       |FROM p JOIN documents d USING (doc_id)
+       |GROUP BY 1, 2""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q_text_langid_eval", langIdConfusion, Some(langIdConfusionSql)),
     Q("q_text_inverted_index", invertedIndex, Some(invertedIndexSql)),
     Q("q_text_typo_pairs", typoPairs, Some(typoPairsSql)),
     Q("q_ingest_chunks", ingestChunks, Some(ingestChunksSql)),
