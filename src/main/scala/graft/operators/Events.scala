@@ -194,9 +194,10 @@ object Events {
     * engines — no order-dependent float aggregation anywhere. One
     * map-side-combinable moment pass over a bounded key set (event types)
     * + a broadcast join back; scan-speed at any scale. */
-  def anomalies(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-type moments (exact integer-cents sums). */
+  def anomalyStats(events: DataFrame): DataFrame = {
     val cents = floor(col("value") * 100 + 0.5).cast("long")
-    val stats = Tables.events(spark, dir)
+    events
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(cents).as("s"), sum(cents * cents).as("s2"))
       .select(col("event_type"), col("n"),
@@ -204,11 +205,22 @@ object Events {
         sqrt((col("s2").cast("double") / 10000.0 -
           col("n").cast("double") * (col("s").cast("double") / 100.0 / col("n")) *
             (col("s").cast("double") / 100.0 / col("n"))) / (col("n") - 1)).as("std"))
-    Tables.events(spark, dir)
+  }
+
+  /** The 3σ gate over ANY events frame — batch below, or an unbounded
+    * stream joined against archive-trained stats
+    * ([[graft.streaming.EventStreams.anomalyStream]]): stream-static
+    * broadcast join + narrow filter, append-mode safe (stateless). */
+  def anomaliesOf(events: DataFrame, stats: DataFrame): DataFrame =
+    events
       .join(broadcast(stats), "event_type")
       .withColumn("z", roundN((col("value") - col("mean")) / col("std"), 4))
       .filter(abs(col("z")) > 3)
       .select(col("event_id"), col("event_type"), col("value"), col("z"))
+
+  def anomalies(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    anomaliesOf(ev, anomalyStats(ev))
   }
 
   private val anomaliesSql =

@@ -65,6 +65,16 @@ object EventStreams {
       .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("user_id", "event_type", "value")
 
+  /** Streaming anomaly monitor — the continuous form of the z-score scan
+    * (`q_events_anomaly`): moments are trained on the ARCHIVE (a batch
+    * pass, refreshed on whatever cadence the monitor wants), the unbounded
+    * stream joins them broadcast and gates at 3σ — stateless, append-mode,
+    * no watermark needed. Shared body with the batch query, so replay ≡
+    * batch exactly (StreamingSpec). */
+  def anomalyStream(spark: SparkSession, srcDir: String,
+      stats: DataFrame, maxFilesPerTrigger: Int = 1): DataFrame =
+    Events.anomaliesOf(eventsStream(spark, srcDir, maxFilesPerTrigger), stats)
+
   /** Stream-stream interval join with watermarks on BOTH sides: each click
     * pairs with the same user's views from the preceding hour. The time
     * constraint + watermarks bound the join state Spark must hold (a view

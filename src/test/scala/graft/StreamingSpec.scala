@@ -67,6 +67,24 @@ class StreamingSpec extends SparkSuite {
     assert(canon(streamed) === canon(batch))
   }
 
+  test("streaming anomaly monitor equals the batch scan after replay") {
+    val src = java.nio.file.Files.createTempDirectory("ev_anom").toString
+    Tables.events(spark, SparkSpec.sf0001).repartition(3)
+      .write.mode("overwrite").parquet(src)
+    val archive = spark.read.parquet(src)
+    val stats = Events.anomalyStats(archive)
+    val q = EventStreams.anomalyStream(spark, src, stats).writeStream
+      .format("memory").queryName("anom_stream").outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ck_anom").toString)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("anom_stream")
+    val batch = Events.anomaliesOf(archive, stats)
+    assert(canon(streamed) === canon(batch))
+  }
+
   test("streaming category KPIs over the reference CSV layout equal batch") {
     // order_items part files arrive one per micro-batch (19 batches),
     // joined against static orders/products — the reference's event-driven
