@@ -736,7 +736,37 @@ object TextAnalysis {
        |FROM p JOIN documents d USING (doc_id)
        |GROUP BY 1, 2""".stripMargin
 
+  /** Data-card rollup — the per-source summary a dataset release ships:
+    * doc/char totals, language diversity, quality pass rate. All counts
+    * are exact integers; the pass rate divides two of them (identical
+    * doubles both engines). One map-side-combinable aggregate over a
+    * bounded key set. */
+  def dataCard(spark: SparkSession, dir: String): DataFrame = {
+    val w = col("w")
+    val nStop = size(filter(w, t => t.isInCollection(stopwords)))
+    val passes = (size(w) >= 10 && nStop > 0).cast("long")
+    withWords(spark, dir)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(passes).as("n_pass"))
+      .select(col("source"), col("n_docs"), col("total_chars"), col("n_langs"),
+        roundN(col("n_pass").cast("double") / col("n_docs"), 4).as("quality_pass_rate"))
+  }
+
+  private val dataCardSql =
+    s"""WITH s AS (SELECT source, lang, n_chars,
+       |             string_split($normSql, ' ') AS w FROM documents)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |  count(DISTINCT lang) AS n_langs,
+       |  ${roundNSql(s"CAST(sum(CASE WHEN len(w) >= 10 AND len(list_filter(w, t -> list_contains($stopSqlList, t))) > 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 4)} AS quality_pass_rate
+       |FROM s GROUP BY 1""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q_corpus_datacard", dataCard, Some(dataCardSql)),
     Q("q_text_langid_eval", langIdConfusion, Some(langIdConfusionSql)),
     Q("q_text_inverted_index", invertedIndex, Some(invertedIndexSql)),
     Q("q_text_typo_pairs", typoPairs, Some(typoPairsSql)),
