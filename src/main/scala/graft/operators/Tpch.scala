@@ -254,6 +254,108 @@ object Tpch {
        |FROM lineitem JOIN a ON l_partkey = a.p_key
        |WHERE l_quantity < 0.2 * avg_qty""".stripMargin
 
+  /** Q4 analogue: order priority checking — the EXISTS/semi-join shape.
+    * Each order counts once no matter how many of its lineitems shipped
+    * late (> 7 days after the order date), which is exactly a LEFT SEMI
+    * join: the fact side never fans out the header. At scale the orders
+    * side shuffles once on o_orderkey and the semi probe short-circuits
+    * on first match (no dedup pass, unlike an inner join + distinct). */
+  def priorityCheck(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(to_date(col("o_orderdate")) >= lit("1997-01-01") &&
+        to_date(col("o_orderdate")) < lit("1998-01-01"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    o.join(li,
+        col("o_orderkey") === col("l_orderkey") &&
+          to_date(col("l_shipdate")) > date_add(to_date(col("o_orderdate")), 7),
+        "left_semi")
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("priority"))
+  }
+
+  private val priorityCheckSql =
+    """SELECT o_orderpriority AS priority, count(*) AS order_count
+      |FROM orders
+      |WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+      |  AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey
+      |      AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 7)
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  /** Q13 analogue: customer order-count distribution. The ON-clause
+    * predicate (`o_orderpriority <> '1-URGENT'`) belongs to the JOIN, not
+    * a WHERE — moving it to WHERE would silently drop order-less customers,
+    * the classic outer-join trap; this query pins the correct semantics.
+    * count(o_orderkey) (not count(*)) keeps the no-match rows at 0.
+    * Scale: one shuffle of each side on the customer key; the second agg
+    * groups on the tiny order-count domain — map-side combinable. */
+  def custDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_custkey"))
+    val o = Tables.orders(spark, dir).select(col("o_custkey"), col("o_orderkey"),
+      col("o_orderpriority"))
+    c.join(o,
+        col("c_custkey") === col("o_custkey") &&
+          col("o_orderpriority") =!= "1-URGENT",
+        "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  private val custDistributionSql =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer
+      |  LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY 1)
+      |GROUP BY 1
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** Q19 analogue: disjunctive brand/size/quantity predicate — the
+    * OR-of-conjunctions shape that stresses predicate normalization.
+    * Catalyst extracts the common `l_partkey = p_partkey` equi-key (the
+    * join stays hash-based, never nested-loop) and pushes the per-side
+    * residuals (`p_size`, `l_quantity` bounds from OR-branch union) into
+    * the scans. part stays broadcast; the OR evaluates post-join. */
+  def brandRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"))
+    val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"),
+      col("p_size"))
+    val branch1 = col("p_brand") === "Brand#13" &&
+      col("p_size").between(1, 10) && col("l_quantity").between(1, 20)
+    val branch2 = col("p_brand") === "Brand#20" &&
+      col("p_size").between(5, 25) && col("l_quantity").between(10, 40)
+    val branch3 = col("p_brand") === "Brand#9" &&
+      col("p_size").between(10, 50) && col("l_quantity").between(20, 60)
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(branch1 || branch2 || branch3)
+      .agg(roundN(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  private val brandRevenueSql =
+    s"""SELECT ${roundNSql("sum(l_extendedprice * (1 - l_discount))", 2)} AS revenue,
+       |  count(*) AS n_rows
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10
+       |       AND l_quantity BETWEEN 1 AND 20)
+       |   OR (p_brand = 'Brand#20' AND p_size BETWEEN 5 AND 25
+       |       AND l_quantity BETWEEN 10 AND 40)
+       |   OR (p_brand = 'Brand#9' AND p_size BETWEEN 10 AND 50
+       |       AND l_quantity BETWEEN 20 AND 60)""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q_tpch_smallqty", smallQtyRevenue, Some(smallQtyRevenueSql)),
     Q("q_tpch_promo", promoRevenue, Some(promoRevenueSql)),
@@ -262,5 +364,8 @@ object Tpch {
     Q("q_tpch_shipping", shippingPriority, Some(shippingPrioritySql)),
     Q("q_tpch_volume", localSupplierVolume, Some(localSupplierVolumeSql)),
     Q("q_tpch_forecast", forecastRevenue, Some(forecastRevenueSql)),
+    Q("q_tpch_priority", priorityCheck, Some(priorityCheckSql)),
+    Q("q_tpch_custdist", custDistribution, Some(custDistributionSql)),
+    Q("q_tpch_brandrev", brandRevenue, Some(brandRevenueSql)),
   )
 }

@@ -61,6 +61,44 @@ class TpchSpec extends SparkSuite {
     }
   }
 
+  test("priority check plans a LEFT SEMI join (orders never fan out)") {
+    val df = Tpch.priorityCheck(spark, SparkSpec.sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"expected semi join:\n$plan")
+    // every priority count is bounded by the order count in the window
+    val total = df.collect().map(_.getAs[Long]("order_count")).sum
+    val windowOrders = sources.Tables.orders(spark, SparkSpec.sf0001)
+      .filter(to_date(col("o_orderdate")) >= lit("1997-01-01") &&
+        to_date(col("o_orderdate")) < lit("1998-01-01")).count()
+    assert(total > 0 && total <= windowOrders)
+  }
+
+  test("custdist keeps customers with zero qualifying orders (outer join)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val out = Tpch.custDistribution(spark, SparkSpec.sf0001).collect()
+    // distribution must account for EVERY customer exactly once
+    val customers = sources.Tables.customer(spark, SparkSpec.sf0001).count()
+    assert(out.map(_.getAs[Long]("custdist")).sum === customers)
+    // the ON-clause predicate excludes URGENT orders: a customer with only
+    // urgent orders lands in the c_count=0 bucket rather than vanishing
+    val zeroBucket = out.find(_.getAs[Long]("c_count") === 0L)
+    val onlyUrgent = sources.Tables.orders(spark, SparkSpec.sf0001)
+      .groupBy(col("o_custkey"))
+      .agg(max(when(col("o_orderpriority") =!= "1-URGENT", 1).otherwise(0)).as("any"))
+      .filter(col("any") === 0).count()
+    val noOrders = customers - sources.Tables.orders(spark, SparkSpec.sf0001)
+      .select(col("o_custkey")).distinct().count()
+    assert(zeroBucket.map(_.getAs[Long]("custdist")).getOrElse(0L) === onlyUrgent + noOrders)
+  }
+
+  test("brand revenue keeps the equi hash join despite the OR predicate") {
+    val plan = Tpch.brandRevenue(spark, SparkSpec.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected hash join, not BNLJ:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"OR predicate broke the equi-join:\n$plan")
+  }
+
   test("forecast revenue matches a hand-computed fold at sf0.001") {
     val li = sources.Tables.lineitem(spark, SparkSpec.sf0001)
       .filter(to_date(col("l_shipdate")) >= lit("1997-01-01") &&
