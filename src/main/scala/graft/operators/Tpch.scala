@@ -356,6 +356,126 @@ object Tpch {
        |   OR (p_brand = 'Brand#9' AND p_size BETWEEN 10 AND 50
        |       AND l_quantity BETWEEN 20 AND 60)""".stripMargin
 
+  /** Q10 analogue: returned-item reporting — which customers returned the
+    * most revenue in a quarter. Fact filters (date via the header join,
+    * returnflag on the scan) run before the aggregate; nation stays
+    * broadcast; top-20 goes through TakeOrderedAndProject, never a global
+    * sort. c_custkey breaks ties so the limit is deterministic. */
+  def returnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(to_date(col("o_orderdate")) >= lit("1997-01-01") &&
+        to_date(col("o_orderdate")) < lit("1997-07-01"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_acctbal"))
+    val n = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey").as("custkey"), col("c_name").as("name"),
+        col("n_name").as("nation"), col("c_acctbal").as("acctbal"))
+      .agg(roundN(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("custkey"))
+      .limit(20)
+  }
+
+  private val returnedItemsSql =
+    s"""SELECT c_custkey AS custkey, c_name AS name, n_name AS nation,
+       |  c_acctbal AS acctbal,
+       |  ${roundNSql("sum(l_extendedprice * (1 - l_discount))", 2)} AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE l_returnflag = 'R'
+       |  AND CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+       |  AND CAST(o_orderdate AS DATE) < DATE '1997-07-01'
+       |GROUP BY 1, 2, 3, 4
+       |ORDER BY revenue DESC, custkey
+       |LIMIT 20""".stripMargin
+
+  /** Q15 analogue: top supplier — the scalar-MAX-subquery shape,
+    * decorrelated the way Catalyst executes it: the per-supplier revenue
+    * aggregate is computed once, its 1-row global max is cross-joined
+    * (broadcast) back as a gate. Revenue is compared AFTER roundN on both
+    * sides, so the equality gate is exact on both engines. */
+  def topSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(to_date(col("l_shipdate")) >= lit("1997-01-01") &&
+        to_date(col("l_shipdate")) < lit("1997-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(roundN(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("total_rev"))
+    val best = rev.agg(max(col("total_rev")).as("max_rev"))
+    Tables.supplier(spark, dir)
+      .join(rev, col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(best), col("total_rev") === col("max_rev"))
+      .select(col("s_suppkey").as("suppkey"), col("s_name").as("name"),
+        col("total_rev"))
+      .orderBy(col("suppkey"))
+  }
+
+  private val topSupplierSql =
+    s"""WITH rev AS (
+       |  SELECT l_suppkey,
+       |    ${roundNSql("sum(l_extendedprice * (1 - l_discount))", 2)} AS total_rev
+       |  FROM lineitem
+       |  WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+       |    AND CAST(l_shipdate AS DATE) < DATE '1997-04-01'
+       |  GROUP BY 1)
+       |SELECT s_suppkey AS suppkey, s_name AS name, total_rev
+       |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+       |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+       |ORDER BY 1""".stripMargin
+
+  /** Q22 analogue: high-balance customers who never placed an URGENT
+    * order, grouped by nation. Two classic shapes in one: a global scalar
+    * aggregate gate and a NOT EXISTS → left-anti join.
+    *
+    * The gate (`c_acctbal` above the average positive balance) is computed
+    * in integer cents and compared cross-multiplied
+    * (`cents * n > sum_cents`), so the threshold can never drift between
+    * engines no matter the summation order — the repo-wide fixed-point
+    * pattern (PLANS.md). At scale: the 1-row gate broadcasts; the anti
+    * join shuffles only (custkey) pairs of the urgent subset. */
+  def noUrgentHighBalance(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .withColumn("cents", roundN(col("c_acctbal") * 100, 0).cast("long"))
+    val gate = c.filter(col("c_acctbal") > 0.0)
+      .agg(sum(col("cents")).as("sum_cents"), count(lit(1)).as("n_pos"))
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    c.join(broadcast(gate))
+      .filter(col("cents") * col("n_pos") > col("sum_cents"))
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        (sum(col("cents")).cast("double") / 100.0).as("totacctbal"))
+      .orderBy(col("nationkey"))
+  }
+
+  private val noUrgentHighBalanceSql =
+    s"""WITH c AS (
+       |  SELECT *, CAST(${roundNSql("c_acctbal * 100", 0)} AS BIGINT) AS cents
+       |  FROM customer),
+       |gate AS (
+       |  SELECT CAST(sum(cents) AS BIGINT) AS sum_cents, count(*) AS n_pos
+       |  FROM c WHERE c_acctbal > 0.0)
+       |SELECT c_nationkey AS nationkey, count(*) AS numcust,
+       |  CAST(sum(cents) AS DOUBLE) / 100.0 AS totacctbal
+       |FROM c, gate
+       |WHERE cents * n_pos > sum_cents
+       |  AND NOT EXISTS (
+       |    SELECT 1 FROM orders
+       |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q_tpch_smallqty", smallQtyRevenue, Some(smallQtyRevenueSql)),
     Q("q_tpch_promo", promoRevenue, Some(promoRevenueSql)),
@@ -367,5 +487,8 @@ object Tpch {
     Q("q_tpch_priority", priorityCheck, Some(priorityCheckSql)),
     Q("q_tpch_custdist", custDistribution, Some(custDistributionSql)),
     Q("q_tpch_brandrev", brandRevenue, Some(brandRevenueSql)),
+    Q("q_tpch_returned", returnedItems, Some(returnedItemsSql)),
+    Q("q_tpch_topsupplier", topSupplier, Some(topSupplierSql)),
+    Q("q_tpch_nourgent", noUrgentHighBalance, Some(noUrgentHighBalanceSql)),
   )
 }

@@ -99,6 +99,52 @@ class TpchSpec extends SparkSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"OR predicate broke the equi-join:\n$plan")
   }
 
+  test("returned items: top-20 via TakeOrderedAndProject, only R-flag revenue") {
+    val df = Tpch.returnedItems(spark, SparkSpec.sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$plan")
+    val rows = df.collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("top supplier: winner holds the max per-supplier revenue") {
+    val spark0 = spark
+    import spark0.implicits._
+    val out = Tpch.topSupplier(spark, SparkSpec.sf0001).collect()
+    assert(out.nonEmpty)
+    val winner = out.head.getAs[Double]("total_rev")
+    // recompute every supplier's rounded revenue; none may beat the winner
+    val all = sources.Tables.lineitem(spark, SparkSpec.sf0001)
+      .filter(to_date(col("l_shipdate")) >= lit("1997-01-01") &&
+        to_date(col("l_shipdate")) < lit("1997-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("r"))
+      .as[(Long, Double)].collect()
+    val maxRev = all.map(t => math.floor(t._2 * 100 + 0.5) / 100).max
+    assert(winner === maxRev)
+  }
+
+  test("no-urgent high-balance: every kept customer beats the mean and is urgent-free") {
+    val spark0 = spark
+    import spark0.implicits._
+    val out = Tpch.noUrgentHighBalance(spark, SparkSpec.sf0001).collect()
+    assert(out.nonEmpty)
+    // cross-check totals against a driver-side fold
+    val c = sources.Tables.customer(spark, SparkSpec.sf0001)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      .as[(Long, Int, Double)].collect()
+    val cents = c.map { case (k, n, b) => (k, n, math.floor(b * 100 + 0.5).toLong) }
+    val pos = cents.filter(_._3 > 0)
+    val (sumCents, nPos) = (pos.map(_._3).sum, pos.length.toLong)
+    val urgent = sources.Tables.orders(spark, SparkSpec.sf0001)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey")).as[Long].collect().toSet
+    val kept = cents.filter { case (k, _, ct) => ct * nPos > sumCents && !urgent.contains(k) }
+    assert(out.map(_.getAs[Long]("numcust")).sum === kept.length)
+  }
+
   test("forecast revenue matches a hand-computed fold at sf0.001") {
     val li = sources.Tables.lineitem(spark, SparkSpec.sf0001)
       .filter(to_date(col("l_shipdate")) >= lit("1997-01-01") &&
