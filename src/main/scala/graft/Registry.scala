@@ -24,6 +24,7 @@ object Registry {
       operators.Tpch.queries ++
       operators.Joins.queries ++
       operators.Scd.queries ++
+      operators.Cdc.queries ++
       operators.Skew.queries ++
       operators.AsOf.queries ++
       operators.Analytics.queries ++
