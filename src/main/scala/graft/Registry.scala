@@ -34,6 +34,7 @@ object Registry {
       operators.Sampling.queries ++
       operators.Similarity.queries ++
       operators.EmbedClassify.queries ++
+      operators.KMeans.queries ++
       operators.TextAnalysis.queries ++
       operators.Packing.queries ++
       operators.Multimodal.queries ++
