@@ -38,6 +38,7 @@ object Registry {
       operators.TextAnalysis.queries ++
       operators.Packing.queries ++
       operators.Multimodal.queries ++
+      plans.TopK.queries ++
       sources.Bucketing.queries ++
       sources.SyntheticDocs.queries
 

@@ -144,6 +144,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[LevWithin].getName, "lev_within"),
       (children: Seq[Expression]) => LevWithin(children.head, children(1), children(2))))
     ext.injectOptimizerRule(_ => RewriteSelfDot)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }
 

@@ -1,0 +1,160 @@
+package graft.plans
+
+import graft.Q
+import graft.sources.Tables
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.functions._
+
+/** Native top-k-per-group: a whole custom operator through Catalyst's
+  * deepest extension point — logical node + planner strategy + physical
+  * execs, injected via `SparkSessionExtensions` (SURVEY.md §7's ladder
+  * step (c); the scalar-expression steps (a)/(b) are
+  * functions/VectorExpressions.scala).
+  *
+  * Why Spark's built-ins aren't this operator: the idiomatic form —
+  * `row_number() OVER (PARTITION BY g ORDER BY o) <= k` — SORTS every
+  * partition by (g, o). Spark 3.5+'s WindowGroupLimit prunes each group
+  * to k rows but still sorts to find them, and the Window itself sorts
+  * again. For top-k over a 100 TB fact table that is an O(n log n)
+  * sort-spill per partition for an answer that needs O(n log k) and
+  * k rows of memory per group.
+  *
+  * Physical shape (mirrors partial/final aggregation):
+  *  - `GraftTopKExec(partial=true)`  — per input partition, one bounded
+  *    binary heap per group key keeps the k first rows under the sort
+  *    order. Map-side: output is ≤ k rows per (group × partition).
+  *  - Exchange on the group key — inserted by EnsureRequirements because
+  *    the final exec declares `ClusteredDistribution(group)`.
+  *  - `GraftTopKExec(partial=false)` — merges the per-partition champions:
+  *    the same heap, now complete per group.
+  * Memory is O(groups-in-partition × k) rows; no sort, no spill path
+  * needed. Row order within a group is unspecified (a set operator) —
+  * callers sort the k·|groups| survivors if they need presentation order.
+  */
+case class TopKPerGroup(
+    group: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  require(k > 0, s"top-k needs k > 0, got $k")
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroup =
+    copy(child = newChild)
+}
+
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroup(g, o, k, child) =>
+      GraftTopKExec(g, o, k, partial = false,
+        GraftTopKExec(g, o, k, partial = true, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+case class GraftTopKExec(
+    group: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    partial: Boolean,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def nodeName: String =
+    if (partial) "GraftTopKPartial" else "GraftTopKFinal"
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) UnspecifiedDistribution :: Nil
+    else if (group.isEmpty) AllTuples :: Nil
+    else ClusteredDistribution(group) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val schema = child.output
+    val (g, o, cap) = (group, order, k)
+    child.execute().mapPartitions({ iter =>
+      val keyProj = UnsafeProjection.create(g, schema)
+      val ord = RowOrdering.create(o, schema)
+      // max-heap on the retained set: root = the row that sorts LAST, so
+      // a newcomer that sorts before the root evicts it
+      val cmp = new java.util.Comparator[InternalRow] {
+        override def compare(a: InternalRow, b: InternalRow): Int =
+          ord.compare(b, a)
+      }
+      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+      while (iter.hasNext) {
+        val row = iter.next()
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = new java.util.PriorityQueue[InternalRow](cap + 1, cmp)
+          heaps.put(key.copy(), heap)
+        }
+        if (heap.size < cap) heap.add(row.copy())
+        else if (ord.compare(row, heap.peek()) < 0) {
+          heap.poll()
+          heap.add(row.copy())
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): GraftTopKExec =
+    copy(child = newChild)
+}
+
+/** Dataset-level entry point + the registered query. */
+object TopK {
+
+  /** Keep the first k rows per group under `order` ((column, descending)
+    * specs). Columns resolve against the analyzed plan, so the logical
+    * node enters the optimizer fully resolved. */
+  def topK(df: DataFrame, group: Seq[String], order: Seq[(String, Boolean)],
+      k: Int): DataFrame = {
+    val analyzed = df.queryExecution.analyzed
+    def attr(name: String): Attribute = analyzed.output
+      .find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(
+        s"column $name not in ${analyzed.output.map(_.name).mkString(", ")}"))
+    val node = TopKPerGroup(
+      group.map(attr),
+      order.map { case (c, desc) =>
+        SortOrder(attr(c), if (desc) Descending else Ascending)
+      },
+      k, analyzed)
+    org.apache.spark.sql.GraftPlanBridge.ofRows(df.sparkSession, node)
+  }
+
+  val TopN = 3
+
+  /** Top-3 most expensive lineitems per return flag, through the native
+    * operator; ties broken by (orderkey, linenumber) so the set is unique. */
+  def topkNative(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(
+      col("l_returnflag").as("returnflag"), col("l_orderkey").as("orderkey"),
+      col("l_linenumber").as("linenumber"), col("l_extendedprice").as("price"))
+    topK(li, Seq("returnflag"),
+      Seq(("price", true), ("orderkey", false), ("linenumber", false)), TopN)
+      .orderBy(col("returnflag"), col("price").desc, col("orderkey"), col("linenumber"))
+  }
+
+  private val topkNativeSql =
+    s"""SELECT returnflag, orderkey, linenumber, price FROM (
+       |  SELECT l_returnflag AS returnflag, l_orderkey AS orderkey,
+       |    l_linenumber AS linenumber, l_extendedprice AS price,
+       |    row_number() OVER (PARTITION BY l_returnflag
+       |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+       |  FROM lineitem)
+       |WHERE rn <= $TopN
+       |ORDER BY returnflag, price DESC, orderkey, linenumber""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    Q("q_topk_native", topkNative, Some(topkNativeSql)))
+}
