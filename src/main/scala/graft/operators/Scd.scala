@@ -113,7 +113,50 @@ object Scd {
        |SELECT key, brand, price, DATE '2000-01-01', CAST(NULL AS DATE), true
        |FROM (SELECT * FROM changed UNION ALL SELECT * FROM fresh)""".stripMargin
 
+  /** Temporal (point-in-time) join: each fact row picks the dimension
+    * VERSION that was valid at its event time — the query every SCD2 table
+    * exists to serve. Revenue is priced at the historical price, not the
+    * current one.
+    *
+    * Plan shape at scale: the key equality keeps this a hash/sort-merge
+    * EQUI-join (the validity-window predicate rides along as a join
+    * residual, it never degrades to a nested-loop); exactly one version
+    * matches per fact, so the join neither drops nor fans out rows. The
+    * dimension history is versions-per-key small, so AQE broadcasts it
+    * when it fits. Amounts aggregate as exact integer cents ×
+    * integer quantity (order-insensitive), divided back once at the end. */
+  def temporalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val dim = scd2Part(spark, dir)
+      .withColumn("price_cents", roundN(col("price") * 100, 0).cast("long"))
+    val li = Tables.lineitem(spark, dir).select(
+      col("l_partkey"), to_date(col("l_shipdate")).as("ship_date"),
+      col("l_quantity").cast("long").as("qty"))
+    li.join(dim,
+        col("l_partkey") === col("key") &&
+          col("valid_from") <= col("ship_date") &&
+          (col("valid_to").isNull || col("ship_date") < col("valid_to")))
+      .groupBy(col("brand"))
+      .agg(count(lit(1)).as("n_rows"),
+        (sum(col("qty") * col("price_cents")).cast("double") / 100.0)
+          .as("amount"))
+      .orderBy(col("brand"))
+  }
+
+  private val temporalJoinSql =
+    s"""SELECT h.brand, count(*) AS n_rows,
+       |  CAST(sum(CAST(l.l_quantity AS BIGINT) * h.price_cents) AS DOUBLE) / 100.0 AS amount
+       |FROM lineitem l
+       |JOIN (
+       |  SELECT *, CAST(${roundNSql("price * 100", 0)} AS BIGINT) AS price_cents
+       |  FROM ($scd2PartSql)
+       |) h ON l.l_partkey = h.key
+       |   AND h.valid_from <= CAST(l.l_shipdate AS DATE)
+       |   AND (h.valid_to IS NULL OR CAST(l.l_shipdate AS DATE) < h.valid_to)
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q_scd2", scd2Part, Some(scd2PartSql)),
+    Q("q_join_temporal", temporalJoin, Some(temporalJoinSql)),
   )
 }

@@ -73,4 +73,53 @@ class ScdSpec extends SparkSuite {
     val cur = Scd.scd2Part(spark, SparkSpec.sf0001).filter(col("is_current"))
     assert(cur.groupBy("key").count().filter(col("count") > 1).isEmpty)
   }
+
+  test("temporal join: exactly one version matches per fact (no drop, no fan-out)") {
+    val out = Scd.temporalJoin(spark, SparkSpec.sf0001)
+    val joined = out.agg(sum(col("n_rows"))).head().getLong(0)
+    val facts = sources.Tables.lineitem(spark, SparkSpec.sf0001).count()
+    assert(joined === facts)
+  }
+
+  test("temporal join prices pre-2000 facts at v1 and post-2000 at v2") {
+    // a mod-10 part: v1 price until 2000-01-01, then +10%; check one key's
+    // contribution by recomputing with an explicit CASE
+    val li = sources.Tables.lineitem(spark, SparkSpec.sf0001)
+      .filter(col("l_partkey") % 10 === 0)
+      .select(col("l_partkey"), to_date(col("l_shipdate")).as("d"),
+        col("l_quantity").cast("long").as("qty"))
+    val p = sources.Tables.part(spark, SparkSpec.sf0001)
+      .filter(col("p_partkey") % 10 === 0)
+      .select(col("p_partkey"), col("p_brand"),
+        floor(col("p_retailprice") * 100 + 0.5).cast("long").as("v1c"),
+        // mirror roundN(roundN(p*1.1, 2)*100, 0)'s exact IEEE op order
+        floor((floor(col("p_retailprice") * 1.1 * 100 + 0.5) / 100) * 100 + 0.5)
+          .cast("long").as("v2c"))
+    val manual = li.join(p, col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"),
+        (col("qty") * when(col("d") < lit("2000-01-01"), col("v1c"))
+          .otherwise(col("v2c"))).as("amt"))
+      .groupBy(col("brand"))
+      .agg((sum(col("amt")).cast("double") / 100.0).as("amount_mod10"))
+    // the full temporal join minus the non-mod-10 (single-version) parts
+    val all = Scd.temporalJoin(spark, SparkSpec.sf0001)
+      .select(col("brand"), col("amount"))
+    val rest = sources.Tables.lineitem(spark, SparkSpec.sf0001)
+      .filter(col("l_partkey") % 10 =!= 0)
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"))
+      .join(sources.Tables.part(spark, SparkSpec.sf0001),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg((sum(col("qty") * floor(col("p_retailprice") * 100 + 0.5).cast("long"))
+        .cast("double") / 100.0).as("amount_rest"))
+    val spark0 = spark
+    import spark0.implicits._
+    val gotMap = all.as[(String, Double)].collect().toMap
+    val m1 = manual.as[(String, Double)].collect().toMap
+    val m2 = rest.as[(String, Double)].collect().toMap
+    gotMap.foreach { case (brand, amount) =>
+      val want = m1.getOrElse(brand, 0.0) + m2.getOrElse(brand, 0.0)
+      assert(math.abs(amount - want) < 1e-6, s"brand $brand: $amount vs $want")
+    }
+  }
 }
