@@ -143,6 +143,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("lev_within"),
       new ExpressionInfo(classOf[LevWithin].getName, "lev_within"),
       (children: Seq[Expression]) => LevWithin(children.head, children(1), children(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_argmin_sqdist"),
+      new ExpressionInfo(classOf[ArgMinSqDist].getName, "vec_argmin_sqdist"),
+      (children: Seq[Expression]) => ArgMinSqDist(children.head, children(1))))
     ext.injectOptimizerRule(_ => RewriteSelfDot)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }

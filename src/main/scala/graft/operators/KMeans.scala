@@ -47,16 +47,14 @@ object KMeans {
       x => floor(x.cast("double") * Ticks + 0.5).cast("long"))
 
   /** Packed argmin over the k literal centroids: min over j of
-    * (squared-distance(t, c_j) * 64 + j). */
-  private def packedAssign(cents: Array[Array[Long]]): Column = {
-    val packed = cents.zipWithIndex.map { case (c, j) =>
-      val d = aggregate(
-        zip_with(col("t"), typedLit(c.toSeq), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x)
-      d * 64 + j
-    }
-    least(packed.toSeq: _*)
-  }
+    * (squared-distance(t, c_j) * 64 + j), through the codegen'd
+    * [[graft.functions.ArgMinSqDist]] — the centroid table compiles into
+    * the generated code as a `long[][]` constant, so assignment is a tight
+    * primitive loop inside whole-stage codegen, not k interpreted
+    * higher-order-function folds per row. */
+  private def packedAssign(cents: Array[Array[Long]]): Column =
+    call_function("vec_argmin_sqdist", col("t"),
+      typedLit(cents.map(_.toSeq).toSeq))
 
   /** Run Lloyd iterations; returns per-cluster (cid, n_members, inertia,
     * centroid_sum) after the final assignment. */

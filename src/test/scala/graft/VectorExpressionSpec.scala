@@ -49,4 +49,49 @@ class VectorExpressionSpec extends SparkSuite {
     assert(e.getMessage.toLowerCase.contains("array<double>") ||
       e.getMessage.toLowerCase.contains("data type mismatch"))
   }
+
+  test("vec_argmin_sqdist packs (min distance, winning index); ties pick lower index") {
+    val cents = Seq(Seq(0L, 0L), Seq(10L, 0L), Seq(3L, 4L))
+    val rows = Seq(
+      Array(1L, 0L),   // d = (1,81,8)   -> centroid 0, dist 1
+      Array(9L, 1L),   // d = (82,2,37)  -> centroid 1, dist 2
+      Array(3L, 4L),   // d = (25,65,0)  -> centroid 2, dist 0
+      Array(5L, 0L))   // d = (25,25,20) -> centroid 2 wins at 20
+      .toDF("t")
+      .select(call_function("vec_argmin_sqdist", col("t"), typedLit(cents)).as("p"))
+      .collect().map(_.getLong(0))
+    assert(rows(0) === 1L * 64 + 0)
+    assert(rows(1) === 2L * 64 + 1)
+    assert(rows(2) === 0L * 64 + 2)
+    assert(rows(3) === 20L * 64 + 2)
+    // tie case: equidistant from centroids 0 and 1 -> index 0 wins
+    val tie = Seq(Array(5L, 0L)).toDF("t")
+      .select(call_function("vec_argmin_sqdist", col("t"),
+        typedLit(Seq(Seq(0L, 0L), Seq(10L, 0L)))).as("p"))
+      .head().getLong(0)
+    assert(tie === 25L * 64 + 0)
+  }
+
+  test("vec_argmin_sqdist matches the HOF formulation on random vectors") {
+    val r = new scala.util.Random(7)
+    val cents = Seq.fill(8)(Seq.fill(16)(r.nextLong() % 1000000L))
+    val df = Seq.fill(100)(Array.fill(16)(r.nextLong() % 1000000L)).toDF("t")
+    val hof = cents.zipWithIndex.map { case (c, j) =>
+      aggregate(zip_with(col("t"), typedLit(c), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x) * 64 + j
+    }
+    val rows = df.select(
+      call_function("vec_argmin_sqdist", col("t"), typedLit(cents)).as("native"),
+      least(hof: _*).as("hof")).collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
+  test("vec_argmin_sqdist rejects a non-foldable centroid table") {
+    val df = Seq((Array(1L), Seq(Seq(1L)))).toDF("t", "c")
+    val e = intercept[Exception] {
+      df.select(call_function("vec_argmin_sqdist", col("t"), col("c"))).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("foldable") ||
+      e.getMessage.toLowerCase.contains("data type mismatch"))
+  }
 }
