@@ -52,8 +52,14 @@ object Cdc {
     ins.unionByName(upd).unionByName(del)
   }
 
-  private val Pow56 = 1L << 56
-  private val Pow60 = 1L << 60
+  val Pow56 = 1L << 56
+  val Pow60 = 1L << 60
+
+  /** Scalar twin of the packed champion (streaming path shares it). */
+  def pack(seq: Int, op: String, cents: Long): Long = {
+    val opcode = op match { case "I" => 0L; case "U" => 1L; case _ => 2L }
+    seq.toLong * Pow60 + opcode * Pow56 + cents
+  }
 
   /** Collapse a changelog to the live snapshot: latest op per key wins,
     * delete tombstones drop the key. */
