@@ -127,7 +127,30 @@ object Sampling {
        |FROM documents
        |QUALIFY cum_chars <= $SourceCharBudget""".stripMargin
 
+  /** Quality-weighted (importance) downsampling: keep each doc with
+    * probability proportional to a quality weight — here length-derived,
+    * `w = min(1, n_chars/400)` — by comparing a per-doc uniform
+    * (16 hash bits → u ∈ [0,1), exact dyadic double) against w. The
+    * training-data move for "keep more of the good stuff" without an RNG:
+    * stable under resharding, reruns, and cluster-size changes, same as
+    * every sampler here. Narrow per-row filter — scan-speed at any SF. */
+  def sampleWeighted(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("u",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("double") / 65536.0)
+      .withColumn("w", least(lit(1.0), col("n_chars").cast("double") / 400.0))
+      .filter(col("u") < col("w"))
+      .select(col("doc_id"), col("source"), col("n_chars"))
+
+  private val sampleWeightedSql =
+    """SELECT doc_id, source, n_chars
+      |FROM documents
+      |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT AS DOUBLE) / 65536.0
+      |      < least(1.0, CAST(n_chars AS DOUBLE) / 400.0)""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q_sample_weighted", sampleWeighted, Some(sampleWeightedSql)),
     Q("q_sample_temperature", sampleTemperature, Some(sampleTemperatureSql)),
     Q("q_sample_token_budget", sampleTokenBudget, Some(sampleTokenBudgetSql)),
     Q("q_sample_stratified", sampleStratified, Some(

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Q
+import graft.functions.Rounding.{roundN, roundNSql}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -288,7 +289,53 @@ object Scans {
       |FROM c
       |QUALIFY row_number() OVER (PARTITION BY l_returnflag ORDER BY n DESC, q) = 1""".stripMargin
 
+  /** Chi-squared drift scan: does the current period's category mix differ
+    * from the baseline period's? The data-quality monitor every scheduled
+    * pipeline wants between runs (the reference re-validates from scratch
+    * per run — validate.py:104-175 — but has no cross-run comparison).
+    *
+    * One pass, one tiny aggregate: both periods' per-category counts come
+    * from conditional counts in a single scan (map-side combinable over
+    * the small category domain); the 1-row totals broadcast back.
+    * Exactness: counts are integers, and expected/χ² contributions use
+    * one fixed expression shape (cast→multiply→divide), so both engines
+    * produce bit-identical doubles before the final rounding. */
+  def chi2Drift(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1998-01-01")
+    val counts = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        to_date(col("l_shipdate")).as("d"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(when(col("d") < cut, 1)).as("n_base"),
+        count(when(col("d") >= cut, 1)).as("n_cur"))
+    val totals = counts.agg(sum(col("n_base")).as("t_base"),
+      sum(col("n_cur")).as("t_cur"))
+    val e = col("n_base").cast("double") * col("t_cur") / col("t_base")
+    counts.crossJoin(broadcast(totals))
+      .select(col("l_returnflag"), col("n_base"), col("n_cur"),
+        roundN(e, 4).as("expected"),
+        roundN((col("n_cur") - e) * (col("n_cur") - e) / e, 6).as("chi2_contrib"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val chi2Sql =
+    s"""WITH c AS (
+       |  SELECT l_returnflag,
+       |    count(CASE WHEN CAST(l_shipdate AS DATE) < DATE '1998-01-01' THEN 1 END) AS n_base,
+       |    count(CASE WHEN CAST(l_shipdate AS DATE) >= DATE '1998-01-01' THEN 1 END) AS n_cur
+       |  FROM lineitem GROUP BY 1),
+       |t AS (SELECT CAST(sum(n_base) AS BIGINT) AS t_base,
+       |             CAST(sum(n_cur) AS BIGINT) AS t_cur FROM c)
+       |SELECT l_returnflag, n_base, n_cur,
+       |  ${roundNSql("CAST(n_base AS DOUBLE) * t_cur / t_base", 4)} AS expected,
+       |  ${roundNSql(
+              "(n_cur - CAST(n_base AS DOUBLE) * t_cur / t_base) * (n_cur - CAST(n_base AS DOUBLE) * t_cur / t_base) / (CAST(n_base AS DOUBLE) * t_cur / t_base)",
+              6)} AS chi2_contrib
+       |FROM c, t
+       |ORDER BY 1""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q_stats_chi2", chi2Drift, Some(chi2Sql)),
     Q("q_stats_corr", corrStats, Some(corrSql)),
     Q("q_stats_histogram", histogram, Some(histogramSql)),
     Q("q_stats_mode", modeQty, Some(modeSql)),
