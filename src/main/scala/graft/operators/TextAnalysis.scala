@@ -765,7 +765,46 @@ object TextAnalysis {
        |  ${roundNSql(s"CAST(sum(CASE WHEN len(w) >= 10 AND len(list_filter(w, t -> list_contains($stopSqlList, t))) > 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 4)} AS quality_pass_rate
        |FROM s GROUP BY 1""".stripMargin
 
+  /** OOV (out-of-vocabulary) rate per document against a bounded
+    * frequency-ranked vocabulary — the tokenizer-coverage eval run before
+    * committing to a vocab size. Vocab = top-N corpus words by frequency
+    * (ties broken lexicographically so the cut is deterministic), selected
+    * through the native bounded-heap top-k operator (plans/TopK.scala) —
+    * the global-top-k path, no sort. The vocab is N rows by construction,
+    * so the membership join broadcasts at any corpus size; per-doc rates
+    * are one map-side-combinable aggregate. (N=16 here because the
+    * synthetic corpus has ~31 distinct words; a real run sets N≈50k.) */
+  val OovVocab = 16
+
+  def oovRate(spark: SparkSession, dir: String): DataFrame = {
+    val words = withWords(spark, dir)
+      .select(col("doc_id"), explode(col("w")).as("word"))
+    val counts = words.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val vocab = graft.plans.TopK
+      .topK(counts, Seq.empty, Seq(("cnt", true), ("word", false)), OovVocab)
+      .select(col("word"), lit(1).as("in_vocab"))
+    words.join(broadcast(vocab), Seq("word"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("in_vocab").isNull, 1)).as("n_oov"))
+      .withColumn("oov_rate",
+        roundN(col("n_oov").cast("double") / col("n_tokens"), 6))
+  }
+
+  private val oovRateSql =
+    s"""WITH w AS (
+       |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS word
+       |  FROM documents),
+       |vocab AS (
+       |  SELECT word FROM (SELECT word, count(*) AS cnt FROM w GROUP BY 1)
+       |  QUALIFY row_number() OVER (ORDER BY cnt DESC, word) <= $OovVocab)
+       |SELECT doc_id, count(*) AS n_tokens,
+       |  count(CASE WHEN w.word NOT IN (SELECT word FROM vocab) THEN 1 END) AS n_oov,
+       |  ${roundNSql("CAST(count(CASE WHEN w.word NOT IN (SELECT word FROM vocab) THEN 1 END) AS DOUBLE) / count(*)", 6)} AS oov_rate
+       |FROM w GROUP BY 1""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q_text_oov", oovRate, Some(oovRateSql)),
     Q("q_corpus_datacard", dataCard, Some(dataCardSql)),
     Q("q_text_langid_eval", langIdConfusion, Some(langIdConfusionSql)),
     Q("q_text_inverted_index", invertedIndex, Some(invertedIndexSql)),

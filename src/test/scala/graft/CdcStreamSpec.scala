@@ -37,4 +37,34 @@ class CdcStreamSpec extends SparkSuite {
       .filter(col("key") % 7 === 0).select(col("key")).distinct().count()
     assert(dead.length.toLong === mod7)
   }
+
+  test("restart from checkpoint resumes state (late files after a stop)") {
+    val src = java.nio.file.Files.createTempDirectory("cdc2_src").toString
+    val log = Cdc.changelog(spark, SparkSpec.sf0001).cache()
+    // phase 1: only inserts arrive, then the query STOPS
+    log.filter(col("seq") === 1).repartition(2)
+      .write.mode("overwrite").parquet(src)
+    val stateDir = java.nio.file.Files.createTempDirectory("cdc2_state").toString + "/snap"
+    val ck = java.nio.file.Files.createTempDirectory("cdc2_ck").toString
+    val q1 = CdcStream.run(spark, src, stateDir, ck)
+    q1.processAllAvailable()
+    q1.stop()
+    // mid-flight check: store holds pure inserts, nothing dead
+    val mid = spark.read.parquet(stateDir)
+    assert(mid.filter(!col("live")).isEmpty)
+
+    // phase 2: updates + deletes land while no query is running; a NEW
+    // query on the SAME checkpoint must pick up exactly the new files
+    log.filter(col("seq") > 1).repartition(2)
+      .write.mode("append").parquet(src)
+    val q2 = CdcStream.run(spark, src, stateDir, ck)
+    q2.processAllAvailable()
+    q2.stop()
+    log.unpersist()
+
+    val live = spark.read.parquet(stateDir).filter(col("live"))
+      .select(col("key").as("orderkey"), col("op"), col("price"))
+    val want = Cdc.cdcApply(spark, SparkSpec.sf0001)
+    assert(live.exceptAll(want).isEmpty && want.exceptAll(live).isEmpty)
+  }
 }
