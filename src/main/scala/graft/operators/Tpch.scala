@@ -476,6 +476,119 @@ object Tpch {
        |GROUP BY 1
        |ORDER BY 1""".stripMargin
 
+  /** Q7 analogue: volume shipping between two nations, by direction and
+    * year. The nation filter applies to BOTH role-playing dimension copies
+    * (supplier's nation and customer's nation join the same table under
+    * different aliases) — the role-playing-dimension pattern. Both
+    * dimension chains broadcast; the only volume shuffle is
+    * lineitem⋈orders. The symmetric-pair predicate evaluates post-join on
+    * two broadcast-joined columns. */
+  def nationVolume(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(to_date(col("l_shipdate")) >= lit("1996-01-01") &&
+        to_date(col("l_shipdate")) < lit("1998-01-01"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).as("l_year"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"))
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val s = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val n1 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
+      .join(broadcast(n2), col("c_nationkey") === col("cn_key"))
+      .filter(
+        (col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+          (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(roundN(sum(col("volume")), 2).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  private val nationVolumeSql =
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |  year(l_shipdate) AS l_year,
+       |  ${roundNSql("sum(l_extendedprice * (1 - l_discount))", 2)} AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+       |  AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+       |  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+       |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+       |GROUP BY 1, 2, 3
+       |ORDER BY 1, 2, 3""".stripMargin
+
+  /** Q8 analogue: one supplying nation's market share inside a region's
+    * purchases of one part type, by order year — the
+    * conditional-numerator-over-total ratio computed in ONE aggregate pass
+    * (no second scan, no self-join). Share divides two rounded sums, so
+    * both engines divide identical doubles. */
+  def marketShare(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(
+      col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+      (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"))
+    val o = Tables.orders(spark, dir)
+      .filter(to_date(col("o_orderdate")) >= lit("1996-01-01") &&
+        to_date(col("o_orderdate")) < lit("1998-01-01"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).as("o_year"))
+    val p = Tables.part(spark, dir).filter(col("p_type") === "PROMO")
+      .select(col("p_partkey"))
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val nC = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("cn_key"), col("n_regionkey"))
+    val r = Tables.region(spark, dir).filter(col("r_name") === "AMERICA")
+      .select(col("r_regionkey"))
+    val s = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val nS = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nC), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nS), col("s_nationkey") === col("sn_key"))
+      .groupBy(col("o_year"))
+      .agg(
+        roundN(sum(when(col("supp_nation") === "NATION_5", col("volume"))
+          .otherwise(lit(0.0))), 2).as("nation_volume"),
+        roundN(sum(col("volume")), 2).as("total_volume"))
+      .select(col("o_year"), col("nation_volume"), col("total_volume"),
+        roundN(col("nation_volume") / col("total_volume"), 6).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  private val marketShareSql = {
+    val nv = roundNSql(
+      "sum(CASE WHEN ns.n_name = 'NATION_5' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)", 2)
+    val tv = roundNSql("sum(l_extendedprice * (1 - l_discount))", 2)
+    s"""SELECT year(o_orderdate) AS o_year, $nv AS nation_volume,
+       |  $tv AS total_volume, ${roundNSql(s"($nv) / ($tv)", 6)} AS mkt_share
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation nc ON c_nationkey = nc.n_nationkey
+       |JOIN region ON nc.n_regionkey = r_regionkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ns ON s_nationkey = ns.n_nationkey
+       |WHERE p_type = 'PROMO' AND r_name = 'AMERICA'
+       |  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+       |  AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_tpch_smallqty", smallQtyRevenue, Some(smallQtyRevenueSql)),
     Q("q_tpch_promo", promoRevenue, Some(promoRevenueSql)),
@@ -490,5 +603,7 @@ object Tpch {
     Q("q_tpch_returned", returnedItems, Some(returnedItemsSql)),
     Q("q_tpch_topsupplier", topSupplier, Some(topSupplierSql)),
     Q("q_tpch_nourgent", noUrgentHighBalance, Some(noUrgentHighBalanceSql)),
+    Q("q_tpch_nationvolume", nationVolume, Some(nationVolumeSql)),
+    Q("q_tpch_mktshare", marketShare, Some(marketShareSql)),
   )
 }

@@ -145,6 +145,30 @@ class TpchSpec extends SparkSuite {
     assert(out.map(_.getAs[Long]("numcust")).sum === kept.length)
   }
 
+  test("nation volume covers both directions of the pair, never same-nation") {
+    val rows = Tpch.nationVolume(spark, SparkSpec.sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (sn, cn) = (r.getAs[String]("supp_nation"), r.getAs[String]("cust_nation"))
+      assert(Set(sn, cn) === Set("NATION_3", "NATION_7"))
+      assert(sn !== cn)
+      assert(r.getAs[Double]("revenue") > 0)
+    }
+  }
+
+  test("market share is a valid fraction of the total") {
+    val rows = Tpch.marketShare(spark, SparkSpec.sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nv = r.getAs[Double]("nation_volume")
+      val tv = r.getAs[Double]("total_volume")
+      val sh = r.getAs[Double]("mkt_share")
+      assert(nv >= 0 && nv <= tv)
+      assert(sh >= 0.0 && sh <= 1.0)
+      assert(math.abs(sh - math.floor(nv / tv * 1e6 + 0.5) / 1e6) < 1e-12)
+    }
+  }
+
   test("forecast revenue matches a hand-computed fold at sf0.001") {
     val li = sources.Tables.lineitem(spark, SparkSpec.sf0001)
       .filter(to_date(col("l_shipdate")) >= lit("1997-01-01") &&
