@@ -316,8 +316,97 @@ object Multimodal {
       |  octet_length(encode(text)) // 256 + 1 AS n_frames
       |FROM documents""".stripMargin
 
+  // ---------------------------------------------- image perceptual dedup
+
+  /** 64-bit average hash (aHash) of a decoded image: 8×8 block means
+    * thresholded at the global mean. The standard cheap perceptual
+    * fingerprint — images that differ by small pixel noise hash
+    * identically, so image near-dup becomes EXACT dedup on the hash (one
+    * hash-groupBy; the payloads never shuffle). */
+  def aHash(img: java.awt.image.BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val (bw, bh) = (math.max(w / 8, 1), math.max(h / 8, 1))
+    val means = new Array[Double](64)
+    var b = 0
+    while (b < 64) {
+      val (bx, by) = (b % 8, b / 8)
+      var s = 0.0
+      var n = 0
+      var y = by * bh
+      while (y < math.min((by + 1) * bh, h)) {
+        var x = bx * bw
+        while (x < math.min((bx + 1) * bw, w)) {
+          val rgb = img.getRGB(x, y)
+          s += ((rgb >> 16 & 0xff) * 299 + (rgb >> 8 & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000.0
+          n += 1; x += 1
+        }
+        y += 1
+      }
+      means(b) = if (n == 0) 0.0 else s / n
+      b += 1
+    }
+    val mean = means.sum / 64
+    means.zipWithIndex.foldLeft(0L) { case (acc, (m, i)) =>
+      if (m > mean) acc | (1L << i) else acc
+    }
+  }
+
+  /** Deterministic PNG per document: a 32×32 two-tone block pattern keyed
+    * by `doc_id % 25` (the "original" image), plus a one-pixel +1 LSB
+    * perturbation keyed by the full doc_id (the "re-encode" noise). Block
+    * values sit far from the aHash threshold, so noise never flips a bit —
+    * same-pattern documents are perceptual duplicates by construction. */
+  private[graft] def synthPng(id: Long): Array[Byte] = {
+    val base = (id % 25).toInt
+    val img = new java.awt.image.BufferedImage(
+      32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 32) {
+      var x = 0
+      while (x < 32) {
+        // two-tone per 4x4 block, block choice = multiplicative hash of
+        // (base, block) so the 25 base patterns are pairwise distinct
+        val block = (x / 4) * 8 + (y / 4)
+        val v = if ((((base * 64 + block) * 2654435761L >>> 16) & 1) == 0) 40 else 216
+        img.setRGB(x, y, v << 16 | v << 8 | v)
+        x += 1
+      }
+      y += 1
+    }
+    val (nx, ny) = ((id % 32).toInt, ((id / 32) % 32).toInt)
+    val v0 = img.getRGB(nx, ny) & 0xff
+    val v1 = math.min(v0 + 1, 255)
+    img.setRGB(nx, ny, v1 << 16 | v1 << 8 | v1)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Registered image near-dup pipeline: synthesize → REAL PNG encode +
+    * ImageIO decode → aHash → exact dedup on the hash. Output is one row
+    * per perceptual cluster. Engine-side codec → rows-only check;
+    * MultimodalSpec asserts the cluster structure exactly. */
+  def imageNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(synthPng(id)))
+          (id, aHash(img))
+        }
+      }
+      .toDF("doc_id", "ahash")
+      .groupBy(col("ahash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
+      .orderBy(col("keeper"))
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_mm_meta", mediaMeta, Some(mediaMetaSql)),
     Q("q_mm_audio", audioFeatures, None),
+    Q("q_mm_image_neardup", imageNearDup, None),
   )
 }

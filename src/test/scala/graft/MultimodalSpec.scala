@@ -61,4 +61,31 @@ class MultimodalSpec extends SparkSuite {
     val empty = Multimodal.StubDecoder.decode(Multimodal.MediaRow(2L, Array.emptyByteArray))
     assert(empty.mean_byte === 0.0 && empty.n_frames === 1)
   }
+
+  test("aHash is noise-invariant: same base pattern hashes equal, bases differ") {
+    def hashOf(id: Long) = Multimodal.aHash(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.synthPng(id))))
+    // ids 3 and 28 share base 3 but have different noise pixels
+    assert(hashOf(3L) === hashOf(28L))
+    assert(hashOf(3L) === hashOf(53L))
+    // the 25 base patterns produce 25 distinct hashes
+    val hashes = (0L until 25L).map(hashOf)
+    assert(hashes.distinct.length === 25)
+  }
+
+  test("image near-dup clusters group exactly by doc_id % 25") {
+    val spark0 = spark
+    import spark0.implicits._
+    val out = Multimodal.imageNearDup(spark, SparkSpec.sf0001)
+      .as[(Long, Long, Long)].collect()
+    assert(out.length === 25)
+    val docs = sources.Tables.documents(spark, SparkSpec.sf0001)
+      .select(org.apache.spark.sql.functions.col("doc_id")).as[Long].collect()
+    val wantSizes = docs.groupBy(_ % 25).view.mapValues(_.length.toLong).toMap
+    val wantKeepers = docs.groupBy(_ % 25).view.mapValues(_.min).toMap
+    out.foreach { case (_, n, keeper) =>
+      assert(wantSizes(keeper % 25) === n)
+      assert(wantKeepers(keeper % 25) === keeper)
+    }
+  }
 }
