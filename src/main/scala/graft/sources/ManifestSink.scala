@@ -4,31 +4,41 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import scala.jdk.CollectionConverters._
 
-/** Manifest-committed table sink — atomic snapshot publish over plain
-  * parquet, the minimal transactional-layout pattern (what Delta/Iceberg
-  * do with a log, reduced to one manifest file):
+/** Manifest-committed table sink — atomic, VERSIONED snapshot publish over
+  * plain parquet: the minimal transactional-layout pattern (what
+  * Delta/Iceberg do with a log, reduced to one manifest file per version
+  * plus a current-pointer):
   *
   *  1. the new snapshot's files are written to a staging dir and MOVED
   *     into the table dir under unique names;
-  *  2. the manifest (the list of live files) is written to a temp file and
-  *     atomically RENAMED over `_manifest.json` — the single commit point.
+  *  2. the version manifest `_manifest_v{N}.json` (the list of live files)
+  *     is written to a temp file and atomically renamed into place;
+  *  3. the current-pointer `_manifest.json` is atomically RENAMED over —
+  *     the single commit point.
   *
-  * Readers resolve `_manifest.json` first and read ONLY its files, so a
-  * writer that dies before the rename leaves stray data files but an
+  * Readers resolve a manifest first and read ONLY its files, so a writer
+  * that dies before the final rename leaves stray data files but an
   * unchanged table: readers never observe a partial snapshot, and a crash
-  * can be retried idempotently. On a real object store the rename becomes
-  * the store's atomic put-if-absent/metadata swap; the protocol shape is
-  * identical (ManifestSinkSpec simulates the crash).
+  * can be retried idempotently. Old versions stay readable (`readAsOf`)
+  * until `vacuum` drops their manifests and any data files no retained
+  * snapshot references — the Delta/Iceberg time-travel + VACUUM contract.
+  * On a real object store the renames become the store's atomic
+  * put-if-absent/metadata swap; the protocol shape is identical
+  * (ManifestSinkSpec simulates the crash).
   *
   * Scale notes: the data path is fully distributed (any partition count);
   * only the file LIST passes through the driver — manifest size is
-  * O(files), the same driver-side cost every table format pays.
+  * O(files), the same driver-side cost every table format pays. Vacuum's
+  * reachability set is manifest-sized, never data-sized.
   */
 object ManifestSink {
 
-  private val ManifestName = "_manifest.json"
+  private val PointerName = "_manifest.json"
+  private def versionName(v: Int) = s"_manifest_v$v.json"
+  private val VersionRe = "_manifest_v(\\d+)\\.json".r
 
-  def write(df: DataFrame, table: String): Unit = {
+  /** Publish a new snapshot; returns its version (1-based). */
+  def write(df: DataFrame, table: String): Int = {
     val dir = Paths.get(table)
     Files.createDirectories(dir)
     val snapId = java.util.UUID.randomUUID().toString.take(8)
@@ -42,27 +52,72 @@ object ManifestSink {
         target.getFileName.toString
       }.toVector.sorted
     deleteRecursively(staging)
-    commit(dir, moved)
+    val version = versions(table).lastOption.getOrElse(0) + 1
+    commit(dir, version, moved)
+    version
   }
 
-  /** The commit point: temp-write + atomic rename. */
-  private def commit(dir: Path, files: Vector[String]): Unit = {
-    val tmp = dir.resolve(s".$ManifestName.tmp")
-    Files.writeString(tmp,
-      files.map(f => "\"" + f + "\"").mkString("{\"files\": [", ", ", "]}"))
-    Files.move(tmp, dir.resolve(ManifestName),
+  /** The commit point: version manifest, then pointer — each temp-write +
+    * atomic rename. */
+  private def commit(dir: Path, version: Int, files: Vector[String]): Unit = {
+    val body = files.map(f => "\"" + f + "\"")
+      .mkString(s"""{"version": $version, "files": [""", ", ", "]}")
+    val vtmp = dir.resolve(s".${versionName(version)}.tmp")
+    Files.writeString(vtmp, body)
+    Files.move(vtmp, dir.resolve(versionName(version)),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val ptmp = dir.resolve(s".$PointerName.tmp")
+    Files.writeString(ptmp, body)
+    Files.move(ptmp, dir.resolve(PointerName),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Read the committed snapshot — manifest-listed files ONLY; stray
-    * files from dead writers are invisible. */
-  def read(spark: SparkSession, table: String): DataFrame = {
+  /** Committed versions, ascending. */
+  def versions(table: String): Seq[Int] = {
     val dir = Paths.get(table)
-    val manifest = Files.readString(dir.resolve(ManifestName))
-    val files = "\"([^\"]+\\.parquet)\"".r.findAllMatchIn(manifest)
-      .map(m => dir.resolve(m.group(1)).toString).toSeq
-    require(files.nonEmpty, s"empty manifest in $table")
+    if (!Files.exists(dir)) Seq.empty
+    else Files.list(dir).iterator().asScala
+      .flatMap(p => VersionRe.findFirstMatchIn(p.getFileName.toString))
+      .map(_.group(1).toInt).toSeq.sorted
+  }
+
+  private def filesOf(dir: Path, manifest: Path): Seq[String] = {
+    val body = Files.readString(manifest)
+    "\"([^\"]+\\.parquet)\"".r.findAllMatchIn(body)
+      .map(m => m.group(1)).toSeq
+  }
+
+  /** Read the current committed snapshot — manifest-listed files ONLY;
+    * stray files from dead writers are invisible. */
+  def read(spark: SparkSession, table: String): DataFrame =
+    readManifest(spark, table, Paths.get(table).resolve(PointerName))
+
+  /** Time travel: read snapshot `version` as committed. */
+  def readAsOf(spark: SparkSession, table: String, version: Int): DataFrame =
+    readManifest(spark, table, Paths.get(table).resolve(versionName(version)))
+
+  private def readManifest(spark: SparkSession, table: String,
+      manifest: Path): DataFrame = {
+    val dir = Paths.get(table)
+    val files = filesOf(dir, manifest).map(f => dir.resolve(f).toString)
+    require(files.nonEmpty, s"empty manifest $manifest")
     spark.read.parquet(files: _*)
+  }
+
+  /** Drop all but the newest `keep` versions and every data file no
+    * retained snapshot references. Current pointer is untouched (it always
+    * references the newest version, which is always retained). */
+  def vacuum(table: String, keep: Int = 1): Unit = {
+    require(keep >= 1, "must retain at least the current snapshot")
+    val dir = Paths.get(table)
+    val all = versions(table)
+    val (dropped, retained) = all.splitAt(math.max(all.length - keep, 0))
+    val live = retained.flatMap(v => filesOf(dir, dir.resolve(versionName(v)))).toSet
+    dropped.foreach { v =>
+      val dead = filesOf(dir, dir.resolve(versionName(v))).filterNot(live)
+      dead.foreach(f => Files.deleteIfExists(dir.resolve(f)))
+      Files.deleteIfExists(dir.resolve(versionName(v)))
+    }
   }
 
   private def deleteRecursively(p: Path): Unit =

@@ -43,4 +43,44 @@ class ManifestSinkSpec extends SparkSuite {
     assert("\\.parquet".r.findAllIn(manifest).size === 5)
     assert(ManifestSink.read(spark, table).count() === 100)
   }
+
+  test("time travel: every committed version stays readable as published") {
+    val table = Files.createTempDirectory("manifest_tt").toString
+    val v1 = ManifestSink.write(Seq((1L, "a")).toDF("id", "v"), table)
+    val v2 = ManifestSink.write(Seq((2L, "b"), (3L, "c")).toDF("id", "v"), table)
+    val v3 = ManifestSink.write(Seq((4L, "d")).toDF("id", "v"), table)
+    assert((v1, v2, v3) === (1, 2, 3))
+    assert(ManifestSink.versions(table) === Seq(1, 2, 3))
+    assert(ManifestSink.readAsOf(spark, table, 1).collect()
+      .map(_.getLong(0)).toSet === Set(1L))
+    assert(ManifestSink.readAsOf(spark, table, 2).collect()
+      .map(_.getLong(0)).toSet === Set(2L, 3L))
+    // current pointer tracks the newest version
+    assert(ManifestSink.read(spark, table).collect()
+      .map(_.getLong(0)).toSet === Set(4L))
+  }
+
+  test("vacuum drops old snapshots' manifests and unreferenced data files") {
+    val table = Files.createTempDirectory("manifest_vac").toString
+    ManifestSink.write(Seq((1L, "a")).toDF("id", "v"), table)
+    ManifestSink.write(Seq((2L, "b")).toDF("id", "v"), table)
+    ManifestSink.write(Seq((3L, "c")).toDF("id", "v"), table)
+    val before = Files.list(Paths.get(table)).iterator()
+    var parquetBefore = 0
+    while (before.hasNext)
+      if (before.next().getFileName.toString.endsWith(".parquet")) parquetBefore += 1
+    assert(parquetBefore === 3)
+
+    ManifestSink.vacuum(table, keep = 1)
+    assert(ManifestSink.versions(table) === Seq(3))
+    val after = Files.list(Paths.get(table)).iterator()
+    var parquetAfter = 0
+    while (after.hasNext)
+      if (after.next().getFileName.toString.endsWith(".parquet")) parquetAfter += 1
+    assert(parquetAfter === 1)
+    // latest still reads; vacuumed version is gone
+    assert(ManifestSink.read(spark, table).collect()
+      .map(_.getLong(0)).toSet === Set(3L))
+    intercept[Exception](ManifestSink.readAsOf(spark, table, 1).collect())
+  }
 }
