@@ -239,7 +239,38 @@ object Events {
        |FROM e JOIN st USING (event_type)
        |WHERE abs(${roundNSql("(e.value - st.mean) / st.std", 4)}) > 3""".stripMargin
 
+  /** Cumulative distinct users by day — the growth-curve query. The naive
+    * form (`count(DISTINCT user) OVER (ORDER BY day)`) either recomputes
+    * the distinct set per day or carries O(users) window state; the
+    * FIRST-SEEN rewrite makes it two cheap steps: min(day) per user (one
+    * map-side-combinable hash agg — the only corpus-sized shuffle), then a
+    * running sum over the DAY-sized series (the single-partition window is
+    * over ~hundreds of rows, not events — that's the point). */
+  def cumulativeUsers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val firstSeen = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_day"))
+    firstSeen.groupBy(col("first_day"))
+      .agg(count(lit(1)).as("new_users"))
+      .withColumn("cum_users",
+        sum(col("new_users")).over(Window.orderBy(col("first_day"))))
+      .orderBy(col("first_day"))
+  }
+
+  private val cumulativeUsersSql =
+    s"""WITH $eventsUs,
+       |fs AS (
+       |  SELECT user_id, min(CAST(ts AS DATE)) AS first_day FROM e GROUP BY 1),
+       |d AS (SELECT first_day, count(*) AS new_users FROM fs GROUP BY 1)
+       |SELECT first_day, new_users,
+       |  CAST(sum(new_users) OVER (ORDER BY first_day) AS BIGINT) AS cum_users
+       |FROM d
+       |ORDER BY 1""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q_events_cum_users", cumulativeUsers, Some(cumulativeUsersSql)),
     Q("q_events_anomaly", anomalies, Some(anomaliesSql)),
     Q("q_events_funnel", funnel, Some(funnelSql)),
     Q("q_events_retention", retention, Some(retentionSql)),
