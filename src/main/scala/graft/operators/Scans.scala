@@ -59,6 +59,36 @@ object Scans {
     fd
   }
 
+  /** Hive-partitioned parquet fixture: documents laid out by `source`
+    * (idempotent, marker-guarded — same contract as the CSV fixtures). */
+  private def ensurePartitionedDocs(spark: SparkSession, dir: String): String =
+    synchronized {
+      val fd = s"/root/repo/target/fixtures/${new java.io.File(dir).getName}/docs_by_source"
+      val marker = new java.io.File(s"$fd/_READY")
+      if (!marker.exists()) {
+        Tables.documents(spark, dir)
+          .write.mode("overwrite").partitionBy("source").parquet(fd)
+        new java.io.File(s"$fd/_READY").createNewFile()
+      }
+      fd
+    }
+
+  /** Partition-pruned scan over a hive layout: the `source = 'src7'`
+    * predicate resolves against DIRECTORY NAMES, so the scan plans
+    * PartitionFilters (not PushedFilters) and never opens the other 19
+    * sources' files — the layout move that turns a 100 TB corpus scan
+    * into a 5 TB one. PartitionPruningSpec asserts the plan reads exactly
+    * one directory; the oracle recomputes from the unpartitioned table. */
+  def scanPartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val fd = ensurePartitionedDocs(spark, dir)
+    spark.read.parquet(fd)
+      .filter(col("source") === "src7")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+  }
+
+  private val scanPartitionedSql =
+    "SELECT doc_id, lang, n_chars FROM documents WHERE source = 'src7'"
+
   /** S1: single-file CSV scan, explicit schema, header (validate.py:78). */
   def scanSchema(spark: SparkSession, dir: String): DataFrame = {
     val fd = ensureFixtures(spark, dir)
@@ -335,6 +365,7 @@ object Scans {
        |ORDER BY 1""".stripMargin
 
   val queries: Seq[Q] = Seq(
+    Q("q_scan_partitioned", scanPartitioned, Some(scanPartitionedSql)),
     Q("q_stats_chi2", chi2Drift, Some(chi2Sql)),
     Q("q_stats_corr", corrStats, Some(corrSql)),
     Q("q_stats_histogram", histogram, Some(histogramSql)),

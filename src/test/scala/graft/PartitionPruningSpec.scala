@@ -36,4 +36,15 @@ class PartitionPruningSpec extends SparkSuite {
     assert(plan.contains("ReadSchema: struct<l_orderkey:bigint>"),
       s"expected 1-column ReadSchema:\n$plan")
   }
+
+  test("registered q_scan_partitioned plans a PartitionFilter on source") {
+    val df = graft.operators.Scans.scanPartitioned(spark, SparkSpec.sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(source"),
+      s"source predicate must prune directories, not rows:\n$plan")
+    // the data filter list must NOT carry the partition predicate
+    assert(!plan.contains("PushedFilters: [IsNotNull(source"),
+      s"partition key leaked into data filters:\n$plan")
+    assert(df.count() === 25) // one source's share at sf0.001 (500/20)
+  }
 }
