@@ -33,6 +33,7 @@ object Registry {
       operators.Graph.queries ++
       operators.Sampling.queries ++
       operators.Similarity.queries ++
+      operators.Pq.queries ++
       operators.EmbedClassify.queries ++
       operators.KMeans.queries ++
       operators.TextAnalysis.queries ++
