@@ -310,7 +310,44 @@ object Analytics {
           "percent_rank() OVER (PARTITION BY brand ORDER BY daily_revenue, d)", 6)} AS pct_rank
        |FROM daily""".stripMargin
 
+  /** Incremental materialized-view maintenance: the view (orders count +
+    * revenue by priority) updates by MERGING the delta batch's partial
+    * aggregate into the stored state — never rescanning the base. Works
+    * because count/sum are commutative monoids: re-aggregating the two
+    * partial states is exactly the full aggregate (what streaming
+    * foreachBatch upserts exploit; here the batch algebra is registered
+    * and oracle-checked against the full recompute — the equality IS the
+    * correctness of incremental maintenance). Money rides as exact cents
+    * so the merged sum is bit-equal to the scratch sum. */
+  def mvIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1998-01-01")
+    def partial(df: DataFrame): DataFrame = df
+      .select(col("o_orderpriority").as("priority"),
+        roundN(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .groupBy(col("priority"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+    val orders = Tables.orders(spark, dir)
+    val baseState = partial(orders.filter(to_date(col("o_orderdate")) < cut))
+    val deltaState = partial(orders.filter(to_date(col("o_orderdate")) >= cut))
+    baseState.unionByName(deltaState)
+      .groupBy(col("priority"))
+      .agg(sum(col("n")).as("n_orders"),
+        (sum(col("sum_cents")).cast("double") / 100.0).as("total_price"))
+      .orderBy(col("priority"))
+  }
+
+  /** Oracle: the full recompute — incremental maintenance is correct iff
+    * it equals this. */
+  private val mvIncrementalSql =
+    s"""SELECT o_orderpriority AS priority, count(*) AS n_orders,
+       |  CAST(sum(CAST(${roundNSql("o_totalprice * 100", 0)} AS BIGINT)) AS DOUBLE) / 100.0
+       |    AS total_price
+       |FROM orders
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q_mv_incremental", mvIncremental, Some(mvIncrementalSql)),
     Q("q_window_moving_avg", movingAvgRevenue, Some(movingAvgRevenueSql)),
     Q("q_unpivot", unpivotMeasures, Some(unpivotSql)),
     Q("q_window_ntile", revenueQuartiles, Some(revenueQuartilesSql)),

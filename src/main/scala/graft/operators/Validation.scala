@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Q
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Data-quality validation operators, re-expressed Spark-first.
@@ -89,7 +89,65 @@ object Validation {
       .groupBy(col("l_orderkey"), col("l_linenumber")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1)
 
+  /** Declarative rule-table validation — the Deequ-style generalization of
+    * the reference's validator. validate.py:104-175 runs ONE SPARK JOB PER
+    * RULE (a count action each for nulls, RI, dups — ~12 scans of the
+    * inputs); here the rule set is DATA, every rule compiles to a
+    * conditional count in a single aggregate, and the whole contract
+    * checks in ONE scan regardless of rule count. `stack` unpivots the
+    * 1-row aggregate into the per-rule report. Adding a rule is a list
+    * entry, not a new job. */
+  final case class DqRule(rule: String, column: String,
+      violation: Column, violationSql: String)
+
+  private def lineitemRules: Seq[DqRule] = Seq(
+    DqRule("not_null", "l_orderkey",
+      col("l_orderkey").isNull, "l_orderkey IS NULL"),
+    DqRule("non_negative", "l_extendedprice",
+      col("l_extendedprice") < 0, "l_extendedprice < 0"),
+    DqRule("in_range", "l_discount",
+      col("l_discount") < 0 || col("l_discount") > 0.1,
+      "l_discount < 0 OR l_discount > 0.1"),
+    DqRule("in_set", "l_returnflag",
+      !col("l_returnflag").isin("A", "N", "R"),
+      "l_returnflag NOT IN ('A', 'N', 'R')"),
+    DqRule("positive", "l_quantity",
+      col("l_quantity") <= 0, "l_quantity <= 0"),
+    DqRule("in_set", "l_linestatus",
+      !col("l_linestatus").isin("O", "F"),
+      "l_linestatus NOT IN ('O', 'F')"))
+
+  def validateRules(spark: SparkSession, dir: String): DataFrame = {
+    val rules = lineitemRules
+    val aggs = rules.zipWithIndex.map { case (r, i) =>
+      count(when(r.violation, 1)).as(s"v$i")
+    } :+ count(lit(1)).as("n")
+    val one = Tables.lineitem(spark, dir).agg(aggs.head, aggs.tail: _*)
+    val stackArgs = rules.zipWithIndex.map { case (r, i) =>
+      s"'${r.rule}', '${r.column}', v$i"
+    }.mkString(", ")
+    one.select(expr(
+        s"stack(${rules.length}, $stackArgs) AS (rule, column_name, violations)"),
+        col("n").as("n_rows"))
+      .withColumn("pass", col("violations") === 0)
+      .orderBy(col("rule"), col("column_name"))
+  }
+
+  private val validateRulesSql = {
+    val rules = lineitemRules
+    val aggCols = rules.zipWithIndex.map { case (r, i) =>
+      s"count(CASE WHEN ${r.violationSql} THEN 1 END) AS v$i"
+    }.mkString(", ")
+    val branches = rules.zipWithIndex.map { case (r, i) =>
+      s"SELECT '${r.rule}' AS rule, '${r.column}' AS column_name, v$i AS violations, n AS n_rows, v$i = 0 AS pass FROM agg"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH agg AS (SELECT $aggCols, count(*) AS n FROM lineitem)
+       |$branches
+       |ORDER BY rule, column_name""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_validate_rules", validateRules, Some(validateRulesSql)),
     Q("q_empty_guard", emptyGuard, Some(
       "SELECT count(*) AS cnt, count(*) = 0 AS is_empty FROM lineitem")),
     Q("q_count_action", countAction, Some(
