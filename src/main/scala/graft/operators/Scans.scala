@@ -116,11 +116,50 @@ object Scans {
         sqrt((col("sumsq") - col("sum_qty").cast("double") * col("sum_qty") / col("n_rows"))
           / (col("n_rows") - 1)).as("std_qty"))
 
+  /** EXACT quantiles per group without a per-group sort — the scale path
+    * for discrete-valued measures: build the (group, value) HISTOGRAM (one
+    * map-side-combinable aggregate; the shuffle carries distinct values,
+    * not rows), running-sum it per group (window input is histogram-sized),
+    * and pick each quantile as the smallest value whose cumulative count
+    * reaches ceil(q·n) — a conditional-min aggregate. Memory is
+    * O(distinct values per group) instead of `percentile`'s O(rows per
+    * group); for 2-decimal money the domain is bounded by construction.
+    * The oracle is DuckDB's INDEPENDENT `quantile_disc` implementation —
+    * the two formulations agreeing is the check. */
+  def quantilesHist(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        roundN(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+      .groupBy(col("l_returnflag"), col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+    val byFlag = Window.partitionBy(col("l_returnflag"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(byFlag.orderBy(col("cents"))))
+      .withColumn("n", sum(col("cnt")).over(byFlag))
+    def pick(q: Double) =
+      min(when(col("cum") >= ceil(lit(q) * col("n")), col("cents")))
+    cum.groupBy(col("l_returnflag"))
+      .agg((pick(0.25).cast("double") / 100.0).as("q25"),
+        (pick(0.5).cast("double") / 100.0).as("q50"),
+        (pick(0.75).cast("double") / 100.0).as("q75"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val quantilesHistSql = {
+    def qd(q: Double) =
+      s"CAST(quantile_disc(CAST(${roundNSql("l_extendedprice * 100", 0)} AS BIGINT), $q) AS DOUBLE) / 100.0"
+    s"""SELECT l_returnflag, ${qd(0.25)} AS q25, ${qd(0.5)} AS q50,
+       |  ${qd(0.75)} AS q75
+       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Exact percentiles per group: Spark `percentile` (sort + linear
     * interpolation) matches DuckDB `quantile_cont` bit-for-bit on the same
     * doubles (verified incl. trailing float digits). Exact percentile is a
-    * per-group sort — fine for bounded groups; the unbounded-scale path is
-    * approx_percentile (not oracle-comparable, like the HLL variant). */
+    * per-group sort — fine for bounded groups; the unbounded-scale paths
+    * are approx_percentile (rows-only, like the HLL variant) and the
+    * histogram method above (exact AND oracle-checked). */
   def quantiles(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
@@ -366,6 +405,7 @@ object Scans {
 
   val queries: Seq[Q] = Seq(
     Q("q_scan_partitioned", scanPartitioned, Some(scanPartitionedSql)),
+    Q("q_stats_quantiles_hist", quantilesHist, Some(quantilesHistSql)),
     Q("q_stats_chi2", chi2Drift, Some(chi2Sql)),
     Q("q_stats_corr", corrStats, Some(corrSql)),
     Q("q_stats_histogram", histogram, Some(histogramSql)),
