@@ -15,10 +15,13 @@ class EntrySpec extends SparkSuite {
     val noOracle = Registry.all.filter(_.oracle.isEmpty).map(_.name).toSet
     // only sketch-estimate / input-parameterized / engine-side-codec
     // queries may skip the oracle: HLL KPI, GK quantiles, corpus-adaptive
-    // LSH (error-bound or invariant specs) and the WAV decode (binary
-    // parser, closed-form sine spec in AudioSpec)
+    // LSH (error-bound or invariant specs), the WAV decode (binary parser,
+    // closed-form sine spec in AudioSpec), the PNG aHash pipeline (image
+    // codec, cluster-structure spec in MultimodalSpec), and PQ ANN
+    // (8-codebook training; determinism + recall specs in PqSpec)
     val allowed = Set("q_kpi_order_approx", "q_stats_quantiles_approx",
-      "q_sim_knn_lsh_adaptive", "q_mm_audio")
+      "q_sim_knn_lsh_adaptive", "q_mm_audio", "q_mm_image_neardup",
+      "q_sim_knn_pq")
     assert(noOracle === allowed, noOracle.toString)
     assert(SparkEntry.queries.keySet === SparkEntry.oracleSql.keySet ++ allowed)
   }
