@@ -262,7 +262,67 @@ object NearDup {
        |FROM g a JOIN g b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingThreshold""".stripMargin
 
+  /** Containment threshold: |A∩B| / min(|A|,|B|) ≥ this. */
+  val ContainmentThreshold = 0.7
+
+  /** Containment (asymmetric-Jaccard) pairs over the SAME LSH candidate
+    * stream as the symmetric query: containment = |A∩B| / min(|A|,|B|)
+    * catches a short document embedded verbatim in a long one — a case
+    * symmetric Jaccard structurally misses (the union is dominated by the
+    * long side). Same scale shape as minhashPairs: banded candidates only,
+    * exact set verify on the candidate set. The LSH recall caveat is
+    * inherent (MinHash sketches symmetric Jaccard, so extreme length
+    * ratios can miss the band) — the standard mitigation is shingle
+    * sampling on the long side; candidates that DO surface are verified
+    * with the true containment formula here. */
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
+    val shingleTbl = shingleTable(spark, dir).persist()
+    val sig = shingleTbl
+      .withColumn("hb", baseHashes)
+      .select(
+        col("doc_id") +: (0 until NumHashes).map(k => minhash(col("hb"), k).as(s"mh_$k")): _*)
+    val bands = array((0 until NumBands).map { b =>
+      md5(concat_ws(",",
+        (b * BandSize until (b + 1) * BandSize).map(k => col(s"mh_$k")): _*))
+    }: _*)
+    val banded = sig.select(col("doc_id"), explode(bands).as("band"))
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    val cand = a.join(b, col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val sa = shingleTbl.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val sb = shingleTbl.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    cand.join(sa, "id_a").join(sb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        roundN(inter / least(size(col("sh_a")), size(col("sh_b"))), 4)
+          .as("containment"))
+      .filter(col("containment") >= ContainmentThreshold)
+  }
+
+  private val containmentPairsSql = {
+    val mhs = (0 until NumHashes).map(k => s"${minhashSql(k)} AS mh_$k").mkString(", ")
+    val bandList = (0 until NumBands).map { b =>
+      val parts = (b * BandSize until (b + 1) * BandSize).map(k => s"mh_$k")
+      s"md5(concat_ws(',', ${parts.mkString(", ")}))"
+    }.mkString("[", ", ", "]")
+    val contain = roundNSql(
+      "CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / least(len(sa.sh), len(sb.sh))", 4)
+    s"""WITH s AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
+       |hh AS (SELECT doc_id, sh, $baseHashesSql AS hb FROM s),
+       |m AS (SELECT doc_id, $mhs FROM hh),
+       |b AS (SELECT doc_id, unnest($bandList) AS band FROM m),
+       |c AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+       |      FROM b a JOIN b b2 ON a.band = b2.band AND a.doc_id < b2.doc_id),
+       |j AS (SELECT id_a, id_b, $contain AS containment
+       |      FROM c JOIN s sa ON sa.doc_id = c.id_a JOIN s sb ON sb.doc_id = c.id_b)
+       |SELECT id_a, id_b, containment FROM j
+       |WHERE containment >= $ContainmentThreshold""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_dedup_containment_pairs", containmentPairs, Some(containmentPairsSql)),
     Q("q_dedup_minhash_sig", minhashSignatures, Some(minhashSigSql)),
     Q("q_dedup_minhash_lsh", minhashPairs, Some(minhashPairsSql), bench = true),
     Q("q_dedup_ngram_jaccard", ngramJaccardPairs, Some(ngramJaccardSql)),
