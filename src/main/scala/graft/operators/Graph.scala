@@ -177,8 +177,65 @@ object Graph {
        |FROM e ab JOIN e bc ON ab.hi = bc.lo
        |          JOIN e ac ON ac.lo = ab.lo AND ac.hi = bc.hi""".stripMargin
 
+  /** BFS hop distances from a seed set — bounded-round frontier
+    * propagation, the "blast radius" query (recall scope, contamination
+    * spread, related-item depth). Each round is ONE shuffle-join (edges ⋈
+    * current distances on src) + a min-aggregate; `localCheckpoint`
+    * truncates lineage per round (the Graph/BPE iterative discipline —
+    * without it round r replays rounds 1..r-1). Distances are small
+    * integers, so the oracle unrolls the identical rounds exactly. */
+  val BfsHops = 3
+  val BfsSeedMod = 199
+
+  def bfsDistances(edges: DataFrame, seeds: DataFrame, hops: Int): DataFrame = {
+    val e = edges.select(col(edges.columns(0)).as("src"), col(edges.columns(1)).as("dst"))
+    var dist = seeds.select(col(seeds.columns(0)).as("node"), lit(0).as("d"))
+      .localCheckpoint()
+    for (h <- 1 to hops) {
+      val next = dist.join(e, col("node") === col("src"))
+        .select(col("dst").as("node"), lit(h).as("d"))
+      dist = dist.unionByName(next)
+        .groupBy(col("node")).agg(min(col("d")).as("d"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
+  def bfsCoPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
+    val edges = li.alias("a")
+      .join(li.alias("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .distinct()
+    val seeds = Tables.part(spark, dir)
+      .filter(col("p_partkey") % BfsSeedMod === 0)
+      .select(col("p_partkey").as("node"))
+    bfsDistances(edges, seeds, BfsHops).orderBy(col("node"))
+  }
+
+  private val bfsSql: String = {
+    val rounds = (1 to BfsHops).map { h =>
+      s"""d$h AS (
+         |  SELECT node, CAST(min(d) AS INTEGER) AS d FROM (
+         |    SELECT node, d FROM d${h - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, $h AS d FROM e JOIN d${h - 1} p ON e.src = p.node)
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+       |d0 AS (
+       |  SELECT p_partkey AS node, 0 AS d FROM part WHERE p_partkey % $BfsSeedMod = 0),
+       |$rounds
+       |SELECT node, d FROM d$BfsHops ORDER BY 1""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_graph_pagerank", pageRankCoPurchase, Some(pageRankSql)),
     Q("q_graph_triangles", nearDupTriangles, Some(trianglesSql)),
+    Q("q_graph_bfs", bfsCoPurchase, Some(bfsSql)),
   )
 }
