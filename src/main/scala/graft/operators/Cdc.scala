@@ -101,5 +101,5 @@ object Cdc {
        |FROM last WHERE (packed // ${Pow56}) % 16 <> 2""".stripMargin
 
   val queries: Seq[Q] = Seq(
-    Q("q_cdc_apply", cdcApply, Some(cdcApplySql)))
+    Q("q_cdc_apply", cdcApply, Some(cdcApplySql), bench = true))
 }

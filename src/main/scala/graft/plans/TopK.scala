@@ -156,5 +156,5 @@ object TopK {
        |ORDER BY returnflag, price DESC, orderkey, linenumber""".stripMargin
 
   val queries: Seq[Q] = Seq(
-    Q("q_topk_native", topkNative, Some(topkNativeSql)))
+    Q("q_topk_native", topkNative, Some(topkNativeSql), bench = true))
 }
