@@ -148,6 +148,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ArgMinSqDist].getName, "vec_argmin_sqdist"),
       (children: Seq[Expression]) => ArgMinSqDist(children.head, children(1))))
     ext.injectOptimizerRule(_ => RewriteSelfDot)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteWindowTopK)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

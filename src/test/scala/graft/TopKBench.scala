@@ -13,6 +13,9 @@ object TopKBench {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // measure the UNREWRITTEN window form (else RewriteWindowTopK routes
+      // the window variant through the same native operator)
+      .config("spark.graft.topkRewrite.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
