@@ -164,10 +164,108 @@ object Multimodal {
   }
 
   // ---------------------------------------------------------------------
+  // REAL video decode: animated GIF is the one multi-frame container the
+  // JDK ships a codec for (ImageIO's GIF reader exposes getNumImages +
+  // per-frame read). Frames here are two-tone palettes, so the GIF
+  // round-trip is pixel-lossless and every frame feature is exact.
+  // With this, NO decode path is stubbed: images (PNG/JPEG/BMP/GIF),
+  // audio (RIFF/WAVE PCM16), video (animated GIF) all parse for real;
+  // `StubDecoder` remains only as the declarative-metadata twin.
+  // ---------------------------------------------------------------------
+
+  object GifVideo {
+
+    /** One frame: a 16×16 two-tone block pattern keyed by (id, frame). */
+    private[graft] def frame(id: Long, f: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val base = (id % 25).toInt
+      var y = 0
+      while (y < 16) {
+        var x = 0
+        while (x < 16) {
+          val block = (x / 4) * 4 + (y / 4)
+          val v = if ((((base * 16 + block) * 31 + f * 7) % 5) < 2) 40 else 216
+          img.setRGB(x, y, v << 16 | v << 8 | v)
+          x += 1
+        }
+        y += 1
+      }
+      img
+    }
+
+    /** Encode an nFrames animated GIF (pure JDK sequence writer). */
+    def synthesize(id: Long, nFrames: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      (0 until nFrames).foreach { f =>
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(frame(id, f), null, null),
+          writer.getDefaultWriteParam)
+      }
+      writer.endWriteSequence()
+      writer.dispose()
+      ios.close()
+      out.toByteArray
+    }
+
+    /** Decode every frame of a GIF payload. */
+    def decodeFrames(payload: Array[Byte]): Seq[java.awt.image.BufferedImage] = {
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        (0 until n).map(reader.read(_))
+      } finally { reader.dispose(); iis.close() }
+    }
+  }
+
+  final case class VideoFrame(
+      doc_id: Long, frame_idx: Int, width: Int, height: Int, mean_lum: Double)
+
+  /** Registered video pipeline: synthesize a deterministic animated GIF
+    * per document (4-8 frames keyed off doc_id), decode it FOR REAL
+    * through the JDK GIF reader, and keep every `everyK`-th frame with
+    * its exact mean luminance (two-tone palette → lossless round-trip).
+    * Engine-side codec → rows-only check; MultimodalSpec asserts frame
+    * counts and pixel-exact luminance against the synthesizer. */
+  def videoFrames(spark: SparkSession, dir: String, everyK: Int = 2): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val n = 4 + (id % 5).toInt
+          val frames = GifVideo.decodeFrames(GifVideo.synthesize(id, n))
+          frames.indices.by(everyK).iterator.map { idx =>
+            val img = frames(idx)
+            var s = 0.0
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                s += (img.getRGB(x, y) & 0xff).toDouble
+                x += 1
+              }
+              y += 1
+            }
+            VideoFrame(id, idx, img.getWidth, img.getHeight,
+              s / (img.getWidth * img.getHeight))
+          }
+        }
+      }
+      .toDF()
+  }
+
+  // ---------------------------------------------------------------------
   // REAL audio decode: RIFF/WAVE PCM is a plain byte layout (header + raw
   // little-endian samples), so it parses with zero external codecs — like
-  // the ImageIO path, this upgrades audio from stub to real. Only video
-  // remains stubbed (no container parser in the JVM).
+  // the ImageIO path, this upgrades audio from stub to real.
   // ---------------------------------------------------------------------
 
   /** Decoded audio features. `ok=false` rows carry -1/-0.0 defaults. */
@@ -408,5 +506,6 @@ object Multimodal {
     Q("q_mm_meta", mediaMeta, Some(mediaMetaSql)),
     Q("q_mm_audio", audioFeatures, None),
     Q("q_mm_image_neardup", imageNearDup, None),
+    Q("q_mm_video_frames", (s, d) => videoFrames(s, d), None),
   )
 }

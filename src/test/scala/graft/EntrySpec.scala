@@ -21,7 +21,7 @@ class EntrySpec extends SparkSuite {
     // (8-codebook training; determinism + recall specs in PqSpec)
     val allowed = Set("q_kpi_order_approx", "q_stats_quantiles_approx",
       "q_sim_knn_lsh_adaptive", "q_mm_audio", "q_mm_image_neardup",
-      "q_sim_knn_pq")
+      "q_mm_video_frames", "q_sim_knn_pq")
     assert(noOracle === allowed, noOracle.toString)
     assert(SparkEntry.queries.keySet === SparkEntry.oracleSql.keySet ++ allowed)
   }

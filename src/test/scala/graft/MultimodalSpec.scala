@@ -73,6 +73,40 @@ class MultimodalSpec extends SparkSuite {
     assert(hashes.distinct.length === 25)
   }
 
+  test("animated GIF round-trip is lossless: frame count and pixels exact") {
+    val payload = Multimodal.GifVideo.synthesize(7L, 6)
+    val frames = Multimodal.GifVideo.decodeFrames(payload)
+    assert(frames.length === 6)
+    frames.zipWithIndex.foreach { case (img, f) =>
+      assert(img.getWidth === 16 && img.getHeight === 16)
+      val want = Multimodal.GifVideo.frame(7L, f)
+      for (y <- 0 until 16; x <- 0 until 16)
+        assert((img.getRGB(x, y) & 0xffffff) === (want.getRGB(x, y) & 0xffffff),
+          s"frame $f pixel ($x,$y)")
+    }
+  }
+
+  test("video frame sampling decodes real GIF frames with exact luminance") {
+    val spark0 = spark
+    import spark0.implicits._
+    val out = Multimodal.videoFrames(spark, SparkSpec.sf0001)
+      .as[(Long, Int, Int, Int, Double)].collect()
+    assert(out.nonEmpty)
+    val byDoc = out.groupBy(_._1)
+    byDoc.foreach { case (id, rows) =>
+      val n = 4 + (id % 5).toInt
+      assert(rows.length === (n + 1) / 2) // every 2nd frame of n
+      rows.foreach { case (_, idx, w, h, lum) =>
+        assert(idx % 2 === 0 && w === 16 && h === 16)
+        // recompute from the synthesizer: two-tone 40/216 means
+        val img = Multimodal.GifVideo.frame(id, idx)
+        var s = 0.0
+        for (y <- 0 until 16; x <- 0 until 16) s += (img.getRGB(x, y) & 0xff)
+        assert(lum === s / 256)
+      }
+    }
+  }
+
   test("image near-dup clusters group exactly by doc_id % 25") {
     val spark0 = spark
     import spark0.implicits._
