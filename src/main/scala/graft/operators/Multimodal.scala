@@ -135,6 +135,44 @@ object Multimodal {
       }
   }
 
+  final case class ResizedReal(
+      doc_id: Long, in_w: Int, in_h: Int, out_w: Int, out_h: Int, mean_lum: Double)
+
+  /** REAL image resize: decode the PNG, bilinear-rescale through
+    * Graphics2D (JDK, no external libs), and report the resized frame's
+    * mean luminance — the thumbnail/feature-extraction preprocessing step,
+    * partition-parallel with renderer state amortized per partition. */
+  def resizeImagesReal(spark: SparkSession, dir: String,
+      targetW: Int = 16, targetH: Int = 16): Dataset[ResizedReal] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        val hints = new java.awt.RenderingHints(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        it.map { id =>
+          val src = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(synthPng(id)))
+          val out = new java.awt.image.BufferedImage(
+            targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          g.setRenderingHints(hints)
+          g.drawImage(src, 0, 0, targetW, targetH, null)
+          g.dispose()
+          var s = 0.0
+          var y = 0
+          while (y < targetH) {
+            var x = 0
+            while (x < targetW) { s += (out.getRGB(x, y) & 0xff); x += 1 }
+            y += 1
+          }
+          ResizedReal(id, src.getWidth, src.getHeight, targetW, targetH,
+            s / (targetW * targetH))
+        }
+      }
+  }
+
   /** One sampled frame of a (fake) video payload. */
   final case class SampledFrame(doc_id: Long, frame_idx: Int, frame_hash: String)
 

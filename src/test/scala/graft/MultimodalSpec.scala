@@ -107,6 +107,29 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("real bilinear resize halves dims and preserves mean luminance") {
+    val spark0 = spark
+    import spark0.implicits._
+    val out = Multimodal.resizeImagesReal(spark, SparkSpec.sf0001)
+      .as[(Long, Int, Int, Int, Int, Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, iw, ih, ow, oh, lum) =>
+      assert(iw === 32 && ih === 32 && ow === 16 && oh === 16)
+      // source is two-tone (40/216) constant 4x4 blocks: a half-scale
+      // bilinear result keeps the overall mean close to the original
+      val src = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.synthPng(id)))
+      var s = 0.0
+      for (y <- 0 until 32; x <- 0 until 32) s += (src.getRGB(x, y) & 0xff)
+      val srcMean = s / 1024
+      assert(math.abs(lum - srcMean) < 12.0, s"doc $id: $lum vs $srcMean")
+    }
+    // determinism
+    val again = Multimodal.resizeImagesReal(spark, SparkSpec.sf0001)
+      .as[(Long, Int, Int, Int, Int, Double)].collect()
+    assert(out.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
+
   test("image near-dup clusters group exactly by doc_id % 25") {
     val spark0 = spark
     import spark0.implicits._
