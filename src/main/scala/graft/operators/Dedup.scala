@@ -218,7 +218,66 @@ object Dedup {
       .groupBy(md5(col("text")).as("fp")).agg(count(lit(1)).as("sz"))
       .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
 
+  /** Span-level duplicate accounting — the C4-style sub-document dedup
+    * signal: every 10-word window ("span") hashes once; a span occurring
+    * anywhere else in the corpus is a duplicate everywhere EXCEPT its
+    * first occurrence (global keeper = packed min of (doc, pos) — the
+    * packed-BIGINT champion again, one hash aggregate, no window). Output
+    * is per-doc span/duplicate-span counts: the score a C4 cleaner
+    * thresholds on before cutting repeated boilerplate.
+    *
+    * Scale shape: spans explode ~|words| rows per doc but carry 32-byte
+    * md5 digests, never text; the global aggregate is map-side-combinable
+    * on the digest; the join back is digest-keyed. Docs shorter than the
+    * span never enter (both engines agree: zero spans → absent row). */
+  val SpanWords = 10
+  val SpanPosPack = 1L << 20 // max words per doc the packing supports
+
+  def spanDedupStats(spark: SparkSession, dir: String): DataFrame = {
+    val spans = TextAnalysis.withWordsOf(Tables.documents(spark, dir))
+      .filter(size(col("w")) >= SpanWords)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, size(w) - $SpanWords),
+           |  i -> struct(i AS pos, md5(concat_ws(' ', slice(w, i + 1, $SpanWords))) AS h))"""
+          .stripMargin)).as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.h").as("h"))
+    val global = spans.groupBy(col("h"))
+      .agg(min(col("doc_id") * SpanPosPack + col("pos")).as("keeper"),
+        count(lit(1)).as("cnt"))
+    spans.join(global, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        count(when(col("cnt") > 1 &&
+          col("doc_id") * SpanPosPack + col("pos") =!= col("keeper"), 1))
+          .as("n_dup_spans"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val spanDedupSql =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(${TextAnalysis.normSql}, ' ') AS w
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, w,
+       |    unnest(range(0, greatest(len(w) - ${SpanWords - 1}, 0))) AS pos
+       |  FROM w),
+       |sp AS (
+       |  SELECT doc_id, pos,
+       |    md5(array_to_string(list_slice(w, pos + 1, pos + $SpanWords), ' ')) AS h
+       |  FROM p),
+       |g AS (
+       |  SELECT h, min(doc_id * $SpanPosPack + pos) AS keeper, count(*) AS cnt
+       |  FROM sp GROUP BY 1)
+       |SELECT sp.doc_id, count(*) AS n_spans,
+       |  count(CASE WHEN g.cnt > 1
+       |             AND sp.doc_id * $SpanPosPack + sp.pos <> g.keeper
+       |        THEN 1 END) AS n_dup_spans
+       |FROM sp JOIN g ON sp.h = g.h
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q_text_span_dedup", spanDedupStats, Some(spanDedupSql)),
     Q("q_dedup_cluster_sizes", clusterSizes, Some(
       """WITH c AS (SELECT md5(text) AS fp, count(*) AS sz FROM documents GROUP BY 1)
         |SELECT sz, count(*) AS n_clusters FROM c GROUP BY 1""".stripMargin)),
