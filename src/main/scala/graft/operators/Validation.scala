@@ -146,7 +146,33 @@ object Validation {
        |ORDER BY rule, column_name""".stripMargin
   }
 
+  /** k-anonymity audit — the governance twin of the PII scan: any
+    * quasi-identifier combination shared by FEWER than k individuals can
+    * re-identify them, so a release gate lists (and usually suppresses)
+    * those combos. One hash aggregate on the quasi-identifier tuple, a
+    * HAVING, and a top-level rollup — the same group-count shape as the
+    * reference's duplicate check (validate.py:160-172), pointed at
+    * privacy. */
+  val KAnon = 8
+
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey").as("nationkey"),
+        col("c_mktsegment").as("mktsegment"))
+      .agg(count(lit(1)).as("group_size"))
+      .filter(col("group_size") < KAnon)
+      .orderBy(col("nationkey"), col("mktsegment"))
+
+  private val kAnonymitySql =
+    s"""SELECT c_nationkey AS nationkey, c_mktsegment AS mktsegment,
+       |  count(*) AS group_size
+       |FROM customer
+       |GROUP BY 1, 2
+       |HAVING count(*) < $KAnon
+       |ORDER BY 1, 2""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q_privacy_kanon", kAnonymity, Some(kAnonymitySql)),
     Q("q_validate_rules", validateRules, Some(validateRulesSql)),
     Q("q_empty_guard", emptyGuard, Some(
       "SELECT count(*) AS cnt, count(*) = 0 AS is_empty FROM lineitem")),
