@@ -73,6 +73,44 @@ object Scans {
       fd
     }
 
+  /** JSON-lines + ORC fixtures of the supplier table (idempotent,
+    * marker-guarded): the remaining cells of the source-format matrix
+    * (CSV, parquet, hive-partitioned parquet, DataSource V2 are covered
+    * elsewhere). Doubles round-trip JSON exactly (Spark writes shortest
+    * decimal, reads it back to the identical double), and the oracle
+    * reads the ORIGINAL parquet — so the check proves the format
+    * round-trip, not just the scan. */
+  private def ensureFormatFixtures(spark: SparkSession, dir: String): String =
+    synchronized {
+      val fd = s"/root/repo/target/fixtures/${new java.io.File(dir).getName}/formats"
+      val marker = new java.io.File(s"$fd/_READY")
+      if (!marker.exists()) {
+        Tables.supplier(spark, dir).write.mode("overwrite").json(s"$fd/supplier_json")
+        Tables.supplier(spark, dir).write.mode("overwrite").orc(s"$fd/supplier_orc")
+        new java.io.File(fd, "_READY").createNewFile()
+      }
+      fd
+    }
+
+  private val supplierSchema = StructType(Seq(
+    StructField("s_suppkey", LongType), StructField("s_name", StringType),
+    StructField("s_nationkey", IntegerType), StructField("s_acctbal", DoubleType)))
+
+  def scanJson(spark: SparkSession, dir: String): DataFrame = {
+    val fd = ensureFormatFixtures(spark, dir)
+    spark.read.schema(supplierSchema).json(s"$fd/supplier_json")
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
+  }
+
+  def scanOrc(spark: SparkSession, dir: String): DataFrame = {
+    val fd = ensureFormatFixtures(spark, dir)
+    spark.read.orc(s"$fd/supplier_orc")
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
+  }
+
+  private val supplierSql =
+    "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier"
+
   /** Partition-pruned scan over a hive layout: the `source = 'src7'`
     * predicate resolves against DIRECTORY NAMES, so the scan plans
     * PartitionFilters (not PushedFilters) and never opens the other 19
@@ -405,6 +443,8 @@ object Scans {
 
   val queries: Seq[Q] = Seq(
     Q("q_scan_partitioned", scanPartitioned, Some(scanPartitionedSql)),
+    Q("q_scan_json", scanJson, Some(supplierSql)),
+    Q("q_scan_orc", scanOrc, Some(supplierSql)),
     Q("q_stats_quantiles_hist", quantilesHist, Some(quantilesHistSql)),
     Q("q_stats_chi2", chi2Drift, Some(chi2Sql)),
     Q("q_stats_corr", corrStats, Some(corrSql)),
