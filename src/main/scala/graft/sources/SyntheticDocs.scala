@@ -26,7 +26,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * corpora are generated in place (no I/O at all, each executor
   * synthesizes only its split).
   */
-class SyntheticDocs extends TableProvider {
+class SyntheticDocs extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  /** ServiceLoader-registered short name: `.format("graft-docs")` and SQL
+    * `CREATE TABLE ... USING `graft-docs`` both resolve here. */
+  override def shortName(): String = "graft-docs"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     SyntheticDocs.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],

@@ -35,4 +35,18 @@ class SyntheticDocsSpec extends SparkSuite {
     val b = read(200, 7).collect().map(_.toString).sorted.toSeq
     assert(a === b) // partitioning never changes content
   }
+
+  test("short name resolves via ServiceLoader: .format and SQL CREATE TABLE USING") {
+    val viaFormat = spark.read.format("graft-docs")
+      .option("rows", "40").option("partitions", "3").load()
+    assert(viaFormat.count() === 40)
+    spark.sql("DROP TABLE IF EXISTS graft_docs_sql")
+    spark.sql(
+      "CREATE TABLE graft_docs_sql USING `graft-docs` OPTIONS (rows '40', partitions '3')")
+    try {
+      val viaSql = spark.sql("SELECT doc_id, lang FROM graft_docs_sql")
+      assert(viaSql.count() === 40)
+      assert(viaSql.columns.toSeq === Seq("doc_id", "lang"))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_docs_sql")
+  }
 }
