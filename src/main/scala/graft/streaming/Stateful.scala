@@ -86,6 +86,65 @@ object Stateful {
       }
   }
 
+  // --------------------------------------------- custom sessionizer
+  // flatMapGroupsWithState + EVENT-TIME TIMEOUT: the full custom-state
+  // surface. Spark's built-in session_window covers plain gap sessions;
+  // this operator exists for the semantics it can't express (per-session
+  // custom payloads, multi-session state under out-of-order arrival,
+  // explicit finalize-on-watermark), and the spec proves it emits exactly
+  // the built-in's sessions on the same input.
+
+  final case class SessEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class OpenSession(start_us: Long, end_us: Long, n: Long, sum: Double)
+  final case class SessionRow(
+      user_id: Long, session_start_us: Long, n_events: Long, total_value: Double)
+
+  val SessionGapUs: Long = 30L * 60 * 1000000
+
+  /** Merge sorted-by-start intervals under the session gap (strict `<`,
+    * matching session_window: a gap of exactly 30min starts a new one). */
+  private[graft] def mergeSessions(all: Seq[OpenSession]): List[OpenSession] =
+    all.sortBy(s => (s.start_us, s.end_us)).foldLeft(List.empty[OpenSession]) {
+      case (acc, s) => acc match {
+        case h :: t if s.start_us < h.end_us + SessionGapUs =>
+          OpenSession(h.start_us, math.max(h.end_us, s.end_us),
+            h.n + s.n, h.sum + s.sum) :: t
+        case _ => s :: acc
+      }
+    }.reverse
+
+  /** Append-mode custom sessions: state holds every OPEN session of the
+    * user (plural — out-of-order arrival can hold several apart), events
+    * merge in on arrival, and sessions emit ONLY when the event-time
+    * watermark passes their close (end + gap) — exactly-once finalized
+    * output, state bounded by the watermark. */
+  def customSessions(spark: SparkSession, events: Dataset[SessEvent]): Dataset[SessionRow] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[OpenSession], SessionRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[SessEvent], state: GroupState[List[OpenSession]]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000
+          val incoming = batch.map { e =>
+            val us = e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000
+            OpenSession(us, us, 1L, e.value)
+          }.toSeq
+          val merged = mergeSessions(state.getOption.getOrElse(Nil) ++ incoming)
+          val (closed, open) = merged.partition(_.end_us + SessionGapUs <= wmUs)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(open)
+            // fire when the earliest open session COULD close; clamp above
+            // the watermark (Spark rejects timeouts at/behind it)
+            val fireMs = open.map(_.end_us + SessionGapUs).min / 1000
+            state.setTimeoutTimestamp(math.max(fireMs, state.getCurrentWatermarkMs() + 1))
+          }
+          closed.iterator.map(s =>
+            SessionRow(uid, s.start_us, s.n, math.floor(s.sum * 100 + 0.5) / 100))
+      }
+  }
+
   /** Convenience: run the stateful stream from a file-source events dir to
     * a memory sink (update mode), returning the sink table name. */
   def runToMemory(spark: SparkSession, srcDir: String, sinkName: String): Unit = {
