@@ -48,7 +48,24 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Fixed-work CPU calibration: a deterministic single-thread xorshift
+    // spin whose wall-time scales with this VM's CPU-steal level. Readers
+    // comparing BENCH_r{N}.json across rounds can divide query times by
+    // (calib_spin_sec / a reference value) to normalize host noise.
+    val calib = {
+      def spin(): Double = {
+        val t0 = System.nanoTime()
+        var x = 88172645463325252L
+        var i = 0
+        while (i < 200000000) {
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+        }
+        if (x == 0) println("") // defeat dead-code elimination
+        (System.nanoTime() - t0) / 1e9
+      }
+      spin(); (1 to 3).map(_ => spin()).min
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"calib_spin_sec":$calib,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
