@@ -70,4 +70,22 @@ class PropertiesSpec extends SparkSuite {
       }
     })
   }
+
+  test("native top-k equals a reference sort-take on random relations") {
+    val rowsGen = Gen.listOfN(60,
+      Gen.zip(Gen.chooseNum(0, 4), Gen.chooseNum(-50, 50), Gen.chooseNum(0, 999)))
+    val kGen = Gen.chooseNum(1, 8)
+    holds(Prop.forAll(rowsGen, kGen) { (rows, k) =>
+      // unique (v, id) per group so the expected set is well-defined
+      val distinctRows = rows.distinct
+      val df = distinctRows.toDF("g", "v", "id")
+      val native = graft.plans.TopK
+        .topK(df, Seq("g"), Seq(("v", true), ("id", false)), k)
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+      val want = distinctRows.groupBy(_._1).flatMap { case (_, g) =>
+        g.sortBy { case (_, v, id) => (-v, id) }.take(k)
+      }.toSet
+      native == want
+    })
+  }
 }
