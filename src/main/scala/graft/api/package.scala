@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** The library façade: `import graft.api._` gives Dataset-first syntax for
+  * every generic operator core, decoupled from the harness table loaders —
+  * what a user switching from the reference pipeline actually calls.
+  *
+  * Each method delegates to the documented implementation object (where
+  * the plan-shape and scale notes live); nothing here adds semantics.
+  */
+package object api {
+
+  implicit class GraftDataFrameOps(private val df: DataFrame) {
+
+    /** First k rows per group under `order` ((column, descending) specs),
+      * through the native bounded-heap operator — no sort, no window.
+      * See [[graft.plans.TopK]]. */
+    def topKPerGroup(group: Seq[String], order: Seq[(String, Boolean)],
+        k: Int): DataFrame =
+      plans.TopK.topK(df, group, order, k)
+
+    /** Collapse a CDC changelog (columns: key, seq, op ∈ I/U/D, cents) to
+      * its live snapshot — latest-wins, tombstones dropped, idempotent
+      * under replay. See [[graft.operators.Cdc]]. */
+    def cdcSnapshot(): DataFrame = operators.Cdc.applyLog(df)
+
+    /** SCD Type-2 merge of an update batch into this dimension history.
+      * See [[graft.operators.Scd.applyScd2]]. */
+    def scd2Apply(updates: DataFrame, key: String, attrs: Seq[String],
+        effective: Column): DataFrame =
+      operators.Scd.applyScd2(df, updates, key, attrs, effective)
+
+    /** Connected components of this (src, dst) edge list — iterative
+      * min-label propagation. See [[graft.operators.Graph]]. */
+    def connectedComponents(maxIter: Int = 25): DataFrame =
+      operators.Graph.connectedComponents(df, maxIter)
+
+    /** PageRank over this (src, dst) edge list. */
+    def pageRank(iters: Int = operators.Graph.PrIters): DataFrame =
+      operators.Graph.pageRank(df, iters)
+
+    /** BFS hop distances over this (src, dst) edge list from `seeds`
+      * (first column = node id). */
+    def bfsDistances(seeds: DataFrame, hops: Int): DataFrame =
+      operators.Graph.bfsDistances(df, seeds, hops)
+
+    /** Oriented triangle enumeration over this (lo, hi) edge list. */
+    def triangles(): DataFrame = operators.Graph.triangles(df)
+
+    /** Tumbling 1-hour event windows (columns: ts, event_type, value). */
+    def eventWindows(): DataFrame = operators.Events.windowAgg(df)
+
+    /** 30-minute-gap sessions per user (columns: ts, user_id, value). */
+    def eventSessions(): DataFrame = operators.Events.sessionAgg(df)
+  }
+}
