@@ -147,6 +147,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_argmin_sqdist"),
       new ExpressionInfo(classOf[ArgMinSqDist].getName, "vec_argmin_sqdist"),
       (children: Seq[Expression]) => ArgMinSqDist(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("max_by_longs"),
+      new ExpressionInfo(classOf[MaxByLongs].getName, "max_by_longs"),
+      (children: Seq[Expression]) =>
+        MaxByLongs(children.head, children.tail).toAggregateExpression()))
     ext.injectOptimizerRule(_ => RewriteSelfDot)
     ext.injectOptimizerRule(_ => graft.plans.RewriteWindowTopK)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
