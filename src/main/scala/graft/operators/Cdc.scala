@@ -100,6 +100,37 @@ object Cdc {
        |  CAST(packed % ${Pow56} AS DOUBLE) / 100.0 AS price
        |FROM last WHERE (packed // ${Pow56}) % 16 <> 2""".stripMargin
 
+  /** Latest order per customer — the latest-record-per-entity query every
+    * warehouse runs, through the native `max_by_longs` declarative
+    * aggregate (functions/MaxByLong.scala): ONE codegen'd HashAggregate,
+    * no window sort, champion columns unlimited (the packed-BIGINT trick
+    * above caps payloads at 64 bits; the flat-buffer aggregate doesn't).
+    * Recency ties break by orderkey, packed into the ordering key
+    * (day·2^32 + orderkey — ordering stays ONE long; the values don't
+    * have to). */
+  def latestOrderPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val day = datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long")
+    val ord = day * (1L << 32) + col("o_orderkey")
+    Tables.orders(spark, dir)
+      .withColumn("cents", roundN(col("o_totalprice") * 100, 0).cast("long"))
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(call_function("max_by_longs", ord, col("o_orderkey"), col("cents"))
+        .as("m"))
+      .select(col("custkey"), col("m.v1").as("orderkey"),
+        (col("m.v2").cast("double") / 100.0).as("totalprice"))
+      .orderBy(col("custkey"))
+  }
+
+  private val latestOrderSql =
+    s"""SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+       |  CAST(CAST(${roundNSql("o_totalprice * 100", 0)} AS BIGINT) AS DOUBLE) / 100.0
+       |    AS totalprice
+       |FROM orders
+       |QUALIFY row_number() OVER (PARTITION BY o_custkey
+       |  ORDER BY CAST(o_orderdate AS DATE) DESC, o_orderkey DESC) = 1
+       |ORDER BY 1""".stripMargin
+
   val queries: Seq[Q] = Seq(
-    Q("q_cdc_apply", cdcApply, Some(cdcApplySql), bench = true))
+    Q("q_cdc_apply", cdcApply, Some(cdcApplySql), bench = true),
+    Q("q_latest_per_entity", latestOrderPerCustomer, Some(latestOrderSql)))
 }
