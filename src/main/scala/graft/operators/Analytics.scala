@@ -159,6 +159,21 @@ object Analytics {
       |  count(CASE WHEN TRY_CAST(regexp_extract(props, '"k": *(-?\d+)', 1) AS BIGINT) IS NULL THEN 1 END) AS n_missing
       |FROM events GROUP BY 1""".stripMargin
 
+  /** The same extraction through Spark 4's VARIANT type — the
+    * open-schema semi-structured path (`parse_json` → binary variant →
+    * typed `variant_get`), successor to string get_json_object: parse
+    * once, extract many times, no per-access re-parse. Oracle unchanged
+    * (regex over the raw string), so the check proves VARIANT decode
+    * equals the string path. */
+  def eventsVariant(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), parse_json(col("props")).as("v"))
+      .select(col("event_type"),
+        variant_get(col("v"), "$.k", "long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), max(col("k")).as("max_k"),
+        count(when(col("k").isNull, 1)).as("n_missing"))
+
   /** Cube over (returnflag, linestatus) with grouping indicators — all four
     * grouping sets in one Expand pass; `grouping()` disambiguates real
     * NULLs from subtotal rows. */
@@ -368,5 +383,6 @@ object Analytics {
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin)),
     Q("q_events_json", eventsJson, Some(eventsJsonSql)),
+    Q("q_events_variant", eventsVariant, Some(eventsJsonSql)),
   )
 }
