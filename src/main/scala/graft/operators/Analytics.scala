@@ -361,7 +361,58 @@ object Analytics {
        |GROUP BY 1
        |ORDER BY 1""".stripMargin
 
+  /** Market-basket affinity — support/confidence-free LIFT over order
+    * baskets: lift(a,b) = P(a,b)/(P(a)·P(b)) = n_pair·n_orders/(n_a·n_b),
+    * computed entirely from exact integer counts (one double division at
+    * the end — identical both engines). Pair generation is the per-order
+    * self-join (bounded by basket size, never a global cross product —
+    * the co-purchase-graph shape); item and order totals broadcast back.
+    * MinSupport keeps the output to statistically meaningful pairs. */
+  val MinSupport = 3L
+
+  def basketAffinity(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+      .distinct()
+    val nOrders = items.select(col("okey")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val itemCounts = items.groupBy(col("part")).agg(count(lit(1)).as("n_item"))
+    val pairs = items.alias("a")
+      .join(items.alias("b"),
+        col("a.okey") === col("b.okey") && col("a.part") < col("b.part"))
+      .groupBy(col("a.part").as("part_a"), col("b.part").as("part_b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= MinSupport)
+    pairs
+      .join(itemCounts.select(col("part").as("part_a"), col("n_item").as("n_a")), "part_a")
+      .join(itemCounts.select(col("part").as("part_b"), col("n_item").as("n_b")), "part_b")
+      .crossJoin(broadcast(nOrders))
+      .select(col("part_a"), col("part_b"), col("n_pair"),
+        roundN(col("n_pair").cast("double") * col("n_orders") /
+          (col("n_a") * col("n_b")), 6).as("lift"))
+      .orderBy(col("part_a"), col("part_b"))
+  }
+
+  private val basketAffinitySql =
+    s"""WITH items AS (
+       |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem),
+       |n AS (SELECT count(DISTINCT okey) AS n_orders FROM items),
+       |ic AS (SELECT part, count(*) AS n_item FROM items GROUP BY 1),
+       |p AS (
+       |  SELECT a.part AS part_a, b.part AS part_b, count(*) AS n_pair
+       |  FROM items a JOIN items b ON a.okey = b.okey AND a.part < b.part
+       |  GROUP BY 1, 2
+       |  HAVING count(*) >= $MinSupport)
+       |SELECT part_a, part_b, n_pair,
+       |  ${roundNSql("CAST(n_pair AS DOUBLE) * n.n_orders / (ia.n_item * ib.n_item)", 6)} AS lift
+       |FROM p
+       |JOIN ic ia ON ia.part = p.part_a
+       |JOIN ic ib ON ib.part = p.part_b
+       |CROSS JOIN n
+       |ORDER BY 1, 2""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q_basket_affinity", basketAffinity, Some(basketAffinitySql)),
     Q("q_mv_incremental", mvIncremental, Some(mvIncrementalSql)),
     Q("q_window_moving_avg", movingAvgRevenue, Some(movingAvgRevenueSql)),
     Q("q_unpivot", unpivotMeasures, Some(unpivotSql)),

@@ -269,7 +269,44 @@ object Events {
        |FROM d
        |ORDER BY 1""".stripMargin
 
+  /** User-journey transition matrix — P(next event type | current), the
+    * Markov view of product flows. One lag window per user (state =
+    * per-user ordered stream, the sessionization partitioning) and one
+    * tiny (|types|²) aggregate; probabilities divide exact counts. Ties
+    * in ts break by event_id so the "next" event is deterministic. */
+  def transitionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_type")).agg(sum(col("n")).as("n_from"))
+    pairs.join(totals, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        roundN(col("n").cast("double") / col("n_from"), 6).as("p"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  private val transitionMatrixSql =
+    s"""WITH $eventsUs,
+       |nx AS (
+       |  SELECT event_type AS from_type,
+       |    lead(event_type, 1) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS to_type
+       |  FROM e),
+       |p AS (SELECT from_type, to_type, count(*) AS n FROM nx
+       |      WHERE to_type IS NOT NULL GROUP BY 1, 2),
+       |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM p GROUP BY 1)
+       |SELECT p.from_type, p.to_type, p.n,
+       |  ${roundNSql("CAST(p.n AS DOUBLE) / t.n_from", 6)} AS p
+       |FROM p JOIN t USING (from_type)
+       |ORDER BY 1, 2""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q_events_markov", transitionMatrix, Some(transitionMatrixSql)),
     Q("q_events_cum_users", cumulativeUsers, Some(cumulativeUsersSql)),
     Q("q_events_anomaly", anomalies, Some(anomaliesSql)),
     Q("q_events_funnel", funnel, Some(funnelSql)),
