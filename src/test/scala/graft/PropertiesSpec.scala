@@ -88,4 +88,30 @@ class PropertiesSpec extends SparkSuite {
       native == want
     })
   }
+
+  test("max_by_longs equals a reference fold on random relations with nulls") {
+    val rowsGen = Gen.listOfN(40, Gen.zip(
+      Gen.chooseNum(0, 3).map(_.toLong),
+      Gen.option(Gen.chooseNum(-100L, 100L)),
+      Gen.chooseNum(0L, 999L),
+      Gen.chooseNum(0L, 999L)))
+    holds(Prop.forAll(rowsGen) { rows =>
+      // unique ord per group so the winner is well-defined
+      val clean = rows.groupBy(r => (r._1, r._2)).values.map(_.head).toList
+      val df = clean.toDF("g", "ord", "a", "b")
+      val got = df.groupBy(col("g"))
+        .agg(call_function("max_by_longs", col("ord"), col("a"), col("b")).as("m"))
+        .select(col("g"), col("m.v1"), col("m.v2"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getLong(2)))))
+        .toMap
+      val want = clean.groupBy(_._1).map { case (g, rs) =>
+        val defined = rs.filter(_._2.isDefined)
+        g -> (if (defined.isEmpty) None
+              else { val w = defined.maxBy(_._2.get); Some((w._3, w._4)) })
+      }
+      got == want
+    })
+  }
 }
