@@ -441,7 +441,48 @@ object Scans {
        |FROM c, t
        |ORDER BY 1""".stripMargin
 
+  /** Population stability index — the other standard drift metric (χ²'s
+    * finance sibling): PSI = Σ_buckets (p_cur − p_base)·ln(p_cur/p_base).
+    * Same one-scan conditional-count shape as the χ² query; the log ride
+    * the repo's quantized-ln discipline (floor(ln·10⁶+0.5)/10⁶ — one libm
+    * call on identical doubles, quantized before the multiply, so a 1-ulp
+    * libm divergence cannot reach the output; proven by q_text_lm_score). */
+  def psiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1998-01-01")
+    val counts = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), to_date(col("l_shipdate")).as("d"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(when(col("d") < cut, 1)).as("n_base"),
+        count(when(col("d") >= cut, 1)).as("n_cur"))
+    val totals = counts.agg(sum(col("n_base")).as("t_base"),
+      sum(col("n_cur")).as("t_cur"))
+    val pBase = col("n_base").cast("double") / col("t_base")
+    val pCur = col("n_cur").cast("double") / col("t_cur")
+    val lnQ = floor(log(pCur / pBase) * 1e6 + 0.5) / 1e6
+    counts.crossJoin(broadcast(totals))
+      .select(col("l_returnflag"), col("n_base"), col("n_cur"),
+        roundN((pCur - pBase) * lnQ, 8).as("psi_contrib"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val psiSql = {
+    val pBase = "CAST(n_base AS DOUBLE) / t_base"
+    val pCur = "CAST(n_cur AS DOUBLE) / t_cur"
+    s"""WITH c AS (
+       |  SELECT l_returnflag,
+       |    count(CASE WHEN CAST(l_shipdate AS DATE) < DATE '1998-01-01' THEN 1 END) AS n_base,
+       |    count(CASE WHEN CAST(l_shipdate AS DATE) >= DATE '1998-01-01' THEN 1 END) AS n_cur
+       |  FROM lineitem GROUP BY 1),
+       |t AS (SELECT CAST(sum(n_base) AS BIGINT) AS t_base,
+       |             CAST(sum(n_cur) AS BIGINT) AS t_cur FROM c)
+       |SELECT l_returnflag, n_base, n_cur,
+       |  ${roundNSql(s"(($pCur) - ($pBase)) * (floor(ln(($pCur) / ($pBase)) * 1e6 + 0.5) / 1e6)", 8)} AS psi_contrib
+       |FROM c, t
+       |ORDER BY 1""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_stats_psi", psiDrift, Some(psiSql)),
     Q("q_scan_partitioned", scanPartitioned, Some(scanPartitionedSql)),
     Q("q_scan_json", scanJson, Some(supplierSql)),
     Q("q_scan_orc", scanOrc, Some(supplierSql)),
