@@ -60,10 +60,14 @@ case class ArgMinSqDist(left: Expression, right: Expression)
     var j = 0
     while (j < centroids.length) {
       val c = centroids(j)
-      val n = math.min(x.numElements(), c.length)
+      // Dimension mismatches must fail fast, not yield a plausible-looking
+      // argmin over a silently truncated prefix.
+      if (x.numElements() != c.length)
+        throw new IllegalArgumentException(
+          s"$prettyName: vector dim ${x.numElements()} != centroid dim ${c.length}")
       var d = 0L
       var i = 0
-      while (i < n) { val e = x.getLong(i) - c(i); d += e * e; i += 1 }
+      while (i < c.length) { val e = x.getLong(i) - c(i); d += e * e; i += 1 }
       val p = d * MaxK + j
       if (p < best) best = p
       j += 1
@@ -86,7 +90,12 @@ case class ArgMinSqDist(left: Expression, right: Expression)
          |long $best = Long.MAX_VALUE;
          |for (int $j = 0; $j < $cents.length; $j++) {
          |  final long[] $c = $cents[$j];
-         |  final int $n = java.lang.Math.min($a.numElements(), $c.length);
+         |  if ($a.numElements() != $c.length) {
+         |    throw new IllegalArgumentException(
+         |      "vec_argmin_sqdist: vector dim " + $a.numElements() +
+         |      " != centroid dim " + $c.length);
+         |  }
+         |  final int $n = $c.length;
          |  long $d = 0L;
          |  for (int $i = 0; $i < $n; $i++) {
          |    final long $e = $a.getLong($i) - $c[$i];

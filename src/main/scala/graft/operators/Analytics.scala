@@ -161,15 +161,17 @@ object Analytics {
 
   /** The same extraction through Spark 4's VARIANT type — the
     * open-schema semi-structured path (`parse_json` → binary variant →
-    * typed `variant_get`), successor to string get_json_object: parse
+    * typed `try_variant_get`), successor to string get_json_object: parse
     * once, extract many times, no per-access re-parse. Oracle unchanged
     * (regex over the raw string), so the check proves VARIANT decode
-    * equals the string path. */
+    * equals the string path. `try_` matches the oracle's
+    * TRY_CAST-null-on-failure semantics: a non-numeric `k` counts as
+    * missing instead of throwing mid-query. */
   def eventsVariant(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .select(col("event_type"), parse_json(col("props")).as("v"))
       .select(col("event_type"),
-        variant_get(col("v"), "$.k", "long").as("k"))
+        try_variant_get(col("v"), "$.k", "long").as("k"))
       .groupBy(col("event_type"))
       .agg(sum(col("k")).as("sum_k"), max(col("k")).as("max_k"),
         count(when(col("k").isNull, 1)).as("n_missing"))

@@ -164,11 +164,19 @@ object Scans {
     * group); for 2-decimal money the domain is bounded by construction.
     * The oracle is DuckDB's INDEPENDENT `quantile_disc` implementation —
     * the two formulations agreeing is the check. */
-  def quantilesHist(spark: SparkSession, dir: String): DataFrame = {
+  def quantilesHist(spark: SparkSession, dir: String): DataFrame =
+    type1CentsQuantiles(
+      Tables.lineitem(spark, dir)
+        .select(col("l_returnflag"),
+          roundN(col("l_extendedprice") * 100, 0).cast("long").as("cents")))
+
+  /** The histogram-cumulative type-1 pick, factored out so the convention
+    * is unit-testable on constructed small groups (where type-1's
+    * ceil(q·n) and other discrete conventions pick different elements —
+    * e.g. n=2, q=0.75). Input: (l_returnflag, cents). */
+  private[graft] def type1CentsQuantiles(vals: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hist = Tables.lineitem(spark, dir)
-      .select(col("l_returnflag"),
-        roundN(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+    val hist = vals
       .groupBy(col("l_returnflag"), col("cents"))
       .agg(count(lit(1)).as("cnt"))
     val byFlag = Window.partitionBy(col("l_returnflag"))
@@ -184,12 +192,27 @@ object Scans {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Oracle pins the SAME type-1 convention the Spark side computes —
+    * smallest value whose cumulative count reaches ceil(q·n) — via an
+    * explicit cumulative-histogram formulation, rather than leaning on
+    * DuckDB quantile_disc's internal index convention (which can pick an
+    * adjacent element for some (n, q) and made the old equality
+    * fixture-dependent). */
   private val quantilesHistSql = {
-    def qd(q: Double) =
-      s"CAST(quantile_disc(CAST(${roundNSql("l_extendedprice * 100", 0)} AS BIGINT), $q) AS DOUBLE) / 100.0"
-    s"""SELECT l_returnflag, ${qd(0.25)} AS q25, ${qd(0.5)} AS q50,
-       |  ${qd(0.75)} AS q75
-       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+    val cents = s"CAST(${roundNSql("l_extendedprice * 100", 0)} AS BIGINT)"
+    def pick(q: Double) =
+      s"CAST(min(CASE WHEN cum >= ceil($q * n) THEN cents END) AS DOUBLE) / 100.0"
+    s"""WITH hist AS (
+       |  SELECT l_returnflag, $cents AS cents, count(*) AS cnt
+       |  FROM lineitem GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT l_returnflag, cents,
+       |    sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY cents) AS cum,
+       |    sum(cnt) OVER (PARTITION BY l_returnflag) AS n
+       |  FROM hist)
+       |SELECT l_returnflag, ${pick(0.25)} AS q25, ${pick(0.5)} AS q50,
+       |  ${pick(0.75)} AS q75
+       |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   /** Exact percentiles per group: Spark `percentile` (sort + linear

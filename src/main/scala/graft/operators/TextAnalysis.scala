@@ -417,7 +417,12 @@ object TextAnalysis {
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = broadcast(Tables.documents(spark, dir).agg(count(lit(1)).as("n")))
     val win = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
-    tf.join(broadcast(df), Seq("term"))
+    // NO broadcast hint on df: the distinct-term table is vocabulary-sized
+    // (10^8+ rows on a web corpus) and a forced broadcast would OOM the
+    // driver at that scale. Left un-hinted, the planner (AQE at runtime)
+    // broadcasts while df is small and falls back to a shuffle join when
+    // it isn't — exactly the behavior we want at every scale.
+    tf.join(df, Seq("term"))
       .crossJoin(n)
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
         roundN(col("tf") * log(col("n").cast("double") / col("df")), 6).as("tfidf"))

@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, EqualTo, Expression, IntegerLiteral, LessThan, LessThanOrEqual, RowNumber, WindowExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IntegerLiteral, LessThan, LessThanOrEqual, RowNumber, WindowExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -40,6 +40,10 @@ object RewriteWindowTopK extends Rule[LogicalPlan] {
     case LessThanOrEqual(a: Attribute, IntegerLiteral(k)) => Some((a, k))
     case LessThan(a: Attribute, IntegerLiteral(k)) => Some((a, k - 1))
     case EqualTo(a: Attribute, IntegerLiteral(k)) => Some((a, k))
+    // mirrored literal-on-left forms (`5 >= rn`)
+    case GreaterThanOrEqual(IntegerLiteral(k), a: Attribute) => Some((a, k))
+    case GreaterThan(IntegerLiteral(k), a: Attribute) => Some((a, k - 1))
+    case EqualTo(IntegerLiteral(k), a: Attribute) => Some((a, k))
     case _ => None
   }
 
@@ -49,7 +53,9 @@ object RewriteWindowTopK extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (conf.getConfString("spark.graft.topkRewrite.enabled", "true") != "true") return plan
+    // parseBoolean is case-insensitive, so `TRUE`/`True` enable as expected
+    if (!java.lang.Boolean.parseBoolean(
+        conf.getConfString("spark.graft.topkRewrite.enabled", "true"))) return plan
     plan.transformUp {
       case f @ Filter(cond,
           w @ Window(Seq(Alias(WindowExpression(RowNumber(), spec), _)), part, order, child, _))

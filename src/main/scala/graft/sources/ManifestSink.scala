@@ -37,6 +37,12 @@ object ManifestSink {
   private def versionName(v: Int) = s"_manifest_v$v.json"
   private val VersionRe = "_manifest_v(\\d+)\\.json".r
 
+  /** Files.list returns a stream holding a directory handle — always close. */
+  private def listDir[A](dir: Path)(f: Iterator[Path] => A): A = {
+    val s = Files.list(dir)
+    try f(s.iterator().asScala) finally s.close()
+  }
+
   /** Publish a new snapshot; returns its version (1-based). */
   def write(df: DataFrame, table: String): Int = {
     val dir = Paths.get(table)
@@ -44,13 +50,14 @@ object ManifestSink {
     val snapId = java.util.UUID.randomUUID().toString.take(8)
     val staging = dir.resolve(s"_staging_$snapId")
     df.write.parquet(staging.toString)
-    val moved = Files.list(staging).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .zipWithIndex.map { case (f, i) =>
-        val target = dir.resolve(s"part-$snapId-$i.parquet")
-        Files.move(f, target, StandardCopyOption.ATOMIC_MOVE)
-        target.getFileName.toString
-      }.toVector.sorted
+    val moved = listDir(staging) { files =>
+      files.filter(_.getFileName.toString.endsWith(".parquet"))
+        .zipWithIndex.map { case (f, i) =>
+          val target = dir.resolve(s"part-$snapId-$i.parquet")
+          Files.move(f, target, StandardCopyOption.ATOMIC_MOVE)
+          target.getFileName.toString
+        }.toVector
+    }.sorted
     deleteRecursively(staging)
     val version = versions(table).lastOption.getOrElse(0) + 1
     commit(dir, version, moved)
@@ -58,14 +65,23 @@ object ManifestSink {
   }
 
   /** The commit point: version manifest, then pointer — each temp-write +
-    * atomic rename. */
+    * atomic rename. The version manifest is NEVER replace-moved: if two
+    * writers race to the same version number, the second fails loudly with
+    * FileAlreadyExistsException instead of silently clobbering the first
+    * snapshot's file list. (The exists-check + rename pair leaves a
+    * microscopic TOCTOU window on POSIX rename semantics — a real object
+    * store closes it with put-if-absent; concurrent multi-writer commit is
+    * otherwise out of contract, matching Delta's single-cluster caveat.) */
   private def commit(dir: Path, version: Int, files: Vector[String]): Unit = {
     val body = files.map(f => "\"" + f + "\"")
       .mkString(s"""{"version": $version, "files": [""", ", ", "]}")
+    val vTarget = dir.resolve(versionName(version))
+    if (Files.exists(vTarget))
+      throw new java.nio.file.FileAlreadyExistsException(
+        vTarget.toString, null, s"version $version already committed — concurrent writer?")
     val vtmp = dir.resolve(s".${versionName(version)}.tmp")
     Files.writeString(vtmp, body)
-    Files.move(vtmp, dir.resolve(versionName(version)),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    Files.move(vtmp, vTarget, StandardCopyOption.ATOMIC_MOVE)
     val ptmp = dir.resolve(s".$PointerName.tmp")
     Files.writeString(ptmp, body)
     Files.move(ptmp, dir.resolve(PointerName),
@@ -76,9 +92,10 @@ object ManifestSink {
   def versions(table: String): Seq[Int] = {
     val dir = Paths.get(table)
     if (!Files.exists(dir)) Seq.empty
-    else Files.list(dir).iterator().asScala
-      .flatMap(p => VersionRe.findFirstMatchIn(p.getFileName.toString))
-      .map(_.group(1).toInt).toSeq.sorted
+    else listDir(dir) { files =>
+      files.flatMap(p => VersionRe.findFirstMatchIn(p.getFileName.toString))
+        .map(_.group(1).toInt).toSeq
+    }.sorted
   }
 
   private def filesOf(dir: Path, manifest: Path): Seq[String] = {

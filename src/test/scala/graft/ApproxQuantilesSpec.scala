@@ -26,4 +26,19 @@ class ApproxQuantilesSpec extends SparkSuite {
       }
     }
   }
+
+  test("histogram quantile pins the type-1 ceil(q·n) convention on small groups") {
+    // n=2, q=0.75: type-1 picks the 2nd element (ceil(1.5)=2) where
+    // DuckDB quantile_disc's floor(q·(n-1))+1 picks the 1st — the exact
+    // (n, q) family the oracle SQL was rewritten to pin (ADVICE r3).
+    val vals = Seq(("A", 1000L), ("A", 2000L), ("B", 1L), ("B", 2L), ("B", 3L))
+      .toDF("l_returnflag", "cents")
+    val got = Scans.type1CentsQuantiles(vals)
+      .as[(String, Double, Double, Double)].collect()
+      .map { case (g, q25, q50, q75) => g -> ((q25, q50, q75)) }.toMap
+    // A (n=2): q25 -> ceil(0.5)=1st, q50 -> ceil(1)=1st, q75 -> ceil(1.5)=2nd
+    assert(got("A") == ((10.0, 10.0, 20.0)))
+    // B (n=3): q25 -> ceil(0.75)=1st, q50 -> ceil(1.5)=2nd, q75 -> ceil(2.25)=3rd
+    assert(got("B") == ((0.01, 0.02, 0.03)))
+  }
 }

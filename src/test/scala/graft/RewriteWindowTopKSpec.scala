@@ -66,4 +66,24 @@ class RewriteWindowTopKSpec extends SparkSuite {
     val mode = operators.Scans.modeQty(spark, SparkSpec.sf0001)
     assert(mode.queryExecution.executedPlan.toString.contains("GraftTopKPartial"))
   }
+
+  test("mirrored literal-on-left bound (k >= rn) also rewrites, with equal results") {
+    val w = Window.partitionBy(col("g")).orderBy(col("p").desc, col("o"), col("n"))
+    val df = li.withColumn("rn", row_number().over(w)).filter(lit(5) >= col("rn"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftTopKPartial"), s"mirrored form did not rewrite:\n$plan")
+    val want = windowTopK(5)
+    assert(df.exceptAll(want).isEmpty && want.exceptAll(df).isEmpty)
+  }
+
+  test("enable flag is case-insensitive: TRUE keeps the rewrite on, FALSE turns it off") {
+    for ((v, expectHeap) <- Seq("TRUE" -> true, "False" -> false)) {
+      spark.conf.set("spark.graft.topkRewrite.enabled", v)
+      try {
+        val plan = windowTopK(3).queryExecution.executedPlan.toString
+        assert(plan.contains("GraftTopKPartial") === expectHeap,
+          s"enabled=$v expected heap=$expectHeap:\n$plan")
+      } finally spark.conf.set("spark.graft.topkRewrite.enabled", "true")
+    }
+  }
 }
