@@ -395,6 +395,72 @@ object Analytics {
       .orderBy(col("part_a"), col("part_b"))
   }
 
+  /** Skew-guarded basket lift (round-3 verdict ask #6): per-basket pair
+    * fan-out is O(|basket|²), so one pathological mega-basket (a crawler
+    * account, a bulk order) turns into a single task computing billions of
+    * pairs. The guard: only the BasketCap deterministically-ranked items
+    * of each basket (md5-hash order — reshard-stable, no RNG) enter pair
+    * generation, bounding every basket's contribution to C(BasketCap, 2)
+    * pairs. Item/order totals stay UNCAPPED (they are linear aggregates
+    * with no skew exposure), so only n_pair is approximated — the
+    * standard reservoir-style bound. BasketCap = 8 bites on this fixture
+    * (baskets reach 13 distinct parts), so the oracle actually checks the
+    * truncation; production would tune it to the p99.9 basket. */
+  val BasketCap = 8
+
+  def basketAffinityCapped(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val itemsAll = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+      .distinct()
+    val w = Window.partitionBy(col("okey"))
+      .orderBy(md5(col("part").cast("string")), col("part"))
+    val items = itemsAll
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= BasketCap).drop("rn")
+    val nOrders = itemsAll.select(col("okey")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val itemCounts = itemsAll.groupBy(col("part")).agg(count(lit(1)).as("n_item"))
+    val pairs = items.alias("a")
+      .join(items.alias("b"),
+        col("a.okey") === col("b.okey") && col("a.part") < col("b.part"))
+      .groupBy(col("a.part").as("part_a"), col("b.part").as("part_b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= MinSupport)
+    pairs
+      .join(itemCounts.select(col("part").as("part_a"), col("n_item").as("n_a")), "part_a")
+      .join(itemCounts.select(col("part").as("part_b"), col("n_item").as("n_b")), "part_b")
+      .crossJoin(broadcast(nOrders))
+      .select(col("part_a"), col("part_b"), col("n_pair"),
+        roundN(col("n_pair").cast("double") * col("n_orders") /
+          (col("n_a") * col("n_b")), 6).as("lift"))
+      .orderBy(col("part_a"), col("part_b"))
+  }
+
+  private val basketAffinityCappedSql =
+    s"""WITH items0 AS (
+       |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem),
+       |items AS (
+       |  SELECT okey, part FROM (
+       |    SELECT okey, part, row_number() OVER (PARTITION BY okey
+       |      ORDER BY md5(CAST(part AS VARCHAR)), part) AS rn
+       |    FROM items0)
+       |  WHERE rn <= $BasketCap),
+       |n AS (SELECT count(DISTINCT okey) AS n_orders FROM items0),
+       |ic AS (SELECT part, count(*) AS n_item FROM items0 GROUP BY 1),
+       |p AS (
+       |  SELECT a.part AS part_a, b.part AS part_b, count(*) AS n_pair
+       |  FROM items a JOIN items b ON a.okey = b.okey AND a.part < b.part
+       |  GROUP BY 1, 2
+       |  HAVING count(*) >= $MinSupport)
+       |SELECT part_a, part_b, n_pair,
+       |  ${roundNSql("CAST(n_pair AS DOUBLE) * n.n_orders / (ia.n_item * ib.n_item)", 6)} AS lift
+       |FROM p
+       |JOIN ic ia ON ia.part = p.part_a
+       |JOIN ic ib ON ib.part = p.part_b
+       |CROSS JOIN n
+       |ORDER BY 1, 2""".stripMargin
+
   private val basketAffinitySql =
     s"""WITH items AS (
        |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem),
@@ -415,6 +481,7 @@ object Analytics {
 
   val queries: Seq[Q] = Seq(
     Q("q_basket_affinity", basketAffinity, Some(basketAffinitySql)),
+    Q("q_basket_affinity_capped", basketAffinityCapped, Some(basketAffinityCappedSql)),
     Q("q_mv_incremental", mvIncremental, Some(mvIncrementalSql)),
     Q("q_window_moving_avg", movingAvgRevenue, Some(movingAvgRevenueSql)),
     Q("q_unpivot", unpivotMeasures, Some(unpivotSql)),

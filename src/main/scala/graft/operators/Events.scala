@@ -290,6 +290,54 @@ object Events {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** Skew-guarded transition matrix (round-3 verdict ask #6): the per-user
+    * window sort is O(events-per-user · log) in ONE task — a bot account
+    * with 10⁸ events wedges the stage. The guard keeps each user's FIRST
+    * JourneyCap events (by time — a prefix, so real transition structure
+    * is preserved, unlike a hash sample which would fabricate transitions
+    * between non-adjacent events). JourneyCap = 50 bites on this fixture
+    * (users run 60-90 events), so the oracle checks the truncation;
+    * production tunes it to the p99.9 user. */
+  val JourneyCap = 50
+
+  def transitionMatrixCapped(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= JourneyCap)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_type")).agg(sum(col("n")).as("n_from"))
+    pairs.join(totals, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        roundN(col("n").cast("double") / col("n_from"), 6).as("p"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  private val transitionMatrixCappedSql =
+    s"""WITH $eventsUs,
+       |capped AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+       |  FROM e
+       |  QUALIFY rn <= $JourneyCap),
+       |nx AS (
+       |  SELECT event_type AS from_type,
+       |    lead(event_type, 1) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS to_type
+       |  FROM capped),
+       |p AS (SELECT from_type, to_type, count(*) AS n FROM nx
+       |      WHERE to_type IS NOT NULL GROUP BY 1, 2),
+       |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM p GROUP BY 1)
+       |SELECT p.from_type, p.to_type, p.n,
+       |  ${roundNSql("CAST(p.n AS DOUBLE) / t.n_from", 6)} AS p
+       |FROM p JOIN t USING (from_type)
+       |ORDER BY 1, 2""".stripMargin
+
   private val transitionMatrixSql =
     s"""WITH $eventsUs,
        |nx AS (
@@ -307,6 +355,7 @@ object Events {
 
   val queries: Seq[Q] = Seq(
     Q("q_events_markov", transitionMatrix, Some(transitionMatrixSql)),
+    Q("q_events_markov_capped", transitionMatrixCapped, Some(transitionMatrixCappedSql)),
     Q("q_events_cum_users", cumulativeUsers, Some(cumulativeUsersSql)),
     Q("q_events_anomaly", anomalies, Some(anomaliesSql)),
     Q("q_events_funnel", funnel, Some(funnelSql)),

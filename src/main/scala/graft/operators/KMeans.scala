@@ -56,6 +56,44 @@ object KMeans {
     call_function("vec_argmin_sqdist", col("t"),
       typedLit(cents.map(_.toSeq).toSeq))
 
+  /** The Lloyd loop over a persisted (vec_id, t) frame: init from the K
+    * lowest vec_ids, `Iterations` assign+recompute rounds. Returns the
+    * k×Dim tick centroids — driver-sized by definition (the justified
+    * k-row collect pattern). */
+  private def lloyd(v: DataFrame): Array[Array[Long]] = {
+    // init: the K lowest vec_ids' tick vectors
+    var cents: Array[Array[Long]] = v.orderBy(col("vec_id")).limit(K)
+      .select(col("t")).collect()
+      .map(_.getSeq[Long](0).toArray)
+
+    for (_ <- 1 to Iterations) {
+      val assigned = v.select(
+        pmod(packedAssign(cents), lit(64L)).cast("int").as("cid"), col("t"))
+      val aggCols = (1 to Dim).map(i =>
+        sum(element_at(col("t"), i)).as(s"s$i")) :+ count(lit(1)).as("n")
+      val stats: Array[Row] = assigned.groupBy(col("cid"))
+        .agg(aggCols.head, aggCols.tail: _*).collect()
+      val next = cents.map(_.clone()) // empty clusters keep their centroid
+      stats.foreach { r =>
+        val cid = r.getAs[Int]("cid")
+        val n = r.getAs[Long]("n")
+        next(cid) = (1 to Dim).map(i =>
+          math.floor(r.getAs[Long](s"s$i").toDouble / n + 0.5).toLong).toArray
+      }
+      cents = next
+    }
+    cents
+  }
+
+  /** Trained centroid tick vectors for downstream index builds (the IVF
+    * codebook in Similarity.knnIvfTrained). */
+  def trainCentroids(spark: SparkSession, dir: String): Array[Array[Long]] = {
+    val v = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), ticks.as("t"))
+      .persist()
+    try lloyd(v) finally v.unpersist()
+  }
+
   /** Run Lloyd iterations; returns per-cluster (cid, n_members, inertia,
     * centroid_sum) after the final assignment. */
   def kmeans(spark: SparkSession, dir: String): DataFrame = {
@@ -63,28 +101,7 @@ object KMeans {
       .select(col("vec_id"), ticks.as("t"))
       .persist()
     try {
-      // init: the K lowest vec_ids' tick vectors
-      var cents: Array[Array[Long]] = v.orderBy(col("vec_id")).limit(K)
-        .select(col("t")).collect()
-        .map(_.getSeq[Long](0).toArray)
-
-      for (_ <- 1 to Iterations) {
-        val assigned = v.select(
-          pmod(packedAssign(cents), lit(64L)).cast("int").as("cid"), col("t"))
-        val aggCols = (1 to Dim).map(i =>
-          sum(element_at(col("t"), i)).as(s"s$i")) :+ count(lit(1)).as("n")
-        val stats: Array[Row] = assigned.groupBy(col("cid"))
-          .agg(aggCols.head, aggCols.tail: _*).collect()
-        val next = cents.map(_.clone()) // empty clusters keep their centroid
-        stats.foreach { r =>
-          val cid = r.getAs[Int]("cid")
-          val n = r.getAs[Long]("n")
-          next(cid) = (1 to Dim).map(i =>
-            math.floor(r.getAs[Long](s"s$i").toDouble / n + 0.5).toLong).toArray
-        }
-        cents = next
-      }
-
+      val cents = lloyd(v)
       val centroidSums = cents.zipWithIndex
         .map { case (c, j) => (j, c.sum) }.toSeq
       val sums = spark.createDataFrame(centroidSums)

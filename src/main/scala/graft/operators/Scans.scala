@@ -470,13 +470,14 @@ object Scans {
     * the repo's quantized-ln discipline (floor(ln·10⁶+0.5)/10⁶ — one libm
     * call on identical doubles, quantized before the multiply, so a 1-ulp
     * libm divergence cannot reach the output; proven by q_text_lm_score). */
-  def psiDrift(spark: SparkSession, dir: String): DataFrame = {
-    val cut = lit("1998-01-01")
-    val counts = Tables.lineitem(spark, dir)
-      .select(col("l_returnflag"), to_date(col("l_shipdate")).as("d"))
-      .groupBy(col("l_returnflag"))
-      .agg(count(when(col("d") < cut, 1)).as("n_base"),
-        count(when(col("d") >= cut, 1)).as("n_cur"))
+  /** The baseline/current window boundary shared by the batch query and
+    * the streaming drift monitor ([[graft.streaming.DriftMonitor]]). */
+  val PsiCut = "1998-01-01"
+
+  /** PSI from a per-group count table (l_returnflag, n_base, n_cur) —
+    * factored out so the streaming monitor computes the IDENTICAL metric
+    * (same quantized ln, same rounding) from its accumulated state. */
+  private[graft] def psiOf(counts: DataFrame): DataFrame = {
     val totals = counts.agg(sum(col("n_base")).as("t_base"),
       sum(col("n_cur")).as("t_cur"))
     val pBase = col("n_base").cast("double") / col("t_base")
@@ -486,6 +487,25 @@ object Scans {
       .select(col("l_returnflag"), col("n_base"), col("n_cur"),
         roundN((pCur - pBase) * lnQ, 8).as("psi_contrib"))
       .orderBy(col("l_returnflag"))
+  }
+
+  /** Per-group counts of the baseline window (shipdate < PsiCut) — the
+    * PINNED reference distribution the streaming monitor joins against. */
+  private[graft] def psiBaseline(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), to_date(col("l_shipdate")).as("d"))
+      .filter(col("d") < lit(PsiCut))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_base"))
+
+  def psiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit(PsiCut)
+    val counts = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), to_date(col("l_shipdate")).as("d"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(when(col("d") < cut, 1)).as("n_base"),
+        count(when(col("d") >= cut, 1)).as("n_cur"))
+    psiOf(counts)
   }
 
   private val psiSql = {

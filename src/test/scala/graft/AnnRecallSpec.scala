@@ -26,4 +26,19 @@ class AnnRecallSpec extends SparkSuite {
     assert(rMulti >= rLsh)
     assert(rLsh > 0.0 && rIvf > 0.0)
   }
+
+  test("trained-centroid IVF: recall@5 >= training-free IVF on the same queries") {
+    val dir = SparkSpec.sf0001
+    val truth = pairs(Similarity.knnBrute(spark, dir))
+    def recall(got: Set[(Long, Long)]): Double =
+      if (truth.isEmpty) 1.0 else got.intersect(truth).size.toDouble / truth.size
+    val rSeed = recall(pairs(Similarity.knnIvf(spark, dir)))
+    val rTrained = recall(pairs(Similarity.knnIvfTrained(spark, dir)))
+    info(f"recall@5 — ivf(seed): $rSeed%.3f, ivf(kmeans): $rTrained%.3f")
+    // Lloyd centroids partition the corpus by actual density instead of
+    // arbitrary seed rows; with the same probe budget the candidate lists
+    // a query probes are tighter around it, so recall must not drop.
+    assert(rTrained >= rSeed, f"trained $rTrained%.3f < seed $rSeed%.3f")
+    assert(rTrained > 0.0)
+  }
 }

@@ -18,10 +18,12 @@ class EntrySpec extends SparkSuite {
     // LSH (error-bound or invariant specs), the WAV decode (binary parser,
     // closed-form sine spec in AudioSpec), the PNG aHash pipeline (image
     // codec, cluster-structure spec in MultimodalSpec), and PQ ANN
-    // (8-codebook training; determinism + recall specs in PqSpec)
+    // (8-codebook training; determinism + recall specs in PqSpec), and
+    // trained-centroid IVF (Lloyd codebook; recall floor vs the oracle-
+    // checked seed IVF in AnnRecallSpec)
     val allowed = Set("q_kpi_order_approx", "q_stats_quantiles_approx",
       "q_sim_knn_lsh_adaptive", "q_mm_audio", "q_mm_image_neardup",
-      "q_mm_video_frames", "q_sim_knn_pq")
+      "q_mm_video_frames", "q_sim_knn_pq", "q_sim_knn_ivf_trained")
     assert(noOracle === allowed, noOracle.toString)
     assert(SparkEntry.queries.keySet === SparkEntry.oracleSql.keySet ++ allowed)
   }
