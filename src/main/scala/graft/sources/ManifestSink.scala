@@ -72,7 +72,7 @@ object ManifestSink {
     * microscopic TOCTOU window on POSIX rename semantics — a real object
     * store closes it with put-if-absent; concurrent multi-writer commit is
     * otherwise out of contract, matching Delta's single-cluster caveat.) */
-  private def commit(dir: Path, version: Int, files: Vector[String]): Unit = {
+  private[graft] def commit(dir: Path, version: Int, files: Vector[String]): Unit = {
     val body = files.map(f => "\"" + f + "\"")
       .mkString(s"""{"version": $version, "files": [""", ", ", "]}")
     val vTarget = dir.resolve(versionName(version))

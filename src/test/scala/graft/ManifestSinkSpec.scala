@@ -36,6 +36,24 @@ class ManifestSinkSpec extends SparkSuite {
     assert(v2 === Set(10L, 11L, 12L))
   }
 
+  test("version collision fails loudly instead of clobbering the earlier snapshot") {
+    val table = Files.createTempDirectory("manifest_race").toString
+    ManifestSink.write(Seq((1L, "a")).toDF("id", "v"), table)
+    val dir = Paths.get(table)
+    // two writers raced read-then-increment and both computed version 2;
+    // the second commit must throw, not silently replace the first
+    // writer's file list (the lost-snapshot regression from ADVICE r3)
+    ManifestSink.commit(dir, 2, Vector("part-w1-0.parquet"))
+    intercept[java.nio.file.FileAlreadyExistsException] {
+      ManifestSink.commit(dir, 2, Vector("part-w2-0.parquet"))
+    }
+    // the first writer's manifest is untouched
+    assert(Files.readString(dir.resolve("_manifest_v2.json"))
+      .contains("part-w1-0.parquet"))
+    // and a subsequent writer moves past the collision (version 3)
+    assert(ManifestSink.write(Seq((3L, "c")).toDF("id", "v"), table) === 3)
+  }
+
   test("multi-partition writes list every file in the manifest") {
     val table = Files.createTempDirectory("manifest_multi").toString
     ManifestSink.write((1L to 100L).toDF("id").repartition(5), table)
