@@ -83,20 +83,46 @@ object EmbedClassify {
        |GROUP BY label""".stripMargin
 
   /** Nearest-centroid classification: every vector scored against every
-    * class prototype (broadcast — the centroid table is tiny), argmax by
-    * rounded cosine with label tie-break. */
+    * class prototype, argmax by rounded cosine with label tie-break.
+    *
+    * The class prototypes (labels × Dim doubles — a handful of rows by
+    * definition) are collected and shipped as LITERALS, the justified
+    * k-sized-codebook pattern (KMeans/IVF scaladoc): the classify pass is
+    * then a NARROW per-row argmax over codegen'd `vec_dot` — no join of
+    * any kind, no per-vector window shuffle, zero shuffles total
+    * (Round3PlansSpec pins the shape). The previous form crossJoined the
+    * broadcast centroid table (corpus × labels intermediate rows + a
+    * corpus-wide row_number shuffle) — strictly worse at every scale. */
   def nearestCentroid(spark: SparkSession, dir: String): DataFrame = {
+    // label type is whatever the table carries (int here, string
+    // elsewhere) — lit() and the struct comparator handle both; the
+    // collect order only fixes the literal array layout, not the argmax
+    val cents: IndexedSeq[(Any, Array[Double], Double)] =
+      centroidArrays(spark, dir).collect().toIndexedSeq
+        .map(r => (r.get(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+        .sortBy(_._1.toString)
+    require(cents.nonEmpty, "no labels in embeddings table")
     val vecs = Tables.embeddings(spark, dir).select(
       col("vec_id"), col("label"),
       col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(call_function("vec_dot", col("v"), col("v"))))
-    val sim = roundN(
-      call_function("vec_dot", col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6)
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("pred_label"))
-    vecs.crossJoin(broadcast(centroidArrays(spark, dir).withColumnRenamed("label", "pred_label")))
-      .select(col("vec_id"), col("label"), col("pred_label"), sim.as("sim"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).drop("rn")
+    val scored = array(cents.map { case (lbl, cv, cnrm) =>
+      struct(
+        roundN(call_function("vec_dot", col("v"), lit(cv)) / (col("nrm") * lit(cnrm)), 6)
+          .as("sim"),
+        lit(lbl).as("pred_label"))
+    }: _*)
+    val best = array_sort(scored,
+      (l, r) => when(l.getField("sim") > r.getField("sim"), -1)
+        .when(l.getField("sim") < r.getField("sim"), 1)
+        .otherwise(when(l.getField("pred_label") < r.getField("pred_label"), -1)
+          .when(l.getField("pred_label") > r.getField("pred_label"), 1)
+          .otherwise(0)))
+    vecs
+      .withColumn("best", element_at(best, 1))
+      .select(col("vec_id"), col("label"),
+        col("best").getField("pred_label").as("pred_label"),
+        col("best").getField("sim").as("sim"))
       .withColumn("correct", col("label") === col("pred_label"))
   }
 

@@ -162,8 +162,11 @@ object Scans {
     * reaches ceil(q·n) — a conditional-min aggregate. Memory is
     * O(distinct values per group) instead of `percentile`'s O(rows per
     * group); for 2-decimal money the domain is bounded by construction.
-    * The oracle is DuckDB's INDEPENDENT `quantile_disc` implementation —
-    * the two formulations agreeing is the check. */
+    * The oracle recomputes the same type-1 ceil(q·n) convention through
+    * an explicit DuckDB cumulative-histogram formulation (pinned, not
+    * fixture-dependent — see quantilesHistSql). Registered as the
+    * UNQUALIFIED q_stats_quantiles: the scale-safe form is the default;
+    * the per-group-sort interpolated form is the _sorted variant. */
   def quantilesHist(spark: SparkSession, dir: String): DataFrame =
     type1CentsQuantiles(
       Tables.lineitem(spark, dir)
@@ -529,14 +532,18 @@ object Scans {
     Q("q_scan_partitioned", scanPartitioned, Some(scanPartitionedSql)),
     Q("q_scan_json", scanJson, Some(supplierSql)),
     Q("q_scan_orc", scanOrc, Some(supplierSql)),
-    Q("q_stats_quantiles_hist", quantilesHist, Some(quantilesHistSql)),
+    // the UNQUALIFIED quantile name is the scale-safe histogram form (no
+    // per-group sort, memory O(distinct values)); the per-group-sort
+    // interpolated form is explicitly suffixed _sorted and stays the
+    // bounded-groups convenience (round-3 "weak while unqualified" fix)
+    Q("q_stats_quantiles", quantilesHist, Some(quantilesHistSql)),
     Q("q_stats_chi2", chi2Drift, Some(chi2Sql)),
     Q("q_stats_corr", corrStats, Some(corrSql)),
     Q("q_stats_histogram", histogram, Some(histogramSql)),
     Q("q_stats_mode", modeQty, Some(modeSql)),
     Q("q_profile_numeric", profileNumeric, Some(profileSql)),
     Q("q_stats_quantiles_approx", quantilesApprox, None),
-    Q("q_stats_quantiles", quantiles, Some(
+    Q("q_stats_quantiles_sorted", quantiles, Some(
       """SELECT l_returnflag,
         |  quantile_cont(l_extendedprice, 0.25) AS q25,
         |  quantile_cont(l_extendedprice, 0.5) AS q50,

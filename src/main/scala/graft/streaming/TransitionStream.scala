@@ -1,0 +1,122 @@
+package graft.streaming
+
+import graft.functions.Rounding.roundN
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+/** Streaming user-journey transition matrix — the stateful twin of the
+  * batch `q_events_markov` (operators/Events.transitionMatrix), exact
+  * under ARBITRARY arrival order, the same contract as the streaming
+  * funnel: a late-arriving event lands BETWEEN two already-seen events,
+  * which must REMOVE the old adjacent transition and add two new ones.
+  *
+  * Mechanics: state per user is the event sequence seen so far (the same
+  * information the batch per-user window sort consumes); each batch
+  * re-derives the user's full transition multiset and emits it ALONG WITH
+  * explicit zero rows for pairs the user previously had that vanished
+  * (the retraction channel). The foreachBatch sink upserts per
+  * (user, from, to) — zeros overwrite stale counts — then recomputes the
+  * global matrix (groups² rows, tiny) with the batch query's exact
+  * arithmetic and publishes it atomically.
+  *
+  * Scale notes: state is O(events per user) — the honest floor for exact
+  * out-of-order transition counting (the batch twin sorts the same rows);
+  * production bounds it with an event-time timeout finalizing users past
+  * the watermark, or the `q_events_markov_capped` journey prefix. The
+  * global recompute never touches event volume: it reads the
+  * (user, from, to) count store, groups²-bounded per user.
+  */
+object TransitionStream {
+
+  final case class Ev(user_id: Long, ts_us: Long, event_id: Long, event_type: String)
+  final case class UserSeq(events: List[(Long, Long, String)], known: List[(String, String)])
+  final case class UserTrans(user_id: Long, from_type: String, to_type: String, n: Long)
+
+  /** Per-user transition counts from the sorted sequence. */
+  private def derive(evs: List[(Long, Long, String)]): Map[(String, String), Long] = {
+    val sorted = evs.sortBy(e => (e._1, e._2)).map(_._3)
+    sorted.zip(sorted.drop(1)).groupBy(identity)
+      .map { case (k, v) => k -> v.size.toLong }
+  }
+
+  /** The stateful operator: emits the user's refreshed transition rows
+    * (plus explicit zeros for vanished pairs) every batch it appears in. */
+  def userTransitions(spark: SparkSession, events: org.apache.spark.sql.Dataset[Ev]):
+      org.apache.spark.sql.Dataset[UserTrans] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserSeq, UserTrans](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Ev], state: GroupState[UserSeq]) =>
+          val prev = state.getOption.getOrElse(UserSeq(Nil, Nil))
+          val evs = batch.foldLeft(prev.events) { (acc, e) =>
+            (e.ts_us, e.event_id, e.event_type) :: acc
+          }
+          val counts = derive(evs)
+          val vanished = prev.known.filterNot(counts.contains)
+          state.update(UserSeq(evs, counts.keys.toList))
+          counts.iterator.map { case ((f, t), n) => UserTrans(uid, f, t, n) } ++
+            vanished.iterator.map { case (f, t) => UserTrans(uid, f, t, 0L) }
+      }
+  }
+
+  /** File-source stream with the events schema. */
+  def eventsStream(spark: SparkSession, srcDir: String,
+      maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+
+  /** Start the monitor: per-user counts upserted into `stateDir`_counts,
+    * the published global matrix (batch-exact arithmetic) rewritten into
+    * `stateDir` after every micro-batch. */
+  def matrixMonitor(spark: SparkSession, srcDir: String, stateDir: String,
+      checkpointDir: String, maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    import spark.implicits._
+    val raw = eventsStream(spark, srcDir, maxFilesPerTrigger)
+    // mirror sources.Tables.events: nanos-as-long parquet arrives as
+    // LongType and truncates to micros; real timestamp columns pass through
+    val tsUs =
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        expr("ts div 1000")
+      else unix_micros(col("ts"))
+    val evs = raw
+      .select(col("user_id").cast("long").as("user_id"), tsUs.as("ts_us"),
+        col("event_id").cast("long").as("event_id"), col("event_type"))
+      .as[Ev]
+    userTransitions(spark, evs).toDF().writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        UpsertSink.upsertBatch(batch,
+          Seq("user_id", "from_type", "to_type"), stateDir + "_counts")
+        val sess = batch.sparkSession
+        val pairs = sess.read.parquet(stateDir + "_counts")
+          .filter(col("n") > 0)
+          .groupBy(col("from_type"), col("to_type"))
+          .agg(sum(col("n")).as("n"))
+        val totals = pairs.groupBy(col("from_type")).agg(sum(col("n")).as("n_from"))
+        val matrix = pairs.join(totals, "from_type")
+          .select(col("from_type"), col("to_type"), col("n"),
+            roundN(col("n").cast("double") / col("n_from"), 6).as("p"))
+        // the global matrix is groups²-sized and rows can vanish on
+        // retraction — publish by atomic swap, not upsert
+        val tmp = stateDir + ".tmp"
+        matrix.write.mode("overwrite").parquet(tmp)
+        val dir = new java.io.File(stateDir)
+        val old = new java.io.File(stateDir + ".old")
+        if (dir.exists()) dir.renameTo(old)
+        new java.io.File(tmp).renameTo(dir)
+        if (old.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+          }
+          rm(old)
+        }
+      }
+      .start()
+  }
+}

@@ -31,11 +31,7 @@ class PlanTripwireSpec extends SparkSuite with AdaptiveSparkPlanHelper {
   /** Queries whose BNLJ against a small constant-size broadcast side is
     * the documented algorithm (see Similarity/EmbedClassify scaladoc). */
   private val bnljWhitelist: Set[String] = Set(
-    "q_sim_knn_brute", // O(q·corpus) recall baseline, permanently weak
-    // broadcast side is the k-row centroid table (k = NumCentroids, a
-    // small constant by construction) — O(n·k) with tiny k, the
-    // documented nearest-centroid classify plan (Round3PlansSpec)
-    "q_embed_nearest_centroid"
+    "q_sim_knn_brute" // O(q·corpus) recall baseline, permanently weak
   )
 
   /** Build side is a grand aggregate — guaranteed single row. */

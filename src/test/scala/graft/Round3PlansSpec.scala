@@ -23,13 +23,11 @@ class Round3PlansSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     assert(shuffles(TextAnalysis.chunk(spark, dir)) === 0)
   }
 
-  test("nearest-centroid classify broadcasts the centroid table (no shuffle join)") {
-    val plan = executed(EmbedClassify.nearestCentroid(spark, dir))
-    val str = plan.toString
-    assert(str.contains("BroadcastNestedLoopJoin") || str.contains("BroadcastExchange"),
-      s"expected broadcast of centroids, got:\n$str")
-    // the only shuffle is the top-1-per-vector window, never the corpus join
-    assert(!str.contains("SortMergeJoin"))
+  test("nearest-centroid classify is a narrow literal argmax: zero shuffles, no join") {
+    val df = EmbedClassify.nearestCentroid(spark, dir)
+    assert(shuffles(df) === 0)
+    val str = df.queryExecution.executedPlan.toString
+    assert(!str.contains("Join"), s"expected no join of any kind:\n$str")
   }
 
   test("temperature sampler joins rates via broadcast, corpus side stays narrow") {

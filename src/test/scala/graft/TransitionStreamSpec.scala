@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.Events
+import graft.streaming.TransitionStream
+import org.apache.spark.sql.functions._
+
+/** Streaming ≡ batch for the transition matrix under SHUFFLED arrival:
+  * the random repartition interleaves every user's events across files,
+  * so most transitions are created, retracted, and re-created as later
+  * micro-batches land in-between — the full out-of-order contract. */
+class TransitionStreamSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    val cols = df.columns.sorted
+    df.select(cols.map(col): _*).collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+  }
+
+  test("streamed matrix equals batch q_events_markov after shuffled replay") {
+    val dir = SparkSpec.sf0001
+    val src = java.nio.file.Files.createTempDirectory("markov_src").toString
+    // random split: arrival order within each user is arbitrary
+    graft.sources.Tables.events(spark, dir)
+      .repartition(5).write.mode("overwrite").parquet(src)
+
+    val stateDir = java.nio.file.Files.createTempDirectory("markov_state").toString + "/matrix"
+    val q = TransitionStream.matrixMonitor(spark, src, stateDir,
+      java.nio.file.Files.createTempDirectory("markov_ck").toString)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.read.parquet(stateDir)
+    val batch = Events.transitionMatrix(spark, dir)
+    assert(canon(streamed) === canon(batch))
+  }
+
+  test("late event between two seen events retracts the stale transition") {
+    import TransitionStream.{Ev, UserTrans}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val out = TransitionStream.userTransitions(spark, input.toDS())
+    val q = out.writeStream.format("memory").queryName("trans_mem")
+      .outputMode("update")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("trans_ck").toString)
+      .start()
+
+    // batch 1: A(t=1) -> C(t=3): one transition (A,C)
+    input.addData(Ev(1L, 1L, 1L, "A"), Ev(1L, 3L, 3L, "C"))
+    q.processAllAvailable()
+    // batch 2: late B(t=2) lands between: (A,C) must retract to 0,
+    // (A,B) and (B,C) appear
+    input.addData(Ev(1L, 2L, 2L, "B"))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("trans_mem").as[UserTrans].collect()
+    // last emission per pair wins (update semantics)
+    val latest = rows.zipWithIndex
+      .groupBy(r => (r._1.from_type, r._1.to_type))
+      .map { case (k, v) => k -> v.maxBy(_._2)._1.n }
+    assert(latest(("A", "C")) === 0L) // retracted
+    assert(latest(("A", "B")) === 1L)
+    assert(latest(("B", "C")) === 1L)
+  }
+}
