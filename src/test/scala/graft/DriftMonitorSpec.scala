@@ -11,6 +11,12 @@ import org.apache.spark.sql.functions._
   * with the batch's exact schema. */
 class DriftMonitorSpec extends SparkSuite {
 
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    val cols = df.columns.sorted
+    df.select(cols.map(col): _*).collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+  }
+
   test("streaming PSI equals batch q_stats_psi after full replay") {
     val dir = SparkSpec.sf0001
     // split the current window across several files so the monitor takes
@@ -25,11 +31,6 @@ class DriftMonitorSpec extends SparkSuite {
     q.processAllAvailable()
     q.stop()
 
-    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = {
-      val cols = df.columns.sorted
-      df.select(cols.map(col): _*).collect()
-        .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
-    }
     val streamed = spark.read.parquet(stateDir)
     val batch = Scans.psiDrift(spark, dir)
     assert(canon(streamed) === canon(batch))
@@ -37,5 +38,31 @@ class DriftMonitorSpec extends SparkSuite {
     assert(streamed.select("l_returnflag").distinct().count() === streamed.count())
     assert(streamed.columns.sorted.toSeq ===
       Seq("l_returnflag", "n_base", "n_cur", "psi_contrib"))
+  }
+
+  test("restart from checkpoint: late files after a stop still converge to batch") {
+    val dir = SparkSpec.sf0001
+    val li = spark.read.parquet(s"$dir/lineitem.parquet").cache()
+    val src = java.nio.file.Files.createTempDirectory("psi2_src").toString
+    // phase 1: an arbitrary half of the table arrives, monitor STOPS
+    li.filter(org.apache.spark.sql.functions.col("l_orderkey") % 2 === 0)
+      .repartition(2).write.mode("overwrite").parquet(src)
+    val stateDir = java.nio.file.Files.createTempDirectory("psi2_state").toString + "/psi"
+    val ck = java.nio.file.Files.createTempDirectory("psi2_ck").toString
+    val q1 = DriftMonitor.psiMonitor(spark, src, dir, stateDir, ck)
+    q1.processAllAvailable()
+    q1.stop()
+
+    // phase 2: the rest lands while nothing runs; a NEW query on the SAME
+    // checkpoint + state resumes the counts exactly (upsert idempotent
+    // under the replayed uncommitted batch)
+    li.filter(org.apache.spark.sql.functions.col("l_orderkey") % 2 === 1)
+      .repartition(2).write.mode("append").parquet(src)
+    li.unpersist()
+    val q2 = DriftMonitor.psiMonitor(spark, src, dir, stateDir, ck)
+    q2.processAllAvailable()
+    q2.stop()
+
+    assert(canon(spark.read.parquet(stateDir)) === canon(Scans.psiDrift(spark, dir)))
   }
 }
