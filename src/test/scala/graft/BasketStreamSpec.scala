@@ -34,6 +34,30 @@ class BasketStreamSpec extends SparkSuite {
     assert(canon(streamed) === canon(batch))
   }
 
+  test("restart from checkpoint: late files after a stop still converge to batch") {
+    val dir = SparkSpec.sf0001
+    val li = graft.sources.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).cache()
+    val src = java.nio.file.Files.createTempDirectory("basket2_src").toString
+    li.filter(col("l_partkey") % 2 === 0)
+      .repartition(2).write.mode("overwrite").parquet(src)
+    val stateDir = java.nio.file.Files.createTempDirectory("basket2_state").toString + "/lift"
+    val ck = java.nio.file.Files.createTempDirectory("basket2_ck").toString
+    val q1 = BasketStream.liftMonitor(spark, src, stateDir, ck)
+    q1.processAllAvailable()
+    q1.stop()
+
+    li.filter(col("l_partkey") % 2 === 1)
+      .repartition(2).write.mode("append").parquet(src)
+    li.unpersist()
+    val q2 = BasketStream.liftMonitor(spark, src, stateDir, ck)
+    q2.processAllAvailable()
+    q2.stop()
+
+    assert(canon(spark.read.parquet(stateDir)) ===
+      canon(Analytics.basketAffinity(spark, dir)))
+  }
+
   test("late item joins its basket: pairs grow monotonically, duplicates are idempotent") {
     import BasketStream.{BasketRow, Item}
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -35,6 +35,29 @@ class TransitionStreamSpec extends SparkSuite {
     assert(canon(streamed) === canon(batch))
   }
 
+  test("restart from checkpoint: late files after a stop still converge to batch") {
+    val dir = SparkSpec.sf0001
+    val ev = graft.sources.Tables.events(spark, dir).cache()
+    val src = java.nio.file.Files.createTempDirectory("markov2_src").toString
+    ev.filter(col("event_id") % 2 === 0)
+      .repartition(2).write.mode("overwrite").parquet(src)
+    val stateDir = java.nio.file.Files.createTempDirectory("markov2_state").toString + "/matrix"
+    val ck = java.nio.file.Files.createTempDirectory("markov2_ck").toString
+    val q1 = TransitionStream.matrixMonitor(spark, src, stateDir, ck)
+    q1.processAllAvailable()
+    q1.stop()
+
+    ev.filter(col("event_id") % 2 === 1)
+      .repartition(2).write.mode("append").parquet(src)
+    ev.unpersist()
+    val q2 = TransitionStream.matrixMonitor(spark, src, stateDir, ck)
+    q2.processAllAvailable()
+    q2.stop()
+
+    assert(canon(spark.read.parquet(stateDir)) ===
+      canon(Events.transitionMatrix(spark, dir)))
+  }
+
   test("late event between two seen events retracts the stale transition") {
     import TransitionStream.{Ev, UserTrans}
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
