@@ -60,7 +60,15 @@ object ManifestSink {
     }.sorted
     deleteRecursively(staging)
     val version = versions(table).lastOption.getOrElse(0) + 1
-    commit(dir, version, moved)
+    try commit(dir, version, moved)
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        // lost a version race: this snapshot's data files are referenced
+        // by no manifest — remove them so a retry loop can't leak a full
+        // snapshot's parquet per collision
+        moved.foreach(f => Files.deleteIfExists(dir.resolve(f)))
+        throw e
+    }
     version
   }
 

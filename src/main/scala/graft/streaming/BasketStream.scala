@@ -61,10 +61,7 @@ object BasketStream {
   /** File-source stream over lineitem parquet files. */
   def lineitemStream(spark: SparkSession, srcDir: String,
       maxFilesPerTrigger: Int = 1): DataFrame =
-    spark.readStream
-      .schema(spark.read.parquet(srcDir).schema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(srcDir)
+    UpsertSink.fileStream(spark, srcDir, maxFilesPerTrigger)
 
   /** Start the monitor: presence/pair rows replace-upserted into
     * `stateDir`_pairs, the published lift table (batch-exact arithmetic,
@@ -102,16 +99,7 @@ object BasketStream {
               (col("n_a") * col("n_b")), 6).as("lift"))
         val tmp = stateDir + ".tmp"
         lift.write.mode("overwrite").parquet(tmp)
-        val dir = new java.io.File(stateDir)
-        val old = new java.io.File(stateDir + ".old")
-        if (dir.exists()) dir.renameTo(old)
-        new java.io.File(tmp).renameTo(dir)
-        if (old.exists()) {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-          }
-          rm(old)
-        }
+        UpsertSink.swapInto(tmp, stateDir)
       }
       .start()
   }

@@ -4,6 +4,7 @@ import graft.operators.Scans
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
+import scala.jdk.CollectionConverters._
 
 /** Streaming PSI drift monitor — the round-3 verdict's "most natural
   * streaming consumer" of the batch drift metric (`q_stats_psi`,
@@ -34,10 +35,7 @@ object DriftMonitor {
     * S3-arrival model used by EventStreams/DocIngest). */
   def lineitemStream(spark: SparkSession, srcDir: String,
       maxFilesPerTrigger: Int = 1): DataFrame =
-    spark.readStream
-      .schema(spark.read.parquet(srcDir).schema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(srcDir)
+    UpsertSink.fileStream(spark, srcDir, maxFilesPerTrigger)
 
   /** Start the monitor: live counts from `srcDir` stream vs the pinned
     * baseline from `staticDir`; PSI per group upserted into `stateDir`
@@ -46,10 +44,12 @@ object DriftMonitor {
       stateDir: String, checkpointDir: String,
       maxFilesPerTrigger: Int = 1): StreamingQuery = {
     // pinned ONCE at monitor start — the reference distribution does not
-    // move with the stream (that is the point of drift monitoring)
-    val baseline = Scans.psiBaseline(spark, staticDir)
-      .persist()
-    baseline.count() // materialize the pin eagerly
+    // move with the stream (that is the point of drift monitoring). The
+    // per-group counts are groups-sized by definition, so the pin is a
+    // plain collected list rebuilt per batch: no cache entry to leak
+    // across monitor restarts, no eviction risk, no recompute.
+    val baselineRows = Scans.psiBaseline(spark, staticDir).collect().toSeq
+    val baselineSchema = Scans.psiBaseline(spark, staticDir).schema
 
     val liveCounts = lineitemStream(spark, srcDir, maxFilesPerTrigger)
       .select(col("l_returnflag"), to_date(col("l_shipdate")).as("d"))
@@ -65,7 +65,10 @@ object DriftMonitor {
         // every group touched this micro-batch; merge into the count
         // state, then recompute the full PSI table from state + pin
         UpsertSink.upsertBatch(batch, Seq("l_returnflag"), stateDir + "_counts")
-        val counts = baseline.sparkSession.read.parquet(stateDir + "_counts")
+        val sess = batch.sparkSession
+        val baseline = sess.createDataFrame(
+          new java.util.ArrayList(baselineRows.asJava), baselineSchema)
+        val counts = sess.read.parquet(stateDir + "_counts")
           .join(baseline, Seq("l_returnflag"), "full_outer")
           .select(col("l_returnflag"),
             coalesce(col("n_base"), lit(0L)).as("n_base"),

@@ -65,10 +65,7 @@ object TransitionStream {
   /** File-source stream with the events schema. */
   def eventsStream(spark: SparkSession, srcDir: String,
       maxFilesPerTrigger: Int = 1): DataFrame =
-    spark.readStream
-      .schema(spark.read.parquet(srcDir).schema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(srcDir)
+    UpsertSink.fileStream(spark, srcDir, maxFilesPerTrigger)
 
   /** Start the monitor: per-user counts upserted into `stateDir`_counts,
     * the published global matrix (batch-exact arithmetic) rewritten into
@@ -103,19 +100,10 @@ object TransitionStream {
           .select(col("from_type"), col("to_type"), col("n"),
             roundN(col("n").cast("double") / col("n_from"), 6).as("p"))
         // the global matrix is groups²-sized and rows can vanish on
-        // retraction — publish by atomic swap, not upsert
+        // retraction — publish by checked swap, not upsert
         val tmp = stateDir + ".tmp"
         matrix.write.mode("overwrite").parquet(tmp)
-        val dir = new java.io.File(stateDir)
-        val old = new java.io.File(stateDir + ".old")
-        if (dir.exists()) dir.renameTo(old)
-        new java.io.File(tmp).renameTo(dir)
-        if (old.exists()) {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-          }
-          rm(old)
-        }
+        UpsertSink.swapInto(tmp, stateDir)
       }
       .start()
   }

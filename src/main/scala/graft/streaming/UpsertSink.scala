@@ -44,14 +44,38 @@ object UpsertSink {
     // materialize BEFORE touching stateDir (can't overwrite what we read)
     val tmp = stateDir + ".tmp"
     merged.write.mode("overwrite").parquet(tmp)
-    val old = new java.io.File(stateDir + ".old")
-    if (dir.exists()) { dir.renameTo(old) }
-    new java.io.File(tmp).renameTo(dir)
-    if (old.exists()) {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-      }
-      rm(old)
-    }
+    swapInto(tmp, stateDir)
   }
+
+  /** Publish `tmpDir` as `destDir` via rename, displacing any previous
+    * contents. Renames are CHECKED — a false return (stale `.old` from a
+    * crash mid-swap, cross-filesystem tmp, permissions) throws instead of
+    * silently publishing nothing; a leftover `.old` from a prior crash is
+    * cleared first so the swap self-heals. The dest is momentarily absent
+    * between the two renames — callers that need read-while-publish use a
+    * manifest pointer (sources.ManifestSink) instead; here the only
+    * readers are the next foreachBatch and post-stop consumers. */
+  private[graft] def swapInto(tmpDir: String, destDir: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    val dest = new java.io.File(destDir)
+    val old = new java.io.File(destDir + ".old")
+    if (old.exists()) rm(old) // crash leftover from a previous swap
+    if (dest.exists() && !dest.renameTo(old))
+      throw new java.io.IOException(s"swapInto: cannot displace $destDir")
+    if (!new java.io.File(tmpDir).renameTo(dest))
+      throw new java.io.IOException(s"swapInto: cannot publish $tmpDir -> $destDir")
+    if (old.exists()) rm(old)
+  }
+
+  /** File-source stream over a directory of parquet files, schema taken
+    * from the files already present (the S3-arrival model shared by the
+    * drift/transition/basket monitors). */
+  private[graft] def fileStream(spark: org.apache.spark.sql.SparkSession,
+      srcDir: String, maxFilesPerTrigger: Int): DataFrame =
+    spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
 }
