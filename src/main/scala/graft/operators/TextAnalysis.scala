@@ -453,10 +453,12 @@ object TextAnalysis {
     * Scale: the state is the DISTINCT-word frequency table (vocab-sized —
     * millions of rows at 100 TB, not corpus-sized), computed by one
     * map-side-combinable groupBy over the corpus. Each round is one
-    * explode+groupBy over the vocab plus a broadcast of the single best
-    * pair — a fully unrolled static plan of BpeRounds shuffles, the same
-    * iterative shape as PageRank (no driver-side collect; the argmax rides
-    * the plan as a 1-row broadcast cross join). */
+    * explode+groupBy over the vocab plus a single 1-row `collect()` of the
+    * argmax — the justified k-sized driver collect (k=1 here, same family
+    * as the k-means centroid collect) — which drives the exhaustion test,
+    * the merge-table row, and the rewrite literal in one job. The rewrite
+    * then ships the winning pair as plan literals, so no broadcast cross
+    * join and no second probe job per round. */
   val BpeRounds = 8
 
   /** The shared BPE training chain: per-round best-pair tables plus the
@@ -479,9 +481,9 @@ object TextAnalysis {
     * `rounds` parameterizes the merge budget (the registered query uses
     * the test-scale [[BpeRounds]]; real tokenizers run 10^4+): the loop
     * additionally stops early when the corpus runs out of distinct pairs,
-    * so the effective count is min(rounds, available merges) — the
-    * emptiness probe reads the already-materialized (localCheckpoint'ed)
-    * 1-row argmax, not the corpus. */
+    * so the effective count is min(rounds, available merges) — exhaustion
+    * falls out of the same 1-row argmax collect each round, no separate
+    * probe job. */
   private def bpeChainOf(docs: DataFrame, rounds: Int): (Vector[DataFrame], DataFrame) = {
     // char-spaced symbol string per distinct word: "cat" -> "c a t"
     val wf0 = withWordsOf(docs)
@@ -496,27 +498,34 @@ object TextAnalysis {
         .otherwise(array().cast("array<int>"))
       transform(idx, i => concat(element_at(l, i), lit(" "), element_at(l, i + 1)))
     }
-    // localCheckpoint per round: the argmax and the next round's rewrite
-    // both consume round r's vocab state — without truncation each round
-    // REPLAYS every earlier replace chain (measured 37 s -> ~2 s at sf0.1).
-    // Same iterative-lineage discipline as Graph.connectedComponents.
+    // localCheckpoint per round: the next round's rewrite consumes round
+    // r's vocab state — without truncation each round REPLAYS every
+    // earlier replace chain (measured 37 s -> ~2 s at sf0.1). Same
+    // iterative-lineage discipline as Graph.connectedComponents.
+    val spark = docs.sparkSession
+    import spark.implicits._
     var wf = wf0
     var merges = Vector.empty[DataFrame]
     var r = 1
     var exhausted = false
     while (r <= rounds && !exhausted) {
-      val best = wf
+      // ONE job per round: the vocab-sized pair-count agg reduces to a
+      // 1-row argmax collected to the driver, which drives the exhaustion
+      // test, the merge-table row, AND the rewrite literals below.
+      val bestRows = wf
         .select(explode(pairsOf(split(col("cur"), " "))).as("pair"), col("freq"))
         .groupBy(col("pair")).agg(sum(col("freq")).as("f"))
         .orderBy(col("f").desc, col("pair")).limit(1)
-        .localCheckpoint()
-      if (best.isEmpty) exhausted = true
+        .collect()
+      if (bestRows.isEmpty) exhausted = true
       else {
-        merges :+= best.select(lit(r).as("rank"), col("pair"),
-          call_function("replace", col("pair"), lit(" "), lit("")).as("merged"), col("f"))
-        wf = wf.crossJoin(broadcast(best.select(col("pair").as("mp"))))
-          .select(col("word"), call_function("replace", col("cur"), col("mp"),
-            call_function("replace", col("mp"), lit(" "), lit(""))).as("cur"), col("freq"))
+        val pair = bestRows(0).getString(0)
+        val f = bestRows(0).getLong(1)
+        val merged = pair.replace(" ", "")
+        merges :+= Seq((r, pair, merged, f)).toDF("rank", "pair", "merged", "f")
+        wf = wf.select(col("word"),
+            call_function("replace", col("cur"), lit(pair), lit(merged)).as("cur"),
+            col("freq"))
           .localCheckpoint()
       }
       r += 1
