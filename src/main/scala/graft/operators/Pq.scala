@@ -19,8 +19,10 @@ import org.apache.spark.sql.functions._
   * Scale shape:
   *  - Training iterates ONE job per Lloyd round for ALL subspaces: the
   *    corpus explodes once into (vec_id, m, subvector) rows, assignment is
-  *    the codegen'd `vec_argmin_sqdist` dispatched per-m over the M
-  *    literal codebooks (driver-state by definition: M×K×(Dim/M) longs),
+  *    the compiled `pq_assign` argmin dispatching per-m over the M
+  *    codebooks shipped as ONE Broadcast held by the expression
+  *    (driver-state by definition: M×K×(Dim/M) longs; plan size is
+  *    M- and K-independent — functions/Codebooks.scala),
   *    and recompute is one hash aggregate grouped by (m, cid) —
   *    map-side-combinable, M×K×(Dim/M+1) longs per mapper on the wire.
   *  - ADC is relational here: codes ⋈ broadcast distance-table on
@@ -71,14 +73,15 @@ object Pq {
         .as("s"))
       .select(col("vec_id"), col("s.m").as("m"), col("s.st").as("st"))
 
-  /** Per-m packed assignment through the codegen'd argmin, dispatched over
-    * the M literal codebooks. */
-  private def packedAssign(books: Array[Array[Array[Long]]]): Column =
-    books.zipWithIndex.foldLeft(lit(-1L)) { case (acc, (book, m)) =>
-      when(col("m") === m,
-        call_function("vec_argmin_sqdist", col("st"),
-          typedLit(book.map(_.toSeq).toSeq))).otherwise(acc)
-    }
+  /** Per-m packed assignment through the compiled argmin: ONE expression
+    * holding all M codebooks via Broadcast (functions/Codebooks.scala),
+    * dispatching on the `m` column — plan size independent of M and K,
+    * vs the old M-way `when` chain over M literal codebooks (O(M·K·dim)
+    * plan). Each call site broadcasts the current codebook state once. */
+  private def packedAssign(spark: SparkSession,
+      books: Array[Array[Array[Long]]]): Column =
+    graft.functions.Codebooks.pqAssign(col("m"), col("st"),
+      spark.sparkContext.broadcast(books))
 
   /** Train all M codebooks: one assignment+recompute job per round. */
   private[operators] def train(sub: DataFrame): Array[Array[Array[Long]]] = {
@@ -90,7 +93,8 @@ object Pq {
     }
     for (_ <- 1 to Iterations) {
       val assigned = sub.select(col("m"),
-        pmod(packedAssign(books), lit(64L)).cast("int").as("cid"), col("st"))
+        pmod(packedAssign(sub.sparkSession, books), lit(64L)).cast("int").as("cid"),
+        col("st"))
       val aggCols = (1 to SubDim).map(i =>
         sum(element_at(col("st"), i)).as(s"s$i")) :+ count(lit(1)).as("n")
       val stats: Array[Row] = assigned.groupBy(col("m"), col("cid"))
@@ -114,7 +118,7 @@ object Pq {
 
       // encode: (vec_id, m, code)
       val codes = sub.select(col("vec_id"), col("m"),
-        pmod(packedAssign(books), lit(64L)).cast("int").as("code"))
+        pmod(packedAssign(spark, books), lit(64L)).cast("int").as("code"))
 
       // ADC tables: (query_id, m, code, d) — queries × M × K rows, exact ints
       val bookDf = spark.createDataFrame(

@@ -238,10 +238,12 @@ object Similarity {
     * is rounded to 6 decimals before any ranking and ties break on cid,
     * so Spark and DuckDB rank identically.
     *
-    * Scale notes: assignment is O(corpus · C) codegen'd dot products with
+    * Scale notes: assignment is O(corpus · C) compiled dot products with
     * zero shuffle; candidate volume is corpus · probes / C on balanced
-    * lists. At 100 TB you'd raise IvfCentroids to ~√corpus and ship the
-    * codebook via broadcast() instead of literals — same plan shape. */
+    * lists. The codebook ships as a Broadcast held BY the ranking
+    * expression (functions/Codebooks.scala), not as plan literals, so the
+    * plan is K-independent — at 100 TB you raise IvfCentroids to ~√corpus
+    * and only the broadcast payload grows. */
   /** Centroid seed ids: 1, 1+stride, 1+2·stride, … — an EXPLICIT id list,
     * so the codebook fetch is a pushed-down `vec_id IN (…)` point lookup
     * (8 rows), never a corpus-wide sort-and-limit. */
@@ -259,24 +261,19 @@ object Similarity {
   }
 
   /** The IVF plan body for any codebook: assign every vector to its
-    * nearest-by-cosine centroid (narrow literal argmax), probe the
-    * IvfProbes nearest lists per query, candidate equi-join on cid. */
+    * nearest-by-cosine centroid (narrow compiled argmax over the
+    * broadcast-shipped codebook), probe the IvfProbes nearest lists per
+    * query, candidate equi-join on cid. */
   private def ivfWith(spark: SparkSession, dir: String,
       cents: IndexedSeq[(Array[Double], Double)]): DataFrame = {
-    val sims = array(cents.map { case (cv, cn) =>
-      roundN(call_function("vec_dot", col("v"), lit(cv)) / (col("nrm") * lit(cn)), 6)
-    }: _*)
-    val ranked = array_sort(
-      transform(sims, (s, i) => struct(s.as("sim"), i.as("cid"))),
-      (l, r) => when(l.getField("sim") > r.getField("sim"), -1)
-        .when(l.getField("sim") < r.getField("sim"), 1)
-        .otherwise(l.getField("cid") - r.getField("cid")))
+    val bc = spark.sparkContext.broadcast(cents.toArray)
+    val ranked = graft.functions.Codebooks.cosineRankCids(col("v"), col("nrm"), bc)
     val vecs = vectors(spark, dir).withColumn("ranked", ranked).persist()
     val c = vecs.select(col("vec_id"), col("v"), col("nrm"),
-      element_at(col("ranked"), 1).getField("cid").as("cid")).alias("c")
+      element_at(col("ranked"), 1).as("cid")).alias("c")
     val q = vecs.filter(col("vec_id") % QueryStride === 0)
       .select(col("vec_id"), col("v"), col("nrm"),
-        explode(transform(slice(col("ranked"), 1, IvfProbes), p => p.getField("cid"))).as("cid"))
+        explode(slice(col("ranked"), 1, IvfProbes)).as("cid"))
       .alias("q")
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
     q.join(c, col("q.cid") === col("c.cid") && col("q.vec_id") =!= col("c.vec_id"))
