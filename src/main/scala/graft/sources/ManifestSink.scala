@@ -72,25 +72,41 @@ object ManifestSink {
     version
   }
 
-  /** The commit point: version manifest, then pointer — each temp-write +
-    * atomic rename. The version manifest is NEVER replace-moved: if two
-    * writers race to the same version number, the second fails loudly with
-    * FileAlreadyExistsException instead of silently clobbering the first
-    * snapshot's file list. (The exists-check + rename pair leaves a
-    * microscopic TOCTOU window on POSIX rename semantics — a real object
-    * store closes it with put-if-absent; concurrent multi-writer commit is
-    * otherwise out of contract, matching Delta's single-cluster caveat.) */
+  /** The commit point: claim the version with put-if-absent, fill it with
+    * an atomic rename, then swing the pointer.
+    *
+    *  - The CLAIM is `Files.createFile` — O_EXCL, so exactly one of two
+    *    writers racing the same version number wins at the filesystem, no
+    *    exists-check TOCTOU (POSIX rename() always replaces, so a no-replace
+    *    rename cannot be the claim). The loser fails loudly with
+    *    FileAlreadyExistsException. On a real object store this is the
+    *    store's put-if-absent.
+    *  - The FILL writes the body to a tmp named with a per-writer token
+    *    (a shared tmp name would let a racing writer clobber this writer's
+    *    staged bytes between write and move) and atomically renames it over
+    *    the claimed file — readers see the manifest appear empty-then-full,
+    *    never partially written. A crash between claim and fill leaves an
+    *    empty claimed version: never pointed at, unreadable via readAsOf
+    *    (empty-manifest guard), skipped past by the next writer's
+    *    read-increment, and vacuumable.
+    *  - The POINTER swap is the single commit point for `read`, also via
+    *    token-unique tmp + atomic replace-rename. */
   private[graft] def commit(dir: Path, version: Int, files: Vector[String]): Unit = {
     val body = files.map(f => "\"" + f + "\"")
       .mkString(s"""{"version": $version, "files": [""", ", ", "]}")
+    val token = java.util.UUID.randomUUID().toString.take(8)
     val vTarget = dir.resolve(versionName(version))
-    if (Files.exists(vTarget))
-      throw new java.nio.file.FileAlreadyExistsException(
-        vTarget.toString, null, s"version $version already committed — concurrent writer?")
-    val vtmp = dir.resolve(s".${versionName(version)}.tmp")
+    try Files.createFile(vTarget)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.nio.file.FileAlreadyExistsException(
+          vTarget.toString, null, s"version $version already committed — concurrent writer?")
+    }
+    val vtmp = dir.resolve(s".${versionName(version)}.$token.tmp")
     Files.writeString(vtmp, body)
-    Files.move(vtmp, vTarget, StandardCopyOption.ATOMIC_MOVE)
-    val ptmp = dir.resolve(s".$PointerName.tmp")
+    Files.move(vtmp, vTarget,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val ptmp = dir.resolve(s".$PointerName.$token.tmp")
     Files.writeString(ptmp, body)
     Files.move(ptmp, dir.resolve(PointerName),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)

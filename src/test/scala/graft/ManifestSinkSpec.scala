@@ -54,6 +54,80 @@ class ManifestSinkSpec extends SparkSuite {
     assert(ManifestSink.write(Seq((3L, "c")).toDF("id", "v"), table) === 3)
   }
 
+  test("two writers racing the same version: exactly one wins, no mixed manifest, no orphans") {
+    // the put-if-absent claim (Files.createFile, O_EXCL) decides the race
+    // at the filesystem — run the commit-level race many times with a
+    // barrier start; every round must produce ONE winner whose complete
+    // file list is the committed body (a shared tmp path used to allow the
+    // loser to clobber the winner's staged bytes)
+    val table = Files.createTempDirectory("manifest_race2").toString
+    val dir = Paths.get(table)
+    for (round <- 1 to 25) {
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, String]]()
+      val threads = Seq("w1", "w2").map { w =>
+        new Thread(() => {
+          barrier.await()
+          try {
+            graft.sources.ManifestSink.commit(dir, round, Vector(s"part-$w-$round.parquet"))
+            outcomes.add(Right(w))
+          } catch { case t: Throwable => outcomes.add(Left(t)) }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      import scala.jdk.CollectionConverters._
+      val (losers, winners) = outcomes.asScala.toList.partition(_.isLeft)
+      assert(winners.size === 1, s"round $round: ${outcomes.asScala.toList}")
+      assert(losers.size === 1)
+      losers.head.left.foreach(t =>
+        assert(t.isInstanceOf[java.nio.file.FileAlreadyExistsException]))
+      val winner = winners.head.toOption.get
+      val body = Files.readString(dir.resolve(s"_manifest_v$round.json"))
+      // the committed manifest is EXACTLY the winner's list — not the
+      // loser's, not empty, not a mix
+      assert(body.contains(s"part-$winner-$round.parquet"), body)
+      val other = if (winner == "w1") "w2" else "w1"
+      assert(!body.contains(s"part-$other-$round.parquet"), body)
+      // no tmp litter survives either writer
+      val tmps = Files.list(dir).iterator().asScala
+        .count(_.getFileName.toString.endsWith(".tmp"))
+      assert(tmps === 0)
+    }
+  }
+
+  test("write-level version race leaves zero orphaned parquet") {
+    val table = Files.createTempDirectory("manifest_race3").toString
+    ManifestSink.write(Seq((1L, "a")).toDF("id", "v"), table)
+    val dir = Paths.get(table)
+    // force both writers to compute the same next version: pre-stage both
+    // data file sets, then race the commits; the loser's write() path
+    // deletes its unreferenced parquet
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq("a", "b").map { w =>
+      new Thread(() => {
+        barrier.await()
+        try ManifestSink.write(Seq((2L, w)).toDF("id", "v"), table)
+        catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    // both may succeed (they serialized onto different versions) or one
+    // lost a same-version race and threw; either way every parquet on disk
+    // must be referenced by some version manifest
+    assert(errs.asScala.forall(_.isInstanceOf[java.nio.file.FileAlreadyExistsException]),
+      errs.asScala.toList.toString)
+    val manifests = ManifestSink.versions(table)
+      .map(v => Files.readString(dir.resolve(s"_manifest_v$v.json")))
+    val referenced = manifests.flatMap(
+      "\"([^\"]+\\.parquet)\"".r.findAllMatchIn(_).map(_.group(1))).toSet
+    val onDisk = Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSet
+    assert(onDisk === referenced,
+      s"orphans: ${onDisk -- referenced}, missing: ${referenced -- onDisk}")
+  }
+
   test("multi-partition writes list every file in the manifest") {
     val table = Files.createTempDirectory("manifest_multi").toString
     ManifestSink.write((1L to 100L).toDF("id").repartition(5), table)
