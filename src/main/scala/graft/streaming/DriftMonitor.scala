@@ -32,17 +32,20 @@ import scala.jdk.CollectionConverters._
 object DriftMonitor {
 
   /** File-source stream over a directory of lineitem parquet files (the
-    * S3-arrival model used by EventStreams/DocIngest). */
+    * S3-arrival model used by EventStreams/DocIngest); pass `schema` to
+    * start the monitor before the first file lands. */
   def lineitemStream(spark: SparkSession, srcDir: String,
-      maxFilesPerTrigger: Int = 1): DataFrame =
-    UpsertSink.fileStream(spark, srcDir, maxFilesPerTrigger)
+      maxFilesPerTrigger: Int = 1,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
+    UpsertSink.fileStream(spark, srcDir, maxFilesPerTrigger, schema)
 
   /** Start the monitor: live counts from `srcDir` stream vs the pinned
     * baseline from `staticDir`; PSI per group upserted into `stateDir`
     * after every micro-batch. */
   def psiMonitor(spark: SparkSession, srcDir: String, staticDir: String,
       stateDir: String, checkpointDir: String,
-      maxFilesPerTrigger: Int = 1): StreamingQuery = {
+      maxFilesPerTrigger: Int = 1,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): StreamingQuery = {
     // pinned ONCE at monitor start — the reference distribution does not
     // move with the stream (that is the point of drift monitoring). The
     // per-group counts are groups-sized by definition, so the pin is a
@@ -51,7 +54,7 @@ object DriftMonitor {
     val baselineRows = Scans.psiBaseline(spark, staticDir).collect().toSeq
     val baselineSchema = Scans.psiBaseline(spark, staticDir).schema
 
-    val liveCounts = lineitemStream(spark, srcDir, maxFilesPerTrigger)
+    val liveCounts = lineitemStream(spark, srcDir, maxFilesPerTrigger, schema)
       .select(col("l_returnflag"), to_date(col("l_shipdate")).as("d"))
       .filter(col("d") >= lit(Scans.PsiCut))
       .groupBy(col("l_returnflag"))

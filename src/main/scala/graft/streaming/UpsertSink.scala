@@ -30,10 +30,17 @@ object UpsertSink {
       .start()
 
   /** One merge step: rows in `state` whose key appears in `batch` are
-    * replaced; executed as anti-join + union, all distributed. */
+    * replaced; executed as anti-join + union, all distributed.
+    *
+    * Entry first recovers a swap that crashed between its two renames
+    * ([[recoverState]]): update-mode batches carry only the groups they
+    * touched, so merging against a state dir that LOOKS absent (because
+    * the only copy sits in `.old`) would silently drop every untouched
+    * group from the published table. */
   private[graft] def upsertBatch(batch: DataFrame, keys: Seq[String],
       stateDir: String): Unit = {
     val spark = batch.sparkSession
+    recoverState(stateDir)
     val dir = new java.io.File(stateDir)
     val merged =
       if (!dir.exists()) batch
@@ -47,21 +54,40 @@ object UpsertSink {
     swapInto(tmp, stateDir)
   }
 
+  /** Crash recovery for the two-rename swap: if `destDir` is missing but
+    * `destDir.old` exists, the previous swap died after displacing dest
+    * and before publishing tmp — `.old` is the ONLY copy of accumulated
+    * state, so rename it back (never delete it). A leftover `.old` NEXT TO
+    * an existing dest is the opposite case (crash after publish, before
+    * cleanup) and is safe to drop — [[swapInto]] does that. */
+  private[graft] def recoverState(destDir: String): Unit = {
+    val dest = new java.io.File(destDir)
+    val old = new java.io.File(destDir + ".old")
+    if (!dest.exists() && old.exists() && !old.renameTo(dest))
+      throw new java.io.IOException(
+        s"recoverState: cannot restore $destDir from interrupted swap")
+  }
+
   /** Publish `tmpDir` as `destDir` via rename, displacing any previous
     * contents. Renames are CHECKED — a false return (stale `.old` from a
     * crash mid-swap, cross-filesystem tmp, permissions) throws instead of
-    * silently publishing nothing; a leftover `.old` from a prior crash is
-    * cleared first so the swap self-heals. The dest is momentarily absent
-    * between the two renames — callers that need read-while-publish use a
-    * manifest pointer (sources.ManifestSink) instead; here the only
-    * readers are the next foreachBatch and post-stop consumers. */
+    * silently publishing nothing. A leftover `.old` is cleared ONLY when
+    * dest exists (a completed swap's litter); with dest missing it is the
+    * sole surviving state copy and is restored instead ([[recoverState]]).
+    * The dest is momentarily absent between the two renames — callers that
+    * need read-while-publish use a manifest pointer (sources.ManifestSink)
+    * instead; here the only readers are the next foreachBatch and
+    * post-stop consumers. */
   private[graft] def swapInto(tmpDir: String, destDir: String): Unit = {
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
     }
     val dest = new java.io.File(destDir)
     val old = new java.io.File(destDir + ".old")
-    if (old.exists()) rm(old) // crash leftover from a previous swap
+    if (old.exists()) {
+      if (dest.exists()) rm(old) // completed-swap leftover: safe to drop
+      else recoverState(destDir) // mid-swap crash: .old is the only copy
+    }
     if (dest.exists() && !dest.renameTo(old))
       throw new java.io.IOException(s"swapInto: cannot displace $destDir")
     if (!new java.io.File(tmpDir).renameTo(dest))
@@ -69,13 +95,16 @@ object UpsertSink {
     if (old.exists()) rm(old)
   }
 
-  /** File-source stream over a directory of parquet files, schema taken
-    * from the files already present (the S3-arrival model shared by the
-    * drift/transition/basket monitors). */
+  /** File-source stream over a directory of parquet files (the S3-arrival
+    * model shared by the drift/transition/basket monitors). Callers that
+    * know their column set pass `schema` so the monitor can start BEFORE
+    * the first file lands; without it the schema is inferred from files
+    * already present (which throws on an empty or absent source dir). */
   private[graft] def fileStream(spark: org.apache.spark.sql.SparkSession,
-      srcDir: String, maxFilesPerTrigger: Int): DataFrame =
+      srcDir: String, maxFilesPerTrigger: Int,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
     spark.readStream
-      .schema(spark.read.parquet(srcDir).schema)
+      .schema(schema.getOrElse(spark.read.parquet(srcDir).schema))
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(srcDir)
 }

@@ -65,6 +65,56 @@ class StreamingSinkSpec extends SparkSuite {
     assert(rows === Map(1L -> 10.0, 2L -> 99.0, 3L -> 30.0))
   }
 
+  test("mid-swap crash recovery: .old-only state is restored, not deleted") {
+    import spark.implicits._
+    val stateDir = java.nio.file.Files.createTempDirectory("ups3").toString + "/s"
+    UpsertSink.upsertBatch(
+      Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"), Seq("k"), stateDir)
+    // simulate a crash between swapInto's two renames: dest displaced to
+    // .old, tmp never published — .old now holds the ONLY copy of state
+    assert(new java.io.File(stateDir).renameTo(new java.io.File(stateDir + ".old")))
+    // the replayed update-mode batch touches only key 2; key 1 must
+    // survive via recovery (the old behavior deleted .old and lost it)
+    UpsertSink.upsertBatch(Seq((2L, 99.0)).toDF("k", "v"), Seq("k"), stateDir)
+    val rows = spark.read.parquet(stateDir).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[Double]("v")).toMap
+    assert(rows === Map(1L -> 10.0, 2L -> 99.0))
+    assert(!new java.io.File(stateDir + ".old").exists())
+
+    // and a completed-swap leftover (.old NEXT TO a live dest) is litter:
+    // the next publish clears it and keeps dest authoritative
+    val oldDir = new java.io.File(stateDir + ".old")
+    assert(oldDir.mkdirs())
+    java.nio.file.Files.writeString(oldDir.toPath.resolve("junk"), "x")
+    UpsertSink.upsertBatch(Seq((3L, 30.0)).toDF("k", "v"), Seq("k"), stateDir)
+    val rows2 = spark.read.parquet(stateDir).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[Double]("v")).toMap
+    assert(rows2 === Map(1L -> 10.0, 2L -> 99.0, 3L -> 30.0))
+    assert(!oldDir.exists())
+  }
+
+  test("explicit-schema fileStream starts on an empty source dir") {
+    val src = java.nio.file.Files.createTempDirectory("empty_src").toString
+    val schema = Tables.events(spark, SparkSpec.sf0001).schema
+    // without a schema the monitor cannot start ahead of the first file
+    intercept[Exception](
+      UpsertSink.fileStream(spark, src, maxFilesPerTrigger = 1))
+    // with the explicit schema it starts, then picks up the late file
+    val df = UpsertSink.fileStream(spark, src, 1, Some(schema))
+    val q = df.writeStream.format("memory").queryName("empty_start")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ck_es").toString)
+      .start()
+    q.processAllAvailable()
+    assert(spark.table("empty_start").count() === 0)
+    Tables.events(spark, SparkSpec.sf0001).limit(100)
+      .write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("empty_start").count() === 100)
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     val src = java.nio.file.Files.createTempDirectory("ssj_src").toString
     Tables.events(spark, SparkSpec.sf0001).limit(2000).repartition(2)
