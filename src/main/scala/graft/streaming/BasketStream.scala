@@ -24,56 +24,89 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * Scale notes: state per order is its distinct item set (the same rows
   * the batch per-order self-join consumes); the emitted pair volume per
-  * order is O(|basket|²) — production composes this with the
-  * `q_basket_affinity_capped` deterministic-hash item cap to hard-bound
-  * the pathological mega-basket, identical semantics to the batch cap.
+  * order is O(|basket|²). Production passes `basketCap`: state keeps only
+  * the cap items ranked by the SAME deterministic md5 order the batch
+  * `q_basket_affinity_capped` uses, hard-bounding state and pair fan-out
+  * per order at C(cap, 2). Top-k under a total order is associative, so
+  * shuffled arrival converges to the batch capped lift exactly; a late
+  * item that displaces a kept one retracts the displaced pairs via
+  * explicit n=0 rows (presence rows for the n_item/n_orders denominators
+  * stay UNCAPPED and monotone, matching the batch query's uncapped
+  * totals). BasketStreamSpec replays both modes.
   */
 object BasketStream {
 
   final case class Item(okey: Long, part: Long)
   /** part_b = PairSentinel marks an item-presence row (n_item/n_orders
-    * denominators); real pairs carry part_a < part_b. */
+    * denominators); real pairs carry part_a < part_b. `n` is the liveness
+    * flag: 1 = live, 0 = retracted (a capped basket displaced the pair) —
+    * the replace-upsert makes the last emission authoritative per key. */
   val PairSentinel: Long = -1L
-  final case class BasketRow(okey: Long, part_a: Long, part_b: Long)
+  final case class BasketRow(okey: Long, part_a: Long, part_b: Long, n: Long)
+
+  /** Spark `md5(cast(part as string))` exactly — the deterministic,
+    * reshard-stable rank the batch cap sorts by (Analytics.scala). */
+  private[streaming] def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
 
   /** Per-order state: emit the order's current presence + pair rows on
-    * every touch. Replace-upsert downstream makes re-emission idempotent. */
-  def orderPairs(spark: SparkSession, items: org.apache.spark.sql.Dataset[Item]):
-      org.apache.spark.sql.Dataset[BasketRow] = {
+    * every touch. Replace-upsert downstream makes re-emission idempotent.
+    * With `basketCap` set, kept state is the cap best items by md5 rank;
+    * displaced pairs are retracted with n=0 rows. */
+  def orderPairs(spark: SparkSession, items: org.apache.spark.sql.Dataset[Item],
+      basketCap: Option[Int] = None): org.apache.spark.sql.Dataset[BasketRow] = {
     import spark.implicits._
     items
       .groupByKey(_.okey)
       .flatMapGroupsWithState[Set[Long], BasketRow](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (okey: Long, batch: Iterator[Item], state: GroupState[Set[Long]]) =>
-          val parts = batch.foldLeft(state.getOption.getOrElse(Set.empty[Long])) {
-            (acc, it) => acc + it.part
+          val old = state.getOption.getOrElse(Set.empty[Long])
+          val merged = batch.foldLeft(old)((acc, it) => acc + it.part)
+          val kept = basketCap.fold(merged)(c =>
+            merged.toIndexedSeq.sortBy(p => (md5Hex(p.toString), p)).take(c).toSet)
+          state.update(kept)
+          def pairsOf(s: Set[Long]): IndexedSeq[(Long, Long)] = {
+            val sorted = s.toIndexedSeq.sorted
+            for { i <- sorted.indices; j <- (i + 1) until sorted.size }
+              yield (sorted(i), sorted(j))
           }
-          state.update(parts)
-          val sorted = parts.toIndexedSeq.sorted
-          sorted.iterator.map(p => BasketRow(okey, p, PairSentinel)) ++
-            sorted.iterator.zipWithIndex.flatMap { case (a, i) =>
-              sorted.iterator.drop(i + 1).map(b => BasketRow(okey, a, b))
-            }
+          val cur = pairsOf(kept)
+          // only a cap displacement can dissolve a pair; old is the KEPT
+          // set of the previous touch, so its pairs are what the store has
+          val vanished = pairsOf(old).toSet -- cur
+          // presence stays uncapped: every item seen this touch (items
+          // displaced in EARLIER touches already have their store row)
+          merged.toIndexedSeq.sorted.iterator
+            .map(p => BasketRow(okey, p, PairSentinel, 1L)) ++
+            cur.iterator.map { case (a, b) => BasketRow(okey, a, b, 1L) } ++
+            vanished.toIndexedSeq.sorted.iterator
+              .map { case (a, b) => BasketRow(okey, a, b, 0L) }
       }
   }
 
-  /** File-source stream over lineitem parquet files. */
+  /** File-source stream over lineitem parquet files; pass `schema` to
+    * start the monitor before the first file lands. */
   def lineitemStream(spark: SparkSession, srcDir: String,
-      maxFilesPerTrigger: Int = 1): DataFrame =
-    UpsertSink.fileStream(spark, srcDir, maxFilesPerTrigger)
+      maxFilesPerTrigger: Int = 1,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
+    UpsertSink.fileStream(spark, srcDir, maxFilesPerTrigger, schema)
 
   /** Start the monitor: presence/pair rows replace-upserted into
     * `stateDir`_pairs, the published lift table (batch-exact arithmetic,
     * MinSupport filter) atomically swapped into `stateDir` per batch. */
   def liftMonitor(spark: SparkSession, srcDir: String, stateDir: String,
-      checkpointDir: String, maxFilesPerTrigger: Int = 1): StreamingQuery = {
+      checkpointDir: String, maxFilesPerTrigger: Int = 1,
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      basketCap: Option[Int] = None): StreamingQuery = {
     import spark.implicits._
-    val items = lineitemStream(spark, srcDir, maxFilesPerTrigger)
+    val items = lineitemStream(spark, srcDir, maxFilesPerTrigger, schema)
       .select(col("l_orderkey").cast("long").as("okey"),
         col("l_partkey").cast("long").as("part"))
       .as[Item]
-    orderPairs(spark, items).toDF().writeStream
+    orderPairs(spark, items, basketCap).toDF().writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -86,7 +119,8 @@ object BasketStream {
           .agg(count(lit(1)).as("n_orders"))
         val itemCounts = presence.groupBy(col("part_a").as("part"))
           .agg(count(lit(1)).as("n_item"))
-        val pairs = store.filter(col("part_b") =!= PairSentinel)
+        // n = 0 rows are retracted pairs (cap displacement) — dead keys
+        val pairs = store.filter(col("part_b") =!= PairSentinel && col("n") > 0)
           .groupBy(col("part_a"), col("part_b"))
           .agg(count(lit(1)).as("n_pair"))
           .filter(col("n_pair") >= graft.operators.Analytics.MinSupport)

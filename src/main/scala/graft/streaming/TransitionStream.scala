@@ -20,12 +20,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * global matrix (groups² rows, tiny) with the batch query's exact
   * arithmetic and publishes it atomically.
   *
-  * Scale notes: state is O(events per user) — the honest floor for exact
-  * out-of-order transition counting (the batch twin sorts the same rows);
-  * production bounds it with an event-time timeout finalizing users past
-  * the watermark, or the `q_events_markov_capped` journey prefix. The
-  * global recompute never touches event volume: it reads the
-  * (user, from, to) count store, groups²-bounded per user.
+  * Scale notes: state is O(events per user) in the exact mode — the
+  * honest floor for exact out-of-order transition counting (the batch
+  * twin sorts the same rows). Production passes `journeyCap`: state then
+  * keeps only each user's FIRST cap events by (ts, event_id) — the
+  * `q_events_markov_capped` journey prefix, hard-bounding state per user.
+  * First-k under a total order is associative (first-k of a union =
+  * first-k of first-k ∪ batch), so shuffled/late arrival converges to the
+  * batch capped matrix exactly; a late early event that displaces a kept
+  * event retracts the displaced transitions through the existing zero-row
+  * channel (TransitionStreamSpec replays both modes). The global
+  * recompute never touches event volume: it reads the (user, from, to)
+  * count store, groups²-bounded per user.
   */
 object TransitionStream {
 
@@ -41,9 +47,11 @@ object TransitionStream {
   }
 
   /** The stateful operator: emits the user's refreshed transition rows
-    * (plus explicit zeros for vanished pairs) every batch it appears in. */
-  def userTransitions(spark: SparkSession, events: org.apache.spark.sql.Dataset[Ev]):
-      org.apache.spark.sql.Dataset[UserTrans] = {
+    * (plus explicit zeros for vanished pairs) every batch it appears in.
+    * With `journeyCap` set, per-user state is hard-bounded to the first
+    * cap events by (ts, event_id) — the batch JourneyCap semantics. */
+  def userTransitions(spark: SparkSession, events: org.apache.spark.sql.Dataset[Ev],
+      journeyCap: Option[Int] = None): org.apache.spark.sql.Dataset[UserTrans] = {
     import spark.implicits._
     events
       .groupByKey(_.user_id)
@@ -54,26 +62,35 @@ object TransitionStream {
           val evs = batch.foldLeft(prev.events) { (acc, e) =>
             (e.ts_us, e.event_id, e.event_type) :: acc
           }
-          val counts = derive(evs)
+          // first-k by (ts, event_id) is associative, so capping the KEPT
+          // state (not just the emission) stays batch-exact while bounding
+          // state at O(cap) per user
+          val kept = journeyCap.fold(evs)(c =>
+            evs.sortBy(e => (e._1, e._2)).take(c))
+          val counts = derive(kept)
           val vanished = prev.known.filterNot(counts.contains)
-          state.update(UserSeq(evs, counts.keys.toList))
+          state.update(UserSeq(kept, counts.keys.toList))
           counts.iterator.map { case ((f, t), n) => UserTrans(uid, f, t, n) } ++
             vanished.iterator.map { case (f, t) => UserTrans(uid, f, t, 0L) }
       }
   }
 
-  /** File-source stream with the events schema. */
+  /** File-source stream with the events schema; pass `schema` to start the
+    * monitor before the first file lands (inference needs existing files). */
   def eventsStream(spark: SparkSession, srcDir: String,
-      maxFilesPerTrigger: Int = 1): DataFrame =
-    UpsertSink.fileStream(spark, srcDir, maxFilesPerTrigger)
+      maxFilesPerTrigger: Int = 1,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
+    UpsertSink.fileStream(spark, srcDir, maxFilesPerTrigger, schema)
 
   /** Start the monitor: per-user counts upserted into `stateDir`_counts,
     * the published global matrix (batch-exact arithmetic) rewritten into
     * `stateDir` after every micro-batch. */
   def matrixMonitor(spark: SparkSession, srcDir: String, stateDir: String,
-      checkpointDir: String, maxFilesPerTrigger: Int = 1): StreamingQuery = {
+      checkpointDir: String, maxFilesPerTrigger: Int = 1,
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      journeyCap: Option[Int] = None): StreamingQuery = {
     import spark.implicits._
-    val raw = eventsStream(spark, srcDir, maxFilesPerTrigger)
+    val raw = eventsStream(spark, srcDir, maxFilesPerTrigger, schema)
     // mirror sources.Tables.events: nanos-as-long parquet arrives as
     // LongType and truncates to micros; real timestamp columns pass through
     val tsUs =
@@ -84,7 +101,7 @@ object TransitionStream {
       .select(col("user_id").cast("long").as("user_id"), tsUs.as("ts_us"),
         col("event_id").cast("long").as("event_id"), col("event_type"))
       .as[Ev]
-    userTransitions(spark, evs).toDF().writeStream
+    userTransitions(spark, evs, journeyCap).toDF().writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>

@@ -58,6 +58,27 @@ class BasketStreamSpec extends SparkSuite {
       canon(Analytics.basketAffinity(spark, dir)))
   }
 
+  test("basketCap bounds state and converges to batch q_basket_affinity_capped") {
+    val dir = SparkSpec.sf0001
+    val src = java.nio.file.Files.createTempDirectory("basketc_src").toString
+    graft.sources.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .repartition(5).write.mode("overwrite").parquet(src)
+
+    val stateDir = java.nio.file.Files.createTempDirectory("basketc_state").toString + "/lift"
+    // BasketCap = 8 bites on this fixture (baskets reach 13 items), so the
+    // capped stream must DIFFER from uncapped lift and EQUAL batch capped
+    val q = BasketStream.liftMonitor(spark, src, stateDir,
+      java.nio.file.Files.createTempDirectory("basketc_ck").toString,
+      basketCap = Some(Analytics.BasketCap))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.read.parquet(stateDir)
+    assert(canon(streamed) === canon(Analytics.basketAffinityCapped(spark, dir)))
+    assert(canon(streamed) !== canon(Analytics.basketAffinity(spark, dir)))
+  }
+
   test("late item joins its basket: pairs grow monotonically, duplicates are idempotent") {
     import BasketStream.{BasketRow, Item}
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

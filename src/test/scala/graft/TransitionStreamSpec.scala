@@ -58,6 +58,27 @@ class TransitionStreamSpec extends SparkSuite {
       canon(Events.transitionMatrix(spark, dir)))
   }
 
+  test("journeyCap bounds state and converges to batch q_events_markov_capped") {
+    val dir = SparkSpec.sf0001
+    val src = java.nio.file.Files.createTempDirectory("markovc_src").toString
+    graft.sources.Tables.events(spark, dir)
+      .repartition(5).write.mode("overwrite").parquet(src)
+
+    val stateDir = java.nio.file.Files.createTempDirectory("markovc_state").toString + "/matrix"
+    // JourneyCap = 50 bites on this fixture (users run 60-90 events), so
+    // the capped stream must DIFFER from the uncapped matrix and EQUAL the
+    // batch capped one — including late-displacement retractions
+    val q = TransitionStream.matrixMonitor(spark, src, stateDir,
+      java.nio.file.Files.createTempDirectory("markovc_ck").toString,
+      journeyCap = Some(Events.JourneyCap))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.read.parquet(stateDir)
+    assert(canon(streamed) === canon(Events.transitionMatrixCapped(spark, dir)))
+    assert(canon(streamed) !== canon(Events.transitionMatrix(spark, dir)))
+  }
+
   test("late event between two seen events retracts the stale transition") {
     import TransitionStream.{Ev, UserTrans}
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
