@@ -110,6 +110,73 @@ object Bench {
         System.err.println(s"[bench] multi-scale pass failed: ${e.getMessage}")
         ""
     }
+    // ---- LSH dedup scale evidence (round-4 verdict ask #1): the band-
+    // bucket candidate volume is the LSH family's only data-dependent
+    // growing term, and harness testdata stops at sf0.1 (5k docs) — so
+    // time the two LSH headline queries over a full synthetic decade
+    // (5k -> 16k -> 50k docs, harness-shaped corpus with a fixed ~5%
+    // near-dup rate; sources/SyntheticDocs.corpus) and report the
+    // measured candidate-pair count at EVERY point, harness SFs included.
+    // Same degrade-don't-crash policy as the multi-scale pass.
+    val lshScale = try {
+      val lshNames =
+        Seq("q_dedup_minhash_lsh", "q_dedup_minhash_lsh_pruned", "q_dedup_near_materialize")
+      val lshQs = Registry.all.filter(q => lshNames.contains(q.name))
+      val synthPoints = Seq(5000L, 16000L, 50000L).map { n =>
+        val d = s"/tmp/graft_synth_docs_v2_$n"
+        if (!new java.io.File(s"$d/documents.parquet").exists())
+          graft.sources.SyntheticDocs.corpus(spark, n)
+            .write.mode("overwrite").parquet(s"$d/documents.parquet")
+        n -> d
+      }
+      def timeLsh(dir: String): Seq[(String, Double)] = lshQs.map { q =>
+        val t = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          q.run(spark, dir).count()
+          spark.catalog.clearCache()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        q.name -> t
+      }
+      def docRows(dir: String): Long =
+        spark.read.parquet(s"$dir/documents.parquet").count()
+      def candCounts(dir: String): (Long, Long) = {
+        val c = operators.NearDup.lshCandidateCount(spark, dir)
+        spark.catalog.clearCache()
+        val p = operators.NearDup.lshPrunedCandidateCount(spark, dir)
+        spark.catalog.clearCache()
+        (c, p)
+      }
+      // harness points (candidates only — their times are in queries/
+      // queries_lo above) + synthetic points (candidates AND times)
+      val harness = (sfLo.toSeq :+ sfDir).map { d =>
+        val (c, p) = candCounts(d)
+        s"""{"dir":"$d","rows":${docRows(d)},"candidates":$c,"candidates_pruned":$p}"""
+      }
+      val synthData = synthPoints.map { case (n, d) => (n, d, candCounts(d), timeLsh(d)) }
+      val synth = synthData.map { case (n, d, cp, ts) =>
+        s"""{"dir":"$d","rows":$n,"candidates":${cp._1},"candidates_pruned":${cp._2},${
+          ts.map { case (k, v) => "\"" + k + "\":" + v }.mkString(",")}}"""
+      }
+      // per-query exponent over the synthetic decade (same generator at
+      // both ends, so the points sit on one curve by construction)
+      val (tLo, tHi) = (synthData.head._4.toMap, synthData.last._4.toMap)
+      val rowRatio = synthPoints.last._1.toDouble / synthPoints.head._1
+      val alphas = lshQs.map { q =>
+        val a = Some(tHi(q.name)).filter(_ > 0).filter(_ => tLo(q.name) > 0)
+          .map(t => math.log(t / tLo(q.name)) / math.log(rowRatio))
+        "\"" + q.name + "\":" + a.filter(x => !x.isNaN && !x.isInfinite)
+          .map(x => BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString)
+          .getOrElse("null")
+      }
+      s""","lsh_scale":{"harness":[${harness.mkString(",")}],"synthetic":[${
+        synth.mkString(",")}],"alpha_synth_decade":{${alphas.mkString(",")}}}"""
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] lsh scale pass failed: ${e.getMessage}")
+        ""
+    }
+
     // Fixed-work CPU calibration: a deterministic single-thread xorshift
     // spin whose wall-time scales with this VM's CPU-steal level. Readers
     // comparing BENCH_r{N}.json across rounds can divide query times by
@@ -127,7 +194,7 @@ object Bench {
       }
       spin(); (1 to 3).map(_ => spin()).min
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"calib_spin_sec":$calib,"sf":"$sfDir"$multiScale}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"calib_spin_sec":$calib,"sf":"$sfDir"$multiScale$lshScale}""")
     spark.stop()
   }
 }

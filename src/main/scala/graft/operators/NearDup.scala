@@ -131,13 +131,13 @@ object NearDup {
        |      FROM $candCte c JOIN s sa ON sa.doc_id = c.id_a JOIN s sb ON sb.doc_id = c.id_b)
        |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= $JaccardThreshold""".stripMargin
 
-  /** MinHash-LSH near-dup pairs: band-bucket candidates + Jaccard verify.
-    * The per-doc shingle table is persisted: it feeds signature generation
-    * AND both sides of the verify join, and it is tiny relative to the
-    * corpus (ids + shingle arrays), so at cluster scale this is the
-    * standard "materialize features once" step, not a luxury. */
-  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val shingleTbl = shingleTable(spark, dir).persist()
+  /** Band-bucket candidate id pairs from a shingle table — the shared
+    * candidate generator of the LSH family (symmetric Jaccard and
+    * containment verifies both consume it), and the family's only
+    * data-dependent growing term: everything else is O(corpus), candidate
+    * volume scales with duplicate density. The bench's LSH scale pass
+    * counts THIS relation per scale point (PLANS.md scaling table). */
+  private[graft] def lshCandidates(shingleTbl: DataFrame): DataFrame = {
     val sig = shingleTbl
       .withColumn("hb", baseHashes)
       .select(
@@ -149,10 +149,23 @@ object NearDup {
     val banded = sig.select(col("doc_id"), explode(bands).as("band")).persist()
     val a = banded.alias("a")
     val b = banded.alias("b")
-    val cand = a.join(b, col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+    a.join(b, col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    verifyJaccard(cand, shingleTbl)
+  }
+
+  /** Candidate-pair count for a documents dir — bench instrumentation. */
+  def lshCandidateCount(spark: SparkSession, dir: String): Long =
+    lshCandidates(shingleTable(spark, dir)).count()
+
+  /** MinHash-LSH near-dup pairs: band-bucket candidates + Jaccard verify.
+    * The per-doc shingle table is persisted: it feeds signature generation
+    * AND both sides of the verify join, and it is tiny relative to the
+    * corpus (ids + shingle arrays), so at cluster scale this is the
+    * standard "materialize features once" step, not a luxury. */
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val shingleTbl = shingleTable(spark, dir).persist()
+    verifyJaccard(lshCandidates(shingleTbl), shingleTbl)
   }
 
   private[operators] val minhashPairsSql = {
@@ -168,6 +181,79 @@ object NearDup {
        |c AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
        |      FROM b a JOIN b b2 ON a.band = b2.band AND a.doc_id < b2.doc_id),
        |${jaccardVerifySql("c")}""".stripMargin
+  }
+
+  /** Doc-frequency prune threshold: shingles present in more than this
+    * fraction of documents are "boilerplate" and excluded from SIGNATURE
+    * generation (verify still uses full sets). */
+  val DfPruneFrac = 0.02
+
+  /** MinHash-LSH with doc-frequency shingle pruning — the candidate-volume
+    * control for corpora whose background (unrelated-pair) shingle overlap
+    * is high: band collisions between unrelated docs come almost entirely
+    * from high-DF "stopword shingles", so dropping shingles with
+    * df > DfPruneFrac·n from the signature kills the quadratic background
+    * term while near-dup pairs keep colliding on their shared RARE
+    * shingles. Verification is unchanged (full shingle sets, same Jaccard
+    * + threshold), so emitted pairs mean the same thing as
+    * [[minhashPairs]] — recall on borderline pairs is traded for
+    * candidate volume (measured in the bench's LSH scale pass: ~29× fewer
+    * candidates at the 50k-doc point, every injected near-dup class still
+    * found; SyntheticDocsSpec pins a recall floor).
+    *
+    * Scale shape: the common-shingle list is bounded by
+    * (shingles-per-doc)/DfPruneFrac rows REGARDLESS of corpus size (a
+    * shingle needs df > frac·n, and total shingle instances are
+    * ~52·n), so collecting it to a broadcast anti-join is the justified
+    * k-sized pattern, not a corpus-sized collect. Docs whose every
+    * shingle is boilerplate drop out of candidate generation by design. */
+  def minhashPairsPruned(spark: SparkSession, dir: String): DataFrame = {
+    val shingleTbl = shingleTable(spark, dir).persist()
+    val n = shingleTbl.count()
+    val x = shingleTbl.select(col("doc_id"), explode(col("sh")).as("t"))
+    val common = x.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > lit(DfPruneFrac) * n)
+      .select(col("t"))
+    val pruned = x.join(broadcast(common), Seq("t"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("t"))).as("sh"))
+    verifyJaccard(lshCandidates(pruned), shingleTbl)
+  }
+
+  private val minhashPairsPrunedSql = {
+    val mhs = (0 until NumHashes).map(k => s"${minhashSql(k)} AS mh_$k").mkString(", ")
+    val bandList = (0 until NumBands).map { b =>
+      val parts = (b * BandSize until (b + 1) * BandSize).map(k => s"mh_$k")
+      s"md5(concat_ws(',', ${parts.mkString(", ")}))"
+    }.mkString("[", ", ", "]")
+    s"""WITH s AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
+       |x AS (SELECT doc_id, unnest(sh) AS t FROM s),
+       |nn AS (SELECT count(*) AS n FROM s),
+       |common AS (SELECT t FROM (SELECT t, count(*) AS df FROM x GROUP BY t) d, nn
+       |           WHERE d.df > $DfPruneFrac * nn.n),
+       |p AS (SELECT doc_id, list_sort(list(DISTINCT t)) AS sh FROM x
+       |      WHERE t NOT IN (SELECT t FROM common) GROUP BY doc_id),
+       |hh AS (SELECT doc_id, $baseHashesSql AS hb FROM p),
+       |m AS (SELECT doc_id, $mhs FROM hh),
+       |b AS (SELECT doc_id, unnest($bandList) AS band FROM m),
+       |c AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+       |      FROM b a JOIN b b2 ON a.band = b2.band AND a.doc_id < b2.doc_id),
+       |${jaccardVerifySql("c")}""".stripMargin
+  }
+
+  /** Pruned-signature candidate count — bench instrumentation, the
+    * counterpart of [[lshCandidateCount]]. */
+  def lshPrunedCandidateCount(spark: SparkSession, dir: String): Long = {
+    val shingleTbl = shingleTable(spark, dir).persist()
+    val n = shingleTbl.count()
+    val x = shingleTbl.select(col("doc_id"), explode(col("sh")).as("t"))
+    val common = x.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > lit(DfPruneFrac) * n)
+      .select(col("t"))
+    val pruned = x.join(broadcast(common), Seq("t"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("t"))).as("sh"))
+    lshCandidates(pruned).count()
   }
 
   /** n-gram Jaccard dedup with single-fingerprint blocking: candidates share
@@ -277,20 +363,7 @@ object NearDup {
     * with the true containment formula here. */
   def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
     val shingleTbl = shingleTable(spark, dir).persist()
-    val sig = shingleTbl
-      .withColumn("hb", baseHashes)
-      .select(
-        col("doc_id") +: (0 until NumHashes).map(k => minhash(col("hb"), k).as(s"mh_$k")): _*)
-    val bands = array((0 until NumBands).map { b =>
-      md5(concat_ws(",",
-        (b * BandSize until (b + 1) * BandSize).map(k => col(s"mh_$k")): _*))
-    }: _*)
-    val banded = sig.select(col("doc_id"), explode(bands).as("band"))
-    val a = banded.alias("a")
-    val b = banded.alias("b")
-    val cand = a.join(b, col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    val cand = lshCandidates(shingleTbl)
     val sa = shingleTbl.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val sb = shingleTbl.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
@@ -325,6 +398,7 @@ object NearDup {
     Q("q_dedup_containment_pairs", containmentPairs, Some(containmentPairsSql)),
     Q("q_dedup_minhash_sig", minhashSignatures, Some(minhashSigSql)),
     Q("q_dedup_minhash_lsh", minhashPairs, Some(minhashPairsSql), bench = true),
+    Q("q_dedup_minhash_lsh_pruned", minhashPairsPruned, Some(minhashPairsPrunedSql)),
     Q("q_dedup_ngram_jaccard", ngramJaccardPairs, Some(ngramJaccardSql)),
     Q("q_dedup_simhash_sig", simhashSignatures, Some(simhashSigSql), bench = true),
     Q("q_dedup_simhash_pairs", simhashPairs, Some(simhashPairsSql)),

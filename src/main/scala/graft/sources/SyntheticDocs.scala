@@ -1,6 +1,7 @@
 package graft.sources
 
 import java.util
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -46,6 +47,75 @@ object SyntheticDocs {
     StructField("lang", StringType, nullable = false),
     StructField("n_chars", LongType, nullable = false),
     StructField("text", StringType, nullable = false)))
+
+  // ------------------------------------------------- scale-bench corpus
+  // A documents table statistically matched to the harness testdata
+  // (measured: 31-word vocabulary fixed across SFs, 10-100 words/doc
+  // uniform, 5 langs with en ~40%, 20 round-robin sources) plus a
+  // controlled near-duplicate rate — the data-dependent term the LSH
+  // dedup family's scaling evidence needs at sizes the harness doesn't
+  // ship (>sf0.1). Every row is a pure function of doc_id, so generation
+  // is embarrassingly parallel, reproducible across runs/partitionings,
+  // and a near-dup can regenerate its base doc without reading it.
+
+  private val corpusVocab: IndexedSeq[String] = IndexedSeq(
+    "key", "agg", "row", "scan", "slow", "fast", "table", "value", "part",
+    "hash", "merge", "batch", "a", "the", "line", "sort", "window", "spark",
+    "group", "column", "order", "small", "join", "shuffle", "disk", "memory",
+    "cache", "plan", "query", "stage", "task")
+  private val corpusLangs: IndexedSeq[String] =
+    IndexedSeq("en", "en", "en", "en", "de", "es", "fr", "zh") // en ~40%
+
+  /** 1-in-DupStride docs are perturbed copies of an earlier doc. */
+  val DupStride = 20
+  /** Per-word replacement probability of a near-dup copy (~10% of words →
+    * shingle Jaccard ~0.55-0.75, straddling the 0.5 verify threshold the
+    * way organic near-dups do). */
+  private val DupNoise = 10
+  /** 1-in-BoilerStride docs open with the same fixed sentence — the
+    * boilerplate head every real web corpus has (site chrome, licenses).
+    * Its shingles hold df/n ≈ 1/BoilerStride at EVERY corpus size, which
+    * is the regime DF shingle pruning (NearDup.minhashPairsPruned)
+    * exists for — unlike the flat organic background, whose per-shingle
+    * df FRACTION shrinks as the corpus grows. */
+  val BoilerStride = 10
+  private val boilerplate: IndexedSeq[String] = IndexedSeq(
+    "the", "fast", "table", "scan", "plan", "cache", "merge", "sort", "batch")
+
+  private def rngOf(id: Long, salt: Long): java.util.Random =
+    new java.util.Random(id * 0x9e3779b97f4a7c15L + salt)
+
+  private def baseWords(id: Long): IndexedSeq[String] = {
+    val rnd = rngOf(id, 17)
+    IndexedSeq.fill(10 + rnd.nextInt(91))(corpusVocab(rnd.nextInt(corpusVocab.length)))
+  }
+
+  private def organicWords(id: Long): IndexedSeq[String] =
+    if (id % BoilerStride == 7) boilerplate ++ baseWords(id) else baseWords(id)
+
+  /** Words of doc `id`: organic (possibly boilerplate-headed), or a noisy
+    * copy of a nearby earlier doc (boilerplate copied along, as a real
+    * scrape would). */
+  private[graft] def corpusWords(id: Long): IndexedSeq[String] =
+    if (id % DupStride == DupStride - 1 && id >= DupStride) {
+      val rnd = rngOf(id, 89)
+      val base = organicWords(id - 1 - rnd.nextInt(DupStride - 1))
+      base.map(w =>
+        if (rnd.nextInt(DupNoise) == 0) corpusVocab(rnd.nextInt(corpusVocab.length)) else w)
+    } else organicWords(id)
+
+  /** Deterministic harness-shaped corpus of `rows` documents (same column
+    * set as the testdata documents.parquet tables). Used by the bench's
+    * LSH scale pass and SyntheticDocsSpec; NOT a registered query input. */
+  def corpus(spark: SparkSession, rows: Long, partitions: Int = 32)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    spark.range(0, rows, 1, partitions).map { id =>
+      val text = corpusWords(id).mkString(" ")
+      val lang = corpusLangs(rngOf(id, 53).nextInt(corpusLangs.length))
+      (id, text, lang, s"src${id % 20}", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
 
   val langs: IndexedSeq[String] = IndexedSeq("en", "de", "fr")
 

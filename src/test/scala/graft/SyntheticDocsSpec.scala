@@ -36,6 +36,55 @@ class SyntheticDocsSpec extends SparkSuite {
     assert(a === b) // partitioning never changes content
   }
 
+  test("scale-bench corpus: deterministic, harness-shaped, LSH-findable near-dups") {
+    import graft.sources.SyntheticDocs
+    val n = 2000L
+    // partitioning-invariant determinism (pure function of doc_id)
+    val a = SyntheticDocs.corpus(spark, n, 4).collect().map(_.toString).sorted.toSeq
+    val b = SyntheticDocs.corpus(spark, n, 9).collect().map(_.toString).sorted.toSeq
+    assert(a === b)
+
+    val df = SyntheticDocs.corpus(spark, n, 8).cache()
+    assert(df.count() === n)
+    assert(df.columns.toSeq ===
+      Seq("doc_id", "text", "lang", "source", "n_chars"))
+    // harness shape: 10-100 organic words/doc (+9-word boilerplate head on
+    // 1-in-10 docs), 31-word vocabulary, 5 langs
+    val wc = df.select(size(split(col("text"), " ")).as("w"))
+      .agg(min(col("w")), max(col("w")), avg(col("w"))).collect().head
+    assert(wc.getInt(0) >= 10 && wc.getInt(1) <= 110)
+    assert(wc.getDouble(2) > 45 && wc.getDouble(2) < 65)
+    val vocab = df.select(explode(split(col("text"), " ")).as("t"))
+      .select(countDistinct(col("t"))).collect().head.getLong(0)
+    assert(vocab === 31L)
+    assert(df.select(countDistinct(col("lang"))).collect().head.getLong(0) === 5L)
+
+    // the injected near-dups are FOUND by the production LSH pipeline,
+    // so the synthetic scale points exercise the same candidate+verify
+    // path the harness corpus does
+    val dir = fixtureDir("documents" -> df)
+    val pairs = graft.operators.NearDup.minhashPairs(spark, dir).cache()
+    val found = pairs.count()
+    // ~5% dup rate at 10% noise: a majority of injected dups must verify
+    assert(found >= n / SyntheticDocs.DupStride / 2, s"only $found pairs")
+    assert(pairs.filter(col("jaccard") < graft.operators.NearDup.JaccardThreshold).count() === 0)
+
+    // DF-pruned LSH: candidates shrink, verified recall holds a floor —
+    // the high-DF shingles it drops are what unrelated pairs collide on,
+    // near-dups keep colliding on their shared rare shingles
+    val cand = graft.operators.NearDup.lshCandidateCount(spark, dir)
+    val candP = graft.operators.NearDup.lshPrunedCandidateCount(spark, dir)
+    assert(candP < cand, s"pruned candidates $candP !< $cand")
+    val prunedPairs = graft.operators.NearDup.minhashPairsPruned(spark, dir)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fullPairs = pairs.select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = prunedPairs.intersect(fullPairs).size.toDouble / fullPairs.size
+    info(f"candidates $cand -> $candP, recall vs unpruned $recall%.3f")
+    assert(recall >= 0.8, f"pruned recall $recall%.3f < 0.8")
+    df.unpersist(); pairs.unpersist()
+  }
+
   test("short name resolves via ServiceLoader: .format and SQL CREATE TABLE USING") {
     val viaFormat = spark.read.format("graft-docs")
       .option("rows", "40").option("partitions", "3").load()
