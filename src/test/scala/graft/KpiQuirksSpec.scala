@@ -41,6 +41,33 @@ class KpiQuirksSpec extends SparkSuite {
     assert(row.getAs[Long]("unique_customers") === 2L)
   }
 
+  test("fan-out return_rate >= order-based on EVERY sf0.1 group (property, not fixture)") {
+    // the §2.9.1 quirk as a data-scale property: on the harness join at
+    // sf0.1, the reference's row-counting numerator dominates the
+    // order-counting one in every order_date group (each returned order
+    // contributes >= 1 joined row), and strictly exceeds it somewhere
+    // (some returned order has > 1 lineitem — the fan-out actually bites)
+    import graft.sources.Tables
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.1"
+    val joined = Tables.orders(spark, dir).alias("o")
+      .join(Tables.lineitem(spark, dir).alias("li"),
+        col("o.o_orderkey") === col("li.l_orderkey"), "inner")
+      .withColumn("order_date", to_date(col("o.o_orderdate")))
+    val rates = joined.groupBy(col("order_date")).agg(
+      (count(when(col("o.o_orderstatus") === "F", 1)) /
+        countDistinct(col("o.o_orderkey")) * 100).as("row_rate"),
+      (countDistinct(when(col("o.o_orderstatus") === "F", col("o.o_orderkey"))) /
+        countDistinct(col("o.o_orderkey")) * 100).as("order_rate"))
+      .collect()
+    assert(rates.nonEmpty)
+    rates.foreach(r =>
+      assert(r.getDouble(1) >= r.getDouble(2) - 1e-9,
+        s"${r.get(0)}: row ${r.getDouble(1)} < order ${r.getDouble(2)}"))
+    assert(rates.exists(r => r.getDouble(1) > r.getDouble(2) + 1e-9),
+      "fan-out never exceeded the order-based rate — quirk not exercised")
+  }
+
   test("total_items_sold sums num_of_item over fan-out rows, not per order") {
     val row = pipe.orderKpis.head()
     // order 1 (num_of_item=2) fans out x3, order 2 (1) x1 -> 2*3 + 1 = 7,
