@@ -14,13 +14,14 @@ class EntrySpec extends SparkSuite {
     assert(names.distinct.size === names.size)
     val noOracle = Registry.all.filter(_.oracle.isEmpty).map(_.name).toSet
     // only sketch-estimate / input-parameterized / engine-side-codec
-    // queries may skip the oracle: HLL KPI, GK quantiles, corpus-adaptive
-    // LSH (error-bound or invariant specs), the WAV decode (binary parser,
-    // closed-form sine spec in AudioSpec), the PNG aHash pipeline (image
-    // codec, cluster-structure spec in MultimodalSpec), and PQ ANN
-    // (8-codebook training; determinism + recall specs in PqSpec), and
-    // trained-centroid IVF (Lloyd codebook; recall floor vs the oracle-
-    // checked seed IVF in AnnRecallSpec)
+    // queries may skip the oracle — the full ledger mapping each entry to
+    // its bounding spec AND the pinned bound lives in PLANS.md
+    // ("Rows-only ledger"); keep that table in sync with this set.
+    // Summary: HLL KPI (ApproxKpiSpec), GK quantiles
+    // (ApproxQuantilesSpec), corpus-adaptive LSH (AdaptiveLshSpec),
+    // WAV decode (AudioSpec closed-form sine), PNG aHash + GIF frames
+    // (MultimodalSpec), PQ ANN (PqSpec determinism + recall), trained
+    // IVF (AnnRecallSpec recall floor vs oracle-checked seed IVF)
     val allowed = Set("q_kpi_order_approx", "q_stats_quantiles_approx",
       "q_sim_knn_lsh_adaptive", "q_mm_audio", "q_mm_image_neardup",
       "q_mm_video_frames", "q_sim_knn_pq", "q_sim_knn_ivf_trained")
