@@ -202,6 +202,60 @@ object Dedup {
        |WHERE split = 'test'
        |  AND fp IN (SELECT fp FROM d WHERE split = 'train')""".stripMargin
 
+  /** Benchmark-decontamination n-gram window: the published rule is a
+    * 13-gram scan (GPT-3 appendix C / Llama 2 §A.6 — public); 8 fits this
+    * corpus's 10-100-word documents so the gate actually fires. */
+  val ContamNgram = 8
+
+  /** Decontamination by n-gram OVERLAP — the fuzzy upgrade of
+    * [[contamination]]'s whole-document fingerprint: a TRAIN doc is
+    * flagged if it shares ANY word [[ContamNgram]]-gram with a test-split
+    * document, with the count of distinct test docs hit. Exact-fingerprint
+    * matching misses a benchmark answer pasted INSIDE a larger page; the
+    * n-gram join catches any shared run of ContamNgram words.
+    *
+    * Scale shape: n-grams ride as md5 digests from the first projection
+    * (corpus text never shuffles); the join is digest-keyed — shuffle
+    * volume is O(total n-grams × 16 B), the flag aggregation is
+    * map-side-combinable after the pair distinct. Docs shorter than
+    * ContamNgram words have no window and honestly cannot be flagged
+    * (the published scans share that property). */
+  def contaminationNgrams(spark: SparkSession, dir: String): DataFrame = {
+    val withSplit = Sampling.splitAssign(spark, dir)
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), normText(col("text")).as("norm"))
+      .select(col("doc_id"), split(col("norm"), " ").as("w"))
+      .join(withSplit, Seq("doc_id"))
+      .select(col("doc_id"), col("split"), explode(
+        when(size(col("w")) < ContamNgram, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(0), size(col("w")) - ContamNgram), i =>
+            md5(concat_ws(" ",
+              (1 to ContamNgram).map(j => element_at(col("w"), i + j)): _*)))))
+        .as("g"))
+    val trainG = grams.filter(col("split") === "train").select(col("doc_id"), col("g"))
+    val testG = grams.filter(col("split") === "test")
+      .select(col("doc_id").as("test_id"), col("g"))
+    trainG.join(testG, "g")
+      .select(col("doc_id"), col("test_id")).distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_test_docs"))
+  }
+
+  private val contaminationNgramsSql = {
+    val n = ContamNgram
+    val gramList = (1 to n).map(j => s"w[i+$j]").mkString(", ")
+    s"""WITH d AS (SELECT doc_id, string_split(${TextAnalysis.normSql}, ' ') AS w,
+       |  ${Sampling.splitCaseSql} AS split FROM documents),
+       |g AS (SELECT doc_id, split, unnest(
+       |        CASE WHEN len(w) < $n THEN []::VARCHAR[]
+       |        ELSE list_transform(range(0, len(w) - $n + 1), i ->
+       |          md5(concat_ws(' ', $gramList))) END) AS g
+       |      FROM d)
+       |SELECT tr.doc_id, count(DISTINCT te.doc_id) AS n_test_docs
+       |FROM (SELECT doc_id, g FROM g WHERE split = 'train') tr
+       |JOIN (SELECT doc_id, g FROM g WHERE split = 'test') te USING (g)
+       |GROUP BY tr.doc_id""".stripMargin
+  }
+
   /** Near-dup cluster size histogram — the fuzzy-dedup corpus-health
     * metric (how many transitive near-dup clusters have 2, 3, … members):
     * connected components + two map-side-combinable aggregations. */
@@ -285,6 +339,7 @@ object Dedup {
     Q("q_dedup_incremental", incremental, Some(incrementalSql)),
     Q("q_split_leakage_free", leakageFreeSplit, Some(leakageFreeSplitSql)),
     Q("q_dedup_contamination", contamination, Some(contaminationSql)),
+    Q("q_dedup_contamination_ngram", contaminationNgrams, Some(contaminationNgramsSql)),
     Q("q_dedup_near_materialize", materializeNearDupFree, Some(nearDupFreeSql), bench = true),
     Q("q_dedup_clusters", nearDupClusters, Some(
       s"""$clustersCteSql
