@@ -353,7 +353,58 @@ object Events {
        |FROM p JOIN t USING (from_type)
        |ORDER BY 1, 2""".stripMargin
 
+  /** Last-touch marketing attribution: each purchase is credited to the
+    * same user's most recent click/view at or before it (ties: touches
+    * beat same-timestamp purchases; equal-timestamp touches break to the
+    * higher event_id), rolled up to channel totals. Purchases with no
+    * prior touch land in the explicit 'none' channel.
+    *
+    * Plan shape: the merge-style as-of composition (AsOf.scala) — tag
+    * sides, union, ONE shuffle+sort on (user, ts, side, event_id), a
+    * running `last(ignoreNulls)` carries the latest touch into each
+    * purchase row, then a map-side-combinable channel rollup. No range
+    * join, no per-purchase probe — the shape that survives 100 TB of
+    * events. Revenue rides the exact integer-cents pattern (order-free
+    * BIGINT sums, divided back once at the end). */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val cents = floor(col("value") * 100 + 0.5).cast("long")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("side"),
+        lit(null).cast("string").as("touch"), cents.as("cents"))
+    val t = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("side"),
+        col("event_type").as("touch"), lit(null).cast("long").as("cents"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    p.unionByName(t)
+      .withColumn("channel", last(col("touch"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(coalesce(col("channel"), lit("none")).as("channel"), col("cents"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        (sum(col("cents")) / 100.0).as("revenue"))
+  }
+
+  private val attributionSql =
+    s"""WITH $eventsUs,
+       |p AS (SELECT user_id, ts, event_id,
+       |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+       |      FROM e WHERE event_type = 'purchase'),
+       |a AS (SELECT p.cents,
+       |        (SELECT t.event_type FROM e t
+       |         WHERE t.user_id = p.user_id
+       |           AND t.event_type IN ('click', 'view') AND t.ts <= p.ts
+       |         ORDER BY t.ts DESC, t.event_id DESC LIMIT 1) AS channel
+       |      FROM p)
+       |SELECT coalesce(channel, 'none') AS channel, count(*) AS n_purchases,
+       |  sum(cents) / 100.0 AS revenue
+       |FROM a GROUP BY 1""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q_events_attribution", attribution, Some(attributionSql)),
     Q("q_events_markov", transitionMatrix, Some(transitionMatrixSql)),
     Q("q_events_markov_capped", transitionMatrixCapped, Some(transitionMatrixCappedSql)),
     Q("q_events_cum_users", cumulativeUsers, Some(cumulativeUsersSql)),

@@ -25,6 +25,32 @@ class ProductAnalyticsSpec extends SparkSuite {
       (8L, ts("2024-01-17 08:00:00"), 3L, "view", 1.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
 
+  test("last-touch attribution: latest touch wins, ties pinned, none-channel kept") {
+    val d = fixtureDir("events" -> Seq(
+      // user 1: view then click then purchase -> click wins (latest)
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:05:00"), 1L, "click", 1.0, "{}"),
+      (3L, ts("2024-01-01 10:10:00"), 1L, "purchase", 10.0, "{}"),
+      // user 2: touch at the SAME timestamp as the purchase counts (>=)
+      (4L, ts("2024-01-02 09:00:00"), 2L, "view", 1.0, "{}"),
+      (5L, ts("2024-01-02 09:00:00"), 2L, "purchase", 20.0, "{}"),
+      // user 3: two touches at the same ts -> higher event_id (click) wins
+      (6L, ts("2024-01-03 08:00:00"), 3L, "view", 1.0, "{}"),
+      (7L, ts("2024-01-03 08:00:00"), 3L, "click", 1.0, "{}"),
+      (8L, ts("2024-01-03 09:00:00"), 3L, "purchase", 30.25, "{}"),
+      // user 4: no prior touch -> 'none' (a later view must not count)
+      (9L, ts("2024-01-04 07:00:00"), 4L, "purchase", 5.0, "{}"),
+      (10L, ts("2024-01-04 08:00:00"), 4L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val rows = Events.attribution(spark, d).collect()
+      .map(r => r.getAs[String]("channel") ->
+        (r.getAs[Long]("n_purchases"), r.getAs[Double]("revenue"))).toMap
+    assert(rows === Map(
+      "click" -> (2L, 40.25), // users 1 and 3
+      "view" -> (1L, 20.0),   // user 2 (same-ts touch)
+      "none" -> (1L, 5.0)))   // user 4
+  }
+
   test("anomaly scan flags only the planted outlier") {
     val normal = (1L to 20L).map(i =>
       (i, ts("2024-01-01 10:00:00"), i, "click", 10.0 + (i % 3) * 0.5, "{}"))
