@@ -896,7 +896,73 @@ object TextAnalysis {
        |  ${roundNSql("CAST(count(CASE WHEN w.word NOT IN (SELECT word FROM vocab) THEN 1 END) AS DOUBLE) / count(*)", 6)} AS oov_rate
        |FROM w GROUP BY 1""".stripMargin
 
+  /** Okapi BM25 retrieval — the ranked-retrieval step behind
+    * retrieval-based corpus curation (and the scoring half of a RAG
+    * indexing pipeline). Scores every document against a pinned query-term
+    * set and keeps the global top-k by score.
+    *
+    * Scale: the term filter prunes the exploded words to O(|query|·df)
+    * rows BEFORE any shuffle — the corpus never re-shuffles on text. The
+    * df table is ≤|query| rows and the corpus stats are 1 row (both
+    * broadcast); dl joins tf on doc_id, the only corpus-keyed shuffle.
+    * The global top-k goes through the native bounded-heap operator
+    * (plans/TopK.scala) — no global sort. Per-(doc,term) scores quantize
+    * to integer micro-units (the exact-cents pattern) so the per-doc sum
+    * is order-free and both engines hash identically; every float
+    * constant is precomputed once in Scala and interpolated into the
+    * oracle text, so the two engines evaluate bit-identical arithmetic. */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25TopK = 10
+  val bm25QueryTerms = Seq("hash", "vector", "stream")
+  private val bm25K1p1 = Bm25K1 + 1.0
+  private val bm25OneMinusB = 1.0 - Bm25B
+
+  def bm25(spark: SparkSession, dir: String): DataFrame = {
+    val words = withWords(spark, dir)
+      .select(col("doc_id"), explode(col("w")).as("term"))
+      .filter(col("term") =!= "")
+    val dl = words.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = broadcast(dl.agg(count(lit(1)).as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl")))
+    val tf = words.filter(col("term").isInCollection(bm25QueryTerms))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = broadcast(tf.groupBy(col("term")).agg(count(lit(1)).as("df")))
+    val idf = log((col("n").cast("double") - col("df") + 0.5) /
+      (col("df") + 0.5) + 1.0)
+    val tfNorm = col("tf") * bm25K1p1 /
+      (col("tf") + lit(Bm25K1) * (lit(bm25OneMinusB) + lit(Bm25B) * col("dl") / col("avgdl")))
+    val scored = tf.join(df, Seq("term")).join(dl, Seq("doc_id")).crossJoin(stats)
+      .select(col("doc_id"),
+        floor(idf * tfNorm * 1e6 + 0.5).cast("long").as("s_micro"))
+      .groupBy(col("doc_id"))
+      .agg((sum(col("s_micro")) / 1e6).as("bm25"),
+        count(lit(1)).as("n_terms_hit"))
+    graft.plans.TopK.topK(scored, Seq.empty,
+      Seq(("bm25", true), ("doc_id", false)), Bm25TopK)
+  }
+
+  private val bm25Sql = {
+    val terms = bm25QueryTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH w AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS term FROM documents),
+       |wn AS (SELECT doc_id, term FROM w WHERE term != ''),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM wn GROUP BY 1),
+       |stats AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM wn
+       |       WHERE term IN ($terms) GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |sc AS (SELECT tf.doc_id,
+       |         CAST(floor(ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+       |           * (tf * $bm25K1p1 / (tf + $Bm25K1 * ($bm25OneMinusB + $Bm25B * dl / avgdl)))
+       |           * 1e6 + 0.5) AS BIGINT) AS s_micro
+       |       FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
+       |SELECT doc_id, sum(s_micro) / 1e6 AS bm25, count(*) AS n_terms_hit
+       |FROM sc GROUP BY 1
+       |QUALIFY row_number() OVER (ORDER BY bm25 DESC, doc_id) <= $Bm25TopK""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_text_bm25", bm25, Some(bm25Sql)),
     Q("q_text_oov", oovRate, Some(oovRateSql)),
     Q("q_corpus_datacard", dataCard, Some(dataCardSql)),
     Q("q_text_langid_eval", langIdConfusion, Some(langIdConfusionSql)),

@@ -15,6 +15,23 @@ class TextAnalysisSpec extends SparkSuite {
       (4L, "word", "und", "s", 4L)
     ).toDF("doc_id", "text", "lang", "source", "n_chars"))
 
+  test("bm25: rare term outranks common, tf monotone, no-hit docs excluded") {
+    val d = fixtureDir("documents" -> Seq(
+      (1L, "hash hash hash aaa bbb", "en", "s", 22L), // hash tf=3
+      (2L, "hash aaa bbb ccc ddd", "en", "s", 20L),   // hash tf=1, same dl
+      (3L, "vector hash aaa bbb ccc", "en", "s", 23L), // rare term + hash
+      (4L, "aaa bbb ccc ddd eee", "en", "s", 19L))     // no query term
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = TextAnalysis.bm25(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("bm25"), r.getAs[Long]("n_terms_hit"))).toMap
+    assert(!rows.contains(4L)) // retrieval: zero-hit docs don't appear
+    assert(rows(3L)._2 === 2L) // hit both 'vector' and 'hash'
+    assert(rows(1L)._1 > rows(2L)._1) // same dl, higher tf => higher score
+    assert(rows(3L)._1 > rows(2L)._1) // extra rare term dominates
+    rows.values.foreach { case (s, _) => assert(s > 0.0) }
+  }
+
   test("token and char counts") {
     val rows = TextAnalysis.tokenCount(spark, dir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_tokens")).toMap
