@@ -43,6 +43,25 @@ class NearDupSpec extends SparkSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // distinct doc never paired
   }
 
+  test("incremental near-dup: batch-vs-corpus only, no within-split pairs") {
+    // batch = doc_id % 5 == 0
+    val d2 = fixtureDir("documents" -> Seq(
+      (5L, base, "en", "s", base.length.toLong),       // batch
+      (7L, nearDup, "en", "s", nearDup.length.toLong), // corpus near-dup of 5
+      (10L, distinct, "en", "s", distinct.length.toLong), // batch
+      (15L, distinct, "en", "s", distinct.length.toLong), // batch exact dup of 10
+      (3L, base, "en", "s", base.length.toLong),       // corpus exact dup of 8
+      (8L, base, "en", "s", base.length.toLong)        // corpus
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val pairs = NearDup.incrementalNearPairs(spark, d2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((5L, 7L))) // new doc flagged against the corpus
+    assert(pairs.contains((5L, 3L)) && pairs.contains((5L, 8L))) // exact hits too
+    assert(!pairs.contains((10L, 15L)) && !pairs.contains((15L, 10L))) // within-batch excluded
+    assert(!pairs.exists(p => p._1 == 3L && p._2 == 8L)) // within-corpus excluded
+    pairs.foreach { case (a, _) => assert(a % 5 === 0L) } // id_a is always the new side
+  }
+
   test("near-dup jaccard is high, exact-dup jaccard is 1.0") {
     val out = NearDup.minhashPairs(spark, dir).collect()
     val exact = out.find(r => r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 4L).get
