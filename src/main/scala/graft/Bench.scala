@@ -122,13 +122,18 @@ object Bench {
       val lshNames =
         Seq("q_dedup_minhash_lsh", "q_dedup_minhash_lsh_pruned", "q_dedup_near_materialize")
       val lshQs = Registry.all.filter(q => lshNames.contains(q.name))
-      val synthPoints = Seq(5000L, 16000L, 50000L).map { n =>
-        val d = s"/tmp/graft_synth_docs_v2_$n"
-        if (!new java.io.File(s"$d/documents.parquet").exists())
-          graft.sources.SyntheticDocs.corpus(spark, n)
-            .write.mode("overwrite").parquet(s"$d/documents.parquet")
-        n -> d
-      }
+      def points(tag: String,
+          gen: (org.apache.spark.sql.SparkSession, Long) => org.apache.spark.sql.DataFrame) =
+        Seq(5000L, 16000L, 50000L).map { n =>
+          val d = s"/tmp/graft_synth_docs_${tag}_$n"
+          if (!new java.io.File(s"$d/documents.parquet").exists())
+            gen(spark, n).write.mode("overwrite").parquet(s"$d/documents.parquet")
+          n -> d
+        }
+      val synthPoints = points("v2", graft.sources.SyntheticDocs.corpus(_, _))
+      // open-vocabulary (web-like) decade: candidate volume should track
+      // dup density here, isolating the fixed-vocab df-cohort artifact
+      val zipfPoints = points("zipf", graft.sources.SyntheticDocs.zipfCorpus(_, _))
       def timeLsh(dir: String): Seq[(String, Double)] = lshQs.map { q =>
         val t = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
@@ -153,24 +158,30 @@ object Bench {
         val (c, p) = candCounts(d)
         s"""{"dir":"$d","rows":${docRows(d)},"candidates":$c,"candidates_pruned":$p}"""
       }
-      val synthData = synthPoints.map { case (n, d) => (n, d, candCounts(d), timeLsh(d)) }
-      val synth = synthData.map { case (n, d, cp, ts) =>
-        s"""{"dir":"$d","rows":$n,"candidates":${cp._1},"candidates_pruned":${cp._2},${
-          ts.map { case (k, v) => "\"" + k + "\":" + v }.mkString(",")}}"""
+      def decade(pts: Seq[(Long, String)]): (String, String) = {
+        val data = pts.map { case (n, d) => (n, d, candCounts(d), timeLsh(d)) }
+        val rowsJson = data.map { case (n, d, cp, ts) =>
+          s"""{"dir":"$d","rows":$n,"candidates":${cp._1},"candidates_pruned":${cp._2},${
+            ts.map { case (k, v) => "\"" + k + "\":" + v }.mkString(",")}}"""
+        }.mkString(",")
+        // per-query exponent over the decade (same generator at both
+        // ends, so the points sit on one curve by construction)
+        val (tLo, tHi) = (data.head._4.toMap, data.last._4.toMap)
+        val rowRatio = pts.last._1.toDouble / pts.head._1
+        val alphas = lshQs.map { q =>
+          val a = Some(tHi(q.name)).filter(_ > 0).filter(_ => tLo(q.name) > 0)
+            .map(t => math.log(t / tLo(q.name)) / math.log(rowRatio))
+          "\"" + q.name + "\":" + a.filter(x => !x.isNaN && !x.isInfinite)
+            .map(x => BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString)
+            .getOrElse("null")
+        }.mkString(",")
+        (rowsJson, alphas)
       }
-      // per-query exponent over the synthetic decade (same generator at
-      // both ends, so the points sit on one curve by construction)
-      val (tLo, tHi) = (synthData.head._4.toMap, synthData.last._4.toMap)
-      val rowRatio = synthPoints.last._1.toDouble / synthPoints.head._1
-      val alphas = lshQs.map { q =>
-        val a = Some(tHi(q.name)).filter(_ > 0).filter(_ => tLo(q.name) > 0)
-          .map(t => math.log(t / tLo(q.name)) / math.log(rowRatio))
-        "\"" + q.name + "\":" + a.filter(x => !x.isNaN && !x.isInfinite)
-          .map(x => BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString)
-          .getOrElse("null")
-      }
-      s""","lsh_scale":{"harness":[${harness.mkString(",")}],"synthetic":[${
-        synth.mkString(",")}],"alpha_synth_decade":{${alphas.mkString(",")}}}"""
+      val (synth, alphaSynth) = decade(synthPoints)
+      val (zipf, alphaZipf) = decade(zipfPoints)
+      s""","lsh_scale":{"harness":[${harness.mkString(",")}],"synthetic":[$synth],""" +
+        s""""alpha_synth_decade":{$alphaSynth},"synthetic_zipf":[$zipf],""" +
+        s""""alpha_zipf_decade":{$alphaZipf}}"""
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] lsh scale pass failed: ${e.getMessage}")

@@ -108,10 +108,59 @@ object SyntheticDocs {
     * set as the testdata documents.parquet tables). Used by the bench's
     * LSH scale pass and SyntheticDocsSpec; NOT a registered query input. */
   def corpus(spark: SparkSession, rows: Long, partitions: Int = 32)
-      : org.apache.spark.sql.DataFrame = {
+      : org.apache.spark.sql.DataFrame =
+    corpusOf(spark, rows, partitions, corpusWords)
+
+  // ------------------------------------------------- web-like Zipf corpus
+  // The harness-matched corpus above has a FIXED 31-word vocabulary, so
+  // every unrelated doc pair shares most of its vocabulary and band
+  // buckets fill with df-cohort collisions — candidate volume grows
+  // ~n^1.9 there, a property of that corpus, not of the algorithm. Real
+  // web corpora have an open vocabulary (Zipf): most shingles are rare,
+  // so unrelated docs essentially never share a band, and candidate
+  // volume tracks the planted duplicate + boilerplate density instead.
+  // This variant keeps the dup/boilerplate structure IDENTICAL (same
+  // strides, same noise) and swaps only the organic word source for a
+  // log-uniform (≈ Zipf(1)) draw over a 10^6-word vocabulary, so the two
+  // decades isolate exactly one variable: vocabulary openness.
+
+  private val ZipfVocabLn = math.log(1e6)
+
+  private def zipfBase(id: Long): IndexedSeq[String] = {
+    val rnd = rngOf(id, 131)
+    IndexedSeq.fill(10 + rnd.nextInt(91)) {
+      // inverse-CDF of p(rank) ∝ 1/rank over ranks 1..10^6: log-uniform
+      val rank = math.floor(math.exp(rnd.nextDouble() * ZipfVocabLn)).toLong + 1
+      s"w$rank"
+    }
+  }
+
+  private def organicZipf(id: Long): IndexedSeq[String] =
+    if (id % BoilerStride == 7) boilerplate ++ zipfBase(id) else zipfBase(id)
+
+  /** Zipf-vocabulary corpus words: organic, boilerplate-headed, or a noisy
+    * copy of a nearby earlier doc — same structure as [[corpusWords]]. */
+  private[graft] def zipfCorpusWords(id: Long): IndexedSeq[String] =
+    if (id % DupStride == DupStride - 1 && id >= DupStride) {
+      val rnd = rngOf(id, 97)
+      val base = organicZipf(id - 1 - rnd.nextInt(DupStride - 1))
+      base.map(w =>
+        if (rnd.nextInt(DupNoise) == 0)
+          s"w${math.floor(math.exp(rnd.nextDouble() * ZipfVocabLn)).toLong + 1}"
+        else w)
+    } else organicZipf(id)
+
+  /** Deterministic web-like (open-vocabulary) corpus — the realistic
+    * regime for the LSH scale evidence. */
+  def zipfCorpus(spark: SparkSession, rows: Long, partitions: Int = 32)
+      : org.apache.spark.sql.DataFrame =
+    corpusOf(spark, rows, partitions, zipfCorpusWords)
+
+  private def corpusOf(spark: SparkSession, rows: Long, partitions: Int,
+      words: Long => IndexedSeq[String]): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     spark.range(0, rows, 1, partitions).map { id =>
-      val text = corpusWords(id).mkString(" ")
+      val text = words(id).mkString(" ")
       val lang = corpusLangs(rngOf(id, 53).nextInt(corpusLangs.length))
       (id, text, lang, s"src${id % 20}", text.length.toLong)
     }.toDF("doc_id", "text", "lang", "source", "n_chars")

@@ -51,6 +51,42 @@ class ProductAnalyticsSpec extends SparkSuite {
       "none" -> (1L, 5.0)))   // user 4
   }
 
+  test("attribution property: window composition equals brute-force per-purchase scan") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val evGen = Gen.listOfN(24, Gen.zip(
+      Gen.chooseNum(1L, 3L),                       // user
+      Gen.chooseNum(0L, 9L),                       // ts slot (collisions likely)
+      Gen.oneOf("view", "click", "purchase"),
+      Gen.chooseNum(1L, 9999L)))                   // cents
+    val p = Prop.forAll(evGen) { evs =>
+      val rows = evs.zipWithIndex.map { case ((u, slot, typ, cents), i) =>
+        (i + 1L, ts(f"2024-01-01 10:00:${slot}%02d"), u, typ, cents / 100.0, "{}")
+      }
+      val d = fixtureDir("events" -> rows
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      val got = Events.attribution(spark, d).collect()
+        .map(r => r.getAs[String]("channel") ->
+          (r.getAs[Long]("n_purchases"), r.getAs[Double]("revenue"))).toMap
+      // brute-force reference: per purchase, the max-(ts, event_id) touch
+      // with ts <= purchase ts wins (same-ts touches count: side orders
+      // touches before purchases); no touch -> 'none'
+      val attributed = rows.filter(_._4 == "purchase").map { p =>
+        val touches = rows.filter(t =>
+          t._3 == p._3 && t._4 != "purchase" && !t._2.after(p._2))
+        val channel =
+          if (touches.isEmpty) "none"
+          else touches.maxBy(t => (t._2.getTime, t._1))._4
+        channel -> math.floor(p._5 * 100 + 0.5).toLong
+      }
+      val want = attributed.groupBy(_._1).map { case (ch, xs) =>
+        ch -> (xs.size.toLong, xs.map(_._2).sum / 100.0)
+      }
+      got == want
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), p)
+    assert(r.passed, r.status.toString)
+  }
+
   test("anomaly scan flags only the planted outlier") {
     val normal = (1L to 20L).map(i =>
       (i, ts("2024-01-01 10:00:00"), i, "click", 10.0 + (i % 3) * 0.5, "{}"))

@@ -85,6 +85,35 @@ class SyntheticDocsSpec extends SparkSuite {
     df.unpersist(); pairs.unpersist()
   }
 
+  test("zipf corpus: open vocabulary, same dup structure, far fewer background candidates") {
+    import graft.sources.SyntheticDocs
+    val n = 2000L
+    val a = SyntheticDocs.zipfCorpus(spark, n, 4).collect().map(_.toString).sorted.toSeq
+    val b = SyntheticDocs.zipfCorpus(spark, n, 9).collect().map(_.toString).sorted.toSeq
+    assert(a === b) // partitioning-invariant determinism
+
+    val df = SyntheticDocs.zipfCorpus(spark, n, 8).cache()
+    // open vocabulary: distinct words grow with the corpus (vs 31 fixed)
+    val vocab = df.select(explode(split(col("text"), " ")).as("t"))
+      .select(countDistinct(col("t"))).collect().head.getLong(0)
+    assert(vocab > 5000L, s"zipf vocab $vocab unexpectedly small")
+
+    // injected near-dups still found by the production LSH pipeline
+    val dir = fixtureDir("documents" -> df)
+    val pairs = graft.operators.NearDup.minhashPairs(spark, dir).cache()
+    val found = pairs.count()
+    assert(found >= n / SyntheticDocs.DupStride / 2, s"only $found pairs")
+
+    // the regime claim: with an open vocabulary, band buckets hold only
+    // true dups + boilerplate — candidate volume collapses vs fixed-vocab
+    val dirV2 = fixtureDir("documents" -> SyntheticDocs.corpus(spark, n, 8))
+    val candZipf = graft.operators.NearDup.lshCandidateCount(spark, dir)
+    val candV2 = graft.operators.NearDup.lshCandidateCount(spark, dirV2)
+    info(s"candidates: zipf $candZipf vs fixed-vocab $candV2")
+    assert(candZipf < candV2 / 2, s"zipf $candZipf !<< fixed $candV2")
+    df.unpersist(); pairs.unpersist()
+  }
+
   test("short name resolves via ServiceLoader: .format and SQL CREATE TABLE USING") {
     val viaFormat = spark.read.format("graft-docs")
       .option("rows", "40").option("partitions", "3").load()
