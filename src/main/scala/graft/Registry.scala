@@ -37,6 +37,7 @@ object Registry {
       operators.EmbedClassify.queries ++
       operators.KMeans.queries ++
       operators.TextAnalysis.queries ++
+      operators.Retrieval.queries ++
       operators.Packing.queries ++
       operators.Multimodal.queries ++
       plans.TopK.queries ++

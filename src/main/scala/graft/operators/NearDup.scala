@@ -448,7 +448,55 @@ object NearDup {
        |WHERE containment >= $ContainmentThreshold""".stripMargin
   }
 
+  // ------------------------------------------------- cross-source overlap
+
+  /** Pairwise source-overlap matrix: exact shingle-set Jaccard between
+    * every pair of sources with nonzero overlap — the "how much does dump
+    * A repeat dump B" audit run before mixing corpora (CC snapshot vs
+    * snapshot, books vs crawl), the corpus-level counterpart of the
+    * per-document pipelines above.
+    *
+    * Scale shape: one distinct over (source, shingle) — a single hash
+    * shuffle, the only corpus-sized stage — then a self-equi-join on the
+    * shingle key whose per-key fanout is bounded by C(#sources, 2), a
+    * deployment constant (20 here, maybe thousands at 100 TB) independent
+    * of corpus size; the pair aggregate lands on ≤ #sources² keys and the
+    * size lookup is a broadcast. Never all-pairs over docs or shingles.
+    * The sketch path for when exact distinct counts stop being worth a
+    * shuffle is [[Dedup.kmvBySource]]'s KMV estimator — same keying. */
+  def corpusOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val e = shingleTable(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), explode(col("sh")).as("sh"))
+      .distinct()
+    val sizes = e.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val pairs = e.as("a").join(e.as("b"), col("a.sh") === col("b.sh"))
+      .filter(col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("n_a"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("n_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("inter"), col("n_a"), col("n_b"),
+        roundN(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 6)
+          .as("jaccard"))
+  }
+
+  private val corpusOverlapSql =
+    s"""WITH s AS (SELECT doc_id, source, $shinglesSql AS sh FROM documents),
+       |e AS (SELECT DISTINCT source, sh
+       |      FROM (SELECT source, unnest(sh) AS sh FROM s)),
+       |n AS (SELECT source, count(*) AS n FROM e GROUP BY 1),
+       |p AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+       |      FROM e a JOIN e b ON a.sh = b.sh AND a.source < b.source
+       |      GROUP BY 1, 2)
+       |SELECT src_a, src_b, inter, na.n AS n_a, nb.n AS n_b,
+       |  ${roundNSql("CAST(inter AS DOUBLE) / (na.n + nb.n - inter)", 6)} AS jaccard
+       |FROM p JOIN n na ON na.source = p.src_a
+       |       JOIN n nb ON nb.source = p.src_b""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q_corpus_overlap", corpusOverlap, Some(corpusOverlapSql)),
     Q("q_dedup_containment_pairs", containmentPairs, Some(containmentPairsSql)),
     Q("q_dedup_minhash_sig", minhashSignatures, Some(minhashSigSql)),
     Q("q_dedup_minhash_lsh", minhashPairs, Some(minhashPairsSql), bench = true),

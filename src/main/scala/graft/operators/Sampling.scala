@@ -149,7 +149,43 @@ object Sampling {
       |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT AS DOUBLE) / 65536.0
       |      < least(1.0, CAST(n_chars AS DOUBLE) / 400.0)""".stripMargin
 
+  /** Epoch-style mixture materialization — the "source weights > 1" half
+    * of corpus mixing that [[sampleTemperature]]'s downsample-only gate
+    * cannot express: a target rate of e.g. 3.25× means every doc appears
+    * 3 times plus a 25% chance of a 4th, the way LLM data recipes
+    * up-weight small high-quality sources (books ×N) against a large
+    * crawl. Rates here derive deterministically from the source id's hash
+    * (quarter-unit steps in [0.75, 3.5]; a real run reads them from a
+    * config map — same plan), and the fractional copy uses the same
+    * md5-byte gate as every sampler in this file. The repeat itself is
+    * `explode(sequence(1, copies))` — a narrow per-row generator, no
+    * shuffle, output ∝ Σ rates · rows, so the plan is scan-shaped at any
+    * corpus size; the `epoch` ordinal lets downstream shuffles (packing,
+    * splits) treat copies as distinct rows deterministically. */
+  def sampleEpochs(spark: SparkSession, dir: String): DataFrame = {
+    val q = (hashByteOf(col("source")) % 12) + 3 // quarter-units: 0.75x .. 3.5x
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), q.as("q"), hashByte.as("hb"))
+      .select(col("doc_id"), col("source"),
+        (expr("q div 4").cast("int") +
+          when(col("hb") < (col("q") % 4) * 64, 1).otherwise(0)).as("copies"))
+      .filter(col("copies") > 0)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1), col("copies"))).as("ep"))
+      .select(col("doc_id"), col("source"), col("ep").cast("long").as("epoch"))
+  }
+
+  private val sampleEpochsSql =
+    s"""WITH d AS (SELECT doc_id, source,
+       |    ((${hashByteSqlOf("source")} % 12) + 3) AS q,
+       |    $hashByteSql AS hb FROM documents),
+       |c AS (SELECT doc_id, source,
+       |        (q // 4) + CASE WHEN hb < (q % 4) * 64 THEN 1 ELSE 0 END AS copies
+       |      FROM d)
+       |SELECT doc_id, source, unnest(range(1, copies + 1)) AS epoch FROM c""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q_sample_epochs", sampleEpochs, Some(sampleEpochsSql)),
     Q("q_sample_weighted", sampleWeighted, Some(sampleWeightedSql)),
     Q("q_sample_temperature", sampleTemperature, Some(sampleTemperatureSql)),
     Q("q_sample_token_budget", sampleTokenBudget, Some(sampleTokenBudgetSql)),

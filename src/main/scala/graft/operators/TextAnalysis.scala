@@ -942,7 +942,7 @@ object TextAnalysis {
       Seq(("bm25", true), ("doc_id", false)), Bm25TopK)
   }
 
-  private val bm25Sql = {
+  private[operators] val bm25Sql = {
     val terms = bm25QueryTerms.map(t => s"'$t'").mkString(", ")
     s"""WITH w AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS term FROM documents),
        |wn AS (SELECT doc_id, term FROM w WHERE term != ''),

@@ -120,6 +120,23 @@ class NearDupSpec extends SparkSuite {
     assert(pairs.contains((1L, 4L)))
   }
 
+  test("corpus overlap: exact pairwise shingle Jaccard, zero-overlap pairs absent") {
+    val d = fixtureDir("documents" -> Seq(
+      (1L, "a b c d", "en", "srcA", 7L), // shingles {a b c, b c d}
+      (2L, "a b c e", "en", "srcB", 7L), // shingles {a b c, b c e}
+      (3L, "x y z w", "en", "srcC", 7L)  // disjoint from A and B
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = NearDup.corpusOverlap(spark, d).collect()
+      .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) ->
+        ((r.getAs[Long]("inter"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Double]("jaccard")))).toMap
+    // only the A-B pair overlaps: |{a b c}| / |{a b c, b c d, b c e}| = 1/3
+    assert(rows.keySet === Set(("srcA", "srcB")))
+    val (inter, na, nb, j) = rows(("srcA", "srcB"))
+    assert(inter === 1L && na === 2L && nb === 2L)
+    assert(math.abs(j - 1.0 / 3.0) < 1e-6)
+  }
+
   test("leakage-free split: cluster members share one split, singletons keep their own") {
     val rows = Dedup.leakageFreeSplit(spark, dir).collect()
       .map(r => r.getAs[Long]("doc_id") ->

@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.{Retrieval, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** RRF fusion on a hand-built corpus: dense ranks proven against an
+  * in-test brute-force cosine, fusion scores recomputed from the returned
+  * ranks, and the one-signal-only ids kept by the full-outer join. */
+class RetrievalSpec extends SparkSuite {
+  import spark.implicits._
+
+  // vec_id 0 is the pinned query; cosines to it are 1.0, 0.6, 0.0
+  private val emb = Seq(
+    (0L, Seq(1.0f, 0.0f), 0),
+    (1L, Seq(2.0f, 0.0f), 0),  // cos 1.0 -> dense rank 1
+    (2L, Seq(0.6f, 0.8f), 0),  // cos 0.6 -> dense rank 2
+    (3L, Seq(0.0f, 5.0f), 0))  // cos 0.0 -> dense rank 3
+    .toDF("vec_id", "embedding", "label")
+
+  // doc 7 hits two query terms repeatedly; doc 8 one term once; doc 1
+  // appears in BOTH lists (has an embedding and a term hit)
+  private val docs = Seq(
+    (1L, "hash join pipelines", "en", "s", 19L),
+    (7L, "hash hash vector vector vector", "en", "s", 30L),
+    (8L, "one stream mention here", "en", "s", 24L),
+    (9L, "nothing relevant at all", "en", "s", 23L))
+    .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("dense ranks match brute-force cosine; rrf recomputes from ranks; outer ids kept") {
+    val d = fixtureDir("documents" -> docs, "embeddings" -> emb)
+    val rows = Retrieval.rrfFusion(spark, d).collect().map { r =>
+      r.getAs[Long]("doc_id") ->
+        ((Option(r.getAs[Integer]("rank_sparse")).map(_.toInt),
+          Option(r.getAs[Integer]("rank_dense")).map(_.toInt),
+          r.getAs[Double]("rrf")))
+    }.toMap
+
+    // dense list = ids 1, 2, 3 in cosine order (query vec 0 excluded)
+    assert(rows(1L)._2 === Some(1) && rows(2L)._2 === Some(2) && rows(3L)._2 === Some(3))
+    // sparse list covers exactly the docs with a query-term hit
+    val sparseRanked = rows.filter(_._2._1.isDefined).keySet
+    assert(sparseRanked === Set(1L, 7L, 8L))
+    assert(rows(7L)._1 === Some(1)) // strongest BM25 doc ranks first
+    // doc 9 has neither signal and must be absent
+    assert(!rows.contains(9L))
+    // fusion arithmetic: every score equals its rank recomputation
+    rows.foreach { case (id, (rs, rd, rrf)) =>
+      val want = rs.map(r => 1.0 / (Retrieval.RrfK + r)).getOrElse(0.0) +
+        rd.map(r => 1.0 / (Retrieval.RrfK + r)).getOrElse(0.0)
+      assert(math.abs(rrf - want) < 1e-6, s"doc $id: $rrf vs $want")
+    }
+    // doc 1 carries both contributions, so it beats its dense-only score
+    assert(rows(1L)._3 > 1.0 / (Retrieval.RrfK + 1))
+  }
+
+  test("fusion is deterministic under resharding") {
+    val d = fixtureDir("documents" -> docs, "embeddings" -> emb)
+    val a = Retrieval.rrfFusion(spark, d).collect().map(_.toString).sorted.toSeq
+    val b = Retrieval.rrfFusion(spark, d).collect().map(_.toString).sorted.toSeq
+    assert(a === b)
+  }
+}

@@ -40,6 +40,27 @@ class SamplingSpec extends SparkSuite {
     assert(rows(2L) === 4000L && rows(9L) === 4999L)
   }
 
+  test("epoch mixture: every doc appears exactly floor(rate)+fractional-gate times, epochs 1..copies") {
+    val docs = (1L to 120L).map(i => (i, s"text $i", "en", s"src${i % 5}", 10L))
+    val d = fixtureDir("documents" -> docs.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = Sampling.sampleEpochs(spark, d).collect()
+      .groupBy(r => r.getAs[Long]("doc_id"))
+      .map { case (id, rs) => id -> rs.map(_.getAs[Long]("epoch")).sorted.toSeq }
+    // independent replication of the rate derivation (quarter-units)
+    def srcByte(s: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s.getBytes("UTF-8"))(0) & 0xff
+    }
+    val want = docs.flatMap { case (id, _, _, src, _) =>
+      val q = (srcByte(src) % 12) + 3
+      val copies = q / 4 + (if (hashByte(id) < (q % 4) * 64) 1 else 0)
+      if (copies > 0) Some(id -> (1L to copies.toLong).toSeq) else None
+    }.toMap
+    assert(got === want)
+    // upsampling must actually occur in this fixture (some rate >= 2x)
+    assert(got.values.exists(_.length >= 2))
+  }
+
   test("hash sampler and split are stable under repartitioning") {
     val docs = (1L to 200L).map(i => (i, s"text $i", "en", s"src${i % 3}", 10L))
     val d = fixtureDir("documents" -> docs.toDF("doc_id", "text", "lang", "source", "n_chars"))
