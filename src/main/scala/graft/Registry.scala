@@ -38,6 +38,7 @@ object Registry {
       operators.KMeans.queries ++
       operators.TextAnalysis.queries ++
       operators.Retrieval.queries ++
+      operators.TrainClassifier.queries ++
       operators.Packing.queries ++
       operators.Multimodal.queries ++
       plans.TopK.queries ++

@@ -184,7 +184,36 @@ object Sampling {
        |      FROM d)
        |SELECT doc_id, source, unnest(range(1, copies + 1)) AS epoch FROM c""".stripMargin
 
+  /** Exactly-k-per-source uniform sample (deterministic reservoir): rank
+    * docs inside each source by a 32-bit md5 prefix of the doc id — a
+    * uniform permutation, so "rank ≤ k" IS a uniform k-without-replacement
+    * draw — and keep min(k, n). Unlike the rate-based samplers above this
+    * guarantees the sample SIZE (eval panels, human-review batches).
+    * Catalyst rewrites the rank filter to WindowGroupLimit, so each
+    * partition keeps a bounded k-heap per source — one shuffle on source,
+    * no global sort, skewed sources cost O(rows) scan + O(k) state. */
+  val ReservoirK = 5
+
+  def sampleReservoir(spark: SparkSession, dir: String): DataFrame = {
+    val rankKey = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(rankKey.asc, col("doc_id").asc)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), row_number().over(w).as("draw"))
+      .filter(col("draw") <= ReservoirK)
+  }
+
+  private val sampleReservoirSql =
+    s"""SELECT doc_id, source,
+       |  CAST(row_number() OVER (PARTITION BY source
+       |    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT, doc_id)
+       |    AS INT) AS draw
+       |FROM documents
+       |QUALIFY draw <= $ReservoirK""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q_sample_reservoir", sampleReservoir, Some(sampleReservoirSql)),
     Q("q_sample_epochs", sampleEpochs, Some(sampleEpochsSql)),
     Q("q_sample_weighted", sampleWeighted, Some(sampleWeightedSql)),
     Q("q_sample_temperature", sampleTemperature, Some(sampleTemperatureSql)),

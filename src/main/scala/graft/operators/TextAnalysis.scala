@@ -33,8 +33,8 @@ object TextAnalysis {
   private def withWords(spark: SparkSession, dir: String): DataFrame =
     withWordsOf(Tables.documents(spark, dir))
 
-  private val stopwords = Seq("the", "a", "an", "and", "of", "to", "in", "is", "on", "for")
-  private val stopSqlList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+  private[operators] val stopwords = Seq("the", "a", "an", "and", "of", "to", "in", "is", "on", "for")
+  private[operators] val stopSqlList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   /** Whitespace token count + char count per document. */
   def tokenCount(spark: SparkSession, dir: String): DataFrame =

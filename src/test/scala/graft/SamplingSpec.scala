@@ -61,6 +61,17 @@ class SamplingSpec extends SparkSuite {
     assert(got.values.exists(_.length >= 2))
   }
 
+  test("reservoir: exactly min(k, n) per source, draw is a 1..k permutation prefix") {
+    val docs = (1L to 50L).map(i => (i, s"text $i", "en", "big", 10L)) ++
+      Seq((900L, "t", "en", "tiny", 1L), (901L, "t", "en", "tiny", 1L))
+    val d = fixtureDir("documents" -> docs.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = Sampling.sampleReservoir(spark, d).collect()
+      .groupBy(_.getAs[String]("source"))
+      .map { case (s, rs) => s -> rs.map(_.getAs[Int]("draw")).sorted.toSeq }
+    assert(rows("big") === (1 to Sampling.ReservoirK))
+    assert(rows("tiny") === Seq(1, 2)) // n < k: the whole source survives
+  }
+
   test("hash sampler and split are stable under repartitioning") {
     val docs = (1L to 200L).map(i => (i, s"text $i", "en", s"src${i % 3}", 10L))
     val d = fixtureDir("documents" -> docs.toDF("doc_id", "text", "lang", "source", "n_chars"))
