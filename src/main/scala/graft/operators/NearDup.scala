@@ -56,12 +56,16 @@ object NearDup {
   }
 
   /** (doc_id, sh) — each doc's distinct shingle set, staged so normalize
-    * and split run once per row. */
-  def shingleTable(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    * and split run once per row. Works on a static OR streaming documents
+    * frame (all narrow expressions). */
+  private[graft] def shingleTableOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), normText(col("text")).as("norm"))
       .select(col("doc_id"), col("norm"), split(col("norm"), " ").as("w"))
       .select(col("doc_id"), shinglesFromWords.as("sh"))
+
+  def shingleTable(spark: SparkSession, dir: String): DataFrame =
+    shingleTableOf(Tables.documents(spark, dir))
 
   val shinglesSql: String = {
     val w = s"string_split($normSql, ' ')"
@@ -116,10 +120,9 @@ object NearDup {
   private def verifyJaccard(cand: DataFrame, shingleTbl: DataFrame): DataFrame = {
     val sa = shingleTbl.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val sb = shingleTbl.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     cand.join(sa, "id_a").join(sb, "id_b")
       .select(col("id_a"), col("id_b"),
-        roundN(inter / (size(col("sh_a")) + size(col("sh_b")) - inter), 4).as("jaccard"))
+        jaccardOf(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= JaccardThreshold)
   }
 
@@ -131,6 +134,31 @@ object NearDup {
        |      FROM $candCte c JOIN s sa ON sa.doc_id = c.id_a JOIN s sb ON sb.doc_id = c.id_b)
        |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= $JaccardThreshold""".stripMargin
 
+  /** The NumBands 16-byte band keys over staged mh_k signature columns. */
+  private def bandArray: Column =
+    array((0 until NumBands).map { b =>
+      md5(concat_ws(",",
+        (b * BandSize until (b + 1) * BandSize).map(k => col(s"mh_$k")): _*))
+    }: _*)
+
+  /** (doc_id, band) — one row per band per doc; the LSH bucket relation.
+    * `carrySh = true` keeps the shingle set on each row so a streaming
+    * probe side can verify without re-joining itself (stream-stream joins
+    * are exactly what the incremental design avoids). */
+  private[graft] def bandedOf(shingleTbl: DataFrame, carrySh: Boolean = false): DataFrame = {
+    val keep = if (carrySh) Seq(col("doc_id"), col("sh")) else Seq(col("doc_id"))
+    val sig = shingleTbl
+      .withColumn("hb", baseHashes)
+      .select(keep ++ (0 until NumHashes).map(k => minhash(col("hb"), k).as(s"mh_$k")): _*)
+    sig.select(keep :+ explode(bandArray).as("band"): _*)
+  }
+
+  /** Exact shared Jaccard over two shingle-set columns. */
+  private[graft] def jaccardOf(shA: Column, shB: Column): Column = {
+    val inter = size(array_intersect(shA, shB)).cast("double")
+    roundN(inter / (size(shA) + size(shB) - inter), 4)
+  }
+
   /** Band-bucket candidate id pairs from a shingle table — the shared
     * candidate generator of the LSH family (symmetric Jaccard and
     * containment verifies both consume it), and the family's only
@@ -138,15 +166,7 @@ object NearDup {
     * volume scales with duplicate density. The bench's LSH scale pass
     * counts THIS relation per scale point (PLANS.md scaling table). */
   private[graft] def lshCandidates(shingleTbl: DataFrame): DataFrame = {
-    val sig = shingleTbl
-      .withColumn("hb", baseHashes)
-      .select(
-        col("doc_id") +: (0 until NumHashes).map(k => minhash(col("hb"), k).as(s"mh_$k")): _*)
-    val bands = array((0 until NumBands).map { b =>
-      md5(concat_ws(",",
-        (b * BandSize until (b + 1) * BandSize).map(k => col(s"mh_$k")): _*))
-    }: _*)
-    val banded = sig.select(col("doc_id"), explode(bands).as("band")).persist()
+    val banded = bandedOf(shingleTbl).persist()
     val a = banded.alias("a")
     val b = banded.alias("b")
     a.join(b, col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
@@ -275,15 +295,7 @@ object NearDup {
     * change. Candidate volume is O(batch · collisions), never corpus². */
   def incrementalNearPairs(spark: SparkSession, dir: String): DataFrame = {
     val shingleTbl = shingleTable(spark, dir).persist()
-    val sig = shingleTbl
-      .withColumn("hb", baseHashes)
-      .select(
-        col("doc_id") +: (0 until NumHashes).map(k => minhash(col("hb"), k).as(s"mh_$k")): _*)
-    val bands = array((0 until NumBands).map { b =>
-      md5(concat_ws(",",
-        (b * BandSize until (b + 1) * BandSize).map(k => col(s"mh_$k")): _*))
-    }: _*)
-    val banded = sig.select(col("doc_id"), explode(bands).as("band"))
+    val banded = bandedOf(shingleTbl)
     val batch = banded.filter(col("doc_id") % 5 === 0)
       .select(col("doc_id").as("id_a"), col("band"))
     val corpus = banded.filter(col("doc_id") % 5 =!= 0)
