@@ -22,6 +22,7 @@ object Registry {
       operators.Validation.queries ++
       operators.Kpis.queries ++
       operators.Tpch.queries ++
+      operators.TpchSubqueries.queries ++
       operators.Joins.queries ++
       operators.Scd.queries ++
       operators.Cdc.queries ++
