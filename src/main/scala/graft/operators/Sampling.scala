@@ -212,7 +212,48 @@ object Sampling {
        |FROM documents
        |QUALIFY draw <= $ReservoirK""".stripMargin
 
+  /** Global training-order shuffle + sharding: the LAST step of a data
+    * pipeline — fix the order examples are consumed in, deterministically,
+    * and split it into N equal shards for the data loader. shard =
+    * hash(doc_id) mod N; position within shard = rank of a SECOND,
+    * longer hash (md5 prefix disjoint from the shard bits — reusing the
+    * shard hash would sort each shard by its own bucket residue, which is
+    * constant, i.e. no shuffle at all).
+    *
+    * Scale: one exchange on (shard) then a per-shard sort of corpus/N
+    * rows — the minimum possible work for a MATERIALIZED total order.
+    * The order key is a uniform hash, so shards are balanced by
+    * construction (no skew salting needed) and the per-shard sort
+    * spills gracefully. Rerun-stable: no rand(), no
+    * monotonically_increasing_id — the order is a pure function of
+    * doc_ids, so a rerun, a reshard upstream, or a different partition
+    * count reproduces byte-identical shards (the lineage property the
+    * scaladoc at the top of this file exists for). */
+  val ShuffleShards = 8
+
+  def shardShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val shard = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+      .cast("int"), lit(ShuffleShards))
+    val orderKey = conv(substring(md5(col("doc_id").cast("string")), 7, 8), 16, 10)
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("ok").asc, col("doc_id").asc)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), shard.as("shard"), orderKey.as("ok"))
+      .select(col("doc_id"), col("shard"), row_number().over(w).as("pos"))
+  }
+
+  private val shardShuffleSql =
+    s"""SELECT doc_id,
+       |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::INT % $ShuffleShards AS shard,
+       |  CAST(row_number() OVER (
+       |    PARTITION BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::INT % $ShuffleShards
+       |    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 7, 8))::BIGINT, doc_id)
+       |    AS INT) AS pos
+       |FROM documents""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q_shard_shuffle", shardShuffle, Some(shardShuffleSql)),
     Q("q_sample_reservoir", sampleReservoir, Some(sampleReservoirSql)),
     Q("q_sample_epochs", sampleEpochs, Some(sampleEpochsSql)),
     Q("q_sample_weighted", sampleWeighted, Some(sampleWeightedSql)),

@@ -145,6 +145,26 @@ object ManifestSink {
     spark.read.parquet(files: _*)
   }
 
+  /** Row-level diff between two committed snapshots: what did version
+    * `to` add and remove relative to version `from`? Keyless multiset
+    * semantics via exceptAll both ways (a row appearing twice in `to` and
+    * once in `from` diffs as one 'added'), so it needs no primary-key
+    * contract — the audit tool for "what changed between yesterday's and
+    * today's corpus snapshot".
+    *
+    * Scale: exceptAll hash-partitions both sides on the full row — one
+    * shuffle each way, no driver materialization, and version manifests
+    * mean each side scans ONLY its snapshot's files (no directory
+    * listing of dead data). With a known key, an outer join on the key
+    * would replace the full-row shuffle; this is the general form. */
+  def snapshotDiff(spark: SparkSession, table: String, from: Int, to: Int): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val a = readAsOf(spark, table, from)
+    val b = readAsOf(spark, table, to)
+    b.exceptAll(a).withColumn("change", lit("added"))
+      .unionByName(a.exceptAll(b).withColumn("change", lit("removed")))
+  }
+
   /** Drop all but the newest `keep` versions and every data file no
     * retained snapshot references. Current pointer is untouched (it always
     * references the newest version, which is always retained). */

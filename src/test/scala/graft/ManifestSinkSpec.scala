@@ -175,4 +175,21 @@ class ManifestSinkSpec extends SparkSuite {
       .map(_.getLong(0)).toSet === Set(3L))
     intercept[Exception](ManifestSink.readAsOf(spark, table, 1).collect())
   }
+
+  test("snapshot diff reports multiset adds and removes between versions") {
+    val table = Files.createTempDirectory("manifest_diff").toString
+    // v1: {1,2,2,3}; v2: {2,3,3,4} -> added {3,4}, removed {1,2}
+    ManifestSink.write(Seq((1L, "a"), (2L, "b"), (2L, "b"), (3L, "c"))
+      .toDF("id", "v"), table)
+    ManifestSink.write(Seq((2L, "b"), (3L, "c"), (3L, "c"), (4L, "d"))
+      .toDF("id", "v"), table)
+    val diff = ManifestSink.snapshotDiff(spark, table, from = 1, to = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(diff.count(_._3 == "added") === 2)
+    assert(diff.count(_._3 == "removed") === 2)
+    assert(diff.filter(_._3 == "added").map(_._1).sorted.toSeq === Seq(3L, 4L))
+    assert(diff.filter(_._3 == "removed").map(_._1).sorted.toSeq === Seq(1L, 2L))
+    // identical versions diff empty
+    assert(ManifestSink.snapshotDiff(spark, table, 2, 2).count() === 0)
+  }
 }

@@ -84,4 +84,23 @@ class SamplingSpec extends SparkSuite {
     assert(splits.values.toSet.subsetOf(Set("train", "val", "test")))
     assert(splits.size === 200)
   }
+
+  test("shard shuffle: total order is a rerun-stable permutation with balanced shards") {
+    val out = operators.Sampling.shardShuffle(spark, SparkSpec.sf0001)
+    val rows = out.collect()
+    val n = sources.Tables.documents(spark, SparkSpec.sf0001).count()
+    assert(rows.length.toLong === n) // every doc exactly once
+    // per shard, pos is exactly 1..size (a materialized total order)
+    rows.groupBy(_.getAs[Int]("shard")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("pos")).sorted.toSeq === (1 to rs.length))
+    }
+    // balance: uniform hash sharding keeps shards within 2x of each other
+    val sizes = rows.groupBy(_.getAs[Int]("shard")).values.map(_.length)
+    assert(sizes.max <= 2 * sizes.min, s"skewed shards: $sizes")
+    // rerun under a different upstream partitioning: byte-identical order
+    val re = operators.Sampling.shardShuffle(spark, SparkSpec.sf0001)
+      .repartition(7).collect()
+    assert(re.map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sorted.toSeq ===
+      rows.map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sorted.toSeq)
+  }
 }
