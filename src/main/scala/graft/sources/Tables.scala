@@ -28,20 +28,27 @@ object Tables {
   def supplier(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "supplier")
   def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
-  /** events.parquet stores TIMESTAMP(NANOS) (pandas-generated), which Spark
-    * cannot represent (micros max) and by default refuses to read. The
-    * sessions set `spark.sql.legacy.parquet.nanosAsLong=true`, so the column
-    * arrives as LongType nanos and is floor-divided to an exact microsecond
-    * timestamp here. The DuckDB oracle applies the same truncation
-    * (`ts::TIMESTAMP` casts ns→us toward zero), keeping both engines
-    * bit-identical. */
+  /** events.parquet's `ts` physical type varies by generator era, so this is
+    * the ONE normalization point — every batch consumer reads events through
+    * here and always sees a session-tz TIMESTAMP (micros, UTC sessions):
+    *  - TIMESTAMP(NANOS): Spark can't represent nanos and by default refuses
+    *    to read; the sessions set `spark.sql.legacy.parquet.nanosAsLong=true`
+    *    so the column arrives as LongType nanos, floor-divided to exact
+    *    microseconds here (the DuckDB oracle's `ts::TIMESTAMP` truncates the
+    *    same way, keeping both engines bit-identical).
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 infers
+    *    TIMESTAMP_NTZ, which time-arithmetic like `unix_micros` rejects;
+    *    cast to the session-tz type — a value-identity under the UTC
+    *    sessions, and DuckDB reads the same naive micros directly. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = load(spark, sfDir, "events")
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.LongType
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")

@@ -89,12 +89,16 @@ object AttributionStream {
       touchCap: Option[Int] = None): StreamingQuery = {
     import spark.implicits._
     val raw = UpsertSink.fileStream(spark, srcDir, maxFilesPerTrigger, schema)
-    // mirror sources.Tables.events: nanos-as-long parquet arrives as
-    // LongType and truncates to micros; real timestamp columns pass through
-    val tsUs =
-      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        expr("ts div 1000")
-      else unix_micros(col("ts"))
+    // mirror sources.Tables.events: nanos-as-long parquet truncates to
+    // micros; NTZ (micros, no tz — inferred-schema files) casts to the
+    // session-tz type first so unix_micros accepts it (value-identity
+    // under the UTC sessions); session-tz timestamps pass through
+    val tsUs = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => unix_micros(col("ts"))
+    }
     val evs = raw
       .select(col("user_id").cast("long").as("user_id"), tsUs.as("ts_us"),
         col("event_id").cast("long").as("event_id"), col("event_type"),
