@@ -403,8 +403,59 @@ object Events {
        |  sum(cents) / 100.0 AS revenue
        |FROM a GROUP BY 1""".stripMargin
 
+  /** RFM segmentation — the classic product-analytics cut: per user,
+    * Recency (days from their last event to the corpus max event time, so
+    * the query is self-anchored and replayable), Frequency (purchase
+    * count) and Monetary (purchase cents). Quintile scores are ntile(5)
+    * over a TOTAL order ((metric, user_id)) so bucket assignment is
+    * deterministic and engine-independent; recency orders DESC so bucket 5
+    * is the most recent. Scale: one map-side-combinable per-user
+    * aggregate over the event log plus the 1-row max-ts grand aggregate
+    * broadcast (tripwire-exempt single-row cross join); the ntile windows
+    * are global but run over the USER-sized aggregate, never the log —
+    * the same users ≪ events argument as q_events_cum_users. */
+  def rfm(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+    val cents = floor(col("value") * 100 + 0.5).cast("long")
+    val perUser = ev.groupBy(col("user_id")).agg(
+      max(col("ts")).as("last_ts"),
+      count(when(col("event_type") === "purchase", 1)).as("f"),
+      coalesce(sum(when(col("event_type") === "purchase", cents)), lit(0L))
+        .as("m_cents"))
+    val anchor = ev.agg(max(col("ts")).as("anchor_ts"))
+    perUser.crossJoin(broadcast(anchor))
+      .withColumn("r_days",
+        datediff(to_date(col("anchor_ts")), to_date(col("last_ts"))).cast("long"))
+      .withColumn("r_score",
+        ntile(5).over(Window.orderBy(col("r_days").desc, col("user_id"))))
+      .withColumn("f_score",
+        ntile(5).over(Window.orderBy(col("f"), col("user_id"))))
+      .withColumn("m_score",
+        ntile(5).over(Window.orderBy(col("m_cents"), col("user_id"))))
+      .select(col("user_id"), col("r_days"), col("f"), col("m_cents"),
+        col("r_score"), col("f_score"), col("m_score"))
+  }
+
+  private val rfmSql =
+    s"""WITH $eventsUs,
+       |u AS (SELECT user_id, max(ts) AS last_ts,
+       |        count(CASE WHEN event_type = 'purchase' THEN 1 END) AS f,
+       |        CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+       |          THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END), 0) AS BIGINT) AS m_cents
+       |      FROM e GROUP BY 1),
+       |a AS (SELECT max(ts) AS anchor_ts FROM e)
+       |SELECT user_id,
+       |  date_diff('day', last_ts::DATE, anchor_ts::DATE) AS r_days,
+       |  f, m_cents,
+       |  ntile(5) OVER (ORDER BY date_diff('day', last_ts::DATE, anchor_ts::DATE) DESC, user_id) AS r_score,
+       |  ntile(5) OVER (ORDER BY f, user_id) AS f_score,
+       |  ntile(5) OVER (ORDER BY m_cents, user_id) AS m_score
+       |FROM u, a""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q_events_attribution", attribution, Some(attributionSql)),
+    Q("q_events_rfm", rfm, Some(rfmSql)),
     Q("q_events_markov", transitionMatrix, Some(transitionMatrixSql)),
     Q("q_events_markov_capped", transitionMatrixCapped, Some(transitionMatrixCappedSql)),
     Q("q_events_cum_users", cumulativeUsers, Some(cumulativeUsersSql)),

@@ -501,6 +501,57 @@ object Scans {
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_base"))
 
+  /** Exact two-sample Kolmogorov–Smirnov distance between the purchase and
+    * click value distributions — the nonparametric member of the drift
+    * family (PSI and χ² are binned; KS sees the whole CDF). Every
+    * comparison runs on integer cross-multiplied cumulative counts
+    * (max |cum₁·n₂ − cum₂·n₁|), so the argmax is exact in both engines and
+    * the single integer→double division at the end is one IEEE op on
+    * identical inputs. Scale: the shuffle carries DISTINCT cent-values with
+    * per-side counts (money-bounded, the q_stats_quantiles histogram
+    * argument), and the global cumulative window runs over that histogram,
+    * never the event log. Longs hold the cross-products up to ~3·10⁹ rows
+    * per side; beyond that the same plan runs on DECIMAL(38,0). */
+  def ksDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = floor(col("value") * 100 + 0.5).cast("long")
+    val h = Tables.events(spark, dir)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_type"), cents.as("v"))
+      .groupBy(col("v"))
+      .agg(count(when(col("event_type") === "purchase", 1)).as("c1"),
+        count(when(col("event_type") === "click", 1)).as("c2"))
+    val totals = h.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    h.withColumn("cum1", sum(col("c1")).over(w))
+      .withColumn("cum2", sum(col("c2")).over(w))
+      .crossJoin(broadcast(totals))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        max(abs(col("cum1") * col("n2") - col("cum2") * col("n1"))).as("d_num"))
+      .select(col("n1"), col("n2"),
+        roundN(col("d_num").cast("double") /
+          (col("n1").cast("double") * col("n2").cast("double")), 8).as("ks"))
+  }
+
+  private val ksSql = {
+    s"""WITH h AS (
+       |  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+       |    count(CASE WHEN event_type = 'purchase' THEN 1 END) AS c1,
+       |    count(CASE WHEN event_type = 'click' THEN 1 END) AS c2
+       |  FROM events WHERE event_type IN ('purchase', 'click') GROUP BY 1),
+       |c AS (SELECT v,
+       |        CAST(sum(c1) OVER (ORDER BY v) AS BIGINT) AS cum1,
+       |        CAST(sum(c2) OVER (ORDER BY v) AS BIGINT) AS cum2 FROM h),
+       |t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+       |             CAST(sum(c2) AS BIGINT) AS n2 FROM h)
+       |SELECT n1, n2,
+       |  ${roundNSql(
+          "CAST(max(abs(cum1 * n2 - cum2 * n1)) AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))",
+          8)} AS ks
+       |FROM c, t GROUP BY n1, n2""".stripMargin
+  }
+
   def psiDrift(spark: SparkSession, dir: String): DataFrame = {
     val cut = lit(PsiCut)
     val counts = Tables.lineitem(spark, dir)
@@ -529,6 +580,7 @@ object Scans {
 
   val queries: Seq[Q] = Seq(
     Q("q_stats_psi", psiDrift, Some(psiSql)),
+    Q("q_stats_ks", ksDrift, Some(ksSql)),
     Q("q_scan_partitioned", scanPartitioned, Some(scanPartitionedSql)),
     Q("q_scan_json", scanJson, Some(supplierSql)),
     Q("q_scan_orc", scanOrc, Some(supplierSql)),

@@ -204,6 +204,39 @@ object TextAnalysis {
        |FROM documents""".stripMargin
   }
 
+  /** PII redaction — the materialization step behind [[piiScan]]'s
+    * redact-or-drop gate: every email/URL/IPv4-shaped substring in the
+    * normalized text is replaced by a typed placeholder token. The pass
+    * ORDER is pinned (emails → URLs → IPv4) because patterns can nest (an
+    * email inside a URL path); each pass is a global non-overlapping
+    * leftmost replace with identical semantics in Java regex and RE2, so
+    * the redacted corpus is oracle-exact. `n_redacted` counts matches in
+    * the ORIGINAL text (the audit number a redaction report wants).
+    * Narrow per-row map — scan-speed at 100 TB; extending the pattern set
+    * is one more (regex, token) pair in the fold. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    def cnt(re: String) = size(regexp_extract_all(col("norm"), lit(re), lit(0)))
+    val red = Seq(EmailRe -> "<EMAIL>", UrlRe -> "<URL>", Ipv4Re -> "<IP>")
+      .foldLeft(col("norm")) { case (c, (re, tok)) => regexp_replace(c, re, tok) }
+    Tables.documents(spark, dir)
+      .withColumn("norm", normText(col("text")))
+      .select(col("doc_id"),
+        (cnt(EmailRe) + cnt(UrlRe) + cnt(Ipv4Re)).as("n_redacted"),
+        red.as("redacted"))
+  }
+
+  private val piiRedactSql = {
+    def cnt(re: String) = s"len(regexp_extract_all(norm, '$re'))"
+    val red = Seq(EmailRe -> "<EMAIL>", UrlRe -> "<URL>", Ipv4Re -> "<IP>")
+      .foldLeft("norm") { case (c, (re, tok)) =>
+        s"regexp_replace($c, '$re', '$tok', 'g')" }
+    s"""WITH s AS (SELECT doc_id, $normSql AS norm FROM documents)
+       |SELECT doc_id,
+       |  ${cnt(EmailRe)} + ${cnt(UrlRe)} + ${cnt(Ipv4Re)} AS n_redacted,
+       |  $red AS redacted
+       |FROM s""".stripMargin
+  }
+
   /** Corpus-wide top-20 word frequencies: explode → count → top-k via
     * WindowGroupLimit (rank pushdown keeps only k rows per partition before
     * the final sort — the corpus-stats pass that runs daily on a training
@@ -1007,5 +1040,6 @@ object TextAnalysis {
     Q("q_text_fingerprint", fingerprint, Some(fingerprintSql)),
     Q("q_text_filter_quality", filterQuality, Some(filterQualitySql)),
     Q("q_text_pii", piiScan, Some(piiScanSql)),
+    Q("q_text_pii_redact", piiRedact, Some(piiRedactSql)),
   )
 }
