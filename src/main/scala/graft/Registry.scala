@@ -37,6 +37,7 @@ object Registry {
       operators.Pq.queries ++
       operators.EmbedClassify.queries ++
       operators.KMeans.queries ++
+      operators.Pca.queries ++
       operators.TextAnalysis.queries ++
       operators.Retrieval.queries ++
       operators.TrainClassifier.queries ++

@@ -53,5 +53,28 @@ package object api {
 
     /** 30-minute-gap sessions per user (columns: ts, user_id, value). */
     def eventSessions(): DataFrame = operators.Events.sessionAgg(df)
+
+    /** RFM quintile segmentation per user (columns: user_id, ts,
+      * event_type, value). See [[graft.operators.Events.rfmOf]]. */
+    def rfmSegments(): DataFrame = operators.Events.rfmOf(df)
+
+    /** Exact two-sample Kolmogorov–Smirnov distance between the `value`
+      * distributions of two `event_type` populations.
+      * See [[graft.operators.Scans.ksOf]]. */
+    def ksDistance(sideA: String, sideB: String): DataFrame =
+      operators.Scans.ksOf(df, sideA, sideB)
+
+    /** Redact email/URL/IPv4 substrings of `text` into typed tokens
+      * (columns: doc_id, text). See [[graft.operators.TextAnalysis.piiRedactOf]]. */
+    def piiRedact(): DataFrame = operators.TextAnalysis.piiRedactOf(df)
+
+    /** Dim² integer-tick Gram (second-moment) matrix of the `embedding`
+      * column. See [[graft.operators.Pca.gramOf]]. */
+    def gramMatrix(): DataFrame = operators.Pca.gramOf(df)
+
+    /** Top principal direction (uncentered) of the `embedding` column by
+      * exact-integer power iteration. See [[graft.operators.Pca.pcaPowerOf]]. */
+    def pcaTopDirection(): DataFrame =
+      operators.Pca.pcaPowerOf(df.sparkSession, df)
   }
 }

@@ -414,9 +414,13 @@ object Events {
     * broadcast (tripwire-exempt single-row cross join); the ntile windows
     * are global but run over the USER-sized aggregate, never the log —
     * the same users ≪ events argument as q_events_cum_users. */
-  def rfm(spark: SparkSession, dir: String): DataFrame = {
+  def rfm(spark: SparkSession, dir: String): DataFrame =
+    rfmOf(Tables.events(spark, dir))
+
+  /** [[rfm]] over any events-shaped frame (user_id, ts, event_type,
+    * value) — the library-API form. */
+  def rfmOf(ev: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ev = Tables.events(spark, dir)
     val cents = floor(col("value") * 100 + 0.5).cast("long")
     val perUser = ev.groupBy(col("user_id")).agg(
       max(col("ts")).as("last_ts"),

@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.Q
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dimensionality reduction over the embedding corpus: the distributed
+  * Gram (second-moment) matrix and the top principal direction via power
+  * iteration — the whitening / spectral-dedup preprocessing step of an
+  * embedding pipeline (reference has no equivalent; extension surface).
+  *
+  * Scale design (the RowMatrix.computeGramian shape, re-expressed
+  * declaratively):
+  *  - The Gram matrix is ONE explode + hash aggregate: each row fans out
+  *    to Dim² (i, j, tᵢ·tⱼ) terms — a CONSTANT 4096× factor, map-side
+  *    combined to ≤ Dim² rows per partition before the shuffle, so the
+  *    exchange carries ≤ 4096·mappers longs at any corpus size. The
+  *    per-partition typed-Aggregator outer-product fold is the
+  *    constant-factor alternative; the explode form stays inside
+  *    whole-stage codegen and its shuffle is already corpus-independent.
+  *  - Power iteration runs on the COLLECTED Dim²-long Gram — driver-sized
+  *    by definition (the KMeans k×Dim argument): T matrix-vector rounds
+  *    of exact integer arithmetic, then the Dim-row result re-enters the
+  *    engine. No corpus pass beyond the one Gram aggregate.
+  *
+  * Exactness (why both queries are oracle-checkable): embeddings
+  * quantize to integer millionth-ticks (float→double cast is exact, one
+  * IEEE multiply + floor — the KMeans discipline); Gram entries are
+  * exact BIGINT sums of tick products divided once by the corpus count
+  * (one IEEE double division on exact inputs, floored back to ticks);
+  * each power round is an exact integer matvec followed by max-abs
+  * normalization quantized to [[VTicks]] (again one double divide ×
+  * one multiply on exact longs — bit-identical in both engines). The
+  * corpus is uncentered (synthetic embeddings are near-zero-mean by
+  * construction); centering adds two rank-1 terms whose cross products
+  * overflow BIGINT — at that point the same plan runs on DECIMAL(38,0).
+  * Overflow budget: |tick| ≤ 1e6 ⇒ Gram sum ≤ rows·1e12 (BIGINT-safe to
+  * ~9e6 rows; DECIMAL beyond), matvec ≤ Dim·1e12·VTicks ≈ 6.4e17. */
+object Pca {
+
+  val Dim = 64
+  val Ticks = 1e6
+  val VTicks = 10000L
+  val Rounds = 8
+
+  private def ticks = transform(col("embedding"),
+    x => floor(x.cast("double") * Ticks + 0.5).cast("long"))
+
+  /** (i, j, c): c = floor(Σ tᵢ·tⱼ / n + 0.5) in tick² units, all Dim²
+    * cells (the full matrix, so the matvec below needs no triangle
+    * mirroring). */
+  def gramOf(emb: DataFrame): DataFrame = {
+    val terms = emb.select(ticks.as("t"))
+      .select(explode(sequence(lit(1), lit(Dim))).as("i"), col("t"))
+      .select(col("i"), explode(sequence(lit(1), lit(Dim))).as("j"),
+        (element_at(col("t"), col("i")) * element_at(col("t"), col("j")))
+          .as("p"))
+    val n = emb.select(count(lit(1)).as("n"))
+    terms.groupBy(col("i"), col("j")).agg(sum(col("p")).as("s"))
+      .crossJoin(broadcast(n))
+      .select(col("i"), col("j"),
+        floor(col("s").cast("double") / col("n") + 0.5).cast("long").as("c"))
+  }
+
+  def gram(spark: SparkSession, dir: String): DataFrame =
+    gramOf(Tables.embeddings(spark, dir))
+
+  /** Top principal direction (uncentered) by [[Rounds]] power-iteration
+    * rounds over the collected Gram, v₀ = all-[[VTicks]]; each round
+    * normalizes by max-|component| and re-quantizes, so the trajectory is
+    * engine-exact. Returns (i, v) in [[VTicks]] units. */
+  def pcaPowerOf(spark: SparkSession, emb: DataFrame): DataFrame = {
+    val g = Array.ofDim[Long](Dim + 1, Dim + 1)
+    gramOf(emb).collect().foreach { r =>
+      g(r.getAs[Int]("i"))(r.getAs[Int]("j")) = r.getAs[Long]("c")
+    }
+    var v = Array.fill(Dim + 1)(VTicks); v(0) = 0L
+    for (_ <- 1 to Rounds) {
+      val w = Array.tabulate(Dim + 1) { i =>
+        if (i == 0) 0L else (1 to Dim).map(j => g(i)(j) * v(j)).sum
+      }
+      val m = w.map(math.abs).max
+      if (m != 0L)
+        v = w.map(wi => math.floor(wi.toDouble / m.toDouble * VTicks.toDouble + 0.5).toLong)
+    }
+    import spark.implicits._
+    (1 to Dim).map(i => (i, v(i))).toDF("i", "v")
+  }
+
+  def pcaPower(spark: SparkSession, dir: String): DataFrame =
+    pcaPowerOf(spark, Tables.embeddings(spark, dir))
+
+  /** DuckDB mirror of [[ticks]]/[[gramOf]] as a CTE chain ending in
+    * g(i, j, c). */
+  private val gramCte =
+    s"""t AS (SELECT list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS t
+       |  FROM embeddings),
+       |nn AS (SELECT count(*) AS n FROM t),
+       |g0 AS (SELECT r1.i AS i, r2.j AS j, sum(t.t[r1.i] * t.t[r2.j]) AS s
+       |  FROM t, range(1, ${Dim + 1}) r1(i), range(1, ${Dim + 1}) r2(j)
+       |  GROUP BY 1, 2),
+       |g AS (SELECT i, j,
+       |  CAST(floor(CAST(s AS DOUBLE) / n + 0.5) AS BIGINT) AS c
+       |  FROM g0, nn)""".stripMargin
+
+  private val gramSql = s"WITH $gramCte\nSELECT i, j, c FROM g"
+
+  private val pcaSql = {
+    val v0 = s"v0 AS (SELECT i, CAST($VTicks AS BIGINT) AS v FROM range(1, ${Dim + 1}) r(i))"
+    val rounds = (1 to Rounds).map { r =>
+      s"""w$r AS (SELECT g.i AS i, sum(g.c * v${r - 1}.v) AS w
+         |  FROM g JOIN v${r - 1} ON g.j = v${r - 1}.i GROUP BY 1),
+         |m$r AS (SELECT max(abs(w)) AS m FROM w$r),
+         |v$r AS (SELECT i, CAST(floor(CAST(w AS DOUBLE) / CAST(m AS DOUBLE)
+         |    * ${VTicks}.0 + 0.5) AS BIGINT) AS v FROM w$r, m$r)""".stripMargin
+    }.mkString(",\n")
+    s"WITH $gramCte,\n$v0,\n$rounds\nSELECT i, v FROM v$Rounds"
+  }
+
+  val queries: Seq[Q] = Seq(
+    Q("q_embed_gram", gram, Some(gramSql)),
+    Q("q_embed_pca_power", pcaPower, Some(pcaSql)))
+}

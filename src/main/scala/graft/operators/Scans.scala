@@ -512,15 +512,20 @@ object Scans {
     * argument), and the global cumulative window runs over that histogram,
     * never the event log. Longs hold the cross-products up to ~3·10⁹ rows
     * per side; beyond that the same plan runs on DECIMAL(38,0). */
-  def ksDrift(spark: SparkSession, dir: String): DataFrame = {
+  def ksDrift(spark: SparkSession, dir: String): DataFrame =
+    ksOf(Tables.events(spark, dir), "purchase", "click")
+
+  /** [[ksDrift]] between any two `event_type` populations of an
+    * events-shaped frame — the library-API form. */
+  def ksOf(ev: DataFrame, sideA: String, sideB: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cents = floor(col("value") * 100 + 0.5).cast("long")
-    val h = Tables.events(spark, dir)
-      .filter(col("event_type").isin("purchase", "click"))
+    val h = ev
+      .filter(col("event_type").isin(sideA, sideB))
       .select(col("event_type"), cents.as("v"))
       .groupBy(col("v"))
-      .agg(count(when(col("event_type") === "purchase", 1)).as("c1"),
-        count(when(col("event_type") === "click", 1)).as("c2"))
+      .agg(count(when(col("event_type") === sideA, 1)).as("c1"),
+        count(when(col("event_type") === sideB, 1)).as("c2"))
     val totals = h.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
     val w = Window.orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

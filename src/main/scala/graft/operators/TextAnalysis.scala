@@ -214,11 +214,16 @@ object TextAnalysis {
     * the ORIGINAL text (the audit number a redaction report wants).
     * Narrow per-row map — scan-speed at 100 TB; extending the pattern set
     * is one more (regex, token) pair in the fold. */
-  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+  def piiRedact(spark: SparkSession, dir: String): DataFrame =
+    piiRedactOf(Tables.documents(spark, dir))
+
+  /** [[piiRedact]] over any documents-shaped frame (doc_id, text) — the
+    * library-API form. */
+  def piiRedactOf(docs: DataFrame): DataFrame = {
     def cnt(re: String) = size(regexp_extract_all(col("norm"), lit(re), lit(0)))
     val red = Seq(EmailRe -> "<EMAIL>", UrlRe -> "<URL>", Ipv4Re -> "<IP>")
       .foldLeft(col("norm")) { case (c, (re, tok)) => regexp_replace(c, re, tok) }
-    Tables.documents(spark, dir)
+    docs
       .withColumn("norm", normText(col("text")))
       .select(col("doc_id"),
         (cnt(EmailRe) + cnt(UrlRe) + cnt(Ipv4Re)).as("n_redacted"),

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantics checks for the Gram/power-iteration pair (the sf0.01 oracle
+  * sweep pins engine-vs-DuckDB exactness; these pin the MATH). */
+class PcaSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** 64-dim corpus with a planted dominant direction along axis `axis`. */
+  private def planted(axis: Int): String = {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 200).map { id =>
+      val v = Array.fill(operators.Pca.Dim)((rnd.nextDouble() - 0.5) * 0.02f)
+      v(axis - 1) = (if (id % 2 == 0) 0.5 else -0.5) + rnd.nextDouble() * 0.01
+      (id.toLong, v.map(_.toFloat).toSeq, 0)
+    }
+    fixtureDir("embeddings" -> rows.toDF("vec_id", "embedding", "label"))
+  }
+
+  test("gram matrix is symmetric with nonnegative diagonal") {
+    val g = operators.Pca.gram(spark, SparkSpec.sf0001).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    for (i <- 1 to operators.Pca.Dim; j <- i to operators.Pca.Dim) {
+      assert(g(i -> j) == g(j -> i), s"asymmetry at ($i,$j)")
+      if (i == j) assert(g(i -> j) >= 0L)
+    }
+  }
+
+  test("power iteration recovers a planted dominant direction") {
+    val dir = planted(axis = 17)
+    val v = operators.Pca.pcaPowerOf(spark,
+        spark.read.parquet(s"$dir/embeddings.parquet")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val top = v.maxBy { case (_, x) => math.abs(x) }
+    assert(top._1 == 17, s"dominant component was ${top._1}")
+    assert(math.abs(top._2) == operators.Pca.VTicks) // normalized to max
+    // every off-axis component is far smaller than the planted one
+    v.filter(_._1 != 17).values.foreach(x =>
+      assert(math.abs(x) < operators.Pca.VTicks / 5))
+  }
+}
