@@ -733,6 +733,61 @@ object TextAnalysis {
        |  ${roundNSql("exp(-(CAST(sum(qlp) AS DOUBLE) / 1e6 / count(*)))", 4)} AS ppl
        |FROM q GROUP BY doc_id""".stripMargin
 
+  /** Bigram language-model scoring — the transition-aware upgrade of
+    * [[lmScore]]: train bigram counts on the corpus itself, score each
+    * document by its mean log transition probability
+    * p(w₂|w₁) = c(w₁w₂)/c(w₁·) (left-context marginal, so every observed
+    * transition has an exact rational probability ≤ 1 — no smoothing term
+    * needed for a self-trained scorer). Repetitive/templated docs score
+    * near 0; incoherent word salad sinks.
+    *
+    * Portability: identical to lmScore — the probability is one exact
+    * integer division, each ln is quantized to integer millionths BEFORE
+    * the per-doc sum, so aggregation order cannot drift the result.
+    * Scale: both LM tables are bigram-vocab-sized (broadcastable small,
+    * shuffle-join beyond); scoring is two equi-joins + one map-side
+    * combinable per-doc sum — the tfidf cost model with one extra join. */
+  def lmBigram(spark: SparkSession, dir: String): DataFrame = {
+    val w = col("w")
+    val grams = when(size(w) < 2, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), size(w) - 2), i =>
+        concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2))))
+    val bg = withWords(spark, dir)
+      .select(col("doc_id"), explode(grams).as("bg"))
+    val lm2 = bg.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val lm1 = bg.select(substring_index(col("bg"), " ", 1).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val qlp = floor(log(col("c2").cast("double") / col("c1")) * 1e6 + 0.5)
+      .cast("long")
+    bg.join(lm2, "bg")
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(lm1, "w1")
+      .select(col("doc_id"), qlp.as("qlp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("qlp")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        roundN(col("s").cast("double") / 1e6 / col("n_bigrams"), 6).as("avg_logprob"),
+        roundN(exp(-(col("s").cast("double") / 1e6 / col("n_bigrams"))), 4).as("ppl"))
+  }
+
+  private val lmBigramSql =
+    s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+       |bg AS (SELECT doc_id,
+       |         w[i] || ' ' || w[i + 1] AS bg
+       |       FROM d CROSS JOIN range(1, 100000) r(i)
+       |       WHERE i < len(w)),
+       |lm2 AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY 1),
+       |lm1 AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c1
+       |        FROM bg GROUP BY 1),
+       |q AS (SELECT bg.doc_id,
+       |        CAST(floor(ln(CAST(lm2.c2 AS DOUBLE) / lm1.c1) * 1e6 + 0.5) AS BIGINT) AS qlp
+       |      FROM bg JOIN lm2 USING (bg)
+       |      JOIN lm1 ON split_part(bg.bg, ' ', 1) = lm1.w1)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  ${roundNSql("CAST(sum(qlp) AS DOUBLE) / 1e6 / count(*)", 6)} AS avg_logprob,
+       |  ${roundNSql("exp(-(CAST(sum(qlp) AS DOUBLE) / 1e6 / count(*)))", 4)} AS ppl
+       |FROM q GROUP BY doc_id""".stripMargin
+
   /** The LLM-ingest pipeline body — quality gate → exact content dedup →
     * retrieval chunking — over ANY documents frame, batch or streaming
     * (the streaming twin is [[graft.streaming.DocIngest]]). Output is
@@ -1008,6 +1063,7 @@ object TextAnalysis {
     Q("q_text_typo_pairs", typoPairs, Some(typoPairsSql)),
     Q("q_ingest_chunks", ingestChunks, Some(ingestChunksSql)),
     Q("q_text_lm_score", lmScore, Some(lmScoreSql), bench = true),
+    Q("q_text_lm_bigram", lmBigram, Some(lmBigramSql)),
     Q("q_text_bpe_learn", bpeLearn, Some(bpeLearnSql), bench = true),
     Q("q_text_bpe_encode", bpeEncode, Some(bpeEncodeSql)),
     Q("q_text_chunk", chunk, Some(chunkSql)),

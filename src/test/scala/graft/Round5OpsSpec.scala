@@ -55,6 +55,20 @@ class Round5OpsSpec extends SparkSuite {
     assert(r(2L).getInt(5) == 1 && r(2L).getInt(6) == 1)
   }
 
+  test("bigram LM scores deterministic transitions above word salad") {
+    val dir = fixtureDir("documents" -> Seq(
+      (1L, "the cat sat the cat sat the cat sat the cat sat", "en", "web", 1L),
+      (2L, "cat the sat cat tree dog sat blue the red cat green", "en", "web", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val r = operators.TextAnalysis.lmBigram(spark, dir).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    // doc 1's transitions are near-deterministic -> higher avg logprob,
+    // lower perplexity than doc 2's word salad
+    assert(r(1L).getDouble(2) > r(2L).getDouble(2))
+    assert(r(1L).getDouble(3) < r(2L).getDouble(3))
+    assert(r(1L).getLong(1) == 11 && r(2L).getLong(1) == 11)
+  }
+
   test("redaction replaces every scanned pattern and counts the original") {
     val dir = fixtureDir("documents" -> Seq(
       (1L, "Contact a@b.com via https://x.example/path at 10.0.0.1 now", "en", "web", 1L),
