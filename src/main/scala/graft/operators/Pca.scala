@@ -66,6 +66,49 @@ object Pca {
   def gram(spark: SparkSession, dir: String): DataFrame =
     gramOf(Tables.embeddings(spark, dir))
 
+  /** The constant-factor alternative to [[gramOf]]: a typed Aggregator
+    * folding each row's Dim² outer product into one Array[Long] buffer —
+    * zero explode, zero per-pair row materialization; the shuffle carries
+    * ONE 4096-long buffer per partition. Identical integer arithmetic
+    * (PcaSpec asserts cell-for-cell equality with the explode form), so
+    * either can back [[pcaPowerOf]]; the explode form stays the registered
+    * query because it is the oracle-expressible shape. */
+  def gramOfFused(emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Aggregator
+    import org.apache.spark.sql.{Encoder, Encoders}
+    val agg = new Aggregator[Seq[Long], Array[Long], Seq[Long]] {
+      def zero: Array[Long] = new Array[Long](Dim * Dim)
+      def reduce(b: Array[Long], t: Seq[Long]): Array[Long] = {
+        val a = t.toArray
+        var i = 0
+        while (i < Dim) {
+          val ti = a(i); var j = 0
+          while (j < Dim) { b(i * Dim + j) += ti * a(j); j += 1 }
+          i += 1
+        }
+        b
+      }
+      def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+        var k = 0
+        while (k < x.length) { x(k) += y(k); k += 1 }
+        x
+      }
+      def finish(b: Array[Long]): Seq[Long] = b.toSeq
+      def bufferEncoder: Encoder[Array[Long]] = Encoders.javaSerialization
+      def outputEncoder: Encoder[Seq[Long]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    }
+    val gramUdaf = udaf(agg)
+    val n = emb.select(count(lit(1)).as("n"))
+    emb.select(ticks.as("t"))
+      .agg(gramUdaf(col("t")).as("m"))
+      .select(posexplode(col("m")).as(Seq("pos", "s")))
+      .crossJoin(broadcast(n))
+      .select((col("pos") / Dim).cast("int").plus(1).as("i"),
+        pmod(col("pos"), lit(Dim)).cast("int").plus(1).as("j"),
+        floor(col("s").cast("double") / col("n") + 0.5).cast("long").as("c"))
+  }
+
   /** Top principal direction (uncentered) by [[Rounds]] power-iteration
     * rounds over the collected Gram, v₀ = all-[[VTicks]]; each round
     * normalizes by max-|component| and re-quantizes, so the trajectory is

@@ -27,6 +27,15 @@ class PcaSpec extends SparkSuite {
     }
   }
 
+  test("fused-aggregator gram equals the explode form cell-for-cell") {
+    val emb = spark.read.parquet(s"${SparkSpec.sf0001}/embeddings.parquet")
+    val a = operators.Pca.gramOf(emb).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val b = operators.Pca.gramOfFused(emb).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(a.size == b.size && a == b)
+  }
+
   test("power iteration recovers a planted dominant direction") {
     val dir = planted(axis = 17)
     val v = operators.Pca.pcaPowerOf(spark,
