@@ -64,6 +64,11 @@ package object api {
     def ksDistance(sideA: String, sideB: String): DataFrame =
       operators.Scans.ksOf(df, sideA, sideB)
 
+    /** Exact midrank Mann–Whitney U between two `event_type` populations.
+      * See [[graft.operators.Scans.mannWhitneyOf]]. */
+    def mannWhitneyU(sideA: String, sideB: String): DataFrame =
+      operators.Scans.mannWhitneyOf(df, sideA, sideB)
+
     /** Redact email/URL/IPv4 substrings of `text` into typed tokens
       * (columns: doc_id, text). See [[graft.operators.TextAnalysis.piiRedactOf]]. */
     def piiRedact(): DataFrame = operators.TextAnalysis.piiRedactOf(df)

@@ -557,6 +557,60 @@ object Scans {
        |FROM c, t GROUP BY n1, n2""".stripMargin
   }
 
+  /** Exact Mann–Whitney U between the same two populations as
+    * [[ksDrift]] — the rank-based drift test (location shifts that KS's
+    * sup-norm can under-weight). Midrank tie handling stays integer by
+    * carrying DOUBLED rank sums: at value v with c₁+c₂ = c ties and
+    * `before` items below, each tied item's midrank is before + (c+1)/2,
+    * so 2·R₁ = Σ_v c₁(v)·(2·before(v) + c(v) + 1) — exact BIGINT; then
+    * 2·U₁ = 2·R₁ − n₁(n₁+1). One double halving at the end. Same
+    * distinct-cent-value histogram + global window shape as ksDrift
+    * (money-bounded, never the event log). */
+  def mannWhitney(spark: SparkSession, dir: String): DataFrame =
+    mannWhitneyOf(Tables.events(spark, dir), "purchase", "click")
+
+  /** [[mannWhitney]] between any two `event_type` populations — the
+    * library-API form. */
+  def mannWhitneyOf(ev: DataFrame, sideA: String, sideB: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = floor(col("value") * 100 + 0.5).cast("long")
+    val h = ev
+      .filter(col("event_type").isin(sideA, sideB))
+      .select(col("event_type"), cents.as("v"))
+      .groupBy(col("v"))
+      .agg(count(when(col("event_type") === sideA, 1)).as("c1"),
+        count(when(col("event_type") === sideB, 1)).as("c2"))
+    val totals = h.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = col("c1") + col("c2")
+    h.withColumn("before", sum(c).over(w) - c)
+      .select((col("c1") * (lit(2) * col("before") + c + 1)).as("r2"))
+      .agg(sum(col("r2")).as("r1x2"))
+      .crossJoin(broadcast(totals))
+      .select(col("n1"), col("n2"),
+        (col("r1x2") - col("n1") * (col("n1") + 1)).as("u1x2"),
+        roundN((col("r1x2") - col("n1") * (col("n1") + 1)).cast("double") / 2.0, 1)
+          .as("u1"))
+  }
+
+  private val mannWhitneySql =
+    s"""WITH h AS (
+       |  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+       |    count(CASE WHEN event_type = 'purchase' THEN 1 END) AS c1,
+       |    count(CASE WHEN event_type = 'click' THEN 1 END) AS c2
+       |  FROM events WHERE event_type IN ('purchase', 'click') GROUP BY 1),
+       |b AS (SELECT v, c1, c2,
+       |        CAST(sum(c1 + c2) OVER (ORDER BY v) - (c1 + c2) AS BIGINT) AS before
+       |      FROM h),
+       |t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+       |             CAST(sum(c2) AS BIGINT) AS n2 FROM h),
+       |r AS (SELECT CAST(sum(c1 * (2 * before + c1 + c2 + 1)) AS BIGINT) AS r1x2 FROM b)
+       |SELECT n1, n2,
+       |  CAST(r1x2 - n1 * (n1 + 1) AS BIGINT) AS u1x2,
+       |  ${roundNSql("CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0", 1)} AS u1
+       |FROM r, t""".stripMargin
+
   def psiDrift(spark: SparkSession, dir: String): DataFrame = {
     val cut = lit(PsiCut)
     val counts = Tables.lineitem(spark, dir)
@@ -586,6 +640,7 @@ object Scans {
   val queries: Seq[Q] = Seq(
     Q("q_stats_psi", psiDrift, Some(psiSql)),
     Q("q_stats_ks", ksDrift, Some(ksSql)),
+    Q("q_stats_mannwhitney", mannWhitney, Some(mannWhitneySql)),
     Q("q_scan_partitioned", scanPartitioned, Some(scanPartitionedSql)),
     Q("q_scan_json", scanJson, Some(supplierSql)),
     Q("q_scan_orc", scanOrc, Some(supplierSql)),

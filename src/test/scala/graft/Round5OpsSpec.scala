@@ -39,6 +39,29 @@ class Round5OpsSpec extends SparkSuite {
     assert(r(0).getDouble(2) == 0.0)
   }
 
+  test("mann-whitney midrank U is exact on a hand-computed tie case") {
+    // A={1.00, 2.00}, B={2.00, 3.00}: midrank at the tie -> R1=3.5, U1=0.5
+    val dir = eventsDir(Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "purchase", 1.00),
+      (2L, ts("2024-01-01 00:00:01"), 1L, "purchase", 2.00),
+      (3L, ts("2024-01-01 00:00:02"), 2L, "click", 2.00),
+      (4L, ts("2024-01-01 00:00:03"), 2L, "click", 3.00)))
+    val r = operators.Scans.mannWhitney(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(0) == 2 && r(0).getLong(1) == 2)
+    assert(r(0).getLong(2) == 1) // 2*U1
+    assert(r(0).getDouble(3) == 0.5)
+  }
+
+  test("mann-whitney of identical distributions gives U = n1*n2/2") {
+    val rows = (1 to 10).flatMap { i =>
+      Seq((i.toLong * 2, ts("2024-01-01 00:00:00"), 1L, "purchase", i * 2.0),
+        (i.toLong * 2 + 1, ts("2024-01-01 00:00:00"), 2L, "click", i * 2.0))
+    }
+    val r = operators.Scans.mannWhitney(spark, eventsDir(rows)).collect()
+    assert(r(0).getDouble(3) == 50.0) // 10*10/2
+  }
+
   test("rfm anchors recency at the corpus max and scores deterministically") {
     val dir = eventsDir(Seq(
       (1L, ts("2024-01-10 00:00:00"), 1L, "purchase", 10.00), // u1: recent buyer
