@@ -517,15 +517,26 @@ object Scans {
 
   /** [[ksDrift]] between any two `event_type` populations of an
     * events-shaped frame — the library-API form. */
-  def ksOf(ev: DataFrame, sideA: String, sideB: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  def ksOf(ev: DataFrame, sideA: String, sideB: String): DataFrame =
+    ksOfHistogram(ksHistogram(ev, sideA, sideB))
+
+  /** The per-cent-value two-side histogram the KS statistic reduces —
+    * also the accumulated STATE of the streaming monitor
+    * ([[graft.streaming.DriftMonitor.ksMonitor]]). */
+  private[graft] def ksHistogram(ev: DataFrame, sideA: String,
+      sideB: String): DataFrame = {
     val cents = floor(col("value") * 100 + 0.5).cast("long")
-    val h = ev
-      .filter(col("event_type").isin(sideA, sideB))
+    ev.filter(col("event_type").isin(sideA, sideB))
       .select(col("event_type"), cents.as("v"))
       .groupBy(col("v"))
       .agg(count(when(col("event_type") === sideA, 1)).as("c1"),
         count(when(col("event_type") === sideB, 1)).as("c2"))
+  }
+
+  /** KS from a (v, c1, c2) histogram — factored out so the streaming
+    * monitor computes the IDENTICAL statistic from its upserted state. */
+  private[graft] def ksOfHistogram(h: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val totals = h.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
     val w = Window.orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -81,4 +81,38 @@ object DriftMonitor {
       }
       .start()
   }
+
+  /** Streaming KS drift monitor — the [[psiMonitor]] pattern pointed at
+    * the nonparametric statistic (`q_stats_ks`, Scans.ksOf): the live
+    * per-cent-value two-side histogram accumulates as update-mode
+    * streaming-aggregate state (2 longs per distinct money value —
+    * bounded by construction, watermark-free cumulative window), and each
+    * micro-batch upserts the touched histogram rows then recomputes the
+    * ONE-row KS table from full state with the IDENTICAL factored batch
+    * body (Scans.ksOfHistogram) — which is what makes replay ≡ batch
+    * exact (KsMonitorSpec, incl. checkpoint restart).
+    *
+    * At scale: state and the published histogram are distinct-value-
+    * sized; the per-batch KS recompute runs over that histogram, never
+    * the stream. Until both sides have data the statistic divides by
+    * zero → NULL ks, the honest "not yet defined" value. */
+  def ksMonitor(spark: SparkSession, srcDir: String, stateDir: String,
+      checkpointDir: String, maxFilesPerTrigger: Int = 1,
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      sideA: String = "purchase", sideB: String = "click"): StreamingQuery = {
+    val live = Scans.ksHistogram(
+      UpsertSink.fileStream(spark, srcDir, maxFilesPerTrigger, schema),
+      sideA, sideB)
+    live.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        UpsertSink.upsertBatch(batch, Seq("v"), stateDir + "_hist")
+        val ks = Scans.ksOfHistogram(
+            batch.sparkSession.read.parquet(stateDir + "_hist"))
+          .withColumn("metric", lit("ks"))
+        UpsertSink.upsertBatch(ks, Seq("metric"), stateDir)
+      }
+      .start()
+  }
 }
