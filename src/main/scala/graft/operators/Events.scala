@@ -457,9 +457,47 @@ object Events {
        |  ntile(5) OVER (ORDER BY m_cents, user_id) AS m_score
        |FROM u, a""".stripMargin
 
+  /** DAU / trailing-7-day WAU / stickiness per day — the standard
+    * engagement rollup. The (day, user) DISTINCT pair table is the one
+    * corpus-sized shuffle; WAU avoids a per-day sliding distinct by the
+    * contribution trick: each active (day, user) contributes to the 7
+    * target days it keeps the user "weekly active" for, and WAU(t) is a
+    * plain count over the re-DISTINCTed contributions — constant 7×
+    * fanout, both aggregates map-side combinable, no window over users.
+    * Days with zero activity have no row (join keeps observed days only);
+    * stickiness = dau/wau as one rounded double on exact integers. */
+  def dauWau(spark: SparkSession, dir: String): DataFrame = {
+    val du = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+    val dau = du.groupBy(col("d")).agg(count(lit(1)).as("dau"))
+    val contrib = du
+      .select(explode(sequence(col("d"), date_add(col("d"), 6))).as("t"),
+        col("user_id"))
+      .distinct()
+    val wau = contrib.groupBy(col("t")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, dau("d") === wau("t"))
+      .select(col("d"), col("dau"), col("wau"),
+        graft.functions.Rounding.roundN(
+          col("dau").cast("double") / col("wau"), 4).as("stickiness"))
+  }
+
+  private val dauWauSql =
+    s"""WITH du AS (SELECT DISTINCT ts::DATE AS d, user_id FROM events),
+       |dau AS (SELECT d, count(*) AS dau FROM du GROUP BY 1),
+       |c AS (SELECT DISTINCT CAST(unnest(generate_series(d::TIMESTAMP,
+       |        d::TIMESTAMP + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS DATE) AS t,
+       |        user_id
+       |      FROM du),
+       |wau AS (SELECT t, count(*) AS wau FROM c GROUP BY 1)
+       |SELECT dau.d, dau.dau, wau.wau,
+       |  ${graft.functions.Rounding.roundNSql(
+            "CAST(dau.dau AS DOUBLE) / wau.wau", 4)} AS stickiness
+       |FROM dau JOIN wau ON dau.d = wau.t""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q_events_attribution", attribution, Some(attributionSql)),
     Q("q_events_rfm", rfm, Some(rfmSql)),
+    Q("q_events_dau", dauWau, Some(dauWauSql)),
     Q("q_events_markov", transitionMatrix, Some(transitionMatrixSql)),
     Q("q_events_markov_capped", transitionMatrixCapped, Some(transitionMatrixCappedSql)),
     Q("q_events_cum_users", cumulativeUsers, Some(cumulativeUsersSql)),

@@ -92,6 +92,21 @@ class Round5OpsSpec extends SparkSuite {
     assert(r(1L).getLong(1) == 11 && r(2L).getLong(1) == 11)
   }
 
+  test("dau/wau counts a user once per day and once per trailing window") {
+    // u1 active on day 1 twice (counts once), u2 on day 5; on day 5 both
+    // are weekly-active (day 1 contributes through day 7)
+    val dir = eventsDir(Seq(
+      (1L, ts("2024-01-01 01:00:00"), 1L, "click", 1.0),
+      (2L, ts("2024-01-01 02:00:00"), 1L, "view", 1.0),
+      (3L, ts("2024-01-05 01:00:00"), 2L, "click", 1.0)))
+    val r = operators.Events.dauWau(spark, dir).collect()
+      .map(x => x.getDate(0).toString -> x).toMap
+    assert(r.size == 2) // only observed days emit rows
+    assert(r("2024-01-01").getLong(1) == 1 && r("2024-01-01").getLong(2) == 1)
+    assert(r("2024-01-05").getLong(1) == 1 && r("2024-01-05").getLong(2) == 2)
+    assert(r("2024-01-05").getDouble(3) == 0.5)
+  }
+
   test("redaction replaces every scanned pattern and counts the original") {
     val dir = fixtureDir("documents" -> Seq(
       (1L, "Contact a@b.com via https://x.example/path at 10.0.0.1 now", "en", "web", 1L),
