@@ -205,7 +205,14 @@ object Bench {
       }
       spin(); (1 to 3).map(_ => spin()).min
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"calib_spin_sec":$calib,"sf":"$sfDir"$multiScale$lshScale}""")
+    // Round-5 verdict ask #2: the driver's tail capture truncated the
+    // FRONT of the old one-giant-line output (scale evidence grew past the
+    // capture window), losing the primary metric. The scale-evidence blob
+    // now prints as its own EARLIER line and the compact primary metric
+    // line prints LAST, so a tail capture always keeps it.
+    if (multiScale.nonEmpty || lshScale.nonEmpty)
+      println(s"""{"metric":"scale_evidence","sf":"$sfDir"$multiScale$lshScale}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"calib_spin_sec":$calib,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

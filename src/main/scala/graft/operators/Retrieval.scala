@@ -33,34 +33,67 @@ object Retrieval {
   val DenseTopK = 10
   /** Pinned dense query: the embedding of vec_id 0 (exists at every SF). */
   val RrfQueryVec = 0L
+  /** Multi-query batch: dense query vectors, 1:1 with the bm25QuerySet
+    * ids (shared query_id space — query q = terms[q] + embedding[q]). */
+  val RrfQueryVecs: Seq[Long] = TextAnalysis.bm25QuerySet.map(_._1)
 
   private def vecD: Column = col("embedding").cast("array<double>")
   private def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
-  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-query dense cosine ranks over the corpus for a SMALL pinned
+    * query-vector batch. Each query is one corpus scan against a 1-row
+    * grand-aggregate broadcast (the tripwire-exempt single-row shape),
+    * unioned — a constant-×-scan plan that keeps every join
+    * broadcast-hash and every window PARTITIONED by query_id. Large query
+    * batches are the job of the bucketed/IVF paths in [[Similarity]]; this
+    * is the exact-rank fusion input for a handful of standing queries. */
+  private def denseRanks(spark: SparkSession, dir: String, qids: Seq[Long]): DataFrame = {
     val emb = Tables.embeddings(spark, dir).select(
       col("vec_id"), vecD.as("v"), sqrt(dot(vecD, vecD)).as("nrm"))
-    // grand aggregate over the 1-row filter: provably single-row build side
-    val qv = broadcast(emb.filter(col("vec_id") === RrfQueryVec)
-      .agg(first(col("v")).as("qv"), first(col("nrm")).as("qnrm")))
-    val scored = emb.filter(col("vec_id") =!= RrfQueryVec).crossJoin(qv)
-      .select(col("vec_id"),
-        (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
-    val denseTop = graft.plans.TopK.topK(scored, Seq.empty,
+    val scored = qids.map { qid =>
+      val qv = broadcast(emb.filter(col("vec_id") === qid)
+        .agg(first(col("v")).as("qv"), first(col("nrm")).as("qnrm")))
+      emb.filter(col("vec_id") =!= qid).crossJoin(qv)
+        .select(lit(qid).as("query_id"), col("vec_id"),
+          (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
+    }.reduce(_ unionByName _)
+    val top = graft.plans.TopK.topK(scored, Seq("query_id"),
       Seq(("cos", true), ("vec_id", false)), DenseTopK)
     val wD = org.apache.spark.sql.expressions.Window
-      .orderBy(col("cos").desc, col("vec_id")) // k rows: single partition is fine
-    val dense = denseTop
-      .select(col("vec_id").as("doc_id"), row_number().over(wD).as("rank_dense"))
-    val wS = org.apache.spark.sql.expressions.Window
-      .orderBy(col("bm25").desc, col("doc_id"))
-    val sparse = TextAnalysis.bm25(spark, dir)
-      .select(col("doc_id"), row_number().over(wS).as("rank_sparse"))
-    sparse.join(dense, Seq("doc_id"), "full_outer")
-      .select(col("doc_id"), col("rank_sparse"), col("rank_dense"),
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    top.select(col("query_id"), col("vec_id").as("doc_id"),
+      row_number().over(wD).as("rank_dense"))
+  }
+
+  /** Reciprocal-rank fusion of two per-query rank lists — the library-API
+    * form. Inputs: (query_id, doc_id, rank_sparse) and (query_id, doc_id,
+    * rank_dense); both are top-k lists, so the full-outer fusion join is
+    * rank-list-sized (≤ 2k rows per query), never corpus-sized. */
+  def rrfOf(sparse: DataFrame, dense: DataFrame): DataFrame =
+    sparse.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"), col("rank_sparse"), col("rank_dense"),
         roundN(
           coalesce(lit(1.0) / (lit(RrfK) + col("rank_sparse")), lit(0.0)) +
             coalesce(lit(1.0) / (lit(RrfK) + col("rank_dense")), lit(0.0)), 6).as("rrf"))
+
+  /** Single-query RRF (round-5 form, kept for compatibility): the pinned
+    * query through the same multi-query machinery, query_id dropped. */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark; import spark2.implicits._
+    val queries = TextAnalysis.bm25QueryTerms.map(t => (RrfQueryVec, t))
+      .toDF("query_id", "term")
+    val sparse = TextAnalysis.bm25Of(TextAnalysis.wordsOf(spark, dir), queries)
+      .select(col("query_id"), col("doc_id"), col("rank").as("rank_sparse"))
+    rrfOf(sparse, denseRanks(spark, dir, Seq(RrfQueryVec)))
+      .drop("query_id")
+  }
+
+  /** QUERIES-table RRF (round-5 verdict ask #5): the bm25QuerySet batch
+    * fused with its matching dense query vectors, per-query ranks. */
+  def rrfFusionMulti(spark: SparkSession, dir: String): DataFrame = {
+    val sparse = TextAnalysis.bm25Multi(spark, dir)
+      .select(col("query_id"), col("doc_id"), col("rank").as("rank_sparse"))
+    rrfOf(sparse, denseRanks(spark, dir, RrfQueryVecs))
   }
 
   private val rrfSql = {
@@ -84,6 +117,28 @@ object Retrieval {
        |FROM sparse FULL JOIN dense USING (doc_id)""".stripMargin
   }
 
+  private val rrfMultiSql = {
+    val nrm = "sqrt(list_sum(list_transform(range(1, len(embedding) + 1), " +
+      "i -> (embedding::DOUBLE[])[i] * (embedding::DOUBLE[])[i])))"
+    val dotQc = "list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i]))"
+    val qids = RrfQueryVecs.mkString(", ")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v, $nrm AS nrm FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v, nrm FROM v WHERE vec_id IN ($qids)),
+       |sc AS (SELECT q.query_id, c.vec_id, $dotQc / (q.nrm * c.nrm) AS cos
+       |       FROM v c CROSS JOIN q WHERE c.vec_id != q.query_id),
+       |dense AS (SELECT query_id, vec_id AS doc_id,
+       |            CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank_dense
+       |          FROM sc QUALIFY rank_dense <= $DenseTopK),
+       |sparse AS (SELECT query_id, doc_id, rank AS rank_sparse
+       |           FROM (${TextAnalysis.bm25MultiSql}) b)
+       |SELECT query_id, doc_id, rank_sparse, rank_dense,
+       |  ${roundNSql(
+        s"coalesce(1.0::DOUBLE / ($RrfK + rank_sparse), 0.0) + " +
+          s"coalesce(1.0::DOUBLE / ($RrfK + rank_dense), 0.0)", 6)} AS rrf
+       |FROM sparse FULL JOIN dense USING (query_id, doc_id)""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
-    Q("q_retrieval_rrf", rrfFusion, Some(rrfSql)))
+    Q("q_retrieval_rrf", rrfFusion, Some(rrfSql)),
+    Q("q_retrieval_rrf_multi", rrfFusionMulti, Some(rrfMultiSql)))
 }

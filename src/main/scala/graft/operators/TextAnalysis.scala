@@ -210,36 +210,41 @@ object TextAnalysis {
     * ORDER is pinned (emails → URLs → IPv4) because patterns can nest (an
     * email inside a URL path); each pass is a global non-overlapping
     * leftmost replace with identical semantics in Java regex and RE2, so
-    * the redacted corpus is oracle-exact. `n_redacted` counts matches in
-    * the ORIGINAL text (the audit number a redaction report wants).
-    * Narrow per-row map — scan-speed at 100 TB; extending the pattern set
-    * is one more (regex, token) pair in the fold. */
+    * the redacted corpus is oracle-exact. `n_redacted` counts each
+    * pattern's matches on the text THAT PASS ACTUALLY SAW (the
+    * progressively redacted text), so it is exactly the number of replace
+    * operations performed — nested patterns ('https://10.0.0.1/x' is one
+    * <URL> replacement, not URL + IP) no longer double-count (round-5
+    * advice). Narrow per-row map — scan-speed at 100 TB; extending the
+    * pattern set is one more (regex, token) pair in the chain. */
   def piiRedact(spark: SparkSession, dir: String): DataFrame =
     piiRedactOf(Tables.documents(spark, dir))
 
   /** [[piiRedact]] over any documents-shaped frame (doc_id, text) — the
     * library-API form. */
   def piiRedactOf(docs: DataFrame): DataFrame = {
-    def cnt(re: String) = size(regexp_extract_all(col("norm"), lit(re), lit(0)))
-    val red = Seq(EmailRe -> "<EMAIL>", UrlRe -> "<URL>", Ipv4Re -> "<IP>")
-      .foldLeft(col("norm")) { case (c, (re, tok)) => regexp_replace(c, re, tok) }
+    def cnt(c: Column, re: String) = size(regexp_extract_all(c, lit(re), lit(0)))
+    // each pass's input staged as a column: counts read the text the pass
+    // saw, and staging keeps the multi-referenced replace chains single-eval
     docs
       .withColumn("norm", normText(col("text")))
+      .withColumn("r1", regexp_replace(col("norm"), EmailRe, "<EMAIL>"))
+      .withColumn("r2", regexp_replace(col("r1"), UrlRe, "<URL>"))
       .select(col("doc_id"),
-        (cnt(EmailRe) + cnt(UrlRe) + cnt(Ipv4Re)).as("n_redacted"),
-        red.as("redacted"))
+        (cnt(col("norm"), EmailRe) + cnt(col("r1"), UrlRe) +
+          cnt(col("r2"), Ipv4Re)).as("n_redacted"),
+        regexp_replace(col("r2"), Ipv4Re, "<IP>").as("redacted"))
   }
 
   private val piiRedactSql = {
-    def cnt(re: String) = s"len(regexp_extract_all(norm, '$re'))"
-    val red = Seq(EmailRe -> "<EMAIL>", UrlRe -> "<URL>", Ipv4Re -> "<IP>")
-      .foldLeft("norm") { case (c, (re, tok)) =>
-        s"regexp_replace($c, '$re', '$tok', 'g')" }
-    s"""WITH s AS (SELECT doc_id, $normSql AS norm FROM documents)
+    def cnt(c: String, re: String) = s"len(regexp_extract_all($c, '$re'))"
+    s"""WITH s AS (SELECT doc_id, $normSql AS norm FROM documents),
+       |r1 AS (SELECT *, regexp_replace(norm, '$EmailRe', '<EMAIL>', 'g') AS t1 FROM s),
+       |r2 AS (SELECT *, regexp_replace(t1, '$UrlRe', '<URL>', 'g') AS t2 FROM r1)
        |SELECT doc_id,
-       |  ${cnt(EmailRe)} + ${cnt(UrlRe)} + ${cnt(Ipv4Re)} AS n_redacted,
-       |  $red AS redacted
-       |FROM s""".stripMargin
+       |  ${cnt("norm", EmailRe)} + ${cnt("t1", UrlRe)} + ${cnt("t2", Ipv4Re)} AS n_redacted,
+       |  regexp_replace(t2, '$Ipv4Re', '<IP>', 'g') AS redacted
+       |FROM r2""".stripMargin
   }
 
   /** Corpus-wide top-20 word frequencies: explode → count → top-k via
@@ -772,10 +777,8 @@ object TextAnalysis {
 
   private val lmBigramSql =
     s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
-       |bg AS (SELECT doc_id,
-       |         w[i] || ' ' || w[i + 1] AS bg
-       |       FROM d CROSS JOIN range(1, 100000) r(i)
-       |       WHERE i < len(w)),
+       |bgi AS (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM d),
+       |bg AS (SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg FROM bgi),
        |lm2 AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY 1),
        |lm1 AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c1
        |        FROM bg GROUP BY 1),
@@ -816,12 +819,12 @@ object TextAnalysis {
        |        greatest(1, CAST(ceil((len(w) - $ChunkOverlap) / $stride.0) AS INT)) AS n_chunks
        |      FROM s
        |      WHERE len(w) >= 10
-       |        AND len(list_filter(w, t -> list_contains($stopSqlList, t))) > 0)
+       |        AND len(list_filter(w, t -> list_contains($stopSqlList, t))) > 0),
+       |gi AS (SELECT fp, w, unnest(range(0, n_chunks)) AS i FROM g)
        |SELECT DISTINCT fp, CAST(i AS INT) AS chunk_idx,
        |  array_to_string(w[i * $stride + 1 : i * $stride + $ChunkTokens], ' ') AS chunk_text,
        |  len(w[i * $stride + 1 : i * $stride + $ChunkTokens]) AS n_tokens
-       |FROM g CROSS JOIN range(0, 10000) r(i)
-       |WHERE i < n_chunks""".stripMargin
+       |FROM gi""".stripMargin
   }
 
   /** Typo/variant-pair detection — vocabulary-level fuzzy matching:
@@ -1011,14 +1014,53 @@ object TextAnalysis {
   private val bm25K1p1 = Bm25K1 + 1.0
   private val bm25OneMinusB = 1.0 - Bm25B
 
+  /** The round-5 single-query form, kept for compatibility: the pinned
+    * term set as a 1-query batch through [[bm25Of]], query bookkeeping
+    * columns dropped. Output schema unchanged (doc_id, bm25, n_terms_hit). */
   def bm25(spark: SparkSession, dir: String): DataFrame = {
-    val words = withWords(spark, dir)
+    val spark2 = spark; import spark2.implicits._
+    val queries = bm25QueryTerms.map(t => (0L, t)).toDF("query_id", "term")
+    bm25Of(wordsOf(spark, dir), queries).drop("query_id", "rank")
+  }
+
+  /** The production QUERIES-table multi-query set (round-5 verdict ask #5):
+    * query_id → term list, pinned so the oracle can mirror it as VALUES.
+    * Terms chosen from the synthetic corpus vocabulary. */
+  val bm25QuerySet: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("hash", "vector", "stream"),
+    1L -> Seq("join", "merge", "sort"),
+    2L -> Seq("window", "group", "filter", "scan"))
+
+  def bm25Multi(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark; import spark2.implicits._
+    val queries = bm25QuerySet
+      .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    bm25Of(wordsOf(spark, dir), queries)
+  }
+
+  private[operators] def wordsOf(spark: SparkSession, dir: String): DataFrame =
+    withWords(spark, dir)
       .select(col("doc_id"), explode(col("w")).as("term"))
       .filter(col("term") =!= "")
+
+  /** BM25 as a QUERIES-table join — the production retrieval shape: a
+    * (query_id, term) table scored against the corpus, per-query top-k.
+    *
+    * Scale: per-(doc, term) tf/idf work is QUERY-INDEPENDENT — the corpus
+    * explodes once, is pruned by the broadcast DISTINCT term set of the
+    * whole batch (O(Σ|query| · df) surviving rows), and only the final
+    * term→query_id mapping (broadcast) fans a doc-term score into the
+    * queries containing that term. Per-query top-k goes through the native
+    * bounded-heap operator grouped on query_id — no global sort, no
+    * per-query corpus rescan — and the rank window is PARTITIONED by
+    * query_id (registry tripwire rejects unpartitioned windows). */
+  def bm25Of(words: DataFrame, queries: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val dl = words.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val stats = broadcast(dl.agg(count(lit(1)).as("n"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl")))
-    val tf = words.filter(col("term").isInCollection(bm25QueryTerms))
+    val tf = words.join(broadcast(queries.select(col("term")).distinct()), Seq("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = broadcast(tf.groupBy(col("term")).agg(count(lit(1)).as("df")))
     val idf = log((col("n").cast("double") - col("df") + 0.5) /
@@ -1026,13 +1068,43 @@ object TextAnalysis {
     val tfNorm = col("tf") * bm25K1p1 /
       (col("tf") + lit(Bm25K1) * (lit(bm25OneMinusB) + lit(Bm25B) * col("dl") / col("avgdl")))
     val scored = tf.join(df, Seq("term")).join(dl, Seq("doc_id")).crossJoin(stats)
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("term"),
         floor(idf * tfNorm * 1e6 + 0.5).cast("long").as("s_micro"))
-      .groupBy(col("doc_id"))
+      .join(broadcast(queries), Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"))
       .agg((sum(col("s_micro")) / 1e6).as("bm25"),
         count(lit(1)).as("n_terms_hit"))
-    graft.plans.TopK.topK(scored, Seq.empty,
+    graft.plans.TopK.topK(scored, Seq("query_id"),
       Seq(("bm25", true), ("doc_id", false)), Bm25TopK)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("bm25").desc, col("doc_id"))).cast("int"))
+  }
+
+  private[operators] val bm25MultiSql = {
+    val qvals = bm25QuerySet
+      .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
+      .mkString(", ")
+    s"""WITH q(query_id, term) AS (VALUES $qvals),
+       |w AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS term FROM documents),
+       |wn AS (SELECT doc_id, term FROM w WHERE term != ''),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM wn GROUP BY 1),
+       |stats AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM wn
+       |       WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |sc AS (SELECT tf.doc_id, tf.term,
+       |         CAST(floor(ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+       |           * (tf * $bm25K1p1 / (tf + $Bm25K1 * ($bm25OneMinusB + $Bm25B * dl / avgdl)))
+       |           * 1e6 + 0.5) AS BIGINT) AS s_micro
+       |       FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+       |per AS (SELECT CAST(q.query_id AS BIGINT) AS query_id, sc.doc_id,
+       |          sum(s_micro) / 1e6 AS bm25, count(*) AS n_terms_hit
+       |        FROM sc JOIN q USING (term) GROUP BY 1, 2)
+       |SELECT query_id, doc_id, bm25, n_terms_hit,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS INT) AS rank
+       |FROM per
+       |QUALIFY rank <= $Bm25TopK""".stripMargin
   }
 
   private[operators] val bm25Sql = {
@@ -1056,6 +1128,7 @@ object TextAnalysis {
 
   val queries: Seq[Q] = Seq(
     Q("q_text_bm25", bm25, Some(bm25Sql)),
+    Q("q_text_bm25_multi", bm25Multi, Some(bm25MultiSql)),
     Q("q_text_oov", oovRate, Some(oovRateSql)),
     Q("q_corpus_datacard", dataCard, Some(dataCardSql)),
     Q("q_text_langid_eval", langIdConfusion, Some(langIdConfusionSql)),

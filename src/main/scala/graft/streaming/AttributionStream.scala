@@ -32,6 +32,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * binding-cap eviction behavior. */
 object AttributionStream {
 
+  /** Default per-user touch bound (round-5 verdict ask #4): caps are ON by
+    * default — state keeps each user's latest DefaultTouchCap touches by
+    * (ts, event_id). Users at or under the cap are exact; the documented
+    * approximation beyond it is a purchase older than every kept touch.
+    * Unbounded touch state is the explicit [[Unbounded]] opt-out. (The
+    * purchase list is NOT capped: a late touch can re-attribute any old
+    * purchase, so purchases are the operator's authoritative output set.) */
+  val DefaultTouchCap: Option[Int] = Some(1000)
+  /** Explicit opt-out: unbounded per-user touch state (exact twin). */
+  val Unbounded: Option[Int] = None
+
   final case class Ev(user_id: Long, ts_us: Long, event_id: Long,
       event_type: String, cents: Long)
   final case class AttState(
@@ -52,7 +63,7 @@ object AttributionStream {
     * batch the user appears in. With `touchCap` set, kept touches are
     * hard-bounded to the latest cap by (ts, event_id). */
   def attributedPurchases(spark: SparkSession, events: org.apache.spark.sql.Dataset[Ev],
-      touchCap: Option[Int] = None): org.apache.spark.sql.Dataset[AttRow] = {
+      touchCap: Option[Int] = DefaultTouchCap): org.apache.spark.sql.Dataset[AttRow] = {
     import spark.implicits._
     events
       .groupByKey(_.user_id)
@@ -86,7 +97,7 @@ object AttributionStream {
   def attributionMonitor(spark: SparkSession, srcDir: String, stateDir: String,
       checkpointDir: String, maxFilesPerTrigger: Int = 1,
       schema: Option[org.apache.spark.sql.types.StructType] = None,
-      touchCap: Option[Int] = None): StreamingQuery = {
+      touchCap: Option[Int] = DefaultTouchCap): StreamingQuery = {
     import spark.implicits._
     val raw = UpsertSink.fileStream(spark, srcDir, maxFilesPerTrigger, schema)
     // mirror sources.Tables.events: nanos-as-long parquet truncates to

@@ -36,6 +36,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object BasketStream {
 
+  /** Default per-order state bound (round-5 verdict ask #4): caps are ON
+    * by default — state keeps the DefaultBasketCap best items per order by
+    * the deterministic md5 rank (the batch `q_basket_affinity_capped`
+    * semantics), bounding pair fan-out at C(cap, 2) per order. Baskets at
+    * or under the cap match the uncapped lift exactly; unbounded state is
+    * the explicit [[Unbounded]] opt-out. */
+  val DefaultBasketCap: Option[Int] = Some(100)
+  /** Explicit opt-out: unbounded per-order state (exact uncapped twin). */
+  val Unbounded: Option[Int] = None
+
   final case class Item(okey: Long, part: Long)
   /** part_b = PairSentinel marks an item-presence row (n_item/n_orders
     * denominators); real pairs carry part_a < part_b. `n` is the liveness
@@ -56,7 +66,7 @@ object BasketStream {
     * With `basketCap` set, kept state is the cap best items by md5 rank;
     * displaced pairs are retracted with n=0 rows. */
   def orderPairs(spark: SparkSession, items: org.apache.spark.sql.Dataset[Item],
-      basketCap: Option[Int] = None): org.apache.spark.sql.Dataset[BasketRow] = {
+      basketCap: Option[Int] = DefaultBasketCap): org.apache.spark.sql.Dataset[BasketRow] = {
     import spark.implicits._
     items
       .groupByKey(_.okey)
@@ -100,7 +110,7 @@ object BasketStream {
   def liftMonitor(spark: SparkSession, srcDir: String, stateDir: String,
       checkpointDir: String, maxFilesPerTrigger: Int = 1,
       schema: Option[org.apache.spark.sql.types.StructType] = None,
-      basketCap: Option[Int] = None): StreamingQuery = {
+      basketCap: Option[Int] = DefaultBasketCap): StreamingQuery = {
     import spark.implicits._
     val items = lineitemStream(spark, srcDir, maxFilesPerTrigger, schema)
       .select(col("l_orderkey").cast("long").as("okey"),

