@@ -548,6 +548,47 @@ object Events {
           col("dau").cast("double") / col("wau"), 4).as("stickiness"))
   }
 
+  /** DAU / trailing-28-day MAU / DAU-over-MAU stickiness — the monthly
+    * engagement rollup (round-5 verdict ask #7). Same contribution trick
+    * as [[dauWau]] at a 28× constant fanout: each distinct (day, user)
+    * contributes to the 28 target days it keeps the user "monthly
+    * active" for, then a plain re-DISTINCT + count per target day — no
+    * per-day sliding distinct, no window over users, both aggregates
+    * map-side combinable. The fanout is constant in corpus size (the
+    * sliding-window-distinct control would carry a 28-day user multiset
+    * through a window sort per day — unbounded state per day at scale);
+    * the events scale decade measures this query's exponent directly. */
+  def dauMau(spark: SparkSession, dir: String): DataFrame =
+    dauMauOf(Tables.events(spark, dir))
+
+  /** [[dauMau]] over any events-shaped frame — the library-API form. */
+  def dauMauOf(ev: DataFrame): DataFrame = {
+    val du = ev.select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+    val dau = du.groupBy(col("d")).agg(count(lit(1)).as("dau"))
+    val contrib = du
+      .select(explode(sequence(col("d"), date_add(col("d"), 27))).as("t"),
+        col("user_id"))
+      .distinct()
+    val mau = contrib.groupBy(col("t")).agg(count(lit(1)).as("mau"))
+    dau.join(mau, dau("d") === mau("t"))
+      .select(col("d"), col("dau"), col("mau"),
+        graft.functions.Rounding.roundN(
+          col("dau").cast("double") / col("mau"), 4).as("stickiness"))
+  }
+
+  private val dauMauSql =
+    s"""WITH du AS (SELECT DISTINCT ts::DATE AS d, user_id FROM events),
+       |dau AS (SELECT d, count(*) AS dau FROM du GROUP BY 1),
+       |c AS (SELECT DISTINCT CAST(unnest(generate_series(d::TIMESTAMP,
+       |        d::TIMESTAMP + INTERVAL 27 DAY, INTERVAL 1 DAY)) AS DATE) AS t,
+       |        user_id
+       |      FROM du),
+       |mau AS (SELECT t, count(*) AS mau FROM c GROUP BY 1)
+       |SELECT dau.d, dau.dau, mau.mau,
+       |  ${graft.functions.Rounding.roundNSql(
+            "CAST(dau.dau AS DOUBLE) / mau.mau", 4)} AS stickiness
+       |FROM dau JOIN mau ON dau.d = mau.t""".stripMargin
+
   private val dauWauSql =
     s"""WITH du AS (SELECT DISTINCT ts::DATE AS d, user_id FROM events),
        |dau AS (SELECT d, count(*) AS dau FROM du GROUP BY 1),
@@ -565,6 +606,7 @@ object Events {
     Q("q_events_attribution", attribution, Some(attributionSql)),
     Q("q_events_rfm", rfm, Some(rfmSql)),
     Q("q_events_dau", dauWau, Some(dauWauSql)),
+    Q("q_events_mau", dauMau, Some(dauMauSql)),
     Q("q_events_markov", transitionMatrix, Some(transitionMatrixSql)),
     Q("q_events_markov_capped", transitionMatrixCapped, Some(transitionMatrixCappedSql)),
     Q("q_events_cum_users", cumulativeUsers, Some(cumulativeUsersSql)),

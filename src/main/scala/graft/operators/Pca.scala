@@ -36,13 +36,22 @@ import org.apache.spark.sql.functions._
   * construction); centering adds two rank-1 terms whose cross products
   * overflow BIGINT — at that point the same plan runs on DECIMAL(38,0).
   * Overflow budget: |tick| ≤ 1e6 ⇒ Gram sum ≤ rows·1e12 (BIGINT-safe to
-  * ~9e6 rows; DECIMAL beyond), matvec ≤ Dim·1e12·VTicks ≈ 6.4e17. */
+  * ~9e6 rows; DECIMAL beyond), matvec ≤ Dim·1e12·VTicks ≈ 6.4e17. The
+  * budget is ENFORCED, not just documented (round-5 advice): both
+  * engines' plans guard on the corpus count and fail loudly past
+  * [[GramRowBudget]] — Spark's non-ANSI sum(LongType) would wrap silently
+  * while DuckDB promotes to HUGEINT, so the out-of-budget behavior would
+  * otherwise be a silent cross-engine divergence. */
 object Pca {
 
   val Dim = 64
   val Ticks = 1e6
   val VTicks = 10000L
   val Rounds = 8
+  /** Max corpus rows before a worst-case Gram cell (rows·1e12) can exceed
+    * BIGINT: 9.22e18 / 1e12 ≈ 9.2e6, held with margin. Past this, rerun
+    * the same plan on DECIMAL(38,0). */
+  val GramRowBudget = 9000000L
 
   private def ticks = transform(col("embedding"),
     x => floor(x.cast("double") * Ticks + 0.5).cast("long"))
@@ -59,6 +68,12 @@ object Pca {
     val n = emb.select(count(lit(1)).as("n"))
     terms.groupBy(col("i"), col("j")).agg(sum(col("p")).as("s"))
       .crossJoin(broadcast(n))
+      // budget guard lives in a FILTER (a projected assert column would be
+      // pruned away): assert_true is null when the corpus is in budget, so
+      // the filter keeps every row — and throws past GramRowBudget
+      .filter(assert_true(col("n") <= GramRowBudget,
+        lit(s"Gram BIGINT overflow budget: corpus rows > $GramRowBudget; " +
+          "rerun on DECIMAL(38,0)")).isNull)
       .select(col("i"), col("j"),
         floor(col("s").cast("double") / col("n") + 0.5).cast("long").as("c"))
   }
@@ -104,6 +119,9 @@ object Pca {
       .agg(gramUdaf(col("t")).as("m"))
       .select(posexplode(col("m")).as(Seq("pos", "s")))
       .crossJoin(broadcast(n))
+      .filter(assert_true(col("n") <= GramRowBudget,
+        lit(s"Gram BIGINT overflow budget: corpus rows > $GramRowBudget; " +
+          "rerun on DECIMAL(38,0)")).isNull)
       .select((col("pos") / Dim).cast("int").plus(1).as("i"),
         pmod(col("pos"), lit(Dim)).cast("int").plus(1).as("j"),
         floor(col("s").cast("double") / col("n") + 0.5).cast("long").as("c"))
@@ -145,19 +163,30 @@ object Pca {
        |  FROM t, range(1, ${Dim + 1}) r1(i), range(1, ${Dim + 1}) r2(j)
        |  GROUP BY 1, 2),
        |g AS (SELECT i, j,
-       |  CAST(floor(CAST(s AS DOUBLE) / n + 0.5) AS BIGINT) AS c
+       |  CASE WHEN n > $GramRowBudget
+       |    THEN CAST(error('Gram BIGINT overflow budget exceeded') AS BIGINT)
+       |    ELSE CAST(floor(CAST(s AS DOUBLE) / n + 0.5) AS BIGINT) END AS c
        |  FROM g0, nn)""".stripMargin
 
   private val gramSql = s"WITH $gramCte\nSELECT i, j, c FROM g"
 
   private val pcaSql = {
     val v0 = s"v0 AS (SELECT i, CAST($VTicks AS BIGINT) AS v FROM range(1, ${Dim + 1}) r(i))"
+    // m = 0 (all-zero Gram) keeps the previous round's v — the same guard
+    // the Scala iteration applies (round-5 advice: floor(w/0·…) is NULL in
+    // DuckDB, which silently diverged from Spark on the zero-corpus edge).
+    // Each v CTE is MATERIALIZED: the guard references v(r-1) twice (via
+    // w_r and directly), and DuckDB's default CTE inlining would expand
+    // the chain 2^Rounds times — planning alone then never finishes.
     val rounds = (1 to Rounds).map { r =>
-      s"""w$r AS (SELECT g.i AS i, sum(g.c * v${r - 1}.v) AS w
+      s"""w$r AS MATERIALIZED (SELECT g.i AS i, sum(g.c * v${r - 1}.v) AS w
          |  FROM g JOIN v${r - 1} ON g.j = v${r - 1}.i GROUP BY 1),
          |m$r AS (SELECT max(abs(w)) AS m FROM w$r),
-         |v$r AS (SELECT i, CAST(floor(CAST(w AS DOUBLE) / CAST(m AS DOUBLE)
-         |    * ${VTicks}.0 + 0.5) AS BIGINT) AS v FROM w$r, m$r)""".stripMargin
+         |v$r AS MATERIALIZED (SELECT w$r.i AS i,
+         |    CASE WHEN m = 0 THEN p.v
+         |      ELSE CAST(floor(CAST(w AS DOUBLE) / CAST(m AS DOUBLE)
+         |        * ${VTicks}.0 + 0.5) AS BIGINT) END AS v
+         |  FROM w$r JOIN v${r - 1} p ON w$r.i = p.i, m$r)""".stripMargin
     }.mkString(",\n")
     s"WITH $gramCte,\n$v0,\n$rounds\nSELECT i, v FROM v$Rounds"
   }

@@ -36,6 +36,20 @@ class PcaSpec extends SparkSuite {
     assert(a.size == b.size && a == b)
   }
 
+  test("all-zero Gram keeps the initial v in every round (zero-corpus edge)") {
+    import org.apache.spark.sql.functions._
+    // degenerate corpus: every embedding identically zero -> Gram = 0,
+    // every matvec m = 0, so the m != 0 guard must keep v at its
+    // initialization (the SQL mirror pins the same CASE guard)
+    val zero = spark.range(5).select(
+      col("id").as("vec_id"),
+      array_repeat(lit(0.0f), operators.Pca.Dim).as("embedding"))
+    val v = operators.Pca.pcaPowerOf(spark, zero).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(v.size == operators.Pca.Dim)
+    assert(v.values.forall(_ == operators.Pca.VTicks))
+  }
+
   test("power iteration recovers a planted dominant direction") {
     val dir = planted(axis = 17)
     val v = operators.Pca.pcaPowerOf(spark,
