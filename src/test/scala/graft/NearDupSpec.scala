@@ -43,6 +43,21 @@ class NearDupSpec extends SparkSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // distinct doc never paired
   }
 
+  test("DF-prune gate: unpruned below DfPruneMinDocs, pruned at/above (same pairs either way)") {
+    val dir = SparkSpec.sf0001
+    // discriminate the chosen path structurally: only the pruned plan
+    // anti-joins the broadcast common-shingle stop list
+    def usesPrune(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan.toString.contains("LeftAnti")
+    val below = NearDup.minhashPairsAuto(spark, dir) // 500 docs < 150k default
+    val above = NearDup.minhashPairsAuto(spark, dir, minDocs = 1)
+    assert(!usesPrune(below) && usesPrune(above))
+    // either side of the gate emits the same verified pairs on this corpus
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(below) === pairs(above))
+  }
+
   test("incremental near-dup: batch-vs-corpus only, no within-split pairs") {
     // batch = doc_id % 5 == 0
     val d2 = fixtureDir("documents" -> Seq(
