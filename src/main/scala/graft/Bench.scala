@@ -188,6 +188,55 @@ object Bench {
         ""
     }
 
+    // ---- Events/sales-family scale evidence (round-5 verdict ask #3):
+    // the reference-derived surface (KPI star join, session windows, range
+    // join, attribution, RFM, MAU) stops at harness sf0.1, where its
+    // scaling exponents are fixed-overhead-dominated. Time those headline
+    // queries over a synthetic decade (600k -> 6M events, lineitem at the
+    // harness 6x ratio, generators statistically matched to the testdata —
+    // sources/SyntheticEvents) and report alpha per query. Same
+    // degrade-don't-crash policy as the other evidence passes.
+    val eventsScale = try {
+      val names = Seq("q_kpi_category", "q_events_session", "q_join_range_events",
+        "q_events_attribution", "q_events_rfm", "q_events_mau")
+      val qs2 = Registry.all.filter(q => names.contains(q.name))
+      val pts = Seq(600000L, 6000000L).map { n =>
+        val d = s"/tmp/graft_synth_events_$n"
+        graft.sources.SyntheticEvents.writePoint(spark, d, n)
+        n -> d
+      }
+      val data = pts.map { case (n, d) =>
+        val ts = qs2.map { q =>
+          val t = (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            q.run(spark, d).count()
+            spark.catalog.clearCache()
+            (System.nanoTime() - t0) / 1e9
+          }.min
+          q.name -> t
+        }
+        (n, d, ts)
+      }
+      val ptsJson = data.map { case (n, d, ts) =>
+        s"""{"dir":"$d","events":$n,${
+          ts.map { case (k, v) => "\"" + k + "\":" + v }.mkString(",")}}"""
+      }.mkString(",")
+      val (tLo, tHi) = (data.head._3.toMap, data.last._3.toMap)
+      val rowRatio = pts.last._1.toDouble / pts.head._1
+      val alphas = qs2.map { q =>
+        val a = Some(tHi(q.name)).filter(_ > 0).filter(_ => tLo(q.name) > 0)
+          .map(t => math.log(t / tLo(q.name)) / math.log(rowRatio))
+        "\"" + q.name + "\":" + a.filter(x => !x.isNaN && !x.isInfinite)
+          .map(x => BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString)
+          .getOrElse("null")
+      }.mkString(",")
+      s""","events_scale":{"points":[$ptsJson],"alpha_decade":{$alphas}}"""
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] events scale pass failed: ${e.getMessage}")
+        ""
+    }
+
     // Fixed-work CPU calibration: a deterministic single-thread xorshift
     // spin whose wall-time scales with this VM's CPU-steal level. Readers
     // comparing BENCH_r{N}.json across rounds can divide query times by
@@ -210,8 +259,8 @@ object Bench {
     // capture window), losing the primary metric. The scale-evidence blob
     // now prints as its own EARLIER line and the compact primary metric
     // line prints LAST, so a tail capture always keeps it.
-    if (multiScale.nonEmpty || lshScale.nonEmpty)
-      println(s"""{"metric":"scale_evidence","sf":"$sfDir"$multiScale$lshScale}""")
+    if (multiScale.nonEmpty || lshScale.nonEmpty || eventsScale.nonEmpty)
+      println(s"""{"metric":"scale_evidence","sf":"$sfDir"$multiScale$lshScale$eventsScale}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"calib_spin_sec":$calib,"sf":"$sfDir"}""")
     spark.stop()
   }
