@@ -117,6 +117,58 @@ object Retrieval {
        |FROM sparse FULL JOIN dense USING (doc_id)""".stripMargin
   }
 
+  /** NDCG@k of the LSH-bucketed ANN against brute-force exact-cosine
+    * ground truth, per query — the standard ranking-quality eval a
+    * retrieval stack runs before swapping an approximate index in
+    * (complements AnnRecallSpec's set-overlap recall floors with a
+    * POSITION-sensitive, registered, oracle-checked metric).
+    *
+    * Binary relevance: the exact top-k IS the relevant set; gains are
+    * quantized to integer micro-units (floor(1e6/log2(pos+1) + 0.5)) so
+    * both engines sum identical integers and the single ndcg division is
+    * one IEEE op on exact inputs — the exact-cents discipline. The brute
+    * side is the whitelisted O(q·corpus) baseline (it IS the ground
+    * truth); the LSH side and the ≤k-row joins are the scale path. */
+  def annNdcg(spark: SparkSession, dir: String): DataFrame = {
+    def gainMicro(pos: Column): Column =
+      floor(lit(1e6) / log2(pos + lit(1)) + 0.5).cast("long")
+    val truth = Similarity.knnBrute(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("rel"))
+    val dcg = Similarity.knnLsh(spark, dir)
+      .join(truth, Seq("query_id", "neighbor_id"), "left")
+      .select(col("query_id"),
+        when(col("rel").isNotNull, gainMicro(col("rank"))).otherwise(0L).as("g"))
+      .groupBy(col("query_id")).agg(sum(col("g")).as("dcg_micro"))
+    val idcg = truth.groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
+      .select(col("query_id"), col("n_rel"),
+        aggregate(sequence(lit(1L), col("n_rel")), lit(0L),
+          (acc, i) => acc + gainMicro(i)).as("idcg_micro"))
+    idcg.join(dcg, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_rel"),
+        coalesce(col("dcg_micro"), lit(0L)).as("dcg_micro"), col("idcg_micro"),
+        roundN(coalesce(col("dcg_micro"), lit(0L)).cast("double") /
+          col("idcg_micro"), 6).as("ndcg"))
+  }
+
+  private val annNdcgSql = {
+    def gain(pos: String) = s"CAST(floor(1000000.0 / log2($pos + 1) + 0.5) AS BIGINT)"
+    s"""WITH truth AS (${Similarity.knnBruteSql}),
+       |appr AS (${Similarity.knnLshSql}),
+       |dcg AS (SELECT a.query_id,
+       |    CAST(sum(CASE WHEN t.neighbor_id IS NOT NULL THEN ${gain("a.rank")} ELSE 0 END) AS BIGINT) AS dcg_micro
+       |  FROM appr a LEFT JOIN truth t
+       |    ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+       |  GROUP BY 1),
+       |idcg AS (SELECT query_id, count(*) AS n_rel,
+       |    CAST(list_sum(list_transform(range(1, count(*) + 1),
+       |      i -> ${gain("i")})) AS BIGINT) AS idcg_micro
+       |  FROM truth GROUP BY 1)
+       |SELECT i.query_id, i.n_rel, CAST(coalesce(d.dcg_micro, 0) AS BIGINT) AS dcg_micro,
+       |  i.idcg_micro,
+       |  ${roundNSql("CAST(coalesce(d.dcg_micro, 0) AS DOUBLE) / i.idcg_micro", 6)} AS ndcg
+       |FROM idcg i LEFT JOIN dcg d USING (query_id)""".stripMargin
+  }
+
   private val rrfMultiSql = {
     val nrm = "sqrt(list_sum(list_transform(range(1, len(embedding) + 1), " +
       "i -> (embedding::DOUBLE[])[i] * (embedding::DOUBLE[])[i])))"
@@ -140,5 +192,6 @@ object Retrieval {
 
   val queries: Seq[Q] = Seq(
     Q("q_retrieval_rrf", rrfFusion, Some(rrfSql)),
-    Q("q_retrieval_rrf_multi", rrfFusionMulti, Some(rrfMultiSql)))
+    Q("q_retrieval_rrf_multi", rrfFusionMulti, Some(rrfMultiSql)),
+    Q("q_retrieval_ndcg", annNdcg, Some(annNdcgSql)))
 }

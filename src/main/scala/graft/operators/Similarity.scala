@@ -130,7 +130,7 @@ object Similarity {
       .filter(col("rank") <= TopK)
   }
 
-  private val knnBruteSql =
+  private[operators] val knnBruteSql =
     s"""WITH vecs AS ($vectorsSql)
        |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $cosineSql AS sim,
        |  CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY $cosineSql DESC, c.vec_id) AS INT) AS rank
@@ -150,7 +150,7 @@ object Similarity {
       .filter(col("rank") <= TopK)
   }
 
-  private val knnLshSql =
+  private[operators] val knnLshSql =
     s"""WITH v0 AS ($vectorsSql),
        |vecs AS (SELECT vec_id, v, nrm, $bucketSql AS bkt FROM v0)
        |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $cosineSql AS sim,

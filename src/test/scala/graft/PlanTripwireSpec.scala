@@ -31,7 +31,10 @@ class PlanTripwireSpec extends SparkSuite with AdaptiveSparkPlanHelper {
   /** Queries whose BNLJ against a small constant-size broadcast side is
     * the documented algorithm (see Similarity/EmbedClassify scaladoc). */
   private val bnljWhitelist: Set[String] = Set(
-    "q_sim_knn_brute" // O(q·corpus) recall baseline, permanently weak
+    "q_sim_knn_brute", // O(q·corpus) recall baseline, permanently weak
+    "q_retrieval_ndcg" // embeds knnBrute as the eval GROUND TRUTH — the
+                       // brute pass is the metric's definition, not a plan
+                       // choice; the approx side under eval is bucketed
   )
 
   /** Build side is a grand aggregate — guaranteed single row. */
