@@ -42,6 +42,8 @@ object Registry {
       operators.Retrieval.queries ++
       operators.TrainClassifier.queries ++
       operators.Packing.queries ++
+      operators.Sketches.queries ++
+      operators.Layout.queries ++
       operators.Multimodal.queries ++
       plans.TopK.queries ++
       sources.Bucketing.queries ++

@@ -252,7 +252,60 @@ object Sampling {
        |    AS INT) AS pos
        |FROM documents""".stripMargin
 
+  /** Sqrt-weighted source MIXTURE — the canonical LLM data-mixing move
+    * (The Pile / LLaMA recipes, public papers): rebalance sources toward
+    * uniform by sampling each at rate ∝ sqrt(1/n_s), i.e. target tokens
+    * ∝ sqrt(n_s). Unlike `sampleEpochs` (whose per-source rates are
+    * arbitrary hash-derived constants) the rates here are DERIVED FROM
+    * CORPUS STATISTICS, which is what a real mixture pass does.
+    *
+    * Determinism contract: rate_s = sqrt(n_max / n_s) — a ratio of two
+    * counts, largest source pinned to 1.0. Deliberately NOT the
+    * normalized-weights form (rate ∝ sqrt(n_s)/Σ sqrt(n_s)): a float SUM
+    * over sources would make the result depend on aggregation order and
+    * break the cross-engine hash check; sqrt and division are
+    * correctly-rounded IEEE in both engines, so this form is exact.
+    * Small sources get floor(rate) full epochs plus a hash-gated
+    * fractional epoch (the `sampleEpochs` repeat machinery).
+    *
+    * Scale: a source-count aggregate, a 1-row max, a broadcast rate join,
+    * and a bounded per-row fanout (≤ ceil(max rate)) — scan-speed; no
+    * corpus-sized shuffle at any size. */
+  def mixSqrt(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_s"))
+    val rates = counts.crossJoin(broadcast(counts.agg(max(col("n_s")).as("n_max"))))
+      .select(col("lang"),
+        sqrt(col("n_max").cast("double") / col("n_s").cast("double")).as("rate"))
+    Tables.documents(spark, dir)
+      .join(broadcast(rates), "lang")
+      .select(col("doc_id"), col("lang"),
+        (floor(col("rate")).cast("int") +
+          when(hashByte <
+            floor((col("rate") - floor(col("rate"))) * 256 + 0.5).cast("int"), 1)
+            .otherwise(0)).as("copies"))
+      .filter(col("copies") > 0)
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(1), col("copies"))).as("ep"))
+      .select(col("doc_id"), col("lang"), col("ep").cast("long").as("epoch"))
+  }
+
+  private val mixSqrtSql =
+    s"""WITH c AS (SELECT lang, count(*) AS n_s FROM documents GROUP BY 1),
+       |r AS (SELECT lang,
+       |        sqrt(CAST((SELECT max(n_s) FROM c) AS DOUBLE) / CAST(n_s AS DOUBLE)) AS rate
+       |      FROM c),
+       |d AS (SELECT doc_id, documents.lang,
+       |        CAST(floor(rate) AS INT)
+       |          + CASE WHEN $hashByteSql
+       |                   < CAST(floor((rate - floor(rate)) * 256 + 0.5) AS INT)
+       |                 THEN 1 ELSE 0 END AS copies
+       |      FROM documents JOIN r USING (lang))
+       |SELECT doc_id, lang, unnest(range(1, copies + 1)) AS epoch
+       |FROM d WHERE copies > 0""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q_mix_sqrt", mixSqrt, Some(mixSqrtSql)),
     Q("q_shard_shuffle", shardShuffle, Some(shardShuffleSql)),
     Q("q_sample_reservoir", sampleReservoir, Some(sampleReservoirSql)),
     Q("q_sample_epochs", sampleEpochs, Some(sampleEpochsSql)),

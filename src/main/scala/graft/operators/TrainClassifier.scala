@@ -90,10 +90,11 @@ object TrainClassifier {
   private def microSum(g: Column): Column =
     sum(floor(g * lit(1000000.0) + lit(0.5)).cast("long"))
 
-  def trainQualityClassifier(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val f = features(spark, dir).cache()
-
+  /** Run the class-balanced GD loop over a cached feature frame; returns
+    * (weights, n, n1, oneClass). Shared by the training query and the
+    * calibration audit so both score with the IDENTICAL weight
+    * trajectory. */
+  private def fit(f: DataFrame): (Array[Double], Long, Long, Boolean) = {
     // exact label counts -> inverse-frequency class weights (guarded: a
     // single-class corpus degrades to unweighted GD, never a div-by-zero)
     val cr = f.agg(count(lit(1)).as("n"),
@@ -115,6 +116,13 @@ object TrainClassifier {
         ws(j) = ws(j) - Lr * (g.toDouble / 1000000.0 / n)
       }
     }
+    (ws, n, n1, oneClass)
+  }
+
+  def trainQualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val f = features(spark, dir).cache()
+    val (ws, n, n1, oneClass) = fit(f)
 
     val pos = margin(ws) >= lit(0.0)
     val ar = f.agg(
@@ -134,28 +142,30 @@ object TrainClassifier {
       .toDF("param", "value")
   }
 
-  private val trainSql: String = {
+  private def iterSql(t: Int): String = {
     val cwCase = "(CASE WHEN f.y = 1.0 THEN c.cw1 ELSE c.cw0 END)"
-    def iter(t: Int): String = {
-      val prev = if (t == 1) "w0" else s"w${t - 1}"
-      val m = s"(w.b + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3)"
-      val sg = s"(0.5 + 0.5 * ($m / (1.0 + abs($m))))"
-      val d = s"(($sg - f.y) * $cwCase)"
-      def ms(g: String) = s"sum(CAST(floor($g * $MicroSql + 0.5) AS BIGINT))"
-      s"""g$t AS (SELECT ${ms(d)} AS gb, ${ms(s"($d * f.x1)")} AS g1,
-         |  ${ms(s"($d * f.x2)")} AS g2, ${ms(s"($d * f.x3)")} AS g3,
-         |  max(c.n) AS n, max(w.b) AS pb, max(w.w1) AS p1,
-         |  max(w.w2) AS p2, max(w.w3) AS p3
-         |  FROM f CROSS JOIN $prev w CROSS JOIN cw c),
-         |w$t AS (SELECT pb - $Lr * (CAST(gb AS DOUBLE) / $MicroSql / n) AS b,
-         |  p1 - $Lr * (CAST(g1 AS DOUBLE) / $MicroSql / n) AS w1,
-         |  p2 - $Lr * (CAST(g2 AS DOUBLE) / $MicroSql / n) AS w2,
-         |  p3 - $Lr * (CAST(g3 AS DOUBLE) / $MicroSql / n) AS w3
-         |  FROM g$t)""".stripMargin
-    }
-    val wd = s"w$Iterations"
-    val mFinal = s"(w.b + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3)"
-    s"""WITH $featureSql,
+    val prev = if (t == 1) "w0" else s"w${t - 1}"
+    val m = s"(w.b + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3)"
+    val sg = s"(0.5 + 0.5 * ($m / (1.0 + abs($m))))"
+    val d = s"(($sg - f.y) * $cwCase)"
+    def ms(g: String) = s"sum(CAST(floor($g * $MicroSql + 0.5) AS BIGINT))"
+    s"""g$t AS (SELECT ${ms(d)} AS gb, ${ms(s"($d * f.x1)")} AS g1,
+       |  ${ms(s"($d * f.x2)")} AS g2, ${ms(s"($d * f.x3)")} AS g3,
+       |  max(c.n) AS n, max(w.b) AS pb, max(w.w1) AS p1,
+       |  max(w.w2) AS p2, max(w.w3) AS p3
+       |  FROM f CROSS JOIN $prev w CROSS JOIN cw c),
+       |w$t AS (SELECT pb - $Lr * (CAST(gb AS DOUBLE) / $MicroSql / n) AS b,
+       |  p1 - $Lr * (CAST(g1 AS DOUBLE) / $MicroSql / n) AS w1,
+       |  p2 - $Lr * (CAST(g2 AS DOUBLE) / $MicroSql / n) AS w2,
+       |  p3 - $Lr * (CAST(g3 AS DOUBLE) / $MicroSql / n) AS w3
+       |  FROM g$t)""".stripMargin
+  }
+
+  /** The shared WITH-chain: features → class weights → unrolled GD
+    * iterations, ending at w$Iterations. Reused by the calibration
+    * oracle so both queries train the identical model. */
+  private val trainCtesSql: String =
+    s"""$featureSql,
        |cnt AS (SELECT count(*) AS n,
        |          sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS n1 FROM f),
        |cw AS (SELECT n, n1,
@@ -166,7 +176,12 @@ object TrainClassifier {
        |       FROM cnt),
        |w0 AS (SELECT CAST(0.0 AS DOUBLE) AS b, CAST(0.0 AS DOUBLE) AS w1,
        |              CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3),
-       |${(1 to Iterations).map(iter).mkString(",\n")},
+       |${(1 to Iterations).map(iterSql).mkString(",\n")}""".stripMargin
+
+  private val trainSql: String = {
+    val wd = s"w$Iterations"
+    val mFinal = s"(w.b + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3)"
+    s"""WITH $trainCtesSql,
        |acc AS (SELECT CAST(sum(CASE WHEN ($mFinal >= 0.0) = (f.y = 1.0)
        |                 THEN 1 ELSE 0 END) AS DOUBLE) / max(c.n) AS acc,
        |          sum(CASE WHEN f.y = 1.0 AND $mFinal >= 0.0 THEN 1 ELSE 0 END) AS tp,
@@ -184,6 +199,57 @@ object TrainClassifier {
        |  END FROM acc""".stripMargin
   }
 
+  /** Calibration audit (reliability diagram) of the trained classifier:
+    * score every doc with the final weights, bin the predicted
+    * probability into deciles, and report per bin the count, the mean
+    * prediction, and the ACTUAL positive rate — the gap column is the
+    * model-trust metric an eval pipeline tracks before using scores as
+    * sampling weights.
+    *
+    * Exactness: mean prediction would be an order-dependent float sum, so
+    * per-doc probabilities round to integer micro-units before summing
+    * (the same trick the gradient aggregate uses) — the per-bin aggregate
+    * is an exact integer sum in both engines, divided back to a double
+    * once. Scale: T+1 scan-speed grand aggregates (training) + one
+    * 10-group hash aggregate; nothing corpus-sized moves. */
+  def calibration(spark: SparkSession, dir: String): DataFrame = {
+    val f = features(spark, dir).cache()
+    val (ws, _, _, _) = fit(f)
+    // f stays cached: the returned plan re-reads it at execution time
+    // (the harness clears cache per query)
+    val p = sigma(margin(ws))
+    f.select(least(lit(9), floor(p * 10).cast("int")).as("bin"),
+        p.as("p"), col("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("p") * lit(1000000.0) + lit(0.5)).cast("long")).as("micro_p"),
+        sum(when(col("y") === lit(1.0), 1L).otherwise(0L)).as("n_pos"))
+      .select(col("bin"), col("n"),
+        graft.functions.Rounding.roundN(
+          col("micro_p").cast("double") / lit(1000000.0) / col("n"), 6).as("mean_pred"),
+        graft.functions.Rounding.roundN(
+          col("n_pos").cast("double") / col("n"), 6).as("frac_pos"))
+  }
+
+  private val calibrationSql: String = {
+    val wd = s"w$Iterations"
+    val m = s"(w.b + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3)"
+    val sg = s"(0.5 + 0.5 * ($m / (1.0 + abs($m))))"
+    s"""WITH $trainCtesSql,
+       |sc AS (SELECT least(9, CAST(floor($sg * 10) AS INT)) AS bin,
+       |         $sg AS p, f.y AS y
+       |       FROM f CROSS JOIN $wd w),
+       |b AS (SELECT bin, count(*) AS n,
+       |        sum(CAST(floor(p * $MicroSql + 0.5) AS BIGINT)) AS micro_p,
+       |        sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS n_pos
+       |      FROM sc GROUP BY bin)
+       |SELECT bin, n,
+       |  ${graft.functions.Rounding.roundNSql(s"CAST(micro_p AS DOUBLE) / $MicroSql / n", 6)} AS mean_pred,
+       |  ${graft.functions.Rounding.roundNSql("CAST(n_pos AS DOUBLE) / n", 6)} AS frac_pos
+       |FROM b""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
-    Q("q_train_quality_clf", trainQualityClassifier, Some(trainSql)))
+    Q("q_train_quality_clf", trainQualityClassifier, Some(trainSql)),
+    Q("q_train_calibration", calibration, Some(calibrationSql)))
 }

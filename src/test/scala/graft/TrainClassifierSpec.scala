@@ -40,6 +40,26 @@ class TrainClassifierSpec extends SparkSuite {
     assert(out("train_accuracy") === 1.0) // all-positive corpus, positive model
   }
 
+  test("calibration: bins partition the corpus, separable model is confident") {
+    val d = fixtureDir("documents" -> corpus)
+    val rows = TrainClassifier.calibration(spark, d).collect()
+    assert(rows.map(_.getAs[Long]("n")).sum == 32) // every doc in exactly one bin
+    rows.foreach { r =>
+      val mp = r.getAs[Double]("mean_pred")
+      val fp = r.getAs[Double]("frac_pos")
+      assert(mp >= 0.0 && mp <= 1.0)
+      assert(fp >= 0.0 && fp <= 1.0)
+      val bin = r.getAs[Int]("bin")
+      assert(mp >= bin / 10.0 - 1e-6 && mp <= (bin + 1) / 10.0 + 1e-6,
+        s"mean_pred $mp outside its decile $bin")
+    }
+    // on a separable corpus the model is calibrated at the extremes: the
+    // top-score bin must be (nearly) all positive, the bottom all negative
+    val byBin = rows.map(r => r.getAs[Int]("bin") -> r.getAs[Double]("frac_pos")).toMap
+    assert(byBin(byBin.keys.max) > 0.9)
+    assert(byBin(byBin.keys.min) < 0.1)
+  }
+
   test("weight trajectory is partition-invariant (exact integer gradients)") {
     val d8 = fixtureDir("documents" -> corpus.repartition(8))
     val d3 = fixtureDir("documents" -> corpus.repartition(3))
