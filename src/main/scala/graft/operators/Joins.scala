@@ -92,9 +92,82 @@ object Joins {
        |SELECT coalesce(r.d, a.d) AS day, returned_rev, accepted_rev
        |FROM r FULL OUTER JOIN a ON r.d = a.d""".stripMargin
 
+  /** Bloom-filter bits (m) and hash count (k). m = 2048 keeps the whole
+    * filter one broadcastable 1-row array; k = 3 puts the false-positive
+    * rate near (1-e^(-kn/m))^k for the selective dim below. */
+  val BloomBits = 2048L
+  val BloomHashes = 3
+
+  /** Bloom-PREFILTERED semi join + false-positive audit — the
+    * runtime-filter pattern (Spark's own InjectRuntimeFilter, Delta/
+    * Iceberg DPP) made explicit and measurable: build a deterministic
+    * m-bit Bloom filter from the selective dim side (parts with
+    * p_size <= 2), broadcast it as ONE aggregate row, prefilter the fact
+    * scan with k array-membership tests, and report — per returnflag —
+    * how many rows pass the bloom vs truly match, i.e. the filter's
+    * false-positive rate.
+    *
+    * Why it matters at 100 TB: when the dim side is selective, shipping
+    * a 2 KB bit array to every scan task and dropping 99% of fact rows
+    * BEFORE the join's shuffle is the difference between shuffling
+    * terabytes and gigabytes. The audit quantifies the residue the
+    * bloom lets through (the rows the real join still has to drop).
+    *
+    * Determinism: bit positions are md5-derived (h:key), the filter is a
+    * sorted distinct-bit array — no implementation-specific sketch state,
+    * so DuckDB replays the identical filter and the driver hash-checks
+    * the audit. */
+  def bloomPrefilterAudit(spark: SparkSession, dir: String): DataFrame = {
+    def bitOf(h: org.apache.spark.sql.Column, k: org.apache.spark.sql.Column) =
+      pmod(conv(substring(md5(concat(h.cast("string"), lit(":"), k.cast("string"))), 1, 15), 16, 10)
+        .cast("long"), lit(BloomBits))
+    val dim = Tables.part(spark, dir).filter(col("p_size") <= 2)
+      .select(col("p_partkey").as("k")).distinct()
+    val bloom = dim
+      .select(explode(sequence(lit(0), lit(BloomHashes - 1))).as("h"), col("k"))
+      .select(bitOf(col("h"), col("k")).as("b")).distinct()
+      .agg(sort_array(collect_list(col("b"))).as("bits"))
+    val probed = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_returnflag"))
+      .crossJoin(broadcast(bloom))
+      .withColumn("bloom_pass",
+        (0 until BloomHashes).map(h =>
+          array_contains(col("bits"), bitOf(lit(h), col("l_partkey"))))
+          .reduce(_ && _))
+    probed
+      .join(broadcast(dim.withColumn("m", lit(1))),
+        col("l_partkey") === col("k"), "left_outer")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("bloom_pass"), 1L).otherwise(0L)).as("n_bloom_pass"),
+        sum(when(col("m") === 1, 1L).otherwise(0L)).as("n_exact_match"),
+        sum(when(col("bloom_pass") && col("m").isNull, 1L).otherwise(0L)).as("n_false_pos"))
+  }
+
+  private val bloomPrefilterAuditSql = {
+    def bitOf(h: String, k: String) =
+      s"(('0x' || substr(md5(concat(CAST($h AS VARCHAR), ':', CAST($k AS VARCHAR))), 1, 15))::BIGINT % $BloomBits)"
+    val passExpr = (0 until BloomHashes)
+      .map(h => s"list_contains(bits, ${bitOf(h.toString, "l.l_partkey")})")
+      .mkString(" AND ")
+    s"""WITH dk AS (SELECT DISTINCT p_partkey AS k FROM part WHERE p_size <= 2),
+       |bb AS (SELECT DISTINCT ${bitOf("r.h", "dk.k")} AS b
+       |       FROM dk, range(0, $BloomHashes) r(h)),
+       |ba AS (SELECT list(b ORDER BY b) AS bits FROM bb),
+       |p AS (SELECT l.l_returnflag, l.l_partkey, ($passExpr) AS bloom_pass,
+       |        dk.k IS NOT NULL AS exact_match
+       |      FROM lineitem l CROSS JOIN ba LEFT JOIN dk ON l.l_partkey = dk.k)
+       |SELECT l_returnflag, count(*) AS n_rows,
+       |  CAST(sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pass,
+       |  CAST(sum(CASE WHEN exact_match THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_match,
+       |  CAST(sum(CASE WHEN bloom_pass AND NOT exact_match THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+       |FROM p GROUP BY 1""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_join_semi", customersWithOpenOrders, Some(customersWithOpenOrdersSql)),
     Q("q_join_left_outer", partSalesIncludingUnsold, Some(partSalesIncludingUnsoldSql)),
     Q("q_join_full_outer", dailyReturnVsAccept, Some(dailyReturnVsAcceptSql)),
+    Q("q_join_bloom_prefilter", bloomPrefilterAudit, Some(bloomPrefilterAuditSql)),
   )
 }

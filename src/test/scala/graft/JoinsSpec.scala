@@ -46,6 +46,20 @@ class JoinsSpec extends SparkSuite {
       s"expected broadcast left-outer over the aggregated side:\n$plan")
   }
 
+  test("bloom prefilter: no false negatives, false positives exactly counted") {
+    val rows = Joins.bloomPrefilterAudit(spark, SparkSpec.sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val pass = r.getAs[Long]("n_bloom_pass")
+      val exact = r.getAs[Long]("n_exact_match")
+      val fp = r.getAs[Long]("n_false_pos")
+      // pass = (pass ∧ exact) + fp; a Bloom filter must NEVER drop a true
+      // match, so (pass ∧ exact) must equal exact
+      assert(pass - fp == exact, s"bloom dropped a true match: $r")
+      assert(pass <= r.getAs[Long]("n_rows"))
+    }
+  }
+
   test("full outer keeps days present in only one series") {
     val out = Joins.dailyReturnVsAccept(spark, dir)
       .orderBy("day").collect()
