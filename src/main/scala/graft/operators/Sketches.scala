@@ -35,7 +35,7 @@ object Sketches {
   val CmsDepth = 4
   val CmsWidth = 16
 
-  private def cmsBucket(d: Column, word: Column): Column =
+  private[graft] def cmsBucket(d: Column, word: Column): Column =
     pmod(
       conv(substring(md5(concat(d.cast("string"), lit(":"), word)), 1, 15), 16, 10)
         .cast("long"),
@@ -59,25 +59,40 @@ object Sketches {
     * broadcasts the 2048-row sketch. Nothing here scales with corpus
     * size except the initial word count, which every text operator
     * already pays. */
-  def cmsWords(spark: SparkSession, dir: String): DataFrame = {
-    val words = Tables.documents(spark, dir)
+  /** The D×W sketch cells (d, bucket, cnt) for a documents frame —
+    * word counts pre-aggregated so the ×D fanout is vocabulary-sized.
+    * Shared with the streaming monitor (whose per-batch cells sum to
+    * exactly these — CmsMonitorSpec). */
+  private[graft] def cmsCellsOf(docs: DataFrame): DataFrame = {
+    val wc = docs
       .select(explode(split(TextAnalysis.normText(col("text")), " ")).as("word"))
-    val wc = words.groupBy(col("word")).agg(count(lit(1)).as("n"))
-    val sketch = wc
-      .select(col("word"), col("n"),
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    wc.select(col("word"), col("n"),
         explode(sequence(lit(0), lit(CmsDepth - 1))).as("d"))
       .select(col("d"), cmsBucket(col("d"), col("word")).as("bucket"), col("n"))
       .groupBy(col("d"), col("bucket")).agg(sum(col("n")).as("cnt"))
-    val top = wc.orderBy(col("n").desc, col("word")).limit(20)
-    top
-      .select(col("word"), col("n").as("n_exact"),
-        explode(sequence(lit(0), lit(CmsDepth - 1))).as("d"))
+  }
+
+  /** Point-estimate a set of words from a cells frame: min over the D
+    * depth rows — sketch-sized work (the cells are broadcast). */
+  private[graft] def cmsEstimateOf(cells: DataFrame, words: DataFrame): DataFrame =
+    words
+      .select(col("word"), explode(sequence(lit(0), lit(CmsDepth - 1))).as("d"))
       .withColumn("bucket", cmsBucket(col("d"), col("word")))
-      .join(broadcast(sketch), Seq("d", "bucket"))
-      .groupBy(col("word"), col("n_exact"))
+      .join(broadcast(cells), Seq("d", "bucket"))
+      .groupBy(col("word"))
       .agg(min(col("cnt")).as("n_cms"))
-      .select(col("word"), col("n_exact"), col("n_cms"),
-        (col("n_cms") - col("n_exact")).as("over"))
+
+  def cmsWords(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val wc = docs
+      .select(explode(split(TextAnalysis.normText(col("text")), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    val top = wc.orderBy(col("n").desc, col("word")).limit(20)
+    cmsEstimateOf(cmsCellsOf(docs), top.select(col("word")))
+      .join(broadcast(top), "word")
+      .select(col("word"), col("n").as("n_exact"), col("n_cms"),
+        (col("n_cms") - col("n")).as("over"))
   }
 
   private val cmsWordsSql =
