@@ -16,9 +16,12 @@ import org.apache.spark.sql.functions._
   * The registered query computes the full layout audit: per z-range
   * bucket, the row count and the min/max envelope of both source columns,
   * plus whether a fixed 2-D probe box could skip the bucket on those
-  * stats alone. A writer materializing this layout is one
-  * `repartitionByRange(col("z"))` + `sortWithinPartitions("z")` away —
-  * the audit is the part with checkable semantics.
+  * stats alone. The WRITER half lives in `sources/ZOrder.scala`
+  * (`ZOrder.write`: magic-constant bit-spread → repartitionByRange →
+  * sorted parquet, file-skipping spec'd in ZOrderSpec); this audit uses
+  * plain shift-and-mask interleaving instead of the spread constants
+  * because every step must also be expressible in the DuckDB oracle —
+  * same curve, checkable arithmetic.
   *
   * Reference scope: the reference writes unpartitioned parquet
   * (transform.py's plain write); layout optimization is scale-extension
