@@ -138,6 +138,85 @@ object Similarity {
        |WHERE q.vec_id % $QueryStride = 0
        |QUALIFY rank <= $TopK""".stripMargin
 
+  /** Matryoshka prefix dimensions evaluated against the full Dim. */
+  val MatryoshkaDims = Seq(8, 16, 32)
+
+  /** Matryoshka (MRL-style) prefix-dimension recall eval: rank the same
+    * query set by cosine over the FIRST d components only (d ∈
+    * MatryoshkaDims) and measure top-K recall against the full-Dim exact
+    * ranking — the "how many dims can we truncate to" audit run before
+    * shipping truncated embeddings to a cheaper ANN tier (public MRL
+    * literature: Kusupati et al. 2022).
+    *
+    * One brute pair pass computes the per-pair similarity at EVERY prefix
+    * width (slicing is per-pair projection work, not extra joins); the
+    * per-(dim, query) ranking then rides the partitioned window →
+    * native-top-k rewrite. The brute pass is the metric's definition for
+    * an eval (same standing as q_retrieval_ndcg, whitelisted in
+    * PlanTripwireSpec); the operator under evaluation at scale is the
+    * truncated-vector ANN tier, not this audit. */
+  def matryoshkaEval(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = vectors(spark, dir).persist()
+    val q = vecs.filter(col("vec_id") % QueryStride === 0).alias("q")
+    val c = vecs.alias("c")
+    val dims = MatryoshkaDims :+ Dim
+    val simStructs = dims.map { d =>
+      val qa = slice(col("q.v"), 1, d)
+      val ca = slice(col("c.v"), 1, d)
+      struct(lit(d).as("prefix_dim"),
+        roundN(dot(qa, ca) / (sqrt(dot(qa, qa)) * sqrt(dot(ca, ca))), 6).as("sim"))
+    }
+    val w = Window.partitionBy(col("prefix_dim"), col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    // NOT persisted: caching `picks` would bury the brute join inside an
+    // InMemoryRelation where PlanTripwireSpec's whitelist check cannot
+    // see it — the eval deliberately keeps its BNLJ visible (and pays the
+    // pair pass twice; query-stride-sized, trivial for an audit)
+    val picks = q.join(c, col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        inline(array(simStructs: _*)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("prefix_dim"), col("query_id"), col("neighbor_id"))
+    val truth = picks.filter(col("prefix_dim") === Dim)
+      .select(col("query_id"), col("neighbor_id"))
+    val denom = truth.agg(count(lit(1)).as("n_truth"))
+    picks.filter(col("prefix_dim") =!= Dim)
+      .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("prefix_dim"))
+      .agg(count(lit(1)).as("n_hits"))
+      .crossJoin(broadcast(denom))
+      .select(col("prefix_dim"), col("n_hits"), col("n_truth"),
+        roundN(col("n_hits").cast("double") / col("n_truth"), 4).as("recall"))
+  }
+
+  private val matryoshkaEvalSql = {
+    val dimsList = (MatryoshkaDims :+ Dim).mkString("[", ", ", "]")
+    def pdot(a: String, b: String) =
+      s"list_sum(list_transform(range(1, d.d + 1), i -> $a[i] * $b[i]))"
+    s"""WITH vecs AS ($vectorsSql),
+       |pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |            q.v AS qv, c.v AS cv
+       |          FROM vecs q JOIN vecs c ON q.vec_id != c.vec_id
+       |          WHERE q.vec_id % $QueryStride = 0),
+       |sims AS (SELECT query_id, neighbor_id, d.d AS prefix_dim,
+       |    ${roundNSql(s"${pdot("qv", "cv")} / (sqrt(${pdot("qv", "qv")}) * sqrt(${pdot("cv", "cv")}))", 6)} AS sim
+       |  FROM pairs, (SELECT unnest($dimsList) AS d) d),
+       |ranked AS (SELECT prefix_dim, query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY prefix_dim, query_id
+       |      ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM sims),
+       |picks AS (SELECT prefix_dim, query_id, neighbor_id FROM ranked WHERE rank <= $TopK),
+       |truth AS (SELECT query_id, neighbor_id FROM picks WHERE prefix_dim = $Dim),
+       |t AS (SELECT count(*) AS n_truth FROM truth),
+       |h AS (SELECT p.prefix_dim, count(*) AS n_hits
+       |      FROM picks p JOIN truth USING (query_id, neighbor_id)
+       |      WHERE p.prefix_dim != $Dim GROUP BY 1)
+       |SELECT prefix_dim, n_hits, n_truth,
+       |  ${roundNSql("CAST(n_hits AS DOUBLE) / n_truth", 4)} AS recall
+       |FROM h, t""".stripMargin
+  }
+
   /** LSH-bucketed ANN: queries meet only candidates in their sign bucket. */
   def knnLsh(spark: SparkSession, dir: String): DataFrame = {
     val vecs = vectors(spark, dir).withColumn("bkt", bucket(col("v"))).persist()
@@ -486,6 +565,7 @@ object Similarity {
 
   val queries: Seq[Q] = Seq(
     Q("q_sim_knn_brute", knnBrute, Some(knnBruteSql)),
+    Q("q_sim_matryoshka", matryoshkaEval, Some(matryoshkaEvalSql)),
     Q("q_sim_knn_lsh", knnLsh, Some(knnLshSql), bench = true),
     Q("q_sim_knn_lsh_multiprobe", knnLshMultiProbe, Some(knnLshMultiProbeSql)),
     Q("q_sim_knn_lsh_adaptive", knnLshAdaptive, None),

@@ -171,8 +171,40 @@ object Validation {
        |HAVING count(*) < $KAnon
        |ORDER BY 1, 2""".stripMargin
 
+  /** l-diversity audit — k-anonymity's sharper sibling: a
+    * quasi-identifier group can be large (k-anonymous) yet still leak a
+    * sensitive attribute if every member SHARES the value (the
+    * "homogeneity attack", Machanavajjhala et al. 2007). Sensitive
+    * attribute here: account standing (delinquent = negative balance).
+    * Lists every QI group whose distinct sensitive-value count is below
+    * l = 2, with the value it leaks. Same one-hash-aggregate shape as
+    * the k-anonymity gate — scan-speed at any SF. */
+  def lDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val sens = when(col("c_acctbal") < 0, "delinquent").otherwise("good")
+    Tables.customer(spark, dir)
+      .select(col("c_nationkey").as("nationkey"),
+        col("c_mktsegment").as("mktsegment"), sens.as("sens"))
+      .groupBy(col("nationkey"), col("mktsegment"))
+      .agg(count(lit(1)).as("group_size"),
+        countDistinct(col("sens")).as("n_sensitive"),
+        min(col("sens")).as("leaked_value"))
+      .filter(col("n_sensitive") < 2)
+      .orderBy(col("nationkey"), col("mktsegment"))
+  }
+
+  private val lDiversitySql =
+    """WITH s AS (SELECT c_nationkey AS nationkey, c_mktsegment AS mktsegment,
+      |    CASE WHEN c_acctbal < 0 THEN 'delinquent' ELSE 'good' END AS sens
+      |  FROM customer)
+      |SELECT nationkey, mktsegment, count(*) AS group_size,
+      |  count(DISTINCT sens) AS n_sensitive, min(sens) AS leaked_value
+      |FROM s GROUP BY 1, 2
+      |HAVING count(DISTINCT sens) < 2
+      |ORDER BY 1, 2""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q_privacy_kanon", kAnonymity, Some(kAnonymitySql)),
+    Q("q_privacy_ldiversity", lDiversity, Some(lDiversitySql)),
     Q("q_validate_rules", validateRules, Some(validateRulesSql)),
     Q("q_empty_guard", emptyGuard, Some(
       "SELECT count(*) AS cnt, count(*) = 0 AS is_empty FROM lineitem")),

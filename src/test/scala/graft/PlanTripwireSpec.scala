@@ -32,9 +32,13 @@ class PlanTripwireSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     * the documented algorithm (see Similarity/EmbedClassify scaladoc). */
   private val bnljWhitelist: Set[String] = Set(
     "q_sim_knn_brute", // O(q·corpus) recall baseline, permanently weak
-    "q_retrieval_ndcg" // embeds knnBrute as the eval GROUND TRUTH — the
-                       // brute pass is the metric's definition, not a plan
-                       // choice; the approx side under eval is bucketed
+    "q_retrieval_ndcg", // embeds knnBrute as the eval GROUND TRUTH — the
+                        // brute pass is the metric's definition, not a plan
+                        // choice; the approx side under eval is bucketed
+    "q_sim_matryoshka" // prefix-dim recall eval: ONE brute pair pass at
+                       // every truncation width is the metric's
+                       // definition; the truncated-ANN tier it qualifies
+                       // is the thing that runs at scale
   )
 
   /** Build side is a grand aggregate — guaranteed single row. */
