@@ -259,6 +259,50 @@ object Scans {
     * sum and sum-of-squares are integers-in-disguise, immune to
     * accumulation order; the only float math (avg/std) runs on identical
     * exact inputs in both engines. */
+  /** Join-key SKEW profiler — the "do I need salting / AQE skew-join?"
+    * advisor a 100 TB migration runs BEFORE picking a join strategy: for
+    * each candidate fact join key, the key cardinality, the hottest key's
+    * row count, its ratio to the mean key (the skew factor a shuffle
+    * partition inherits), and the share the top-10 keys hold. One hash
+    * aggregate + a bounded top-k + two 1-row reductions per key column —
+    * metadata-scale output at any SF. Reading this table against
+    * `q_join_salted_skew`'s plan is the salting decision. */
+  private val SkewKeys = Seq("l_partkey", "l_suppkey", "l_orderkey")
+
+  def keySkew(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.roundN
+    def forKey(k: String): DataFrame = {
+      val counts = Tables.lineitem(spark, dir)
+        .groupBy(col(k).as("key")).agg(count(lit(1)).as("n"))
+      val tot = counts.agg(sum(col("n")).as("n_rows"),
+        count(lit(1)).as("n_keys"), max(col("n")).as("max_key_rows"))
+      val top = counts.orderBy(col("n").desc, col("key")).limit(10)
+        .agg(coalesce(sum(col("n")), lit(0L)).as("top10_rows"))
+      tot.crossJoin(top).select(
+        lit(k).as("key_col"), col("n_rows"), col("n_keys"), col("max_key_rows"),
+        roundN(col("max_key_rows") / (col("n_rows") / col("n_keys").cast("double")), 4)
+          .as("skew_ratio"),
+        roundN(col("top10_rows") / col("n_rows").cast("double"), 6).as("top10_share"))
+    }
+    SkewKeys.map(forKey).reduce(_.unionByName(_))
+  }
+
+  private val keySkewSql = {
+    import graft.functions.Rounding.roundNSql
+    def forKey(k: String) =
+      s"""SELECT '$k' AS key_col, CAST(t.n_rows AS BIGINT) AS n_rows,
+         |  t.n_keys, t.max_key_rows,
+         |  ${roundNSql("t.max_key_rows / (CAST(t.n_rows AS DOUBLE) / CAST(t.n_keys AS DOUBLE))", 4)} AS skew_ratio,
+         |  ${roundNSql("CAST(tp.top10_rows AS DOUBLE) / t.n_rows", 6)} AS top10_share
+         |FROM (SELECT CAST(sum(n) AS BIGINT) AS n_rows, count(*) AS n_keys,
+         |        max(n) AS max_key_rows
+         |      FROM (SELECT $k, count(*) AS n FROM lineitem GROUP BY 1)) t,
+         |     (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS top10_rows
+         |      FROM (SELECT $k AS key, count(*) AS n FROM lineitem GROUP BY 1
+         |            ORDER BY n DESC, key LIMIT 10)) tp""".stripMargin
+    SkewKeys.map(forKey).mkString("\nUNION ALL\n")
+  }
+
   private val ProfileCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
   def profileNumeric(spark: SparkSession, dir: String): DataFrame = {
@@ -665,6 +709,7 @@ object Scans {
     Q("q_stats_histogram", histogram, Some(histogramSql)),
     Q("q_stats_mode", modeQty, Some(modeSql)),
     Q("q_profile_numeric", profileNumeric, Some(profileSql)),
+    Q("q_profile_skew", keySkew, Some(keySkewSql)),
     Q("q_stats_quantiles_approx", quantilesApprox, None),
     Q("q_stats_quantiles_sorted", quantiles, Some(
       """SELECT l_returnflag,

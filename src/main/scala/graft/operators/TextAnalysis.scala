@@ -204,6 +204,64 @@ object TextAnalysis {
        |FROM documents""".stripMargin
   }
 
+  /** One-pass corpus GATE — the production shape of pretraining
+    * filtering: every per-document signal this library computes
+    * separately (length, stopword, token-length, PII, repetition, exact
+    * dedup) evaluated in a SINGLE scan, emitting a keep flag plus a
+    * reason BITMASK so downstream can both filter and account for drop
+    * causes (the per-gate loss report every corpus release publishes).
+    * Gate bits: 1=too_short, 2=no_stopword, 4=bad_token_len, 8=has_pii,
+    * 16=repetitive, 32=dup_loser.
+    *
+    * Plan: all signals but dedup are narrow per-row expressions on the
+    * staged (norm, w) projection; dedup adds ONE fp-keyed hash aggregate
+    * and an equi join back (both map-side combinable / AQE-planned).
+    * Running the gates separately would scan the corpus six times; this
+    * runs once — at 100 TB the difference IS the filtering budget. */
+  def corpusGate(spark: SparkSession, dir: String): DataFrame = {
+    val staged = Tables.documents(spark, dir)
+      .withColumn("norm", normText(col("text")))
+      .withColumn("w", split(col("norm"), " "))
+      .withColumn("fp", md5(col("norm")))
+    val keepers = staged.groupBy(col("fp")).agg(min(col("doc_id")).as("keeper_id"))
+    val nTok = size(col("w"))
+    val nStop = size(filter(col("w"), t => t.isInCollection(stopwords)))
+    val avgLen = length(regexp_replace(col("norm"), " ", "")) / nTok.cast("double")
+    def cnt(re: String) = size(regexp_extract_all(col("norm"), lit(re), lit(0)))
+    val dupFrac = lit(1.0) - size(array_distinct(col("w"))) / nTok.cast("double")
+    val mask =
+      when(nTok < 10, lit(1)).otherwise(lit(0)) +
+        when(nStop === 0, lit(2)).otherwise(lit(0)) +
+        when(avgLen < 2.0 || avgLen > 12.0, lit(4)).otherwise(lit(0)) +
+        when(cnt(EmailRe) + cnt(UrlRe) + cnt(Ipv4Re) > 0, lit(8)).otherwise(lit(0)) +
+        when(dupFrac > 0.6, lit(16)).otherwise(lit(0)) +
+        when(col("doc_id") =!= col("keeper_id"), lit(32)).otherwise(lit(0))
+    staged.join(keepers, "fp")
+      .select(col("doc_id"), col("lang"), col("source"),
+        mask.cast("int").as("gate_mask"))
+      .withColumn("keep", col("gate_mask") === 0)
+  }
+
+  private val corpusGateSql = {
+    def cnt(re: String) = s"len(regexp_extract_all(norm, '$re'))"
+    s"""WITH s AS (SELECT doc_id, lang, source, $normSql AS norm,
+       |    string_split($normSql, ' ') AS w, md5($normSql) AS fp
+       |  FROM documents),
+       |k AS (SELECT fp, min(doc_id) AS keeper_id FROM s GROUP BY fp),
+       |g AS (SELECT s.doc_id, s.lang, s.source,
+       |    (CASE WHEN len(w) < 10 THEN 1 ELSE 0 END)
+       |  + (CASE WHEN len(list_filter(w, t -> list_contains($stopSqlList, t))) = 0 THEN 2 ELSE 0 END)
+       |  + (CASE WHEN length(replace(norm, ' ', '')) / CAST(len(w) AS DOUBLE) < 2.0
+       |            OR length(replace(norm, ' ', '')) / CAST(len(w) AS DOUBLE) > 12.0 THEN 4 ELSE 0 END)
+       |  + (CASE WHEN ${cnt(EmailRe)} + ${cnt(UrlRe)} + ${cnt(Ipv4Re)} > 0 THEN 8 ELSE 0 END)
+       |  + (CASE WHEN 1.0 - len(list_distinct(w)) / CAST(len(w) AS DOUBLE) > 0.6 THEN 16 ELSE 0 END)
+       |  + (CASE WHEN s.doc_id != k.keeper_id THEN 32 ELSE 0 END) AS gate_mask
+       |  FROM s JOIN k USING (fp))
+       |SELECT doc_id, lang, source, CAST(gate_mask AS INT) AS gate_mask,
+       |  gate_mask = 0 AS keep
+       |FROM g""".stripMargin
+  }
+
   /** PII redaction — the materialization step behind [[piiScan]]'s
     * redact-or-drop gate: every email/URL/IPv4-shaped substring in the
     * normalized text is replaced by a typed placeholder token. The pass
@@ -1173,6 +1231,7 @@ object TextAnalysis {
     Q("q_text_langid", langId, Some(langIdSql)),
     Q("q_text_fingerprint", fingerprint, Some(fingerprintSql)),
     Q("q_text_filter_quality", filterQuality, Some(filterQualitySql)),
+    Q("q_corpus_gate", corpusGate, Some(corpusGateSql)),
     Q("q_text_pii", piiScan, Some(piiScanSql)),
     Q("q_text_pii_redact", piiRedact, Some(piiRedactSql)),
   )
