@@ -262,6 +262,50 @@ object TextAnalysis {
        |FROM g""".stripMargin
   }
 
+  /** Per-gate loss REPORT over [[corpusGate]]'s bitmask — the table a
+    * corpus release publishes: for every gate, how many documents it
+    * flagged (gates overlap, so flags sum past the drop count) plus the
+    * overall keep rate. One groupBy-free reduction over the gate frame —
+    * the mask is already computed, accounting is bit tests on it. */
+  val GateNames: Seq[(Int, String)] = Seq(
+    1 -> "too_short", 2 -> "no_stopword", 4 -> "bad_token_len",
+    8 -> "has_pii", 16 -> "repetitive", 32 -> "dup_loser")
+
+  def corpusGateReport(spark: SparkSession, dir: String): DataFrame = {
+    val g = corpusGate(spark, dir)
+    val aggCols = count(lit(1)).as("n_docs") +:
+      sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept") +:
+      GateNames.map { case (bit, name) =>
+        sum(when(col("gate_mask").bitwiseAND(lit(bit)) =!= 0, 1L).otherwise(0L))
+          .as(s"n_$name")
+      }
+    val agg = g.agg(aggCols.head, aggCols.tail: _*)
+    val gateRows = GateNames.map { case (_, name) =>
+      agg.select(lit(name).as("gate"), col(s"n_$name").as("n_flagged"),
+        roundN(col(s"n_$name") / col("n_docs").cast("double"), 6).as("frac"))
+    }
+    val keptRow = agg.select(lit("kept").as("gate"), col("n_kept").as("n_flagged"),
+      roundN(col("n_kept") / col("n_docs").cast("double"), 6).as("frac"))
+    (gateRows :+ keptRow).reduce(_.unionByName(_))
+  }
+
+  private val corpusGateReportSql = {
+    val gateSelects = GateNames.map { case (bit, name) =>
+      s"""SELECT '$name' AS gate,
+         |  CAST(sum(CASE WHEN (gate_mask & $bit) != 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+         |  ${roundNSql(s"sum(CASE WHEN (gate_mask & $bit) != 0 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)", 6)} AS frac
+         |FROM g""".stripMargin
+    }
+    val keptSelect =
+      s"""SELECT 'kept' AS gate,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+         |  ${roundNSql("sum(CASE WHEN keep THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)", 6)} AS frac
+         |FROM g""".stripMargin
+    s"""WITH gate AS ($corpusGateSql),
+       |g AS (SELECT gate_mask, keep FROM gate)
+       |${(gateSelects :+ keptSelect).mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   /** PII redaction — the materialization step behind [[piiScan]]'s
     * redact-or-drop gate: every email/URL/IPv4-shaped substring in the
     * normalized text is replaced by a typed placeholder token. The pass
@@ -1232,6 +1276,7 @@ object TextAnalysis {
     Q("q_text_fingerprint", fingerprint, Some(fingerprintSql)),
     Q("q_text_filter_quality", filterQuality, Some(filterQualitySql)),
     Q("q_corpus_gate", corpusGate, Some(corpusGateSql)),
+    Q("q_corpus_gate_report", corpusGateReport, Some(corpusGateReportSql)),
     Q("q_text_pii", piiScan, Some(piiScanSql)),
     Q("q_text_pii_redact", piiRedact, Some(piiRedactSql)),
   )
