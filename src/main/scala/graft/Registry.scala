@@ -45,6 +45,7 @@ object Registry {
       operators.Sketches.queries ++
       operators.Layout.queries ++
       operators.Multimodal.queries ++
+      operators.Mining.queries ++
       plans.TopK.queries ++
       sources.Bucketing.queries ++
       sources.SyntheticDocs.queries

@@ -85,17 +85,17 @@ object Similarity {
     call_function("vec_dot", a, lit(plane.toArray))
 
   /** (vec_id, v, norm) projection — norms computed once per vector. */
-  private def vectors(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def vectors(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir).select(
       col("vec_id"), vecD.as("v"), sqrt(dot(vecD, vecD)).as("nrm"))
 
-  private val vectorsSql =
+  private[operators] val vectorsSql =
     """SELECT vec_id, embedding::DOUBLE[] AS v,
       |  sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
       |    i -> (embedding::DOUBLE[])[i] * (embedding::DOUBLE[])[i]))) AS nrm
       |FROM embeddings""".stripMargin
 
-  private val dotSql = "list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i]))"
+  private[operators] val dotSql = "list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i]))"
 
   /** LSH sign bucket under an arbitrary plane matrix: bit p set iff
     * dot(v, plane_p) > 0. */
@@ -114,8 +114,8 @@ object Similarity {
     }.mkString(" + ")
   }
 
-  private def cosine: Column = roundN(dot(col("q.v"), col("c.v")) / (col("q.nrm") * col("c.nrm")), 6)
-  private val cosineSql = roundNSql(s"$dotSql / (q.nrm * c.nrm)", 6)
+  private[operators] def cosine: Column = roundN(dot(col("q.v"), col("c.v")) / (col("q.nrm") * col("c.nrm")), 6)
+  private[operators] val cosineSql = roundNSql(s"$dotSql / (q.nrm * c.nrm)", 6)
 
   /** Brute-force cosine top-k: every query vector against the full corpus. */
   def knnBrute(spark: SparkSession, dir: String): DataFrame = {
