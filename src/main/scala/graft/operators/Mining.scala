@@ -208,7 +208,127 @@ object Mining {
        |       ELSE 0.0 END AS z
        |FROM c JOIN m ON c_mktsegment = seg""".stripMargin
 
+  /** PMI co-occurrence window (± tokens) and minimum pair support. */
+  val PmiWindow = 3
+  val PmiMinCount = 5
+  val PmiTopK = 30
+
+  /** Pointwise-mutual-information word association over a ±3-token
+    * co-occurrence window — the word2vec-era association miner (and the
+    * collocation detector behind phrase vocabularies). Pairs come from
+    * zipping each document's token array with its own shifted self —
+    * W narrow explode legs, NO position self-join — then one hash
+    * aggregate each for pair and unigram counts. PMI's log argument is
+    * built from exact integer counts with a pinned multiplication order,
+    * and quantized to integer millionths (the engine's quantized-ln
+    * contract, TextAnalysis.lmScore) so both engines agree bit-for-bit.
+    * The final top-k is `orderBy(...).limit(k)` — TakeOrderedAndProject's
+    * per-partition bounded heap, never a global-window sort.
+    * BIGINT-in-double budget: n_ab·T² and P·n_a·n_b stay below 2^53 up
+    * to ~10¹⁰ tokens; beyond that, take logs of the factors separately
+    * (ln a + 2 ln T − ln P − ln n_a − ln n_b) — same quantization. */
+  def pmi(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.withWordsOf(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("w")).persist()
+    val pairs = (1 to PmiWindow).map { j =>
+      toks
+        .withColumn("s1", slice(col("w"), lit(1), greatest(size(col("w")) - j, lit(0))))
+        .withColumn("s2", slice(col("w"), lit(j + 1), greatest(size(col("w")) - j, lit(0))))
+        .select(explode(zip_with(col("s1"), col("s2"),
+          (x, y) => struct(x.as("x"), y.as("y")))).as("p"))
+        .select(col("p.x").as("x"), col("p.y").as("y"))
+        .filter(col("x") =!= "" && col("y") =!= "")
+        .select(least(col("x"), col("y")).as("wa"),
+          greatest(col("x"), col("y")).as("wb"))
+    }.reduce(_ unionAll _)
+    val pc = pairs.groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("n_ab"))
+    val np = pairs.agg(count(lit(1)).as("np"))
+    val u = toks.select(explode(col("w")).as("word")).filter(col("word") =!= "")
+    val uc = u.groupBy(col("word")).agg(count(lit(1)).as("n_w"))
+    val nt = u.agg(count(lit(1)).as("nt"))
+    pc.crossJoin(broadcast(np)).crossJoin(broadcast(nt))
+      .join(uc.select(col("word").as("wa"), col("n_w").as("n_a")), "wa")
+      .join(uc.select(col("word").as("wb"), col("n_w").as("n_b")), "wb")
+      .filter(col("n_ab") >= PmiMinCount)
+      .select(col("wa"), col("wb"), col("n_ab"),
+        floor(log((col("n_ab").cast("double") * col("nt") * col("nt")) /
+          (col("np").cast("double") * col("n_a") * col("n_b"))) * 1e6 + 0.5)
+          .cast("long").as("qpmi"))
+      .orderBy(col("qpmi").desc, col("wa"), col("wb")).limit(PmiTopK)
+  }
+
+  private val pmiSql = {
+    val w = "string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')"
+    val js = (1 to PmiWindow).map(j => s"($j)").mkString(", ")
+    s"""WITH d AS (SELECT doc_id, $w AS w FROM documents),
+       |js AS (SELECT * FROM (VALUES $js) AS v(jj)),
+       |z AS (SELECT unnest(list_zip(w[1:len(w)-jj], w[1+jj:len(w)])) AS p
+       |      FROM d CROSS JOIN js),
+       |pairs AS (SELECT least(p[1], p[2]) AS wa, greatest(p[1], p[2]) AS wb
+       |          FROM z WHERE p[1] != '' AND p[2] != ''),
+       |pc AS (SELECT wa, wb, count(*) AS n_ab FROM pairs GROUP BY 1, 2),
+       |pt AS (SELECT count(*) AS np FROM pairs),
+       |u AS (SELECT unnest(w) AS word FROM d),
+       |uc AS (SELECT word, count(*) AS n_w FROM u WHERE word != '' GROUP BY 1),
+       |ut AS (SELECT count(*) AS nt FROM u WHERE word != '')
+       |SELECT wa, wb, n_ab,
+       |  CAST(floor(ln((CAST(n_ab AS DOUBLE) * nt * nt) /
+       |    (CAST(np AS DOUBLE) * ua.n_w * ub.n_w)) * 1e6 + 0.5) AS BIGINT) AS qpmi
+       |FROM pc
+       |CROSS JOIN pt CROSS JOIN ut
+       |JOIN uc ua ON ua.word = pc.wa
+       |JOIN uc ub ON ub.word = pc.wb
+       |WHERE n_ab >= $PmiMinCount
+       |ORDER BY qpmi DESC, wa, wb LIMIT $PmiTopK""".stripMargin
+  }
+
+  /** Robust (median/IQR) per-segment scaling — the outlier-immune sibling
+    * of `zscore`, on the engine's histogram-cumulative type-1 quantile
+    * form (q_stats_quantiles): the shuffle carries DISTINCT (segment,
+    * cents) histogram rows, the window is segment-partitioned over that
+    * money-bounded histogram, and the three cutpoints broadcast back as
+    * INTEGER cents — so the scaling division runs on exact inputs in
+    * both engines. */
+  def robustScale(spark: SparkSession, dir: String): DataFrame = {
+    val cents = floor(col("c_acctbal") * 100 + 0.5).cast("long")
+    val c = Tables.customer(spark, dir).select(
+      col("c_custkey"), col("c_mktsegment"), cents.as("cents"))
+    val bySeg = Window.partitionBy(col("c_mktsegment"))
+    val cum = c.groupBy(col("c_mktsegment"), col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(bySeg.orderBy(col("cents"))))
+      .withColumn("n", sum(col("cnt")).over(bySeg))
+    def pick(q: Double) = min(when(col("cum") >= ceil(lit(q) * col("n")), col("cents")))
+    val cuts = cum.groupBy(col("c_mktsegment").as("seg"))
+      .agg(pick(0.25).as("p25"), pick(0.5).as("p50"), pick(0.75).as("p75"))
+    c.join(broadcast(cuts), col("c_mktsegment") === col("seg"))
+      .select(col("c_custkey"), col("c_mktsegment"),
+        when(col("p75") > col("p25"),
+          roundN((col("cents") - col("p50")).cast("double") / (col("p75") - col("p25")), 6))
+          .otherwise(lit(0.0)).as("rz"))
+  }
+
+  private val robustScaleSql =
+    s"""WITH c AS (SELECT c_custkey, c_mktsegment,
+       |  CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents FROM customer),
+       |hist AS (SELECT c_mktsegment, cents, count(*) AS cnt FROM c GROUP BY 1, 2),
+       |cum AS (SELECT c_mktsegment, cents,
+       |  sum(cnt) OVER (PARTITION BY c_mktsegment ORDER BY cents) AS cum,
+       |  sum(cnt) OVER (PARTITION BY c_mktsegment) AS n FROM hist),
+       |cuts AS (SELECT c_mktsegment AS seg,
+       |  min(CASE WHEN cum >= ceil(0.25 * n) THEN cents END) AS p25,
+       |  min(CASE WHEN cum >= ceil(0.5 * n) THEN cents END) AS p50,
+       |  min(CASE WHEN cum >= ceil(0.75 * n) THEN cents END) AS p75
+       |  FROM cum GROUP BY 1)
+       |SELECT c_custkey, c_mktsegment,
+       |  CASE WHEN p75 > p25
+       |    THEN ${roundNSql("CAST(cents - p50 AS DOUBLE) / (p75 - p25)", 6)}
+       |    ELSE 0.0 END AS rz
+       |FROM c JOIN cuts ON c_mktsegment = seg""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q_text_pmi", pmi, Some(pmiSql)),
+    Q("q_feat_robust", robustScale, Some(robustScaleSql)),
     Q("q_embed_hard_negatives", hardNegatives, Some(hardNegativesSql)),
     Q("q_split_semantic_leakage", semanticLeakage, Some(semanticLeakageSql)),
     Q("q_text_batch_buckets", batchBuckets, Some(batchBucketsSql)),

@@ -63,6 +63,28 @@ class MiningSpec extends SparkSuite {
     assert(rows.map(_.getLong(2)).sum == nDocsTotal)
   }
 
+  test("pmi: pairs are canonically ordered, above min support, and capped at top-k") {
+    val rows = Mining.pmi(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= Mining.PmiTopK)
+    rows.foreach { r =>
+      assert(r.getString(0) <= r.getString(1)) // wa <= wb canonical order
+      assert(r.getLong(2) >= Mining.PmiMinCount)
+    }
+    // descending qpmi with (wa, wb) tiebreak
+    val keys = rows.map(r => (-r.getLong(3), r.getString(0), r.getString(1)))
+    assert(keys.sameElements(keys.sorted))
+  }
+
+  test("robust scale: median row sits at 0 and at least half of each segment is <= 0") {
+    val rows = Mining.robustScale(spark, dir).collect()
+      .map(r => (r.getString(1), r.getDouble(2)))
+    rows.groupBy(_._1).values.foreach { seg =>
+      val zs = seg.map(_._2)
+      assert(zs.contains(0.0))
+      assert(zs.count(_ <= 0) * 2 >= zs.length)
+    }
+  }
+
   test("zscore: per-segment mean ~0, sd ~1, and z is exactly reproducible from cents") {
     val out = Mining.zscore(spark, dir)
     val stats = out.groupBy(col("c_mktsegment"))
