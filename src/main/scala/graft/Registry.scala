@@ -48,6 +48,7 @@ object Registry {
       operators.Mining.queries ++
       plans.TopK.queries ++
       sources.Bucketing.queries ++
+      sources.Dpp.queries ++
       sources.SyntheticDocs.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

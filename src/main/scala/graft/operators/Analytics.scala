@@ -264,6 +264,40 @@ object Analytics {
        |  CAST(ntile(4) OVER (PARTITION BY brand ORDER BY revenue DESC, p_partkey) AS INT) AS quartile
        |FROM a""".stripMargin
 
+  /** Rank-statistic window completeness: rank / dense_rank /
+    * percent_rank / cume_dist over the same aggregate-first per-part
+    * revenue base as the quartile query. The (revenue DESC, p_partkey)
+    * order makes every rank unique, so the two ratio statistics are
+    * exact-integer divisions — identical doubles in both engines with no
+    * rounding step. Window is brand-partitioned over the part-level
+    * aggregate (dimension-bounded), never the raw fact table. */
+  def rankStats(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("brand"))
+      .orderBy(col("revenue").desc, col("p_partkey"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"), col("p_partkey"))
+      .agg(roundN(sum(col("l_extendedprice")), 2).as("revenue"))
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+  }
+
+  private val rankStatsSql =
+    s"""WITH a AS (
+       |  SELECT p_brand AS brand, p_partkey,
+       |    ${roundNSql("sum(l_extendedprice)", 2)} AS revenue
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  GROUP BY 1, 2)
+       |SELECT brand, p_partkey, revenue,
+       |  CAST(rank() OVER w AS INT) AS rnk,
+       |  CAST(dense_rank() OVER w AS INT) AS drnk,
+       |  percent_rank() OVER w AS pr,
+       |  cume_dist() OVER w AS cd
+       |FROM a
+       |WINDOW w AS (PARTITION BY brand ORDER BY revenue DESC, p_partkey)""".stripMargin
+
   /** Time-series gap filling: daily revenue re-sampled onto a complete
     * date spine (no missing days). The spine is sequence()-generated from
     * the observed min/max — metadata-sized, broadcast — and left-joins the
@@ -486,6 +520,7 @@ object Analytics {
     Q("q_window_moving_avg", movingAvgRevenue, Some(movingAvgRevenueSql)),
     Q("q_unpivot", unpivotMeasures, Some(unpivotSql)),
     Q("q_window_ntile", revenueQuartiles, Some(revenueQuartilesSql)),
+    Q("q_window_rankstats", rankStats, Some(rankStatsSql)),
     Q("q_timeseries_fill", dailyRevenueFilled, Some(dailyRevenueFilledSql)),
     Q("q_topk_per_group", topPartsPerBrand, Some(topPartsPerBrandSql)),
     Q("q_cube", cubeQty, Some(cubeQtySql)),

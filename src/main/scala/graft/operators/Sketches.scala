@@ -189,8 +189,70 @@ object Sketches {
        |FROM e""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // KMV temporal rollup: daily partial sketches → weekly merged estimate
+  // ---------------------------------------------------------------------
+
+  /** The PARTIAL-SKETCH PERSISTENCE pattern: distinct-user sketches are
+    * built once per (day, event_type) — the granularity a telemetry plane
+    * materializes — and the weekly figure comes from MERGING the daily
+    * sketches (explode + re-aggregate through the same KMV aggregator),
+    * never from re-scanning the raw events. Mergeability is exact, not
+    * approximate-on-approximate: the k smallest hashes of a union are a
+    * subset of the concatenated per-day k-smallest sets, so
+    * weekly-from-daily equals a direct weekly sketch bit-for-bit
+    * (KmvSketchSpec pins this). The exact count rides along as the audit
+    * column; at 100 TB only the sketch path runs, and the raw scan
+    * happens once at daily granularity. */
+  def kmvRollup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KmvSketch
+    val kmv = udaf(KmvSketch.aggregator)
+    val K = KmvSketch.K
+    val base = Tables.events(spark, dir).select(
+      expr("datediff(CAST(ts AS DATE), DATE '2024-01-01') div 7").as("wk"),
+      to_date(col("ts")).as("day"), col("event_type"), col("user_id"),
+      md5(col("user_id").cast("string")).as("h"))
+    val daily = base.groupBy(col("wk"), col("day"), col("event_type"))
+      .agg(kmv(col("h")).as("kmv"))
+    val weekly = daily
+      .select(col("wk"), col("event_type"), explode(col("kmv")).as("h"))
+      .groupBy(col("wk"), col("event_type")).agg(kmv(col("h")).as("kmv"))
+    val frac = conv(substring(element_at(col("kmv"), K), 1, 15), 16, 10)
+      .cast("double") / lit(1152921504606846976.0) // 16^15 = 2^60, exact
+    val est = weekly.select(col("wk"), col("event_type"),
+      roundN(when(size(col("kmv")) < K, size(col("kmv")).cast("double"))
+        .otherwise(lit((K - 1).toDouble) / frac), 2).as("est_users"))
+    val exact = base.groupBy(col("wk"), col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    est.join(exact, Seq("wk", "event_type")).orderBy(col("wk"), col("event_type"))
+  }
+
+  private val kmvRollupSql = {
+    val K = graft.functions.KmvSketch.K
+    s"""WITH e AS (SELECT date_diff('day', DATE '2024-01-01', ts::DATE) // 7 AS wk,
+       |  ts::DATE AS day, event_type, user_id,
+       |  md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+       |dh AS (SELECT DISTINCT wk, day, event_type, h FROM e),
+       |d AS (SELECT wk, day, event_type, (list_sort(list(h)))[1:$K] AS kmv
+       |      FROM dh GROUP BY 1, 2, 3),
+       |u AS (SELECT wk, event_type, unnest(kmv) AS h FROM d),
+       |w AS (SELECT wk, event_type, (list_sort(list(DISTINCT h)))[1:$K] AS kmv
+       |      FROM u GROUP BY 1, 2),
+       |x AS (SELECT wk, event_type, count(DISTINCT user_id) AS exact_users
+       |      FROM e GROUP BY 1, 2)
+       |SELECT w.wk, w.event_type,
+       |  ${roundNSql(
+           s"""CASE WHEN len(kmv) < $K THEN len(kmv)::DOUBLE
+              |    ELSE ${K - 1}.0 / ((('0x' || substr(kmv[$K], 1, 15))::BIGINT) / 1152921504606846976.0)
+              |  END""".stripMargin, 2)} AS est_users,
+       |  exact_users
+       |FROM w JOIN x ON w.wk = x.wk AND w.event_type = x.event_type
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_sketch_cms", cmsWords, Some(cmsWordsSql)),
     Q("q_sketch_kmv_setops", kmvSetOps, Some(kmvSetOpsSql)),
+    Q("q_sketch_kmv_rollup", kmvRollup, Some(kmvRollupSql)),
   )
 }

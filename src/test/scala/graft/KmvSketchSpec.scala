@@ -47,4 +47,25 @@ class KmvSketchSpec extends SparkSuite {
       assert(est > n * 0.5 && est < n * 2.0, s"$src: est=$est exact=$n")
     }
   }
+
+  test("weekly rollup from daily sketches equals the direct weekly sketch bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val dir = SparkSpec.sf0001
+    val kmv = udaf(agg)
+    val base = graft.sources.Tables.events(spark, dir).select(
+      expr("datediff(CAST(ts AS DATE), DATE '2024-01-01') div 7").as("wk"),
+      to_date(col("ts")).as("day"), col("event_type"),
+      md5(col("user_id").cast("string")).as("h"))
+    val fromDaily = base.groupBy(col("wk"), col("day"), col("event_type"))
+      .agg(kmv(col("h")).as("kmv"))
+      .select(col("wk"), col("event_type"), explode(col("kmv")).as("h"))
+      .groupBy(col("wk"), col("event_type")).agg(kmv(col("h")).as("kmv"))
+    val direct = base.groupBy(col("wk"), col("event_type")).agg(kmv(col("h")).as("kmv"))
+    val j = fromDaily.alias("a").join(direct.alias("b"), Seq("wk", "event_type"))
+      .select(col("a.kmv").as("ka"), col("b.kmv").as("kb")).collect()
+    assert(j.nonEmpty)
+    j.foreach { r =>
+      assert(r.getSeq[String](0) === r.getSeq[String](1))
+    }
+  }
 }
