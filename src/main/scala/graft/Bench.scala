@@ -237,6 +237,60 @@ object Bench {
         ""
     }
 
+    // ---- ANN/embeddings-family scale evidence (round 6): the harness
+    // embeddings table stops at 2k vectors, where fixed-64-bucket LSH and
+    // all-pairs are indistinguishable. Time the LSH kNN (fixed planes),
+    // its corpus-adaptive variant (planesFor holds bucket population
+    // constant), embedding near-dup, and contrastive hard-negative mining
+    // over a synthetic decade (5k -> 16k -> 50k unit vectors, harness
+    // statistics; sources/SyntheticEmbeddings), reporting the measured
+    // candidate-pair count under BOTH plane counts at every point — the
+    // fixed-plane quadratic vs adaptive linear split is the family's
+    // 100 TB story stated with data. Degrade-don't-crash like the others.
+    val embedScale = try {
+      val names = Seq("q_sim_knn_lsh", "q_sim_knn_lsh_adaptive",
+        "q_dedup_embed_cos", "q_embed_hard_negatives")
+      val qs3 = Registry.all.filter(q => names.contains(q.name))
+      val pts = Seq(5000L, 16000L, 50000L).map { n =>
+        val d = s"/tmp/graft_synth_embed_$n"
+        graft.sources.SyntheticEmbeddings.writePoint(spark, d, n)
+        n -> d
+      }
+      val data = pts.map { case (n, d) =>
+        val cf = operators.Similarity.embedCandidateCount(spark, d, adaptive = false)
+        val ca = operators.Similarity.embedCandidateCount(spark, d, adaptive = true)
+        spark.catalog.clearCache()
+        val ts = qs3.map { q =>
+          val t = (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            q.run(spark, d).count()
+            spark.catalog.clearCache()
+            (System.nanoTime() - t0) / 1e9
+          }.min
+          q.name -> t
+        }
+        (n, d, cf, ca, ts)
+      }
+      val ptsJson = data.map { case (n, d, cf, ca, ts) =>
+        s"""{"dir":"$d","rows":$n,"cand_fixed":$cf,"cand_adaptive":$ca,${
+          ts.map { case (k, v) => "\"" + k + "\":" + v }.mkString(",")}}"""
+      }.mkString(",")
+      val (tLo, tHi) = (data.head._5.toMap, data.last._5.toMap)
+      val rowRatio = pts.last._1.toDouble / pts.head._1
+      val alphas = qs3.map { q =>
+        val a = Some(tHi(q.name)).filter(_ > 0).filter(_ => tLo(q.name) > 0)
+          .map(t => math.log(t / tLo(q.name)) / math.log(rowRatio))
+        "\"" + q.name + "\":" + a.filter(x => !x.isNaN && !x.isInfinite)
+          .map(x => BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString)
+          .getOrElse("null")
+      }.mkString(",")
+      s""","embed_scale":{"points":[$ptsJson],"alpha_decade":{$alphas}}"""
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] embed scale pass failed: ${e.getMessage}")
+        ""
+    }
+
     // Fixed-work CPU calibration: a deterministic single-thread xorshift
     // spin whose wall-time scales with this VM's CPU-steal level. Readers
     // comparing BENCH_r{N}.json across rounds can divide query times by
@@ -259,8 +313,8 @@ object Bench {
     // capture window), losing the primary metric. The scale-evidence blob
     // now prints as its own EARLIER line and the compact primary metric
     // line prints LAST, so a tail capture always keeps it.
-    if (multiScale.nonEmpty || lshScale.nonEmpty || eventsScale.nonEmpty)
-      println(s"""{"metric":"scale_evidence","sf":"$sfDir"$multiScale$lshScale$eventsScale}""")
+    if (multiScale.nonEmpty || lshScale.nonEmpty || eventsScale.nonEmpty || embedScale.nonEmpty)
+      println(s"""{"metric":"scale_evidence","sf":"$sfDir"$multiScale$lshScale$eventsScale$embedScale}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"calib_spin_sec":$calib,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -289,6 +289,19 @@ object Similarity {
       .filter(col("rank") <= TopK)
   }
 
+  /** Total bucketed candidate-pair count (a < b) under the registered
+    * fixed plane count or the corpus-adaptive one — the ANN family's only
+    * data-dependent growing term, reported by the bench's embeddings
+    * scale decade the way lshCandidateCount is for the MinHash family. */
+  def embedCandidateCount(spark: SparkSession, dir: String, adaptive: Boolean): Long = {
+    val m = if (adaptive) planesMatrix(planesFor(Tables.embeddings(spark, dir).count()))
+      else planes
+    vectors(spark, dir).select(bucketWith(col("v"), m).as("bkt"))
+      .groupBy(col("bkt")).count()
+      .agg((sum(col("count") * (col("count") - 1)) / 2).cast("long").as("pairs"))
+      .collect()(0).getLong(0)
+  }
+
   /** Per-bucket population under the adaptive plane count — the spec input
     * for the bucket-bound invariant. */
   def bucketPopulations(spark: SparkSession, dir: String): DataFrame = {
