@@ -49,6 +49,7 @@ object Registry {
       plans.TopK.queries ++
       sources.Bucketing.queries ++
       sources.Dpp.queries ++
+      sources.Evolution.queries ++
       sources.SyntheticDocs.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

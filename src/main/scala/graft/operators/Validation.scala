@@ -202,8 +202,43 @@ object Validation {
       |HAVING count(DISTINCT sens) < 2
       |ORDER BY 1, 2""".stripMargin
 
+  /** Right-to-be-forgotten propagation audit — the GDPR/CCPA delete job:
+    * a deletion-request set (here the engine's standard md5-byte gate on
+    * user_id standing in for the request table; a real run broadcast-joins
+    * the actual request list) is anti-joined out of the event log, and the
+    * audit reports, per event type, how many rows the purge removes and
+    * keeps plus the distinct users purged. One conditional aggregate over
+    * one scan — the delete itself is the same predicate applied as a
+    * filter before rewrite, and at 100 TB both passes are scan-speed with
+    * the request set broadcast. Pairs with q_privacy_kanon/ldiversity as
+    * the act-on-it half of the privacy surface. */
+  def forgetAudit(spark: SparkSession, dir: String): DataFrame = {
+    val requested = conv(substring(md5(col("user_id").cast("string")), 1, 2), 16, 10)
+      .cast("int") < 8 // ~3% of users have filed deletion requests
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"), requested.as("req"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("req"), 1L).otherwise(0L)).as("n_purged"),
+        sum(when(col("req"), 0L).otherwise(1L)).as("n_remaining"),
+        countDistinct(when(col("req"), col("user_id"))).as("n_users_purged"))
+      .orderBy(col("event_type"))
+  }
+
+  private val forgetAuditSql =
+    """WITH e AS (SELECT event_type, user_id,
+      |  ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))::INT < 8 AS req
+      |  FROM events)
+      |SELECT event_type, count(*) AS n_total,
+      |  CAST(sum(CASE WHEN req THEN 1 ELSE 0 END) AS BIGINT) AS n_purged,
+      |  CAST(sum(CASE WHEN req THEN 0 ELSE 1 END) AS BIGINT) AS n_remaining,
+      |  count(DISTINCT CASE WHEN req THEN user_id END) AS n_users_purged
+      |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q_privacy_kanon", kAnonymity, Some(kAnonymitySql)),
+    Q("q_privacy_forget", forgetAudit, Some(forgetAuditSql)),
     Q("q_privacy_ldiversity", lDiversity, Some(lDiversitySql)),
     Q("q_validate_rules", validateRules, Some(validateRulesSql)),
     Q("q_empty_guard", emptyGuard, Some(
