@@ -204,12 +204,27 @@ object Sketches {
     * (KmvSketchSpec pins this). The exact count rides along as the audit
     * column; at 100 TB only the sketch path runs, and the raw scan
     * happens once at daily granularity. */
+  /** KMV distinct estimate from a sketch column — shared by the batch
+    * rollup and the streaming monitor (KmvMonitor) so both publish the
+    * identical number from identical state. */
+  private[graft] def kmvEstimate(kmvCol: Column): Column = {
+    val K = graft.functions.KmvSketch.K
+    val frac = conv(substring(element_at(kmvCol, K), 1, 15), 16, 10)
+      .cast("double") / lit(1152921504606846976.0) // 16^15 = 2^60, exact
+    roundN(when(size(kmvCol) < K, size(kmvCol).cast("double"))
+      .otherwise(lit((K - 1).toDouble) / frac), 2)
+  }
+
+  /** Portable week key over the normalized events `ts` column. */
+  private[graft] def weekKey: Column =
+    expr("datediff(CAST(ts AS DATE), DATE '2024-01-01') div 7")
+
   def kmvRollup(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.KmvSketch
     val kmv = udaf(KmvSketch.aggregator)
     val K = KmvSketch.K
     val base = Tables.events(spark, dir).select(
-      expr("datediff(CAST(ts AS DATE), DATE '2024-01-01') div 7").as("wk"),
+      weekKey.as("wk"),
       to_date(col("ts")).as("day"), col("event_type"), col("user_id"),
       md5(col("user_id").cast("string")).as("h"))
     val daily = base.groupBy(col("wk"), col("day"), col("event_type"))
@@ -217,11 +232,8 @@ object Sketches {
     val weekly = daily
       .select(col("wk"), col("event_type"), explode(col("kmv")).as("h"))
       .groupBy(col("wk"), col("event_type")).agg(kmv(col("h")).as("kmv"))
-    val frac = conv(substring(element_at(col("kmv"), K), 1, 15), 16, 10)
-      .cast("double") / lit(1152921504606846976.0) // 16^15 = 2^60, exact
     val est = weekly.select(col("wk"), col("event_type"),
-      roundN(when(size(col("kmv")) < K, size(col("kmv")).cast("double"))
-        .otherwise(lit((K - 1).toDouble) / frac), 2).as("est_users"))
+      kmvEstimate(col("kmv")).as("est_users"))
     val exact = base.groupBy(col("wk"), col("event_type"))
       .agg(countDistinct(col("user_id")).as("exact_users"))
     est.join(exact, Seq("wk", "event_type")).orderBy(col("wk"), col("event_type"))
