@@ -46,6 +46,7 @@ object Registry {
       operators.Layout.queries ++
       operators.Multimodal.queries ++
       operators.Mining.queries ++
+      operators.Profiler.queries ++
       plans.TopK.queries ++
       sources.Bucketing.queries ++
       sources.Dpp.queries ++
