@@ -602,7 +602,82 @@ object Events {
             "CAST(dau.dau AS DOUBLE) / wau.wau", 4)} AS stickiness
        |FROM dau JOIN wau ON dau.d = wau.t""".stripMargin
 
+  /** Revenue-concentration (Pareto/"whale") audit: what share of purchase
+    * revenue do the users above the p50/p90/p99 spend cutpoints hold?
+    * The cutpoints come from the engine's histogram-cumulative type-1
+    * quantile form over the DISTINCT per-user cents values (the KS/
+    * Mann-Whitney money-bounded histogram — the one unpartitioned-window
+    * shape the tripwire whitelists), broadcast back as integer cents;
+    * the shares are then one conditional aggregate. Tie semantics are
+    * value-threshold ("strictly above the cutpoint value"), which is
+    * deterministic without any per-user ranking. */
+  def concentrationOf(ev: DataFrame): DataFrame = {
+    val cents = floor(col("value") * 100 + 0.5).cast("long")
+    val perUser = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(sum(cents).as("m_cents"))
+    val tot = perUser.agg(count(lit(1)).as("n_users"),
+      sum(col("m_cents")).as("total_cents"))
+    val cum = perUser.groupBy(col("m_cents")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("m_cents"))))
+      .crossJoin(broadcast(tot))
+    def cut(q: Double) =
+      min(when(col("cum") >= ceil(lit(q) * col("n_users")), col("m_cents")))
+    val cuts = cum.groupBy().agg(
+      cut(0.5).as("c50"), cut(0.9).as("c90"), cut(0.99).as("c99"))
+    def leg(c: String) = Seq(
+      sum(when(col("m_cents") > col(c), 1L).otherwise(0L)).as(s"n_$c"),
+      sum(when(col("m_cents") > col(c), col("m_cents")).otherwise(0L)).as(s"s_$c"))
+    val agg = perUser.crossJoin(broadcast(cuts)).crossJoin(broadcast(tot))
+      .groupBy()
+      .agg(first(col("c50")).as("cut50"),
+        (leg("c50") ++ leg("c90") ++ leg("c99") ++ Seq(
+          first(col("c90")).as("cut90"), first(col("c99")).as("cut99"),
+          first(col("total_cents")).as("total_cents"))): _*)
+    agg.selectExpr(
+      """stack(3,
+        |  'p50', cut50, n_c50, floor(s_c50 * 1e4 / total_cents + 0.5) / 1e4,
+        |  'p90', cut90, n_c90, floor(s_c90 * 1e4 / total_cents + 0.5) / 1e4,
+        |  'p99', cut99, n_c99, floor(s_c99 * 1e4 / total_cents + 0.5) / 1e4
+        |) AS (pct, cut_cents, n_top_users, rev_share)""".stripMargin)
+      .orderBy(col("pct"))
+  }
+
+  def concentration(spark: SparkSession, dir: String): DataFrame =
+    concentrationOf(Tables.events(spark, dir))
+
+  private val concentrationSql =
+    """WITH u AS (
+      |  SELECT user_id, CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS m_cents
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |t AS (SELECT count(*) AS n_users, CAST(sum(m_cents) AS BIGINT) AS total_cents FROM u),
+      |h AS (SELECT m_cents, count(*) AS cnt FROM u GROUP BY 1),
+      |c AS (SELECT m_cents, sum(cnt) OVER (ORDER BY m_cents) AS cum FROM h),
+      |cuts AS (SELECT
+      |  min(CASE WHEN cum >= ceil(0.5 * n_users) THEN m_cents END) AS cut50,
+      |  min(CASE WHEN cum >= ceil(0.9 * n_users) THEN m_cents END) AS cut90,
+      |  min(CASE WHEN cum >= ceil(0.99 * n_users) THEN m_cents END) AS cut99
+      |  FROM c CROSS JOIN t),
+      |a AS (SELECT
+      |  CAST(sum(CASE WHEN m_cents > cut50 THEN 1 ELSE 0 END) AS BIGINT) AS n50,
+      |  CAST(sum(CASE WHEN m_cents > cut50 THEN m_cents ELSE 0 END) AS BIGINT) AS s50,
+      |  CAST(sum(CASE WHEN m_cents > cut90 THEN 1 ELSE 0 END) AS BIGINT) AS n90,
+      |  CAST(sum(CASE WHEN m_cents > cut90 THEN m_cents ELSE 0 END) AS BIGINT) AS s90,
+      |  CAST(sum(CASE WHEN m_cents > cut99 THEN 1 ELSE 0 END) AS BIGINT) AS n99,
+      |  CAST(sum(CASE WHEN m_cents > cut99 THEN m_cents ELSE 0 END) AS BIGINT) AS s99,
+      |  any_value(cut50) AS cut50, any_value(cut90) AS cut90, any_value(cut99) AS cut99,
+      |  any_value(total_cents) AS total_cents
+      |  FROM u CROSS JOIN cuts CROSS JOIN t)
+      |SELECT 'p50' AS pct, cut50 AS cut_cents, n50 AS n_top_users,
+      |  floor(s50 * 1e4 / total_cents + 0.5) / 1e4 AS rev_share FROM a
+      |UNION ALL
+      |SELECT 'p90', cut90, n90, floor(s90 * 1e4 / total_cents + 0.5) / 1e4 FROM a
+      |UNION ALL
+      |SELECT 'p99', cut99, n99, floor(s99 * 1e4 / total_cents + 0.5) / 1e4 FROM a
+      |ORDER BY pct""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q_events_concentration", concentration, Some(concentrationSql)),
     Q("q_events_attribution", attribution, Some(attributionSql)),
     Q("q_events_rfm", rfm, Some(rfmSql)),
     Q("q_events_dau", dauWau, Some(dauWauSql)),

@@ -88,7 +88,11 @@ class PlanTripwireSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     * broadcast histogram cutpoints in round 6. */
   private val globalWindowWhitelist: Set[String] = Set(
     "q_stats_ks", "q_stats_mannwhitney", "q_events_cum_users",
-    "q_text_top_words", "q_text_top_bigrams")
+    "q_text_top_words", "q_text_top_bigrams",
+    // cumulative over the DISTINCT per-user-cents histogram (the same
+    // money-bounded input as KS/Mann-Whitney) to pick the three spend
+    // cutpoints; the corpus-sized pass is the conditional aggregate
+    "q_events_concentration")
 
   private def globalWindows(name: String, df: DataFrame): Seq[String] = {
     val plan = df.queryExecution.executedPlan
