@@ -326,7 +326,61 @@ object Mining {
        |    ELSE 0.0 END AS rz
        |FROM c JOIN cuts ON c_mktsegment = seg""".stripMargin
 
+  /** Zipf-law fit over the top-k word frequencies — the corpus-health
+    * statistic a datacard reports (natural corpora fit slope ≈ −1;
+    * synthetic/templated corpora flatten). Least squares of quantized
+    * ln(count) on quantized ln(rank) over the top 100 words: the
+    * corpus-sized work is the word count every text operator pays; the
+    * fit runs on a 100-row bounded-heap top-k (the rank window over a
+    * LIMIT-k input is bounded by construction — tripwire-whitelisted).
+    * All sums are exact integer micro-ln products (≤ ~6·10¹⁷ at any
+    * corpus size, since y only grows as ln(count)), so the final slope
+    * division is the only float op and both engines emit the identical
+    * double. */
+  val ZipfTopK = 100
+
+  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+    val top = TextAnalysis.withWordsOf(Tables.documents(spark, dir))
+      .select(explode(col("w")).as("word")).filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word")).limit(ZipfTopK)
+    val ranked = top.withColumn("r", row_number().over(
+      Window.orderBy(col("n").desc, col("word"))))
+    def qln(c: org.apache.spark.sql.Column) =
+      floor(log(c.cast("double")) * 1e6 + 0.5).cast("long")
+    val pts = ranked.select(qln(col("r")).as("x"), qln(col("n")).as("y"))
+    pts.agg(count(lit(1)).as("k"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("k"),
+        ((col("k") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("k") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+        (((col("sy") - ((col("k") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("k") * col("sxx") - col("sx") * col("sx"))) * col("sx")) / col("k")) / 1e6)
+          .as("intercept_ln"))
+  }
+
+  private val zipfFitSql = {
+    val w = "string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')"
+    s"""WITH u AS (SELECT unnest($w) AS word FROM documents),
+       |wc AS (SELECT word, count(*) AS n FROM u WHERE word != '' GROUP BY 1),
+       |top AS (SELECT word, n FROM wc ORDER BY n DESC, word LIMIT $ZipfTopK),
+       |rk AS (SELECT n, row_number() OVER (ORDER BY n DESC, word) AS r FROM top),
+       |pts AS (SELECT CAST(floor(ln(CAST(r AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS x,
+       |               CAST(floor(ln(CAST(n AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS y
+       |        FROM rk),
+       |s AS (SELECT count(*) AS k, CAST(sum(x) AS BIGINT) AS sx,
+       |  CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+       |  CAST(sum(x * x) AS BIGINT) AS sxx FROM pts)
+       |SELECT k,
+       |  CAST(k * sxy - sx * sy AS DOUBLE) / (k * sxx - sx * sx) AS slope,
+       |  ((sy - (CAST(k * sxy - sx * sy AS DOUBLE) / (k * sxx - sx * sx)) * sx) / k) / 1e6
+       |    AS intercept_ln
+       |FROM s""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_text_zipf", zipfFit, Some(zipfFitSql)),
     Q("q_text_pmi", pmi, Some(pmiSql)),
     Q("q_feat_robust", robustScale, Some(robustScaleSql)),
     Q("q_embed_hard_negatives", hardNegatives, Some(hardNegativesSql)),

@@ -92,7 +92,10 @@ class PlanTripwireSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     // cumulative over the DISTINCT per-user-cents histogram (the same
     // money-bounded input as KS/Mann-Whitney) to pick the three spend
     // cutpoints; the corpus-sized pass is the conditional aggregate
-    "q_events_concentration")
+    "q_events_concentration",
+    // rank window over a LIMIT-100 bounded-heap top-k — 100 rows by
+    // construction; the corpus-sized pass is the word count upstream
+    "q_text_zipf")
 
   private def globalWindows(name: String, df: DataFrame): Seq[String] = {
     val plan = df.queryExecution.executedPlan
