@@ -291,6 +291,54 @@ object Bench {
         ""
     }
 
+    // ---- Text-family scale evidence (round 6): PMI association, batch
+    // assembly, and the Zipf fit ride the same open-vocabulary synthetic
+    // decade the LSH family uses (dirs are created idempotently by the
+    // lsh pass above or here, whichever runs first). These operators'
+    // only growing terms are the token count and the vocabulary-sized
+    // aggregates — α near the low end is the expected signature.
+    val textScale = try {
+      val names = Seq("q_text_pmi", "q_text_batch_buckets", "q_text_zipf")
+      val qs4 = Registry.all.filter(q => names.contains(q.name))
+      val pts = Seq(5000L, 16000L, 50000L).map { n =>
+        val d = s"/tmp/graft_synth_docs_zipf_$n"
+        if (!new java.io.File(s"$d/documents.parquet").exists())
+          graft.sources.SyntheticDocs.zipfCorpus(spark, n)
+            .write.mode("overwrite").parquet(s"$d/documents.parquet")
+        n -> d
+      }
+      val data = pts.map { case (n, d) =>
+        val ts = qs4.map { q =>
+          val t = (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            q.run(spark, d).count()
+            spark.catalog.clearCache()
+            (System.nanoTime() - t0) / 1e9
+          }.min
+          q.name -> t
+        }
+        (n, d, ts)
+      }
+      val ptsJson = data.map { case (n, d, ts) =>
+        s"""{"dir":"$d","rows":$n,${
+          ts.map { case (k, v) => "\"" + k + "\":" + v }.mkString(",")}}"""
+      }.mkString(",")
+      val (tLo, tHi) = (data.head._3.toMap, data.last._3.toMap)
+      val rowRatio = pts.last._1.toDouble / pts.head._1
+      val alphas = qs4.map { q =>
+        val a = Some(tHi(q.name)).filter(_ > 0).filter(_ => tLo(q.name) > 0)
+          .map(t => math.log(t / tLo(q.name)) / math.log(rowRatio))
+        "\"" + q.name + "\":" + a.filter(x => !x.isNaN && !x.isInfinite)
+          .map(x => BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString)
+          .getOrElse("null")
+      }.mkString(",")
+      s""","text_scale":{"points":[$ptsJson],"alpha_decade":{$alphas}}"""
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] text scale pass failed: ${e.getMessage}")
+        ""
+    }
+
     // Fixed-work CPU calibration: a deterministic single-thread xorshift
     // spin whose wall-time scales with this VM's CPU-steal level. Readers
     // comparing BENCH_r{N}.json across rounds can divide query times by
@@ -313,8 +361,9 @@ object Bench {
     // capture window), losing the primary metric. The scale-evidence blob
     // now prints as its own EARLIER line and the compact primary metric
     // line prints LAST, so a tail capture always keeps it.
-    if (multiScale.nonEmpty || lshScale.nonEmpty || eventsScale.nonEmpty || embedScale.nonEmpty)
-      println(s"""{"metric":"scale_evidence","sf":"$sfDir"$multiScale$lshScale$eventsScale$embedScale}""")
+    if (multiScale.nonEmpty || lshScale.nonEmpty || eventsScale.nonEmpty ||
+        embedScale.nonEmpty || textScale.nonEmpty)
+      println(s"""{"metric":"scale_evidence","sf":"$sfDir"$multiScale$lshScale$eventsScale$embedScale$textScale}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"calib_spin_sec":$calib,"sf":"$sfDir"}""")
     spark.stop()
   }
