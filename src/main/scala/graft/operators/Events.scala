@@ -676,7 +676,60 @@ object Events {
       |SELECT 'p99', cut99, n99, floor(s99 * 1e4 / total_cents + 0.5) / 1e4 FROM a
       |ORDER BY pct""".stripMargin
 
+  /** Seasonal-naive forecast backtest — the baseline every real
+    * forecasting deployment must beat, evaluated in-engine: per event
+    * type, predict each day's revenue with (a) the same weekday one week
+    * earlier (seasonal-naive, lag-7) and (b) yesterday (persistence,
+    * lag-1), and report each baseline's MAE over the days where the lag
+    * exists. Calendar joins (day − 7 / day − 1 equi-joins on the daily
+    * aggregate), NOT window lags — gaps in the calendar then mean "no
+    * prediction" instead of silently comparing against the wrong day,
+    * and the daily table is (days × types)-sized so the joins are
+    * dimension-scale at any SF. All error arithmetic is integer cents;
+    * the MAE division is the single float op, on identical exact sums. */
+  def forecastBacktest(spark: SparkSession, dir: String): DataFrame = {
+    val cents = floor(col("value") * 100 + 0.5).cast("long")
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(cents).as("c")).localCheckpoint()
+    def lagJoin(k: Int, as: String) = daily.select(
+      col("event_type").as(s"t$k"), date_add(col("day"), k).as(s"d$k"),
+      col("c").as(as))
+    daily
+      .join(lagJoin(7, "pred7"),
+        col("event_type") === col("t7") && col("day") === col("d7"), "left_outer")
+      .join(lagJoin(1, "pred1"),
+        col("event_type") === col("t1") && col("day") === col("d1"), "left_outer")
+      .groupBy(col("event_type"))
+      .agg(
+        count(when(col("pred7").isNotNull, 1)).as("n_eval7"),
+        (sum(when(col("pred7").isNotNull, abs(col("c") - col("pred7"))))
+          .cast("double") / count(when(col("pred7").isNotNull, 1))).as("mae7_cents"),
+        count(when(col("pred1").isNotNull, 1)).as("n_eval1"),
+        (sum(when(col("pred1").isNotNull, abs(col("c") - col("pred1"))))
+          .cast("double") / count(when(col("pred1").isNotNull, 1))).as("mae1_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  private val forecastBacktestSql =
+    """WITH d AS (
+      |  SELECT event_type, ts::DATE AS day,
+      |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2)
+      |SELECT d.event_type,
+      |  count(p7.c) AS n_eval7,
+      |  CAST(sum(CASE WHEN p7.c IS NOT NULL THEN abs(d.c - p7.c) END) AS DOUBLE)
+      |    / count(p7.c) AS mae7_cents,
+      |  count(p1.c) AS n_eval1,
+      |  CAST(sum(CASE WHEN p1.c IS NOT NULL THEN abs(d.c - p1.c) END) AS DOUBLE)
+      |    / count(p1.c) AS mae1_cents
+      |FROM d
+      |LEFT JOIN d p7 ON p7.event_type = d.event_type AND p7.day + 7 = d.day
+      |LEFT JOIN d p1 ON p1.event_type = d.event_type AND p1.day + 1 = d.day
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q_events_forecast_naive", forecastBacktest, Some(forecastBacktestSql)),
     Q("q_events_concentration", concentration, Some(concentrationSql)),
     Q("q_events_attribution", attribution, Some(attributionSql)),
     Q("q_events_rfm", rfm, Some(rfmSql)),
