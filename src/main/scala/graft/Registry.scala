@@ -46,6 +46,9 @@ object Registry {
       operators.Layout.queries ++
       operators.Multimodal.queries ++
       operators.Mining.queries ++
+      operators.SetSim.queries ++
+      operators.Curation.queries ++
+      operators.Trend.queries ++
       operators.Profiler.queries ++
       plans.TopK.queries ++
       sources.Bucketing.queries ++

@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.Q
+import graft.functions.Rounding.{roundN, roundNSql}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-group ordinary-least-squares trend fitting over a time series —
+  * the "is revenue growing and how fast, per nation" report. The closed
+  * form needs only the five sufficient statistics (n, Σx, Σy, Σxy, Σx²),
+  * so the whole fit is ONE map-side-combinable aggregate per group over
+  * the monthly rollup; no window, no sort, no iteration.
+  *
+  * Portability/scale contract:
+  *  - y is exact integer cents (floor(price·(1−disc)·100 + 0.5)); x is an
+  *    integer month index anchored at the corpus min month (1-row
+  *    broadcast). All five statistics are integer sums — order-independent
+  *    and bit-identical across engines; slope and intercept are then ONE
+  *    float division each from exact integer numerators/denominators,
+  *    quantized to 1e-4.
+  *  - Overflow budget: Σxy ≤ x_max·Σy; with a 100-year series
+  *    (x ≤ 1200) Σy per group may reach ~7.7e15 cents before n·Σxy
+  *    approaches 2^63 — beyond any per-nation monthly revenue.
+  *  - Degenerate groups (a single month: denominator 0) yield NULL
+  *    slope/intercept in both engines rather than a division error.
+  */
+object Trend {
+
+  /** Monthly revenue OLS trend per nation: slope (cents/month) and
+    * intercept (cents at the anchor month) of the least-squares line. */
+  def revenueTrend(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val nat = Tables.nation(spark, dir)
+    val cents =
+      floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)
+        .cast("long")
+    val f = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey"),
+        date_trunc("month", col("o_orderdate")).as("mon"), cents.as("cents"))
+    val anchor = broadcast(f.agg(min(col("mon")).as("m0")))
+    val monthly = f.crossJoin(anchor)
+      .groupBy(col("c_nationkey"),
+        months_between(col("mon"), col("m0")).cast("long").as("x"))
+      .agg(sum(col("cents")).as("y"))
+    val s = monthly.groupBy(col("c_nationkey")).agg(
+      count(lit(1)).as("n_months"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    val den = col("n_months") * col("sxx") - col("sx") * col("sx")
+    val out = s
+      .withColumn("slope", when(den === 0, lit(null).cast("double")).otherwise(
+        roundN((col("n_months") * col("sxy") - col("sx") * col("sy"))
+          / den.cast("double"), 4)))
+      .withColumn("intercept", when(den === 0, lit(null).cast("double")).otherwise(
+        roundN((col("sy") * col("sxx") - col("sx") * col("sxy"))
+          / den.cast("double"), 4)))
+    out.join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("n_months"),
+        col("slope"), col("intercept"))
+      .orderBy(col("nation"))
+  }
+
+  private val revenueTrendSql =
+    s"""WITH f AS (SELECT c.c_nationkey, date_trunc('month', o.o_orderdate) AS mon,
+       |             CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+       |               AS BIGINT) AS cents
+       |           FROM lineitem l
+       |           JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |           JOIN customer c ON o.o_custkey = c.c_custkey),
+       |a AS (SELECT min(mon) AS m0 FROM f),
+       |m AS (SELECT c_nationkey, date_diff('month', a.m0, mon) AS x,
+       |        CAST(sum(cents) AS BIGINT) AS y
+       |      FROM f CROSS JOIN a GROUP BY 1, 2),
+       |s AS (SELECT c_nationkey, count(*) AS n_months,
+       |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |        CAST(sum(x * y) AS BIGINT) AS sxy,
+       |        CAST(sum(x * x) AS BIGINT) AS sxx
+       |      FROM m GROUP BY 1)
+       |SELECT n.n_name AS nation, s.n_months,
+       |  CASE WHEN n_months * sxx - sx * sx = 0 THEN NULL
+       |       ELSE ${roundNSql(
+                "(n_months * sxy - sx * sy) / CAST(n_months * sxx - sx * sx AS DOUBLE)", 4)}
+       |  END AS slope,
+       |  CASE WHEN n_months * sxx - sx * sx = 0 THEN NULL
+       |       ELSE ${roundNSql(
+                "(sy * sxx - sx * sxy) / CAST(n_months * sxx - sx * sx AS DOUBLE)", 4)}
+       |  END AS intercept
+       |FROM s JOIN nation n ON s.c_nationkey = n.n_nationkey
+       |ORDER BY nation""".stripMargin
+
+  def queries: Seq[Q] = Seq(
+    Q("q_stats_trend_ols", revenueTrend, Some(revenueTrendSql)))
+}
