@@ -147,13 +147,28 @@ object Curation {
   def dpCounts(spark: SparkSession, dir: String): DataFrame =
     dpCountsOf(Tables.documents(spark, dir))
 
-  def dpCountsOf(docs: DataFrame): DataFrame = {
-    val h = conv(substring(md5(concat_ws("|", col("lang"), col("source"))), 1, 15),
-      16, 10).cast("long")
+  /** Deterministic Laplace(b) noise derived from md5 of `seed`: 60-bit
+    * uniform → inverse CDF, ln quantized to integer millionths so both
+    * engines emit bit-identical noise. */
+  private def laplaceNoise(seed: org.apache.spark.sql.Column, b: Double) = {
+    val h = conv(substring(md5(seed), 1, 15), 16, 10).cast("long")
     val u = h.cast("double") / lit(1152921504606846976.0) // 2^60, exact
     val s = u - lit(0.5)
     val qln = floor(log(lit(1.0) - lit(2.0) * abs(s)) * 1e6 + 0.5) / 1e6
-    val noise = signum(s) * -qln / lit(DpEpsilon)
+    signum(s) * -qln * lit(b)
+  }
+
+  /** The SQL twin of [[laplaceNoise]]. */
+  private def laplaceNoiseSql(seedExpr: String, b: String) =
+    s"""sign((('0x' || substr(md5($seedExpr), 1, 15))::BIGINT
+       |  / 1152921504606846976.0) - 0.5)
+       | * -(floor(ln(1.0 - 2.0 * abs((('0x' || substr(md5($seedExpr), 1, 15))::BIGINT
+       |  / 1152921504606846976.0) - 0.5)) * 1e6 + 0.5) / 1e6)
+       | * $b""".stripMargin.replaceAll("\n", "")
+
+  def dpCountsOf(docs: DataFrame): DataFrame = {
+    val noise = laplaceNoise(concat_ws("|", col("lang"), col("source")),
+      1.0 / DpEpsilon)
     docs.groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_true"))
       .select(col("lang"), col("source"), col("n_true"),
@@ -261,9 +276,51 @@ object Curation {
        |FROM rk WHERE rank <= $TopPhrases
        |ORDER BY doc_id, rank""".stripMargin
 
+  /** Per-user contribution cap for user-level DP. */
+  val DpUserCap = 5
+
+  /** User-level DP event-type counts: the contribution-bounding pass a
+    * correct user-level guarantee REQUIRES — each user's first
+    * [[DpUserCap]] events (by (ts, event_id)) enter the aggregate, so one
+    * user can move any released count by at most the cap, and the Laplace
+    * scale is cap/ε rather than the unbounded per-user count. The cap is
+    * a per-user window (user-bounded partition, never corpus-sized); the
+    * counts are one map-side-combinable aggregate; noise is O(types). */
+  def dpBoundedCounts(spark: SparkSession, dir: String): DataFrame =
+    dpBoundedCountsOf(Tables.events(spark, dir))
+
+  def dpBoundedCountsOf(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val noise = laplaceNoise(concat(lit("dpb|"), col("event_type")),
+      DpUserCap / DpEpsilon)
+    ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= DpUserCap)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_capped"))
+      .select(col("event_type"), col("n_capped"),
+        roundN(col("n_capped") + noise, 4).as("n_released"))
+      .orderBy(col("event_type"))
+  }
+
+  private val dpBoundedSql =
+    s"""WITH e AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type
+       |           FROM events),
+       |c AS (SELECT event_type,
+       |        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+       |      FROM e),
+       |g AS (SELECT event_type, count(*) AS n_capped
+       |      FROM c WHERE rn <= $DpUserCap GROUP BY 1)
+       |SELECT event_type, n_capped,
+       |  ${roundNSql(
+            "n_capped + " + laplaceNoiseSql("'dpb|' || event_type",
+              s"${DpUserCap / DpEpsilon}"), 4)} AS n_released
+       |FROM g ORDER BY event_type""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q_dataset_diff", datasetDiff, Some(datasetDiffSql)),
     Q("q_text_readability", readability, Some(readabilitySql)),
     Q("q_privacy_dp_counts", dpCounts, Some(dpCountsSql)),
+    Q("q_privacy_dp_bounded", dpBoundedCounts, Some(dpBoundedSql)),
     Q("q_text_keyphrase", keyphrases, Some(keyphrasesSql)))
 }

@@ -728,7 +728,58 @@ object Events {
       |LEFT JOIN d p1 ON p1.event_type = d.event_type AND p1.day + 1 = d.day
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Burst-collapse gap for telemetry debouncing, in microseconds. */
+  val DebounceGapUs: Long = 300L * 1000 * 1000 // 5 minutes
+
+  /** Telemetry debounce (burst collapse): retransmitted / rage-click
+    * bursts — runs of same-(user, type) events each under 5 minutes after
+    * the previous — collapse to one row per burst carrying the first
+    * timestamp, the collapsed count, and the exact burst span. Classic
+    * gaps-and-islands: the break flag is a lag over the per-(user, type)
+    * partition, the burst id its running sum — both windows partitioned by
+    * the key (bounded by one user's traffic, never corpus-sized), and the
+    * span arithmetic stays in integer epoch-microseconds in both engines.
+    * At 100 TB this is the ingest-dedup pass that runs before sessionizing:
+    * one shuffle on (user_id, event_type), map-side nothing to combine but
+    * also nothing corpus-global. */
+  def debounce(spark: SparkSession, dir: String): DataFrame =
+    debounceOf(Tables.events(spark, dir))
+
+  def debounceOf(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    ev.withColumn("us", unix_micros(col("ts")))
+      .withColumn("brk",
+        when(lag(col("us"), 1).over(w).isNull ||
+          col("us") - lag(col("us"), 1).over(w) >= DebounceGapUs, 1)
+          .otherwise(0))
+      .withColumn("burst", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("event_type"), col("burst"))
+      .agg(min(col("ts")).as("burst_start"), count(lit(1)).as("n_events"),
+        (max(col("us")) - min(col("us"))).as("span_us"))
+      .select(col("user_id"), col("event_type"), col("burst_start"),
+        col("n_events"), col("span_us"))
+  }
+
+  private val debounceSql =
+    s"""WITH $eventsUs,
+       |x AS (SELECT user_id, event_type, ts, event_id, epoch_us(ts) AS us,
+       |        CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+       |               OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= $DebounceGapUs
+       |             THEN 1 ELSE 0 END AS brk
+       |      FROM e
+       |      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)),
+       |y AS (SELECT *, sum(brk) OVER (PARTITION BY user_id, event_type
+       |        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS burst
+       |      FROM x)
+       |SELECT user_id, event_type, min(ts) AS burst_start,
+       |  count(*) AS n_events, CAST(max(us) - min(us) AS BIGINT) AS span_us
+       |FROM y GROUP BY user_id, event_type, burst""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q_events_debounce", debounce, Some(debounceSql)),
     Q("q_events_forecast_naive", forecastBacktest, Some(forecastBacktestSql)),
     Q("q_events_concentration", concentration, Some(concentrationSql)),
     Q("q_events_attribution", attribution, Some(attributionSql)),

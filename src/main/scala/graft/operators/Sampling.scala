@@ -304,7 +304,89 @@ object Sampling {
        |SELECT doc_id, lang, unnest(range(1, copies + 1)) AS epoch
        |FROM d WHERE copies > 0""".stripMargin
 
+  /** Total sample budget for the Neyman allocation report. */
+  val NeymanBudget = 10000L
+
+  /** Neyman (optimal stratified) sample allocation across sources:
+    * allocate the budget ∝ N_h·σ_h so high-variance strata get more
+    * samples. With population variance σ² = (n·Σx² − (Σx)²)/n², the
+    * weight N_h·σ_h collapses to EXACTLY sqrt(SS_h) where
+    * SS_h = n·Σx² − (Σx)² — pure integer sums of n_chars per stratum, so
+    * the only float ops are one correctly-rounded sqrt per stratum and the
+    * final budget share. The stratum weights are quantized to integer
+    * micro BEFORE the normalizing sum (the mix_sqrt lesson: a float sum
+    * over strata would be aggregation-order-dependent), so both engines
+    * share one exact integer denominator.
+    *
+    * Overflow budget: n·Σx² stays under 2^63 to ~1e8 docs × 10k chars per
+    * stratum; past that, lift the sums to DECIMAL(38,0) on both sides. */
+  def sampleNeyman(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sx"),
+        sum(col("n_chars") * col("n_chars")).as("sxx"))
+      .withColumn("ss", col("n_docs") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("w_micro",
+        floor(sqrt(col("ss").cast("double")) * 1e6 + 0.5).cast("long"))
+    val total = broadcast(perSource.agg(sum(col("w_micro")).as("w_total")))
+    perSource.crossJoin(total)
+      .select(col("source"), col("n_docs"), col("ss"), col("w_micro"),
+        floor(lit(NeymanBudget) * col("w_micro").cast("double")
+          / col("w_total") + 0.5).cast("long").as("alloc"))
+      .orderBy(col("source"))
+  }
+
+  private val sampleNeymanSql =
+    s"""WITH s AS (SELECT source, count(*) AS n_docs,
+       |             CAST(sum(n_chars) AS BIGINT) AS sx,
+       |             CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
+       |           FROM documents GROUP BY 1),
+       |w AS (SELECT source, n_docs, n_docs * sxx - sx * sx AS ss,
+       |        CAST(floor(sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE)) * 1e6 + 0.5)
+       |          AS BIGINT) AS w_micro
+       |      FROM s),
+       |t AS (SELECT CAST(sum(w_micro) AS BIGINT) AS w_total FROM w)
+       |SELECT source, n_docs, ss, w_micro,
+       |  CAST(floor($NeymanBudget * CAST(w_micro AS DOUBLE) / w_total + 0.5)
+       |    AS BIGINT) AS alloc
+       |FROM w CROSS JOIN t ORDER BY source""".stripMargin
+
+  /** Difficulty-ordered curriculum stages: each document's difficulty is
+    * its mean word length in exact integer micro-units, and stage 1..5 is
+    * its difficulty quintile — computed with the SAME broadcast-cutpoint
+    * exact-ntile machinery as RFM ([[Events.ntileByCutpoints]]): histogram
+    * + cumulative over DISTINCT difficulty values (domain-bounded), never
+    * an unpartitioned corpus sort. Stage manifests then feed training in
+    * easy→hard order. */
+  def sampleCurriculum(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = Tables.documents(spark, dir)
+      .select(col("doc_id").as("user_id"), // ntileByCutpoints ties on user_id
+        expr("""(2000000 * length(replace(regexp_replace(lower(trim(text)), '\\s+', ' '), ' ', ''))
+               | + array_size(split(regexp_replace(lower(trim(text)), '\\s+', ' '), ' ')))
+               | div (2 * array_size(split(regexp_replace(lower(trim(text)), '\\s+', ' '), ' ')))"""
+          .stripMargin.replaceAll("\n", "")).as("difficulty_micro"))
+      .localCheckpoint()
+    val n = perDoc.count()
+    Events.ntileByCutpoints(perDoc, col("difficulty_micro"), n, "stage")
+      .select(col("user_id").as("doc_id"), col("difficulty_micro"), col("stage"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val sampleCurriculumSql =
+    s"""WITH d AS (SELECT doc_id,
+       |  (2000000 * length(replace(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ', ''))
+       |     + len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')))
+       |   // (2 * len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')))
+       |   AS difficulty_micro
+       |  FROM documents)
+       |SELECT doc_id, CAST(difficulty_micro AS BIGINT) AS difficulty_micro,
+       |  CAST(ntile(5) OVER (ORDER BY difficulty_micro, doc_id) AS INT) AS stage
+       |FROM d ORDER BY doc_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q_sample_neyman", sampleNeyman, Some(sampleNeymanSql)),
+    Q("q_sample_curriculum", sampleCurriculum, Some(sampleCurriculumSql)),
     Q("q_mix_sqrt", mixSqrt, Some(mixSqrtSql)),
     Q("q_shard_shuffle", shardShuffle, Some(shardShuffleSql)),
     Q("q_sample_reservoir", sampleReservoir, Some(sampleReservoirSql)),

@@ -92,6 +92,84 @@ object Trend {
        |FROM s JOIN nation n ON s.c_nationkey = n.n_nationkey
        |ORDER BY nation""".stripMargin
 
+  // --------------------------------------------------------- seasonal index
+
+  /** Multiplicative seasonal index per calendar month: the mean monthly
+    * revenue of each calendar month divided by the overall monthly mean.
+    * index > 1 = a seasonally strong month. Everything up to the final
+    * ratio is exact integer cents — per-(year, month) totals, then
+    * calendar-month sums — and the index is ONE float division of exact
+    * integer products (s_m·C vs c_m·S), quantized to 1e-4. Two map-side
+    * combinable aggregates; the 12-row calendar join is driver-trivial. */
+  def seasonalIndex(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val cents =
+      floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)
+        .cast("long")
+    val ym = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).cast("int").as("m"))
+      .agg(sum(cents).as("c"))
+    val perMonth = ym.groupBy(col("m"))
+      .agg(count(lit(1)).as("n_months"), sum(col("c")).as("s"))
+    val overall = broadcast(ym.agg(count(lit(1)).as("nn"), sum(col("c")).as("ss")))
+    perMonth.crossJoin(overall)
+      .select(col("m").as("month"), col("n_months"),
+        roundN((col("s") * col("nn")).cast("double")
+          / (col("n_months") * col("ss")).cast("double"), 4).as("index"))
+      .orderBy(col("month"))
+  }
+
+  private val seasonalIndexSql =
+    s"""WITH f AS (SELECT year(o.o_orderdate) AS y,
+       |             CAST(month(o.o_orderdate) AS INT) AS m,
+       |             CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+       |               AS BIGINT) AS cents
+       |           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |ym AS (SELECT y, m, CAST(sum(cents) AS BIGINT) AS c FROM f GROUP BY 1, 2),
+       |pm AS (SELECT m, count(*) AS n_months, CAST(sum(c) AS BIGINT) AS s
+       |       FROM ym GROUP BY 1),
+       |o AS (SELECT count(*) AS nn, CAST(sum(c) AS BIGINT) AS ss FROM ym)
+       |SELECT pm.m AS month, pm.n_months,
+       |  ${roundNSql(
+            "CAST(pm.s * o.nn AS DOUBLE) / CAST(pm.n_months * o.ss AS DOUBLE)", 4)}
+       |    AS index
+       |FROM pm CROSS JOIN o ORDER BY month""".stripMargin
+
+  // ------------------------------------------------------ open-order months
+
+  /** Orders in flight per calendar month: each lineitem is "open" from its
+    * order month through its ship month, and the report counts open line
+    * items per month — the interval-to-calendar-grid flatten. The explode
+    * fanout is bounded by the max order→ship lag in months (a small
+    * constant, TPC-H ~4), the DAU/WAU contribution trick applied to
+    * intervals: never a range-join, never a per-month distinct scan. */
+  def openByMonth(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") >= col("o_orderdate")) // guard empty ranges
+      .select(explode(sequence(
+        date_trunc("month", col("o_orderdate")),
+        date_trunc("month", col("l_shipdate")),
+        expr("interval 1 month"))).as("month"))
+      .groupBy(col("month")).agg(count(lit(1)).as("n_open"))
+      .orderBy(col("month"))
+  }
+
+  private val openByMonthSql =
+    """WITH f AS (SELECT date_trunc('month', o.o_orderdate) AS m0,
+      |             date_trunc('month', l.l_shipdate) AS m1
+      |           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |           WHERE l.l_shipdate >= o.o_orderdate),
+      |x AS (SELECT unnest(generate_series(m0, m1, INTERVAL 1 MONTH)) AS month
+      |      FROM f)
+      |SELECT month::TIMESTAMP AS month, count(*) AS n_open
+      |FROM x GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Seq[Q] = Seq(
-    Q("q_stats_trend_ols", revenueTrend, Some(revenueTrendSql)))
+    Q("q_stats_trend_ols", revenueTrend, Some(revenueTrendSql)),
+    Q("q_stats_seasonal_index", seasonalIndex, Some(seasonalIndexSql)),
+    Q("q_stats_open_by_month", openByMonth, Some(openByMonthSql)))
 }

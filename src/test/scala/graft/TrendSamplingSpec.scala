@@ -1,0 +1,111 @@
+package graft
+
+import graft.operators.{Curation, Events, Sampling, Trend}
+import org.apache.spark.sql.functions._
+
+/** Fixture semantics for the debounce/seasonal/open-months/Neyman/
+  * curriculum/bounded-DP wave. */
+class TrendSamplingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def eventsDf(rows: (Long, String, Long, String)*) = {
+    // (event_id, ts, user_id, event_type)
+    rows.map { case (id, ts, u, t) =>
+      (id, java.sql.Timestamp.valueOf(ts), u, t, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  test("debounce collapses sub-gap bursts and splits at the gap") {
+    val d = fixtureDir("events" -> eventsDf(
+      (1L, "2024-01-01 10:00:00", 1L, "click"),
+      (2L, "2024-01-01 10:02:00", 1L, "click"), // 2 min -> same burst
+      (3L, "2024-01-01 10:04:00", 1L, "click"), // chain continues
+      (4L, "2024-01-01 10:30:00", 1L, "click"), // 26 min -> new burst
+      (5L, "2024-01-01 10:01:00", 1L, "view"), // other type: own burst
+      (6L, "2024-01-01 10:00:00", 2L, "click"))) // other user
+    val out = Events.debounce(spark, d).collect()
+    assert(out.length === 4)
+    val u1click = out.filter(r => r.getAs[Long]("user_id") == 1L &&
+      r.getAs[String]("event_type") == "click").sortBy(_.getAs[java.sql.Timestamp]("burst_start").getTime)
+    assert(u1click.map(_.getAs[Long]("n_events")).toSeq === Seq(3L, 1L))
+    assert(u1click.head.getAs[Long]("span_us") === 4L * 60 * 1000000)
+    assert(u1click(1).getAs[Long]("span_us") === 0L)
+  }
+
+  test("seasonal index: strong month > 1, uniform months = 1") {
+    import java.sql.Timestamp
+    def ts(y: Int, m: Int) = Timestamp.valueOf(f"$y-$m%02d-15 00:00:00")
+    // two years; January revenue 3x the other month's in both years
+    val orders = Seq(
+      (1L, 1L, "O", 0.0, ts(1995, 1), "p"), (2L, 1L, "O", 0.0, ts(1995, 6), "p"),
+      (3L, 1L, "O", 0.0, ts(1996, 1), "p"), (4L, 1L, "O", 0.0, ts(1996, 6), "p"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val li = Seq(
+      (1L, 30.0), (2L, 10.0), (3L, 30.0), (4L, 10.0))
+      .map { case (k, p) => (k, 1L, 1L, 1, 1.0, p, 0.0, 0.0, "N", "O", ts(1997, 1)) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+    val dir = fixtureDir("orders" -> orders, "lineitem" -> li)
+    val out = Trend.seasonalIndex(spark, dir).collect()
+      .map(r => r.getAs[Int]("month") -> r.getAs[Double]("index")).toMap
+    // overall monthly mean = (30+10+30+10)/4 = 20; jan avg 30 -> 1.5; jun 10 -> 0.5
+    assert(out === Map(1 -> 1.5, 6 -> 0.5))
+  }
+
+  test("open-by-month flattens the order->ship interval to the grid") {
+    import java.sql.Timestamp
+    val orders = Seq((1L, 1L, "O", 0.0,
+      Timestamp.valueOf("1995-01-20 00:00:00"), "p"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val li = Seq((1L, 1L, 1L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+      Timestamp.valueOf("1995-03-02 00:00:00")))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+    val dir = fixtureDir("orders" -> orders, "lineitem" -> li)
+    val out = Trend.openByMonth(spark, dir).collect()
+      .map(_.getAs[java.sql.Timestamp]("month").toString.substring(0, 7))
+    assert(out.toSeq === Seq("1995-01", "1995-02", "1995-03"))
+  }
+
+  test("Neyman allocation favors the high-variance stratum") {
+    val out = Sampling.sampleNeyman(spark, SparkSpec.sf0001).collect()
+    assert(out.nonEmpty)
+    val allocs = out.map(r => r.getAs[String]("source") ->
+      r.getAs[Long]("alloc")).toMap
+    val total = allocs.values.sum
+    // rounding keeps the total within one unit per stratum of the budget
+    assert(math.abs(total - Sampling.NeymanBudget) <= out.length)
+    // zero-variance strata would get zero; every real stratum gets > 0
+    assert(out.forall(r => r.getAs[Long]("ss") >= 0))
+    // allocation is monotone in the weight
+    val sorted = out.sortBy(_.getAs[Long]("w_micro"))
+    assert(sorted.map(_.getAs[Long]("alloc")).toSeq ==
+      sorted.map(_.getAs[Long]("alloc")).toSeq.sorted)
+  }
+
+  test("curriculum stages are monotone in difficulty and quintile-sized") {
+    val out = Sampling.sampleCurriculum(spark, SparkSpec.sf0001).collect()
+    assert(out.length === 500)
+    val byStage = out.groupBy(_.getAs[Int]("stage"))
+    assert(byStage.keySet === Set(1, 2, 3, 4, 5))
+    assert(byStage.values.forall(_.length === 100)) // 500/5 exact
+    // stage boundaries respect the (difficulty, doc_id) total order
+    val ordered = out.sortBy(r =>
+      (r.getAs[Long]("difficulty_micro"), r.getAs[Long]("doc_id")))
+    assert(ordered.map(_.getAs[Int]("stage")).toSeq ===
+      ordered.map(_.getAs[Int]("stage")).toSeq.sorted)
+  }
+
+  test("bounded DP caps each user's contribution before counting") {
+    val burst = (1L to 20L).map(i =>
+      (i, f"2024-01-01 10:${i}%02d:00", 1L, "click"))
+    val d = fixtureDir("events" -> eventsDf(burst: _*))
+    val out = Curation.dpBoundedCounts(spark, d).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("n_capped") === Curation.DpUserCap.toLong)
+  }
+}
