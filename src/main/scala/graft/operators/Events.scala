@@ -778,7 +778,108 @@ object Events {
        |  count(*) AS n_events, CAST(max(us) - min(us) AS BIGINT) AS span_us
        |FROM y GROUP BY user_id, event_type, burst""".stripMargin
 
+  /** Cohort LTV curves: users cohorted by first-purchase day, revenue
+    * accumulated per cohort over day-age — the growth-team matrix that
+    * answers "do newer cohorts monetize faster". All revenue is exact
+    * integer cents; the only float op is the final per-user division,
+    * quantized. The cumulative window partitions BY COHORT over ages — a
+    * partition bounded by the calendar (#months), never by users or
+    * events; everything user-sized is a map-side-combinable aggregate. */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame =
+    cohortLtvOf(Tables.events(spark, dir))
+
+  def cohortLtvOf(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = floor(col("value") * 100 + 0.5).cast("long")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("day"), cents.as("cents"))
+    val cohort = p.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    val sized = cohort.groupBy(col("cohort_day")).agg(count(lit(1)).as("n_users"))
+    val aged = p.join(cohort, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("age"))
+      .agg(sum(col("cents")).as("rev_cents"))
+    val w = Window.partitionBy(col("cohort_day")).orderBy(col("age"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    aged.join(sized, "cohort_day")
+      .withColumn("cum_cents", sum(col("rev_cents")).over(w))
+      .select(col("cohort_day"), col("age"), col("n_users"),
+        col("rev_cents"), col("cum_cents"),
+        roundN(col("cum_cents").cast("double") / col("n_users"), 4)
+          .as("ltv_cents_per_user"))
+      .orderBy(col("cohort_day"), col("age"))
+  }
+
+  private val cohortLtvSql =
+    s"""WITH $eventsUs,
+       |p AS (SELECT user_id, ts::DATE AS day,
+       |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+       |      FROM e WHERE event_type = 'purchase'),
+       |c AS (SELECT user_id, min(day) AS cohort_day FROM p GROUP BY 1),
+       |sz AS (SELECT cohort_day, count(*) AS n_users FROM c GROUP BY 1),
+       |a AS (SELECT c.cohort_day,
+       |        CAST(date_diff('day', c.cohort_day, p.day) AS INT) AS age,
+       |        CAST(sum(p.cents) AS BIGINT) AS rev_cents
+       |      FROM p JOIN c USING (user_id) GROUP BY 1, 2),
+       |x AS (SELECT a.cohort_day, a.age, sz.n_users, a.rev_cents,
+       |        CAST(sum(a.rev_cents) OVER (PARTITION BY a.cohort_day
+       |          ORDER BY a.age ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+       |      FROM a JOIN sz USING (cohort_day))
+       |SELECT cohort_day, age, n_users, rev_cents, cum_cents,
+       |  ${roundNSql("CAST(cum_cents AS DOUBLE) / n_users", 4)} AS ltv_cents_per_user
+       |FROM x ORDER BY cohort_day, age""".stripMargin
+
+  /** Time-to-convert: per user, seconds from the FIRST view to the first
+    * purchase at-or-after it; the report is exact type-1 p50/p90 over the
+    * converting users, via the histogram-cumulative quantile form
+    * (distinct latency-seconds values — time-domain-bounded — feed the
+    * only unpartitioned window, the whitelisted q_stats_quantiles class;
+    * user-sized work stays in keyed aggregates). */
+  def funnelLatency(spark: SparkSession, dir: String): DataFrame =
+    funnelLatencyOf(Tables.events(spark, dir))
+
+  def funnelLatencyOf(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fv = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(unix_micros(col("ts"))).as("fv_us"))
+    val lat = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+      .join(fv, "user_id")
+      .filter(col("p_us") >= col("fv_us"))
+      .groupBy(col("user_id")).agg(min(col("p_us")).as("fp_us"))
+      .join(fv, "user_id")
+      .select(((col("fp_us") - col("fv_us")) / lit(1000000L)).cast("long").as("lat_s"))
+    val hist = lat.groupBy(col("lat_s")).agg(count(lit(1)).as("cnt"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("lat_s"))))
+      .crossJoin(broadcast(hist.agg(sum(col("cnt")).as("n"))))
+    def pick(q: Double) = min(when(col("cum") >= ceil(lit(q) * col("n")), col("lat_s")))
+    cum.agg(max(col("n")).as("n_converted"),
+      pick(0.5).as("p50_s"), pick(0.9).as("p90_s"))
+  }
+
+  private val funnelLatencySql =
+    s"""WITH $eventsUs,
+       |fv AS (SELECT user_id, min(epoch_us(ts)) AS fv_us
+       |       FROM e WHERE event_type = 'view' GROUP BY 1),
+       |fp AS (SELECT e.user_id, min(epoch_us(e.ts)) AS fp_us
+       |       FROM e JOIN fv USING (user_id)
+       |       WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= fv.fv_us
+       |       GROUP BY 1),
+       |lat AS (SELECT CAST((fp.fp_us - fv.fv_us) // 1000000 AS BIGINT) AS lat_s
+       |        FROM fp JOIN fv USING (user_id)),
+       |hist AS (SELECT lat_s, count(*) AS cnt FROM lat GROUP BY 1),
+       |cum AS (SELECT lat_s, sum(cnt) OVER (ORDER BY lat_s) AS cum,
+       |          sum(cnt) OVER () AS n
+       |        FROM hist)
+       |SELECT CAST(max(n) AS BIGINT) AS n_converted,
+       |  min(CASE WHEN cum >= ceil(0.5 * n) THEN lat_s END) AS p50_s,
+       |  min(CASE WHEN cum >= ceil(0.9 * n) THEN lat_s END) AS p90_s
+       |FROM cum""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q_events_cohort_ltv", cohortLtv, Some(cohortLtvSql)),
+    Q("q_events_funnel_latency", funnelLatency, Some(funnelLatencySql)),
     Q("q_events_debounce", debounce, Some(debounceSql)),
     Q("q_events_forecast_naive", forecastBacktest, Some(forecastBacktestSql)),
     Q("q_events_concentration", concentration, Some(concentrationSql)),

@@ -100,6 +100,42 @@ class TrendSamplingSpec extends SparkSuite {
       ordered.map(_.getAs[Int]("stage")).toSeq.sorted)
   }
 
+  test("cohort LTV: day cohorts, ages, and cumulative per-user value") {
+    val d = fixtureDir("events" -> Seq(
+      // user 1: first purchase day 1 ($1), again day 3 ($2)
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "purchase", 1.0, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-03 10:00:00"), 1L, "purchase", 2.0, "{}"),
+      // user 2: same cohort day, single $4 purchase
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 2L, "purchase", 4.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val out = Events.cohortLtv(spark, d).collect()
+      .map(r => r.getAs[Int]("age") -> r).toMap
+    assert(out.keySet === Set(0, 2))
+    assert(out(0).getAs[Long]("n_users") === 2L)
+    assert(out(0).getAs[Long]("rev_cents") === 500L)
+    assert(out(0).getAs[Double]("ltv_cents_per_user") === 250.0)
+    assert(out(2).getAs[Long]("cum_cents") === 700L)
+    assert(out(2).getAs[Double]("ltv_cents_per_user") === 350.0)
+  }
+
+  test("funnel latency: first view to first purchase after it, type-1 picks") {
+    val d = fixtureDir("events" -> Seq(
+      // user 1: view at 10:00, purchase at 10:10 -> 600 s
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "view", 0.0, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:10:00"), 1L, "purchase", 1.0, "{}"),
+      // user 2: purchase BEFORE the first view is ignored; later one counts
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 09:00:00"), 2L, "purchase", 1.0, "{}"),
+      (4L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 2L, "view", 0.0, "{}"),
+      (5L, java.sql.Timestamp.valueOf("2024-01-01 11:00:30"), 2L, "purchase", 1.0, "{}"),
+      // user 3: view only -> not converted
+      (6L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 3L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val r = Events.funnelLatency(spark, d).collect().head
+    assert(r.getAs[Long]("n_converted") === 2L)
+    assert(r.getAs[Long]("p50_s") === 30L) // ceil(0.5*2)=1st of {30,600}
+    assert(r.getAs[Long]("p90_s") === 600L)
+  }
+
   test("bounded DP caps each user's contribution before counting") {
     val burst = (1L to 20L).map(i =>
       (i, f"2024-01-01 10:${i}%02d:00", 1L, "click"))
