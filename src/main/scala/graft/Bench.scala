@@ -198,7 +198,8 @@ object Bench {
     // degrade-don't-crash policy as the other evidence passes.
     val eventsScale = try {
       val names = Seq("q_kpi_category", "q_events_session", "q_join_range_events",
-        "q_events_attribution", "q_events_rfm", "q_events_mau")
+        "q_events_attribution", "q_events_rfm", "q_events_mau",
+        "q_events_debounce", "q_events_cohort_ltv")
       val qs2 = Registry.all.filter(q => names.contains(q.name))
       val pts = Seq(600000L, 6000000L).map { n =>
         val d = s"/tmp/graft_synth_events_$n"
@@ -298,41 +299,56 @@ object Bench {
     // only growing terms are the token count and the vocabulary-sized
     // aggregates — α near the low end is the expected signature.
     val textScale = try {
-      val names = Seq("q_text_pmi", "q_text_batch_buckets", "q_text_zipf")
-      val qs4 = Registry.all.filter(q => names.contains(q.name))
-      val pts = Seq(5000L, 16000L, 50000L).map { n =>
-        val d = s"/tmp/graft_synth_docs_zipf_$n"
-        if (!new java.io.File(s"$d/documents.parquet").exists())
-          graft.sources.SyntheticDocs.zipfCorpus(spark, n)
-            .write.mode("overwrite").parquet(s"$d/documents.parquet")
-        n -> d
-      }
-      val data = pts.map { case (n, d) =>
-        val ts = qs4.map { q =>
-          val t = (1 to 2).map { _ =>
-            val t0 = System.nanoTime()
-            q.run(spark, d).count()
-            spark.catalog.clearCache()
-            (System.nanoTime() - t0) / 1e9
-          }.min
-          q.name -> t
+      // zipf (open-vocabulary) decade: pmi/batching/zipf-fit + the
+      // lossless prefix set-similarity join (realistic sparse-prefix
+      // regime). keyphrase needs stopword delimiters, which only the
+      // harness-statistics v2 vocabulary contains — it gets the v2 decade.
+      val zipfNames = Seq("q_text_pmi", "q_text_batch_buckets", "q_text_zipf",
+        "q_dedup_setsim_prefix")
+      val v2Names = Seq("q_text_keyphrase")
+      def mkPts(tag: String,
+          gen: (org.apache.spark.sql.SparkSession, Long) => org.apache.spark.sql.DataFrame) =
+        Seq(5000L, 16000L, 50000L).map { n =>
+          val d = s"/tmp/graft_synth_docs_${tag}_$n"
+          if (!new java.io.File(s"$d/documents.parquet").exists())
+            gen(spark, n).write.mode("overwrite").parquet(s"$d/documents.parquet")
+          n -> d
         }
-        (n, d, ts)
+      def decade(names: Seq[String], pts: Seq[(Long, String)]): (String, String) = {
+        val qs4 = Registry.all.filter(q => names.contains(q.name))
+        val data = pts.map { case (n, d) =>
+          val ts = qs4.map { q =>
+            val t = (1 to 2).map { _ =>
+              val t0 = System.nanoTime()
+              q.run(spark, d).count()
+              spark.catalog.clearCache()
+              (System.nanoTime() - t0) / 1e9
+            }.min
+            q.name -> t
+          }
+          (n, d, ts)
+        }
+        val ptsJson = data.map { case (n, d, ts) =>
+          s"""{"dir":"$d","rows":$n,${
+            ts.map { case (k, v) => "\"" + k + "\":" + v }.mkString(",")}}"""
+        }.mkString(",")
+        val (tLo, tHi) = (data.head._3.toMap, data.last._3.toMap)
+        val rowRatio = pts.last._1.toDouble / pts.head._1
+        val alphas = qs4.map { q =>
+          val a = Some(tHi(q.name)).filter(_ > 0).filter(_ => tLo(q.name) > 0)
+            .map(t => math.log(t / tLo(q.name)) / math.log(rowRatio))
+          "\"" + q.name + "\":" + a.filter(x => !x.isNaN && !x.isInfinite)
+            .map(x => BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString)
+            .getOrElse("null")
+        }.mkString(",")
+        (ptsJson, alphas)
       }
-      val ptsJson = data.map { case (n, d, ts) =>
-        s"""{"dir":"$d","rows":$n,${
-          ts.map { case (k, v) => "\"" + k + "\":" + v }.mkString(",")}}"""
-      }.mkString(",")
-      val (tLo, tHi) = (data.head._3.toMap, data.last._3.toMap)
-      val rowRatio = pts.last._1.toDouble / pts.head._1
-      val alphas = qs4.map { q =>
-        val a = Some(tHi(q.name)).filter(_ > 0).filter(_ => tLo(q.name) > 0)
-          .map(t => math.log(t / tLo(q.name)) / math.log(rowRatio))
-        "\"" + q.name + "\":" + a.filter(x => !x.isNaN && !x.isInfinite)
-          .map(x => BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString)
-          .getOrElse("null")
-      }.mkString(",")
-      s""","text_scale":{"points":[$ptsJson],"alpha_decade":{$alphas}}"""
+      val (zipfJson, zipfAlpha) =
+        decade(zipfNames, mkPts("zipf", graft.sources.SyntheticDocs.zipfCorpus(_, _)))
+      val (v2Json, v2Alpha) =
+        decade(v2Names, mkPts("v2", graft.sources.SyntheticDocs.corpus(_, _)))
+      s""","text_scale":{"points":[$zipfJson],"alpha_decade":{$zipfAlpha},""" +
+        s""""points_v2":[$v2Json],"alpha_v2_decade":{$v2Alpha}}"""
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] text scale pass failed: ${e.getMessage}")

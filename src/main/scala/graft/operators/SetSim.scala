@@ -55,16 +55,23 @@ object SetSim {
   def prefixJaccardPairs(spark: SparkSession, dir: String): DataFrame =
     prefixJaccardPairsOf(Tables.documents(spark, dir))
 
-  /** [[prefixJaccardPairs]] over any documents-shaped frame — library API. */
+  /** [[prefixJaccardPairs]] over any documents-shaped frame — library API.
+    * Verification joins the candidate pairs back to the per-doc TOKEN
+    * ARRAYS and intersects in-row (`array_intersect`) — O(candidates ×
+    * doc length) work with no second corpus-wide shuffle, vs the naive
+    * re-join through the exploded token table which shuffles the whole
+    * corpus again per side. */
   def prefixJaccardPairsOf(docs: DataFrame): DataFrame = {
-    val toks = tokenTableOf(docs).persist()
-    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val base = TextAnalysis.withWordsOf(docs)
+      .select(col("doc_id"), array_distinct(col("w")).as("toks"))
+      .withColumn("sz", size(col("toks")).cast("long"))
+      .persist()
+    val toks = base.select(col("doc_id"), col("sz"), explode(col("toks")).as("tok"))
     val dfTbl = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     // prefix length p = sz - ceil(t*sz) + 1, ceil via integer arithmetic
     val p = col("sz") - floor((col("sz") * TNum + (TDen - 1)) / TDen) + 1
     val prefix = toks
       .join(dfTbl, "tok")
-      .join(sizes, "doc_id")
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))))
       .filter(col("rn") <= p)
@@ -79,11 +86,11 @@ object SetSim {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         col("a.sz").as("sa"), col("b.sz").as("sb"))
       .dropDuplicates("id_a", "id_b")
-    val ta = toks.select(col("doc_id").as("id_a"), col("tok"))
-    val tb = toks.select(col("doc_id").as("id_b"), col("tok"))
-    cand.join(ta, "id_a").join(tb, Seq("id_b", "tok"))
-      .groupBy(col("id_a"), col("id_b"), col("sa"), col("sb"))
-      .agg(count(lit(1)).as("inter"))
+    cand
+      .join(base.select(col("doc_id").as("id_a"), col("toks").as("toks_a")), "id_a")
+      .join(base.select(col("doc_id").as("id_b"), col("toks").as("toks_b")), "id_b")
+      .withColumn("inter",
+        size(array_intersect(col("toks_a"), col("toks_b"))).cast("long"))
       .withColumn("uni", col("sa") + col("sb") - col("inter"))
       // J >= 7/10  <=>  10*inter >= 7*uni  <=>  17*inter >= 7*(sa+sb)
       .filter(col("inter") * (TDen + TNum) >= (col("sa") + col("sb")) * TNum)
