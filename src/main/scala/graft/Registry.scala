@@ -49,6 +49,7 @@ object Registry {
       operators.SetSim.queries ++
       operators.Curation.queries ++
       operators.Trend.queries ++
+      operators.Inference.queries ++
       operators.Profiler.queries ++
       plans.TopK.queries ++
       sources.Bucketing.queries ++

@@ -1,0 +1,316 @@
+package graft.operators
+
+import graft.Q
+import graft.functions.Rounding.{roundN, roundNSql}
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical inference & experimentation — the decision layer a product
+  * team runs on top of the event pipeline: A/B conversion tests,
+  * Kaplan-Meier retention/churn curves, Welch's unequal-variance t, and a
+  * Benford first-digit audit for financial anomaly screening. Extends the
+  * reference's KPI surface (transform.py:109-145 computes the rates these
+  * tests decide on) with the tests themselves.
+  *
+  * Exactness contract (the engine's standard recipe):
+  *  - all counts/sums ride exact integers (cents for money-like `value`),
+  *    order-independent and map-side-combinable;
+  *  - the few float steps (one sqrt / ln / division per statistic) run on
+  *    those exact integers with formulas written token-identically in both
+  *    engines, so IEEE doubles agree bit-for-bit;
+  *  - anything transcendental that feeds a SUM is quantized to integer
+  *    micro-units first (the lm_score pattern) so aggregation order can
+  *    never drift the result.
+  *
+  * Scale notes (100 TB): every query here reduces the input to a
+  * key-bounded aggregate before any window or join — arms (2 rows),
+  * lifetime days (calendar-bounded), digits (9 rows). Per-user work is
+  * keyed hash aggregation; nothing sorts or windows over user-sized data.
+  */
+object Inference {
+
+  /** Deterministic experiment arm from the user id — the md5-byte gate
+    * every sampler in this engine uses (operators/Sampling.scala): bit
+    * parity of the first md5 byte, 0 = control, 1 = treatment. */
+  private def armCol(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 2), 16, 10).cast("int") % 2
+
+  private val armSql = "(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))::INT % 2)"
+
+  private val eventsUs =
+    "e AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type, value FROM events)"
+
+  // ---------------------------------------------------------------- abtest
+
+  /** Conversion = any big-ticket purchase (value ≥ $200). A plain
+    * "any purchase" flag saturates to rate 1.0 on this data (every user
+    * buys something), which degenerates the pooled variance to 0; the
+    * big-ticket cut sits at a healthy 10-60% rate at every harness SF. */
+  private val ConvThreshold = 200.0
+
+  /** Two-proportion z-test of big-ticket conversion between the two
+    * deterministic arms. Per-user conversion flags collapse in one keyed
+    * aggregate; the z statistic is a single-row computation from four
+    * exact integers (pooled-variance form), so the whole query shuffles
+    * 2 rows regardless of event volume. A degenerate experiment (pooled
+    * rate 0 or 1 ⇒ zero standard error) yields NULL z in both engines
+    * rather than a fault. */
+  def abtest(spark: SparkSession, dir: String): DataFrame =
+    abtestOf(Tables.events(spark, dir))
+
+  def abtestOf(ev: DataFrame): DataFrame = {
+    val perUser = ev
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") >= ConvThreshold, 1)
+        .otherwise(0)).as("conv"))
+      .select(armCol(col("user_id")).as("arm"), col("conv"))
+    val arms = perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("x"))
+    // 2-row pivot via conditional aggregate — no join, no window
+    val w = arms.agg(
+      max(when(col("arm") === 0, col("n"))).as("n_c"),
+      max(when(col("arm") === 0, col("x"))).as("x_c"),
+      max(when(col("arm") === 1, col("n"))).as("n_t"),
+      max(when(col("arm") === 1, col("x"))).as("x_t"))
+    val pC = col("x_c").cast("double") / col("n_c")
+    val pT = col("x_t").cast("double") / col("n_t")
+    val pPool = (col("x_c") + col("x_t")).cast("double") / (col("n_c") + col("n_t"))
+    val se = sqrt(pPool * (lit(1.0) - pPool) *
+      (lit(1.0) / col("n_c") + lit(1.0) / col("n_t")))
+    w.select(
+      col("n_c"), col("x_c"), col("n_t"), col("x_t"),
+      roundN(pC, 6).as("rate_c"), roundN(pT, 6).as("rate_t"),
+      roundN((pT - pC) * 100, 4).as("lift_pp"),
+      when(se === 0, lit(null).cast("double"))
+        .otherwise(roundN((pT - pC) / se, 4)).as("z"))
+  }
+
+  private val abtestSql =
+    s"""WITH $eventsUs,
+       |u AS (SELECT user_id,
+       |        max(CASE WHEN event_type = 'purchase' AND value >= $ConvThreshold
+       |            THEN 1 ELSE 0 END) AS conv
+       |      FROM e GROUP BY 1),
+       |a AS (SELECT $armSql AS arm, count(*) AS n,
+       |             CAST(sum(conv) AS BIGINT) AS x FROM u GROUP BY 1),
+       |w AS (SELECT max(CASE WHEN arm = 0 THEN n END) AS n_c,
+       |             max(CASE WHEN arm = 0 THEN x END) AS x_c,
+       |             max(CASE WHEN arm = 1 THEN n END) AS n_t,
+       |             max(CASE WHEN arm = 1 THEN x END) AS x_t FROM a)
+       |SELECT n_c, x_c, n_t, x_t,
+       |  ${roundNSql("CAST(x_c AS DOUBLE) / n_c", 6)} AS rate_c,
+       |  ${roundNSql("CAST(x_t AS DOUBLE) / n_t", 6)} AS rate_t,
+       |  ${roundNSql("(CAST(x_t AS DOUBLE) / n_t - CAST(x_c AS DOUBLE) / n_c) * 100", 4)} AS lift_pp,
+       |  CASE WHEN x_c + x_t = 0 OR x_c + x_t = n_c + n_t THEN NULL
+       |       ELSE ${roundNSql(
+        "(CAST(x_t AS DOUBLE) / n_t - CAST(x_c AS DOUBLE) / n_c) / " +
+          "sqrt((CAST(x_c + x_t AS DOUBLE) / (n_c + n_t)) * (1.0 - CAST(x_c + x_t AS DOUBLE) / (n_c + n_t)) * " +
+          "(1.0 / n_c + 1.0 / n_t))", 4)} END AS z
+       |FROM w""".stripMargin
+
+  // -------------------------------------------------------------- survival
+
+  /** Kaplan-Meier retention curve over user lifetimes. A user's lifetime
+    * is last-seen − first-seen in days; churn is OBSERVED when the last
+    * event is ≥ 7 days before the corpus horizon, otherwise the user is
+    * right-censored (still alive at horizon). S(t) multiplies (1 − d/n)
+    * over event times ≤ t; the product rides a cumulative sum of
+    * micro-quantized ln terms so both engines agree bit-for-bit, and a
+    * cumulative absorbed flag pins S = 0 past any time where the whole
+    * risk set churns.
+    *
+    * Scale shape: user-sized work is ONE keyed aggregate (first/last per
+    * user); the only window runs over DISTINCT lifetime days — bounded by
+    * the calendar horizon, the whitelisted q_stats_quantiles class. */
+  def survival(spark: SparkSession, dir: String): DataFrame =
+    survivalOf(Tables.events(spark, dir))
+
+  def survivalOf(ev: DataFrame): DataFrame = {
+    val perUser = ev.groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("f"), max(to_date(col("ts"))).as("l"))
+    val horizon = perUser.agg(max(col("l")).as("hz"))
+    val lives = perUser.crossJoin(broadcast(horizon))
+      .select(datediff(col("l"), col("f")).as("lifetime_days"),
+        when(datediff(col("hz"), col("l")) >= 7, 1).otherwise(0).as("churn"))
+    val hist = lives.groupBy(col("lifetime_days"))
+      .agg(count(lit(1)).as("leave"), sum(col("churn")).as("d"))
+    val win = Window.orderBy(col("lifetime_days"))
+    val total = hist.agg(sum(col("leave")).as("n_users"))
+    val cum = hist
+      .withColumn("left_before",
+        coalesce(sum(col("leave")).over(win.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .crossJoin(broadcast(total))
+      .withColumn("n_risk", col("n_users") - col("left_before"))
+      // micro-quantized ln(1 - d/n); NULL marks an absorbing (d = n) step
+      .withColumn("qln", when(col("d") < col("n_risk"),
+        floor(log((col("n_risk") - col("d")).cast("double") / col("n_risk")) * 1e6 + 0.5)
+          .cast("long")))
+      .withColumn("absorbed", max(when(col("qln").isNull, 1).otherwise(0)).over(win))
+      .withColumn("s", sum(coalesce(col("qln"), lit(0L))).over(win))
+    cum.select(col("lifetime_days").cast("long").as("lifetime_days"),
+      col("n_risk"), col("d").as("n_churn"),
+      when(col("absorbed") === 1, lit(0.0))
+        .otherwise(roundN(exp(col("s").cast("double") / 1e6), 6)).as("survival"))
+  }
+
+  private val survivalSql =
+    s"""WITH $eventsUs,
+       |u AS (SELECT user_id, min(CAST(ts AS DATE)) AS f, max(CAST(ts AS DATE)) AS l
+       |      FROM e GROUP BY 1),
+       |hz AS (SELECT max(l) AS hz FROM u),
+       |lv AS (SELECT date_diff('day', f, l) AS lifetime_days,
+       |              CASE WHEN date_diff('day', l, hz) >= 7 THEN 1 ELSE 0 END AS churn
+       |       FROM u CROSS JOIN hz),
+       |h AS (SELECT lifetime_days, count(*) AS leave, sum(churn) AS d
+       |      FROM lv GROUP BY 1),
+       |c AS (SELECT lifetime_days, leave, d,
+       |        coalesce(sum(leave) OVER (ORDER BY lifetime_days
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS left_before,
+       |        sum(leave) OVER () AS n_users
+       |      FROM h),
+       |q AS (SELECT lifetime_days, d, n_users - left_before AS n_risk,
+       |        CASE WHEN d < n_users - left_before
+       |             THEN CAST(floor(ln(CAST(n_users - left_before - d AS DOUBLE)
+       |                  / (n_users - left_before)) * 1e6 + 0.5) AS BIGINT) END AS qln
+       |      FROM c),
+       |s AS (SELECT lifetime_days, n_risk, d,
+       |        max(CASE WHEN qln IS NULL THEN 1 ELSE 0 END)
+       |          OVER (ORDER BY lifetime_days) AS absorbed,
+       |        sum(coalesce(qln, 0)) OVER (ORDER BY lifetime_days) AS s
+       |      FROM q)
+       |SELECT lifetime_days, CAST(n_risk AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS n_churn,
+       |  CASE WHEN absorbed = 1 THEN 0.0
+       |       ELSE ${roundNSql("exp(CAST(s AS DOUBLE) / 1e6)", 6)} END AS survival
+       |FROM s""".stripMargin
+
+  // ----------------------------------------------------------------- welch
+
+  /** Welch's unequal-variance t between the two arms' purchase values.
+    * Per-arm n / Σcents / Σcents² are exact order-free BIGINTs; mean,
+    * sample variance, t, and the Welch–Satterthwaite df are then a
+    * single-row double computation written token-identically in both
+    * engines. Σ is cast to DOUBLE before squaring so the statistic stays
+    * engine-identical (exact while Σcents < 2^53 ≈ $90T) instead of
+    * silently wrapping BIGINT on one side only. */
+  def welch(spark: SparkSession, dir: String): DataFrame =
+    welchOf(Tables.events(spark, dir))
+
+  def welchOf(ev: DataFrame): DataFrame = {
+    val cents = floor(col("value") * 100 + 0.5).cast("long")
+    val arms = ev.filter(col("event_type") === "purchase")
+      .select(armCol(col("user_id")).as("arm"), cents.as("c"))
+      .groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"), sum(col("c") * col("c")).as("s2"))
+    val w = arms.agg(
+      max(when(col("arm") === 0, col("n"))).as("n_c"),
+      max(when(col("arm") === 0, col("s"))).as("s_c"),
+      max(when(col("arm") === 0, col("s2"))).as("s2_c"),
+      max(when(col("arm") === 1, col("n"))).as("n_t"),
+      max(when(col("arm") === 1, col("s"))).as("s_t"),
+      max(when(col("arm") === 1, col("s2"))).as("s2_t"))
+    def mean(s: Column, n: Column) = s.cast("double") / n
+    def variance(s: Column, s2: Column, n: Column) =
+      (s2.cast("double") - s.cast("double") * s.cast("double") / n) / (n - lit(1))
+    val (mC, mT) = (mean(col("s_c"), col("n_c")), mean(col("s_t"), col("n_t")))
+    val vC = variance(col("s_c"), col("s2_c"), col("n_c"))
+    val vT = variance(col("s_t"), col("s2_t"), col("n_t"))
+    val seC = vC / col("n_c")
+    val seT = vT / col("n_t")
+    val t = (mT - mC) / sqrt(seC + seT)
+    val df = (seC + seT) * (seC + seT) /
+      (seC * seC / (col("n_c") - lit(1)) + seT * seT / (col("n_t") - lit(1)))
+    w.select(col("n_c"), col("n_t"),
+      roundN(mC / 100, 4).as("mean_c"), roundN(mT / 100, 4).as("mean_t"),
+      roundN(t, 4).as("t_stat"), roundN(df, 2).as("df"))
+  }
+
+  private val welchSql = {
+    val mC = "(CAST(s_c AS DOUBLE) / n_c)"
+    val mT = "(CAST(s_t AS DOUBLE) / n_t)"
+    val vC = "((CAST(s2_c AS DOUBLE) - CAST(s_c AS DOUBLE) * CAST(s_c AS DOUBLE) / n_c) / (n_c - 1))"
+    val vT = "((CAST(s2_t AS DOUBLE) - CAST(s_t AS DOUBLE) * CAST(s_t AS DOUBLE) / n_t) / (n_t - 1))"
+    val seC = s"($vC / n_c)"
+    val seT = s"($vT / n_t)"
+    s"""WITH $eventsUs,
+       |p AS (SELECT $armSql AS arm,
+       |             CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+       |      FROM e WHERE event_type = 'purchase'),
+       |a AS (SELECT arm, count(*) AS n, sum(c) AS s, sum(c * c) AS s2 FROM p GROUP BY 1),
+       |w AS (SELECT max(CASE WHEN arm = 0 THEN n END) AS n_c,
+       |             max(CASE WHEN arm = 0 THEN s END) AS s_c,
+       |             max(CASE WHEN arm = 0 THEN s2 END) AS s2_c,
+       |             max(CASE WHEN arm = 1 THEN n END) AS n_t,
+       |             max(CASE WHEN arm = 1 THEN s END) AS s_t,
+       |             max(CASE WHEN arm = 1 THEN s2 END) AS s2_t FROM a)
+       |SELECT n_c, n_t,
+       |  ${roundNSql(s"$mC / 100", 4)} AS mean_c,
+       |  ${roundNSql(s"$mT / 100", 4)} AS mean_t,
+       |  ${roundNSql(s"($mT - $mC) / sqrt($seC + $seT)", 4)} AS t_stat,
+       |  ${roundNSql(
+        s"($seC + $seT) * ($seC + $seT) / ($seC * $seC / (n_c - 1) + $seT * $seT / (n_t - 1))",
+        2)} AS df
+       |FROM w""".stripMargin
+  }
+
+  // --------------------------------------------------------------- benford
+
+  /** Benford's-law first significant digit p_d = log10(1 + 1/d), quantized
+    * to 1e-6 once here and inlined as literals into BOTH engines so the
+    * expectation is identical by construction. */
+  private val BenfordMicro: Map[Int, Long] =
+    (1 to 9).map(d => d -> math.round(math.log10(1.0 + 1.0 / d) * 1e6)).toMap
+
+  /** First-digit Benford audit of lineitem prices — the classic financial
+    * anomaly screen. One narrow map (first char of the integer part) into
+    * a 9-key aggregate; observed share and the χ² contribution against the
+    * quantized Benford expectation are per-digit doubles computed from
+    * exact integers. TPC-H prices are range-bound (≈ 900..105k) so this
+    * REJECTS Benford by construction — the audit's honest output, and why
+    * the statistic, not a verdict, is the column. */
+  def benford(spark: SparkSession, dir: String): DataFrame = {
+    val digit = substring(floor(col("l_extendedprice")).cast("long").cast("string"), 1, 1)
+      .cast("int")
+    val obs = Tables.lineitem(spark, dir)
+      .select(digit.as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val pMicro = BenfordMicro.foldLeft(lit(null).cast("long")) { case (acc, (d, p)) =>
+      when(col("digit") === d, lit(p)).otherwise(acc)
+    }
+    val total = obs.agg(sum(col("n_obs")).as("n"))
+    val exp_ = col("n").cast("double") * col("p_micro") / 1e6
+    obs.withColumn("p_micro", pMicro)
+      .crossJoin(broadcast(total))
+      .select(col("digit"), col("n_obs"),
+        roundN(col("n_obs").cast("double") / col("n"), 6).as("obs_share"),
+        roundN(col("p_micro").cast("double") / 1e6, 6).as("benford_share"),
+        roundN((col("n_obs") - exp_) * (col("n_obs") - exp_) / exp_, 4).as("chi2_contrib"))
+  }
+
+  private val benfordSql = {
+    val pCase = (1 to 9)
+      .map(d => s"WHEN digit = $d THEN ${BenfordMicro(d)}")
+      .mkString("CASE ", " ", " END")
+    s"""WITH o AS (
+       |  SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+       |         count(*) AS n_obs
+       |  FROM lineitem GROUP BY 1),
+       |t AS (SELECT sum(n_obs) AS n FROM o),
+       |x AS (SELECT digit, n_obs, $pCase AS p_micro, n FROM o CROSS JOIN t)
+       |SELECT digit, n_obs,
+       |  ${roundNSql("CAST(n_obs AS DOUBLE) / n", 6)} AS obs_share,
+       |  ${roundNSql("CAST(p_micro AS DOUBLE) / 1e6", 6)} AS benford_share,
+       |  ${roundNSql(
+        "(n_obs - CAST(n AS DOUBLE) * p_micro / 1e6) * (n_obs - CAST(n AS DOUBLE) * p_micro / 1e6) " +
+          "/ (CAST(n AS DOUBLE) * p_micro / 1e6)", 4)} AS chi2_contrib
+       |FROM x""".stripMargin
+  }
+
+  val queries: Seq[Q] = Seq(
+    Q("q_events_abtest", abtest, Some(abtestSql)),
+    Q("q_events_survival", survival, Some(survivalSql)),
+    Q("q_stats_welch", welch, Some(welchSql)),
+    Q("q_stats_benford", benford, Some(benfordSql)),
+  )
+}

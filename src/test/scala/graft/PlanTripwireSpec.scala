@@ -95,7 +95,14 @@ class PlanTripwireSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     "q_events_concentration",
     // rank window over a LIMIT-100 bounded-heap top-k — 100 rows by
     // construction; the corpus-sized pass is the word count upstream
-    "q_text_zipf")
+    "q_text_zipf",
+    // cumulative over DISTINCT view→purchase latency SECONDS — bounded by
+    // the time domain (the q_stats_quantiles histogram-cumulative class);
+    // user-sized work stays in the keyed first-view/first-purchase aggs
+    "q_events_funnel_latency",
+    // Kaplan-Meier steps walk DISTINCT lifetime DAYS — calendar-bounded;
+    // the per-user lifetime table collapses in a keyed aggregate first
+    "q_events_survival")
 
   private def globalWindows(name: String, df: DataFrame): Seq[String] = {
     val plan = df.queryExecution.executedPlan
