@@ -379,7 +379,83 @@ object Mining {
        |FROM s""".stripMargin
   }
 
+  // ------------------------------------------------- JL random projection
+
+  /** Johnson-Lindenstrauss target dimension (64 → 16). */
+  val RpDim = 16
+
+  /** Deterministic ±1 projection rows: sign of md5("rp:j:d") — the
+    * Similarity.planesMatrix recipe under a distinct seed prefix, so the
+    * identical literal matrix ships to both engines with no fit step. */
+  val rpMatrix: IndexedSeq[IndexedSeq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until RpDim).map { j =>
+      (0 until Similarity.Dim).map { d =>
+        val h = md.digest(s"rp:$j:$d".getBytes("UTF-8"))
+        if ((h(0) & 0xff) < 128) 1.0 else -1.0
+      }
+    }
+  }
+
+  /** Random-projection (JL) distortion audit: project every embedding
+    * 64 → 16 dims through the deterministic ±1 matrix and measure, on
+    * consecutive-id pairs, how well normalized projected squared distance
+    * (‖Px−Py‖²/k, the JL unbiased estimator under ±1 rows) preserves the
+    * original ‖x−y‖². The per-pair distortion ratio is the evidence a
+    * pipeline needs before swapping the cheap projected distance into its
+    * dedup/ANN candidate stages.
+    *
+    * Scale shape: projection is a narrow per-row map (k·Dim multiplies);
+    * pairing is one equi-join on vec_id+1 (shuffle on the id, no
+    * window); everything downstream is per-pair arithmetic. Identical
+    * left-fold sum order in both engines (vec_dot ↔ list_sum) keeps the
+    * doubles bit-identical. */
+  def rpDistortion(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val proj = vecs.withColumn("p",
+      array((0 until RpDim).map(j =>
+        call_function("vec_dot", col("v"), lit(rpMatrix(j).toArray))): _*))
+    val a = proj.alias("a")
+    val b = proj.alias("b")
+    val paired = a.join(b, col("b.vec_id") === col("a.vec_id") + 1)
+      // stage the diff arrays: both are double-referenced by vec_dot, so
+      // CollapseProject keeps them materialized (see verify-skill gotcha)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        zip_with(col("a.v"), col("b.v"), (x, y) => x - y).as("dv"),
+        zip_with(col("a.p"), col("b.p"), (x, y) => x - y).as("dp"))
+      .select(col("id_a"), col("id_b"),
+        call_function("vec_dot", col("dv"), col("dv")).as("d2"),
+        (call_function("vec_dot", col("dp"), col("dp")) / RpDim).as("d2p"))
+    paired.select(col("id_a"), col("id_b"),
+      roundN(col("d2"), 6).as("d2"),
+      roundN(col("d2p"), 6).as("d2_rp"),
+      when(col("d2") === 0, lit(null).cast("double"))
+        .otherwise(roundN(col("d2p") / col("d2"), 6)).as("distortion"))
+  }
+
+  private val rpDistortionSql = {
+    def rowLit(j: Int) =
+      rpMatrix(j).map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+    val projList = (0 until RpDim).map(j =>
+      s"list_sum(list_transform(range(1, ${Similarity.Dim + 1}), i -> v[i] * ((${rowLit(j)})::DOUBLE[])[i]))")
+      .mkString("[", ",\n      ", "]")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |p AS (SELECT vec_id, v, $projList AS p FROM v),
+       |pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    list_sum(list_transform(range(1, ${Similarity.Dim + 1}),
+       |      i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i]))) AS d2,
+       |    list_sum(list_transform(range(1, ${RpDim + 1}),
+       |      i -> (a.p[i] - b.p[i]) * (a.p[i] - b.p[i]))) / $RpDim AS d2p
+       |  FROM p a JOIN p b ON b.vec_id = a.vec_id + 1)
+       |SELECT id_a, id_b, ${roundNSql("d2", 6)} AS d2, ${roundNSql("d2p", 6)} AS d2_rp,
+       |  CASE WHEN d2 = 0 THEN NULL ELSE ${roundNSql("d2p / d2", 6)} END AS distortion
+       |FROM pairs""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_embed_rp_distortion", rpDistortion, Some(rpDistortionSql)),
     Q("q_text_zipf", zipfFit, Some(zipfFitSql)),
     Q("q_text_pmi", pmi, Some(pmiSql)),
     Q("q_feat_robust", robustScale, Some(robustScaleSql)),
