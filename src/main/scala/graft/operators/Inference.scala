@@ -48,7 +48,7 @@ object Inference {
     * "any purchase" flag saturates to rate 1.0 on this data (every user
     * buys something), which degenerates the pooled variance to 0; the
     * big-ticket cut sits at a healthy 10-60% rate at every harness SF. */
-  private val ConvThreshold = 200.0
+  val ConvThreshold = 200.0
 
   /** Two-proportion z-test of big-ticket conversion between the two
     * deterministic arms. Per-user conversion flags collapse in one keyed
@@ -60,11 +60,18 @@ object Inference {
   def abtest(spark: SparkSession, dir: String): DataFrame =
     abtestOf(Tables.events(spark, dir))
 
-  def abtestOf(ev: DataFrame): DataFrame = {
-    val perUser = ev
+  def abtestOf(ev: DataFrame): DataFrame =
+    abtestFromFlags(ev
       .groupBy(col("user_id"))
       .agg(max(when(col("event_type") === "purchase" && col("value") >= ConvThreshold, 1)
-        .otherwise(0)).as("conv"))
+        .otherwise(0)).as("conv")))
+
+  /** The statistic from a (user_id, conv ∈ {0,1}) flag table — shared by
+    * the batch query above and the streaming monitor
+    * ([[graft.streaming.AbtestMonitor]]), whose per-user upsert store has
+    * exactly this shape. */
+  def abtestFromFlags(perUserFlags: DataFrame): DataFrame = {
+    val perUser = perUserFlags
       .select(armCol(col("user_id")).as("arm"), col("conv"))
     val arms = perUser.groupBy(col("arm"))
       .agg(count(lit(1)).as("n"), sum(col("conv")).as("x"))
@@ -307,7 +314,101 @@ object Inference {
        |FROM x""".stripMargin
   }
 
+  // ------------------------------------------------------------- bootstrap
+
+  /** Replicate count for the Poisson bootstrap. */
+  val BootstrapB = 40
+
+  /** Poisson(1) CDF thresholds on the 20-bit uniform scale (the md5
+    * 5-hex-digit draw is uniform on [0, 2^20)): a row's replicate weight
+    * is the number of thresholds its draw reaches (capped at the table's
+    * length — P(w > 6) < 1e-4). Quantized ONCE here, inlined into both
+    * engines, so no division ever touches the draw. */
+  val PoissonCdf20: IndexedSeq[Long] = {
+    val e1 = math.exp(-1.0)
+    // cumulative e^-1 * (1 + 1 + 1/2 + 1/6 + 1/24 + 1/120 + 1/720)
+    val cum = Iterator.iterate(1.0 -> 0)( { case (term, k) => term / (k + 1) -> (k + 1) })
+      .take(7).map(_._1).scanLeft(0.0)(_ + _).drop(1)
+    cum.map(c => math.round(c * e1 * 1048576.0)).toIndexedSeq
+  }
+
+  /** Poisson-bootstrap 95% CI for the mean purchase value — the
+    * scale-out bootstrap: instead of resampling n rows with replacement
+    * (impossible to coordinate across a cluster), every row draws an
+    * INDEPENDENT Poisson(1) weight per replicate from md5(event_id:b),
+    * giving each replicate a multinomial-in-the-limit resample without
+    * any shuffle of the data. Replicate means are ratios of exact
+    * integer sums; the CI picks type-1 order statistics over the B
+    * replicate means (a B-row sort, B = 40 by construction).
+    *
+    * Scale shape: the corpus-sized pass is ONE explode by the constant B
+    * (the DAU contribution trick's bounded-fanout pattern) into a B-key
+    * aggregate; everything after runs on B rows. */
+  def bootstrap(spark: SparkSession, dir: String): DataFrame =
+    bootstrapOf(Tables.events(spark, dir))
+
+  def bootstrapOf(ev: DataFrame): DataFrame = {
+    val cents = floor(col("value") * 100 + 0.5).cast("long")
+    val rows = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), cents.as("c"))
+      .select(col("event_id"), col("c"),
+        explode(sequence(lit(0), lit(BootstrapB - 1))).as("b"))
+    val u20 = conv(substring(md5(concat_ws(":",
+      col("event_id").cast("string"), col("b").cast("string"))), 1, 5), 16, 10)
+      .cast("long")
+    val weight = PoissonCdf20.foldLeft(lit(0)) { (acc, thr) =>
+      acc + when(col("u") >= thr, 1).otherwise(0)
+    }
+    val reps = rows.withColumn("u", u20)
+      .select(col("b"), col("c"), weight.as("w"))
+      .groupBy(col("b"))
+      .agg(sum(col("w").cast("long") * col("c")).as("wc"), sum(col("w")).cast("long").as("wn"))
+      .filter(col("wn") > 0)
+      .select((col("wc").cast("double") / col("wn")).as("m"))
+    val win = Window.orderBy(col("m"))
+    val ranked = reps.withColumn("r", row_number().over(win))
+      .crossJoin(broadcast(reps.agg(count(lit(1)).as("nb"))))
+    val point = ev.filter(col("event_type") === "purchase")
+      .agg((sum(cents).cast("double") / count(lit(1)) / 100.0).as("mean_value"))
+    val ci = ranked.agg(
+      max(when(col("r") === ceil(lit(0.025) * col("nb")).cast("int"), col("m"))).as("lo_c"),
+      max(when(col("r") === ceil(lit(0.975) * col("nb")).cast("int"), col("m"))).as("hi_c"),
+      max(col("nb")).as("n_replicates"))
+    point.crossJoin(broadcast(ci))
+      .select(roundN(col("mean_value"), 4).as("mean_value"),
+        roundN(col("lo_c") / 100.0, 4).as("ci_lo"),
+        roundN(col("hi_c") / 100.0, 4).as("ci_hi"),
+        col("n_replicates"))
+  }
+
+  private val bootstrapSql = {
+    val thrSum = PoissonCdf20
+      .map(t => s"(CASE WHEN u >= $t THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH $eventsUs,
+       |p AS (SELECT event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+       |      FROM e WHERE event_type = 'purchase'),
+       |x AS (SELECT event_id, c, unnest(range(0, $BootstrapB)) AS b FROM p),
+       |uu AS (SELECT b, c,
+       |        ('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 5))::BIGINT AS u
+       |       FROM x),
+       |w AS (SELECT b, c, $thrSum AS w FROM uu),
+       |reps AS (SELECT CAST(sum(w * c) AS DOUBLE) / sum(w) AS m
+       |         FROM w GROUP BY b HAVING sum(w) > 0),
+       |rk AS (SELECT m, row_number() OVER (ORDER BY m) AS r, count(*) OVER () AS nb
+       |       FROM reps),
+       |ci AS (SELECT max(CASE WHEN r = CAST(ceil(0.025 * nb) AS INT) THEN m END) AS lo_c,
+       |              max(CASE WHEN r = CAST(ceil(0.975 * nb) AS INT) THEN m END) AS hi_c,
+       |              max(nb) AS n_replicates FROM rk),
+       |pt AS (SELECT CAST(sum(c) AS DOUBLE) / count(*) / 100.0 AS mean_value FROM p)
+       |SELECT ${roundNSql("mean_value", 4)} AS mean_value,
+       |  ${roundNSql("lo_c / 100.0", 4)} AS ci_lo,
+       |  ${roundNSql("hi_c / 100.0", 4)} AS ci_hi,
+       |  CAST(n_replicates AS BIGINT) AS n_replicates
+       |FROM pt CROSS JOIN ci""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_stats_bootstrap", bootstrap, Some(bootstrapSql)),
     Q("q_events_abtest", abtest, Some(abtestSql)),
     Q("q_events_survival", survival, Some(survivalSql)),
     Q("q_stats_welch", welch, Some(welchSql)),

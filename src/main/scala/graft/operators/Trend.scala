@@ -168,7 +168,65 @@ object Trend {
       |SELECT month::TIMESTAMP AS month, count(*) AS n_open
       |FROM x GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------------ ewma
+
+  /** EWMA lag horizon: weights beyond K lags are dropped (≤ 2^-21 of the
+    * mass — far below the 1e-4 output quantum). */
+  val EwmaLagK = 20
+
+  /** Exponentially weighted moving average (α = 1/2) of daily purchase
+    * revenue — the smoothed daily-trend line ops teams watch. Dyadic
+    * weights make it EXACT: each day's contribution to day t is
+    * cents·2^(K−lag), an integer, so numerator and the present-weight
+    * denominator are order-free BIGINT sums and the only float op is one
+    * final division (normalized truncated form — robust to calendar gaps,
+    * identical in both engines).
+    *
+    * Scale shape: the day series is calendar-bounded; expansion is the
+    * constant-(K+1)× contribution trick (each day pushes its weighted
+    * value forward to the next K days — the DAU/WAU pattern), then one
+    * (day)-keyed aggregate and an inner join back to existing days.
+    * Overflow budget: daily cents < 2^42 (≈ $44B/day) before
+    * cents·2^20·(K+1) approaches 2^63. */
+  def ewma(spark: SparkSession, dir: String): DataFrame =
+    ewmaOf(Tables.events(spark, dir))
+
+  def ewmaOf(ev: DataFrame): DataFrame = {
+    val cents = floor(col("value") * 100 + 0.5).cast("long")
+    val daily = ev.filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(cents).as("c"))
+    val contrib = daily
+      .select(col("day"), col("c"),
+        explode(sequence(lit(0), lit(EwmaLagK))).as("lag"))
+      .select(date_add(col("day"), col("lag")).as("day"),
+        (col("c") * expr(s"shiftleft(CAST(1 AS BIGINT), $EwmaLagK - lag)")).as("wc"),
+        expr(s"shiftleft(CAST(1 AS BIGINT), $EwmaLagK - lag)").as("w"))
+      .groupBy(col("day"))
+      .agg(sum(col("wc")).as("swc"), sum(col("w")).as("sw"))
+    daily.join(contrib, "day")
+      .select(col("day"),
+        roundN(col("c").cast("double") / 100.0, 2).as("revenue"),
+        roundN(col("swc").cast("double") / col("sw") / 100.0, 4).as("ewma"))
+  }
+
+  private val ewmaSql =
+    s"""WITH e AS (SELECT ts::TIMESTAMP AS ts, event_type, value FROM events),
+       |d AS (SELECT CAST(ts AS DATE) AS day,
+       |        CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+       |      FROM e WHERE event_type = 'purchase' GROUP BY 1),
+       |x AS (SELECT day + to_days(CAST(lag AS INT)) AS day,
+       |        c * (1::BIGINT << ($EwmaLagK - lag)) AS wc,
+       |        (1::BIGINT << ($EwmaLagK - lag)) AS w
+       |      FROM d CROSS JOIN (SELECT unnest(range(0, ${EwmaLagK + 1})) AS lag)),
+       |s AS (SELECT day, CAST(sum(wc) AS BIGINT) AS swc, CAST(sum(w) AS BIGINT) AS sw
+       |      FROM x GROUP BY 1)
+       |SELECT d.day, ${roundNSql("CAST(c AS DOUBLE) / 100.0", 2)} AS revenue,
+       |  ${roundNSql("CAST(swc AS DOUBLE) / sw / 100.0", 4)} AS ewma
+       |FROM d JOIN s USING (day)""".stripMargin
+
   def queries: Seq[Q] = Seq(
+    Q("q_stats_ewma", ewma, Some(ewmaSql)),
     Q("q_stats_trend_ols", revenueTrend, Some(revenueTrendSql)),
     Q("q_stats_seasonal_index", seasonalIndex, Some(seasonalIndexSql)),
     Q("q_stats_open_by_month", openByMonth, Some(openByMonthSql)))

@@ -102,7 +102,11 @@ class PlanTripwireSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     "q_events_funnel_latency",
     // Kaplan-Meier steps walk DISTINCT lifetime DAYS — calendar-bounded;
     // the per-user lifetime table collapses in a keyed aggregate first
-    "q_events_survival")
+    "q_events_survival",
+    // CI order statistics rank the B = 40 replicate means — a
+    // constant-size input by construction; the corpus-sized pass is the
+    // weighted per-replicate aggregate upstream
+    "q_stats_bootstrap")
 
   private def globalWindows(name: String, df: DataFrame): Seq[String] = {
     val plan = df.queryExecution.executedPlan

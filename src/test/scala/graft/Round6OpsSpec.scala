@@ -53,6 +53,38 @@ class Round6OpsSpec extends SparkSuite {
     assert(Analytics.mvJoinIncremental(spark, dir).count() === full)
   }
 
+  test("bootstrap: CI brackets the point estimate with sane width") {
+    val r = graft.operators.Inference.bootstrap(spark, dir).collect().head
+    val (m, lo, hi) = (r.getAs[Double]("mean_value"),
+      r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"))
+    assert(lo <= hi)
+    // Poisson-bootstrap replicate means concentrate around the sample
+    // mean; the point estimate must land inside (or on) the 95% band
+    assert(m >= lo && m <= hi, s"mean $m outside [$lo, $hi]")
+    assert(r.getAs[Long]("n_replicates") === graft.operators.Inference.BootstrapB)
+  }
+
+  test("ewma: constant daily series smooths to itself; spike decays by halves") {
+    import spark.implicits._
+    def ev(id: Long, day: Int, v: Double) =
+      (id, java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:00:00"), 1L, "purchase", v, "{}")
+    val const = (1 to 10).map(d => ev(d.toLong, d, 50.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = graft.operators.Trend.ewmaOf(const).collect()
+    assert(out.forall(r => math.abs(r.getAs[Double]("ewma") - 50.0) < 1e-9))
+
+    // a single spike on day 1: ewma_t = spike * w_t where the truncated
+    // normalized weight halves each day: day1 -> 100, day2 -> 33.33
+    // (2^19/(2^20+2^19)), day3 -> 14.29 (2^18/sum of 3 weights)
+    val spike = (Seq(ev(1L, 1, 100.0)) ++ (2 to 4).map(d => ev(d.toLong, d, 0.0)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val s = graft.operators.Trend.ewmaOf(spike).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString -> r.getAs[Double]("ewma")).toMap
+    assert(math.abs(s("2024-01-01") - 100.0) < 1e-6)
+    assert(math.abs(s("2024-01-02") - 100.0 / 3) < 1e-3)
+    assert(math.abs(s("2024-01-03") - 100.0 / 7) < 1e-3)
+  }
+
   test("mv join incremental: delta terms broadcast the delta side") {
     val plan = Analytics.mvJoinIncremental(spark, dir)
       .queryExecution.executedPlan.toString
