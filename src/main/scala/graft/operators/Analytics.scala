@@ -513,6 +513,81 @@ object Analytics {
        |CROSS JOIN n
        |ORDER BY 1, 2""".stripMargin
 
+  /** Frequent triple itemsets — the Apriori L2→L3 step on top of the
+    * basket-affinity pairs: candidate triples are generated ONLY from
+    * frequent pairs (join on the shared first item, third sub-pair checked
+    * by a semi-join), then support is counted by re-enumerating triples
+    * exclusively over items that appear in some candidate — so the
+    * triple fan-out is bounded by the candidate surface, never by raw
+    * basket size cubed. This is the standard distributed Apriori shape:
+    * every downward-closure prune is a (broadcastable) semi-join.
+    *
+    * Output: (p1 < p2 < p3, n_orders) for triples at or above the pair
+    * MinSupport. */
+  /** Triple support floor — 2, and the PAIR prefilter must use the SAME
+    * floor (Apriori downward closure: a support-2 triple only guarantees
+    * support-2 sub-pairs; pruning pairs at 3 would silently lose it). */
+  val TripleSupport = 2
+
+  def basketTriples(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+      .distinct()
+    val fp = items.alias("a")
+      .join(items.alias("b"),
+        col("a.okey") === col("b.okey") && col("a.part") < col("b.part"))
+      .groupBy(col("a.part").as("pa"), col("b.part").as("pb"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= TripleSupport)
+      .select(col("pa"), col("pb"))
+    // candidates: (p1,p2) ⋈ (p1,p3), p2 < p3, with (p2,p3) also frequent
+    val cand = fp.select(col("pa").as("p1"), col("pb").as("p2"))
+      .join(fp.select(col("pa").as("p1"), col("pb").as("p3")), "p1")
+      .filter(col("p2") < col("p3"))
+      .join(fp.select(col("pa").as("p2"), col("pb").as("p3")), Seq("p2", "p3"), "left_semi")
+      .select(col("p1"), col("p2"), col("p3"))
+    val candParts = cand.select(col("p1").as("part"))
+      .unionByName(cand.select(col("p2").as("part")))
+      .unionByName(cand.select(col("p3").as("part")))
+      .distinct()
+    val fitems = items.join(broadcast(candParts), Seq("part"), "left_semi")
+    val triples = fitems.alias("x")
+      .join(fitems.alias("y"),
+        col("x.okey") === col("y.okey") && col("x.part") < col("y.part"))
+      .join(fitems.alias("z"),
+        col("y.okey") === col("z.okey") && col("y.part") < col("z.part"))
+      .select(col("x.part").as("p1"), col("y.part").as("p2"), col("z.part").as("p3"))
+      .join(broadcast(cand), Seq("p1", "p2", "p3"), "left_semi")
+      .groupBy(col("p1"), col("p2"), col("p3"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= TripleSupport)
+    triples.orderBy(col("p1"), col("p2"), col("p3"))
+  }
+
+  /** MATERIALIZED CTE hints matter here: DuckDB otherwise inlines `fp`
+    * into each of `cand`'s three references and recomputes the whole pair
+    * join per reference — measured 12.7 s → 0.6 s at sf0.01. */
+  private val basketTriplesSql =
+    s"""WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem),
+       |fp AS MATERIALIZED (SELECT a.part AS pa, b.part AS pb
+       |       FROM items a JOIN items b ON a.okey = b.okey AND a.part < b.part
+       |       GROUP BY 1, 2 HAVING count(*) >= $TripleSupport),
+       |cand AS MATERIALIZED (SELECT x.p1, x.p2, y.p3
+       |         FROM (SELECT pa AS p1, pb AS p2 FROM fp) x
+       |         JOIN (SELECT pa AS p1, pb AS p3 FROM fp) y USING (p1)
+       |         JOIN (SELECT pa AS p2, pb AS p3 FROM fp) z USING (p2, p3)
+       |         WHERE x.p2 < y.p3),
+       |cp AS (SELECT p1 AS part FROM cand UNION
+       |       SELECT p2 FROM cand UNION SELECT p3 FROM cand),
+       |fi AS MATERIALIZED (SELECT i.* FROM items i JOIN cp USING (part)),
+       |t AS (SELECT x.part AS p1, y.part AS p2, z.part AS p3
+       |      FROM fi x JOIN fi y ON x.okey = y.okey AND x.part < y.part
+       |                JOIN fi z ON y.okey = z.okey AND y.part < z.part
+       |      JOIN cand c ON c.p1 = x.part AND c.p2 = y.part AND c.p3 = z.part)
+       |SELECT p1, p2, p3, count(*) AS n_orders
+       |FROM t GROUP BY 1, 2, 3 HAVING count(*) >= $TripleSupport
+       |ORDER BY 1, 2, 3""".stripMargin
+
   /** Incremental JOIN-view maintenance — the delta rule for V = O ⋈ L:
     * with base/delta partitions O = Oᵦ ∪ ΔO and L = Lᵦ ∪ ΔL,
     *   V_new = (Oᵦ⋈Lᵦ) ∪ (ΔO⋈Lᵦ) ∪ (Oᵦ⋈ΔL) ∪ (ΔO⋈ΔL)
@@ -558,6 +633,7 @@ object Analytics {
 
   val queries: Seq[Q] = Seq(
     Q("q_mv_join_incremental", mvJoinIncremental, Some(mvJoinIncrementalSql)),
+    Q("q_basket_triples", basketTriples, Some(basketTriplesSql)),
     Q("q_basket_affinity", basketAffinity, Some(basketAffinitySql)),
     Q("q_basket_affinity_capped", basketAffinityCapped, Some(basketAffinityCappedSql)),
     Q("q_mv_incremental", mvIncremental, Some(mvIncrementalSql)),

@@ -454,7 +454,50 @@ object Mining {
        |FROM pairs""".stripMargin
   }
 
+  // ----------------------------------------------------- feature hashing
+
+  /** Hashed feature-space width (the "hashing trick" dimensionality). */
+  val HashFeatures = 256
+
+  /** Signed feature hashing (Weinberger et al.): every token maps to
+    * bucket md5(token) mod F with a ±1 sign from an independent hash bit,
+    * and a document's sparse feature vector is the signed token-count sum
+    * per bucket — the stateless, vocabulary-free text featurizer that
+    * needs no fitted dictionary and therefore no driver state at ANY
+    * corpus size. Output is the sparse (doc_id, feature, weight)
+    * representation, zero-weight cells dropped (sign cancellation is the
+    * trick's documented property, not an error).
+    *
+    * Scale shape: explode → one (doc, feature)-keyed aggregate; both
+    * hashes are per-token expressions inside codegen. */
+  def featureHash(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.withWordsOf(Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(col("w")).as("tok"))
+      .filter(col("tok") =!= "")
+    val feat = conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("int") % HashFeatures
+    val sign = when(
+      conv(substring(md5(col("tok")), 5, 1), 16, 10).cast("int") % 2 === 0, 1)
+      .otherwise(-1)
+    toks.select(col("doc_id"), feat.as("feature"), sign.as("s"))
+      .groupBy(col("doc_id"), col("feature"))
+      .agg(sum(col("s")).cast("long").as("weight"))
+      .filter(col("weight") =!= 0)
+  }
+
+  private val featureHashSql =
+    s"""WITH t AS (SELECT doc_id, unnest(string_split(${TextAnalysis.normSql}, ' ')) AS tok
+       |           FROM documents),
+       |x AS (SELECT doc_id,
+       |        ('0x' || substr(md5(tok), 1, 4))::INT % $HashFeatures AS feature,
+       |        CASE WHEN ('0x' || substr(md5(tok), 5, 1))::INT % 2 = 0
+       |             THEN 1 ELSE -1 END AS s
+       |      FROM t WHERE tok != '')
+       |SELECT doc_id, feature, CAST(sum(s) AS BIGINT) AS weight
+       |FROM x GROUP BY 1, 2
+       |HAVING sum(s) != 0""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q_text_feature_hash", featureHash, Some(featureHashSql)),
     Q("q_embed_rp_distortion", rpDistortion, Some(rpDistortionSql)),
     Q("q_text_zipf", zipfFit, Some(zipfFitSql)),
     Q("q_text_pmi", pmi, Some(pmiSql)),

@@ -225,7 +225,68 @@ object Trend {
        |  ${roundNSql("CAST(swc AS DOUBLE) / sw / 100.0", 4)} AS ewma
        |FROM d JOIN s USING (day)""".stripMargin
 
+  // ----------------------------------------------------------------- cusum
+
+  /** CUSUM change-point scan over daily purchase revenue: the running sum
+    * of deviations from the grand mean, S_t = Σ_{i≤t}(x_i − x̄), peaks at
+    * the most likely level-shift day. Everything rides exact integers by
+    * clearing the denominator: n·S_t = n·prefix_t − t·Total is a BIGINT
+    * identity (n = #days, Total = Σcents), so both engines agree
+    * bit-for-bit and the one float division happens per emitted row.
+    * `is_peak` marks the argmax of |S_t| (earliest day on ties).
+    *
+    * Scale shape: the corpus-sized pass is the per-day aggregate; the
+    * cumulative window walks the DAY series — calendar-bounded, the
+    * whitelisted class. Overflow budget: #days · total cents < 2^63
+    * (≈ $3.4T·day⁻¹-years before it matters). */
+  def cusum(spark: SparkSession, dir: String): DataFrame =
+    cusumOf(Tables.events(spark, dir))
+
+  def cusumOf(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = floor(col("value") * 100 + 0.5).cast("long")
+    val daily = ev.filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(cents).as("c"))
+    val win = Window.orderBy(col("day"))
+    val cum = daily
+      .withColumn("t", row_number().over(win).cast("long"))
+      .withColumn("prefix", sum(col("c")).over(win))
+      .crossJoin(broadcast(daily.agg(count(lit(1)).as("n"), sum(col("c")).as("total"))))
+      .withColumn("ns", col("n") * col("prefix") - col("t") * col("total"))
+    // earliest-day argmax of |S_t| via two 1-row broadcasts (no extra window)
+    val peak = cum.agg(max(abs(col("ns"))).as("peak_ns"))
+    val peakT = cum.crossJoin(broadcast(peak))
+      .filter(abs(col("ns")) === col("peak_ns"))
+      .agg(min(col("t")).as("peak_t"))
+    cum.crossJoin(broadcast(peakT))
+      .withColumn("is_peak", (col("t") === col("peak_t")).cast("boolean"))
+      .select(col("day"),
+        roundN(col("c").cast("double") / 100.0, 2).as("revenue"),
+        roundN(col("ns").cast("double") / col("n") / 100.0, 4).as("cusum"),
+        col("is_peak"))
+  }
+
+  private val cusumSql =
+    s"""WITH e AS (SELECT ts::TIMESTAMP AS ts, event_type, value FROM events),
+       |d AS (SELECT CAST(ts AS DATE) AS day,
+       |        CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+       |      FROM e WHERE event_type = 'purchase' GROUP BY 1),
+       |g AS (SELECT count(*) AS n, CAST(sum(c) AS BIGINT) AS total FROM d),
+       |x AS (SELECT day, c,
+       |        CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+       |        CAST(sum(c) OVER (ORDER BY day) AS BIGINT) AS prefix
+       |      FROM d),
+       |y AS (SELECT day, c, t, n * prefix - t * total AS ns, n FROM x CROSS JOIN g),
+       |p AS (SELECT max(abs(ns)) AS peak_ns FROM y),
+       |pt AS (SELECT min(t) AS peak_t FROM y CROSS JOIN p WHERE abs(ns) = peak_ns)
+       |SELECT day, ${roundNSql("CAST(c AS DOUBLE) / 100.0", 2)} AS revenue,
+       |  ${roundNSql("CAST(ns AS DOUBLE) / n / 100.0", 4)} AS cusum,
+       |  (t = peak_t) AS is_peak
+       |FROM y CROSS JOIN pt""".stripMargin
+
   def queries: Seq[Q] = Seq(
+    Q("q_stats_cusum", cusum, Some(cusumSql)),
     Q("q_stats_ewma", ewma, Some(ewmaSql)),
     Q("q_stats_trend_ols", revenueTrend, Some(revenueTrendSql)),
     Q("q_stats_seasonal_index", seasonalIndex, Some(seasonalIndexSql)),

@@ -106,7 +106,10 @@ class PlanTripwireSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     // CI order statistics rank the B = 40 replicate means — a
     // constant-size input by construction; the corpus-sized pass is the
     // weighted per-replicate aggregate upstream
-    "q_stats_bootstrap")
+    "q_stats_bootstrap",
+    // cumulative deviation walks the DAY series (calendar-bounded, the
+    // q_events_cum_users class); the corpus-sized pass is the per-day agg
+    "q_stats_cusum")
 
   private def globalWindows(name: String, df: DataFrame): Seq[String] = {
     val plan = df.queryExecution.executedPlan

@@ -85,6 +85,64 @@ class Round6OpsSpec extends SparkSuite {
     assert(math.abs(s("2024-01-03") - 100.0 / 7) < 1e-3)
   }
 
+  test("feature hash: buckets in range, weights bounded by token count") {
+    val rows = Mining.featureHash(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val f = r.getAs[Int]("feature"); f >= 0 && f < Mining.HashFeatures
+    })
+    assert(rows.forall(_.getAs[Long]("weight") != 0))
+    // |Σ signed weights per doc| <= token count (triangle inequality)
+    val tok = graft.operators.TextAnalysis.withWordsOf(
+      graft.sources.Tables.documents(spark, dir))
+      .select(col("doc_id"), size(col("w")).as("n")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n")).toMap
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(r => math.abs(r.getAs[Long]("weight"))).sum)
+    assert(byDoc.forall { case (d, s) => s <= tok(d) })
+  }
+
+  test("basket triples: downward closure — every sub-pair meets the floor") {
+    val triples = Analytics.basketTriples(spark, dir).collect()
+    assert(triples.nonEmpty, "fixture must produce at least one triple")
+    val items = graft.sources.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+      .distinct().collect()
+      .groupBy(_.getAs[Long]("okey")).view
+      .mapValues(_.map(_.getAs[Long]("part")).toSet).toMap
+    triples.foreach { t =>
+      val (p1, p2, p3) = (t.getAs[Long]("p1"), t.getAs[Long]("p2"), t.getAs[Long]("p3"))
+      assert(p1 < p2 && p2 < p3)
+      val n = items.values.count(b => b(p1) && b(p2) && b(p3))
+      assert(n === t.getAs[Long]("n_orders")) // support is exact
+      assert(n >= Analytics.TripleSupport)
+    }
+  }
+
+  test("cusum: flat series stays 0; level shift peaks at the break") {
+    import spark.implicits._
+    def ev(id: Long, day: Int, v: Double) =
+      (id, java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:00:00"), 1L, "purchase", v, "{}")
+    // 5 days at 10, then 5 days at 30: S_t peaks (most negative) at day 5
+    val rows = ((1 to 5).map(d => ev(d.toLong, d, 10.0)) ++
+      (6 to 10).map(d => ev(d.toLong, d, 30.0)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = graft.operators.Trend.cusumOf(rows).collect()
+      .sortBy(_.getAs[java.sql.Date]("day").toString)
+    // grand mean 20: S_5 = 5*(10-20) = -50 is the extreme
+    val peak = out.filter(_.getAs[Boolean]("is_peak"))
+    assert(peak.length === 1)
+    assert(peak.head.getAs[java.sql.Date]("day").toString === "2024-01-05")
+    assert(math.abs(peak.head.getAs[Double]("cusum") + 50.0) < 1e-9)
+    // flat series: every cusum exactly 0, peak at the earliest day
+    val flat = (1 to 6).map(d => ev(d.toLong, d, 7.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val fo = graft.operators.Trend.cusumOf(flat).collect()
+    assert(fo.forall(_.getAs[Double]("cusum") === 0.0))
+    assert(fo.filter(_.getAs[Boolean]("is_peak"))
+      .map(_.getAs[java.sql.Date]("day").toString).toSeq === Seq("2024-01-01"))
+  }
+
   test("mv join incremental: delta terms broadcast the delta side") {
     val plan = Analytics.mvJoinIncremental(spark, dir)
       .queryExecution.executedPlan.toString
