@@ -317,7 +317,50 @@ object Curation {
               s"${DpUserCap / DpEpsilon}"), 4)} AS n_released
        |FROM g ORDER BY event_type""".stripMargin
 
+  /** Row-level changelog derivation — the INVERSE of `q_cdc_apply`: given
+    * two keyed snapshots, emit the (key, op) stream that transforms v1
+    * into v2 (insert / update / delete; unchanged rows emit nothing).
+    * This is what a warehouse runs when the upstream can only give full
+    * dumps but downstream consumers want a CDC feed.
+    *
+    * Scale shape: both sides project to (key, md5 digest) BEFORE the
+    * full-outer join — the `q_dataset_diff` lesson — so only ~48-byte
+    * rows shuffle regardless of payload width. */
+  def cdcDerive(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    cdcDeriveOf(docs, snapshotOf(docs))
+  }
+
+  def cdcDeriveOf(a: DataFrame, b: DataFrame): DataFrame = {
+    def sig(df: DataFrame) = df.select(col("doc_id"), md5(col("text")).as("sig"))
+    val l = sig(a).alias("a")
+    val r = sig(b).alias("b")
+    l.join(r, col("a.doc_id") === col("b.doc_id"), "full_outer")
+      .select(coalesce(col("a.doc_id"), col("b.doc_id")).as("doc_id"),
+        when(col("b.doc_id").isNull, "delete")
+          .when(col("a.doc_id").isNull, "insert")
+          .when(col("a.sig") =!= col("b.sig"), "update").as("op"))
+      .filter(col("op").isNotNull)
+      .orderBy(col("doc_id"))
+  }
+
+  private val cdcDeriveSql =
+    """WITH a AS (SELECT doc_id, md5(text) AS sig FROM documents),
+      |b AS (SELECT doc_id, md5(CASE WHEN doc_id % 13 = 5 THEN text || ' rev2'
+      |                              ELSE text END) AS sig
+      |      FROM documents WHERE doc_id % 17 != 3
+      |      UNION ALL
+      |      SELECT doc_id + 1000000, md5(text)
+      |      FROM documents WHERE doc_id % 29 = 7),
+      |j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+      |        CASE WHEN b.doc_id IS NULL THEN 'delete'
+      |             WHEN a.doc_id IS NULL THEN 'insert'
+      |             WHEN a.sig != b.sig THEN 'update' END AS op
+      |      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+      |SELECT doc_id, op FROM j WHERE op IS NOT NULL ORDER BY doc_id""".stripMargin
+
   def queries: Seq[Q] = Seq(
+    Q("q_cdc_derive", cdcDerive, Some(cdcDeriveSql)),
     Q("q_dataset_diff", datasetDiff, Some(datasetDiffSql)),
     Q("q_text_readability", readability, Some(readabilitySql)),
     Q("q_privacy_dp_counts", dpCounts, Some(dpCountsSql)),

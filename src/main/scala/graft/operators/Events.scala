@@ -877,7 +877,156 @@ object Events {
        |  min(CASE WHEN cum >= ceil(0.9 * n) THEN lat_s END) AS p90_s
        |FROM cum""".stripMargin
 
+  // ----------------------------------------------------------------- paths
+
+  /** Leading steps kept per session path. */
+  val PathSteps = 4
+  /** Paths reported (bounded-heap top-k). */
+  val PathTopK = 20
+
+  /** Session path analysis: the PathTopK most common session-opening
+    * event-type sequences (first PathSteps events of each 30-minute-gap
+    * session) — "how do sessions start and where do they go". Ordering
+    * inside a session is pinned by (ts, event_id), so the path string is
+    * deterministic in both engines.
+    *
+    * Scale shape: sessionization is the user-partitioned gaps-and-islands
+    * pair of windows (user-keyed — skewed users are the known hazard, AQE
+    * applies); the path aggregate's key space is bounded by
+    * |event types|^PathSteps, and the final top-k is orderBy+limit —
+    * TakeOrderedAndProject's bounded heap, no global sort. */
+  def paths(spark: SparkSession, dir: String): DataFrame =
+    pathsOf(Tables.events(spark, dir))
+
+  def pathsOf(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = ev
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("brk",
+        when(lag(col("us"), 1).over(w).isNull ||
+          col("us") - lag(col("us"), 1).over(w) >= 30L * 60 * 1000000, 1).otherwise(0))
+      .withColumn("sid", sum(col("brk")).over(run))
+    val perSess = sess
+      .groupBy(col("user_id"), col("sid"))
+      .agg(sort_array(collect_list(struct(col("us"), col("event_id"), col("event_type"))))
+        .as("evs"))
+      .select(array_join(
+        transform(slice(col("evs"), 1, PathSteps), e => e.getField("event_type")),
+        ">").as("path"))
+    perSess.groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(PathTopK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_sessions").desc, col("path"))))
+  }
+
+  private val pathsSql =
+    s"""WITH $eventsUs,
+       |x AS (SELECT user_id, event_id, ts, event_type,
+       |        CASE WHEN lag(ts) OVER w IS NULL
+       |               OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+       |      FROM e
+       |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |y AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                               ROWS UNBOUNDED PRECEDING) AS sid
+       |      FROM x),
+       |s AS (SELECT array_to_string(
+       |          (list(event_type ORDER BY ts, event_id))[1:$PathSteps], '>') AS path
+       |      FROM y GROUP BY user_id, sid),
+       |c AS (SELECT path, count(*) AS n_sessions FROM s GROUP BY 1
+       |      ORDER BY n_sessions DESC, path LIMIT $PathTopK)
+       |SELECT path, n_sessions,
+       |  CAST(row_number() OVER (ORDER BY n_sessions DESC, path) AS INT) AS rank
+       |FROM c""".stripMargin
+
+  // ---------------------------------------------- linear multi-touch attribution
+
+  /** Attribution lookback: touches within 7 days before the purchase. */
+  val TouchLookbackUs: Long = 7L * 24 * 3600 * 1000000L
+
+  /** Linear multi-touch attribution: each purchase's revenue is split
+    * EQUALLY across all click/view touches in the 7-day lookback
+    * (last-touch is `q_events_attribution`). The split stays exact
+    * integer cents: every touch gets cents div n and the LATEST touch
+    * (ts, event_id desc) carries the remainder — a pinned deterministic
+    * rule, so channel revenue sums reconstruct total purchase revenue to
+    * the cent. Untouched purchases attribute to 'none'.
+    *
+    * Scale shape: purchases ⋈ touches is a user-keyed equi-join with the
+    * range predicate applied on top (the q_join_range_events pattern);
+    * per-user fan-out is purchases × touches inside the lookback —
+    * bounded by the window, with the usual AQE skew guard for
+    * pathological users. */
+  def attributionLinear(spark: SparkSession, dir: String): DataFrame =
+    attributionLinearOf(Tables.events(spark, dir))
+
+  def attributionLinearOf(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = floor(col("value") * 100 + 0.5).cast("long")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("p_us"),
+        col("event_id").as("p_id"), cents.as("cents"))
+    val t = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+        col("event_id").as("t_id"), col("event_type").as("channel"))
+    val joined = p.join(t,
+      Seq("user_id")).where(
+        col("t_us") <= col("p_us") && col("t_us") > col("p_us") - TouchLookbackUs)
+    val w = Window.partitionBy(col("user_id"), col("p_id"))
+    val rankW = Window.partitionBy(col("user_id"), col("p_id"))
+      .orderBy(col("t_us").desc, col("t_id").desc)
+    val shares = joined
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("r", row_number().over(rankW))
+      .withColumn("share",
+        expr("cents div n") +
+          when(col("r") === 1, col("cents") % col("n")).otherwise(0L))
+    val touched = shares.groupBy(col("channel"))
+      .agg(countDistinct(col("user_id"), col("p_id")).as("n_purchases"),
+        (sum(col("share")) / 100.0).as("revenue"))
+    // 'none' = purchases with ZERO in-window touches: anti-join against shares
+    val none = p.join(shares.select(col("user_id"), col("p_id")).distinct(),
+        Seq("user_id", "p_id"), "left_anti")
+      .agg(count(lit(1)).as("n_purchases"), (sum(col("cents")) / 100.0).as("revenue"))
+      .select(lit("none").as("channel"), col("n_purchases"), col("revenue"))
+      .where(col("n_purchases") > 0)
+    touched.unionByName(none)
+  }
+
+  private val attributionLinearSql =
+    s"""WITH $eventsUs,
+       |p AS (SELECT user_id, epoch_us(ts) AS p_us, event_id AS p_id,
+       |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+       |      FROM e WHERE event_type = 'purchase'),
+       |t AS (SELECT user_id, epoch_us(ts) AS t_us, event_id AS t_id,
+       |        event_type AS channel
+       |      FROM e WHERE event_type IN ('click', 'view')),
+       |j AS (SELECT p.*, t.t_us, t.t_id, t.channel
+       |      FROM p JOIN t USING (user_id)
+       |      WHERE t.t_us <= p.p_us AND t.t_us > p.p_us - $TouchLookbackUs),
+       |s AS (SELECT channel, user_id, p_id,
+       |        CAST(cents // count(*) OVER (PARTITION BY user_id, p_id) AS BIGINT)
+       |          + CASE WHEN row_number() OVER (PARTITION BY user_id, p_id
+       |                                         ORDER BY t_us DESC, t_id DESC) = 1
+       |                 THEN cents % count(*) OVER (PARTITION BY user_id, p_id)
+       |                 ELSE 0 END AS share
+       |      FROM j),
+       |touched AS (SELECT channel, count(DISTINCT (user_id, p_id)) AS n_purchases,
+       |              sum(share) / 100.0 AS revenue
+       |            FROM s GROUP BY 1),
+       |none_p AS (SELECT count(*) AS n_purchases, sum(cents) / 100.0 AS revenue
+       |           FROM p WHERE NOT EXISTS (SELECT 1 FROM s
+       |             WHERE s.user_id = p.user_id AND s.p_id = p.p_id))
+       |SELECT channel, CAST(n_purchases AS BIGINT) AS n_purchases, revenue FROM touched
+       |UNION ALL
+       |SELECT 'none', CAST(n_purchases AS BIGINT), revenue FROM none_p WHERE n_purchases > 0""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q_events_paths", paths, Some(pathsSql)),
+    Q("q_events_attribution_linear", attributionLinear, Some(attributionLinearSql)),
     Q("q_events_cohort_ltv", cohortLtv, Some(cohortLtvSql)),
     Q("q_events_funnel_latency", funnelLatency, Some(funnelLatencySql)),
     Q("q_events_debounce", debounce, Some(debounceSql)),

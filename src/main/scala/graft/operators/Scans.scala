@@ -692,7 +692,83 @@ object Scans {
        |ORDER BY 1""".stripMargin
   }
 
+  /** Robust outlier audit per event type: median and MAD (median absolute
+    * deviation) from the exact integer-cents histograms, then the count of
+    * events beyond MadK·MAD — the z-score scan's (`q_events_anomaly`)
+    * robust sibling, immune to the outliers it hunts. Both medians ride
+    * the type-1 histogram-cumulative pick over DISTINCT cent values
+    * (money-bounded), every window partitioned by event_type; the outlier
+    * comparison is pure integers (|c−med| > MadK·mad), so both engines
+    * agree exactly even when MAD = 0 (any deviation flags). */
+  val MadK = 5L
+
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = floor(col("value") * 100 + 0.5).cast("long")
+    val vals = Tables.events(spark, dir)
+      .select(col("event_type"), cents.as("c"))
+    def medOf(df: DataFrame, valCol: String): DataFrame = {
+      val byT = Window.partitionBy(col("event_type"))
+      df.groupBy(col("event_type"), col(valCol))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(byT.orderBy(col(valCol))))
+        .withColumn("n", sum(col("cnt")).over(byT))
+        .groupBy(col("event_type"))
+        .agg(min(when(col("cum") >= ceil(lit(0.5) * col("n")), col(valCol))).as("m"),
+          max(col("n")).as("n"))
+    }
+    val med = medOf(vals, "c").select(col("event_type"), col("m").as("med"), col("n"))
+    val dev = vals.join(med, "event_type")
+      .select(col("event_type"), abs(col("c") - col("med")).as("d"))
+    val mad = medOf(dev, "d").select(col("event_type"), col("m").as("mad"))
+    val outliers = vals.join(med, "event_type").join(mad, "event_type")
+      .filter(abs(col("c") - col("med")) > lit(MadK) * col("mad"))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_out"))
+    med.join(mad, "event_type")
+      .join(outliers, Seq("event_type"), "left_outer")
+      .select(col("event_type"), col("n"),
+        (col("med").cast("double") / 100.0).as("median"),
+        (col("mad").cast("double") / 100.0).as("mad"),
+        coalesce(col("n_out"), lit(0L)).as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
+  private val madOutliersSql =
+    s"""WITH e AS (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+       |           FROM events),
+       |h1 AS (SELECT event_type, c, count(*) AS cnt FROM e GROUP BY 1, 2),
+       |c1 AS (SELECT event_type, c,
+       |         sum(cnt) OVER (PARTITION BY event_type ORDER BY c) AS cum,
+       |         sum(cnt) OVER (PARTITION BY event_type) AS n
+       |       FROM h1),
+       |med AS (SELECT event_type,
+       |          min(CASE WHEN cum >= ceil(0.5 * n) THEN c END) AS med,
+       |          CAST(max(n) AS BIGINT) AS n
+       |        FROM c1 GROUP BY 1),
+       |d AS (SELECT e.event_type, abs(e.c - med.med) AS dv
+       |      FROM e JOIN med USING (event_type)),
+       |h2 AS (SELECT event_type, dv, count(*) AS cnt FROM d GROUP BY 1, 2),
+       |c2 AS (SELECT event_type, dv,
+       |         sum(cnt) OVER (PARTITION BY event_type ORDER BY dv) AS cum,
+       |         sum(cnt) OVER (PARTITION BY event_type) AS n
+       |       FROM h2),
+       |mad AS (SELECT event_type,
+       |          min(CASE WHEN cum >= ceil(0.5 * n) THEN dv END) AS mad
+       |        FROM c2 GROUP BY 1),
+       |o AS (SELECT e.event_type, count(*) AS n_out
+       |      FROM e JOIN med USING (event_type) JOIN mad USING (event_type)
+       |      WHERE abs(e.c - med.med) > $MadK * mad.mad
+       |      GROUP BY 1)
+       |SELECT med.event_type, med.n,
+       |  CAST(med.med AS DOUBLE) / 100.0 AS median,
+       |  CAST(mad.mad AS DOUBLE) / 100.0 AS mad,
+       |  coalesce(o.n_out, 0) AS n_outliers
+       |FROM med JOIN mad USING (event_type)
+       |LEFT JOIN o USING (event_type)
+       |ORDER BY 1""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q_stats_mad", madOutliers, Some(madOutliersSql)),
     Q("q_stats_psi", psiDrift, Some(psiSql)),
     Q("q_stats_ks", ksDrift, Some(ksSql)),
     Q("q_stats_mannwhitney", mannWhitney, Some(mannWhitneySql)),

@@ -109,7 +109,11 @@ class PlanTripwireSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     "q_stats_bootstrap",
     // cumulative deviation walks the DAY series (calendar-bounded, the
     // q_events_cum_users class); the corpus-sized pass is the per-day agg
-    "q_stats_cusum")
+    "q_stats_cusum",
+    // rank window over the LIMIT-PathTopK bounded-heap result — 20 rows
+    // by construction (the q_text_zipf class); sessionization windows
+    // upstream are user-partitioned
+    "q_events_paths")
 
   private def globalWindows(name: String, df: DataFrame): Seq[String] = {
     val plan = df.queryExecution.executedPlan

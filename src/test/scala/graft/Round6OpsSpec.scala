@@ -143,6 +143,82 @@ class Round6OpsSpec extends SparkSuite {
       .map(_.getAs[java.sql.Date]("day").toString).toSeq === Seq("2024-01-01"))
   }
 
+  test("paths: session split and step truncation match hand fixture") {
+    import spark.implicits._
+    def ev(id: Long, ts: String, u: Long, t: String) =
+      (id, java.sql.Timestamp.valueOf(ts), u, t, 1.0, "{}")
+    val d = Seq(
+      ev(1, "2024-01-01 10:00:00", 1, "view"),
+      ev(2, "2024-01-01 10:01:00", 1, "click"),
+      ev(3, "2024-01-01 10:02:00", 1, "purchase"),
+      ev(4, "2024-01-01 10:03:00", 1, "view"),
+      ev(5, "2024-01-01 10:04:00", 1, "view"), // 5 events: 5th truncated
+      ev(6, "2024-01-01 12:00:00", 1, "signup"), // new session (gap)
+      ev(7, "2024-01-01 10:00:00", 2, "view"),
+      ev(8, "2024-01-01 10:01:00", 2, "click"),
+      ev(9, "2024-01-01 10:02:00", 2, "purchase"),
+      ev(10, "2024-01-01 10:03:00", 2, "view"),
+      ev(11, "2024-01-01 10:04:00", 2, "error"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = fixtureDir("events" -> d)
+    val rows = graft.operators.Events.paths(spark, dir).collect()
+      .map(r => r.getAs[String]("path") -> r.getAs[Long]("n_sessions")).toMap
+    // both users' long sessions truncate to the same first-4 path
+    assert(rows("view>click>purchase>view") === 2L)
+    assert(rows("signup") === 1L)
+  }
+
+  test("linear attribution: exact split with remainder to latest touch") {
+    import spark.implicits._
+    def ev(id: Long, ts: String, u: Long, t: String, v: Double) =
+      (id, java.sql.Timestamp.valueOf(ts), u, t, v, "{}")
+    val d = Seq(
+      ev(1, "2024-01-01 10:00:00", 1, "view", 0),
+      ev(2, "2024-01-01 10:05:00", 1, "click", 0),
+      ev(3, "2024-01-01 10:06:00", 1, "click", 0),
+      ev(4, "2024-01-01 10:10:00", 1, "purchase", 1.00), // 100c / 3 touches
+      ev(5, "2024-01-01 10:00:00", 2, "purchase", 5.00)) // no touches -> none
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = fixtureDir("events" -> d)
+    val rows = graft.operators.Events.attributionLinear(spark, dir).collect()
+      .map(r => r.getAs[String]("channel") ->
+        (r.getAs[Long]("n_purchases"), r.getAs[Double]("revenue"))).toMap
+    // 100 cents over 3 touches: 33 each, +1 remainder to the LATEST (click id 3)
+    assert(rows("view") === (1L, 0.33))
+    assert(rows("click") === (1L, 0.67)) // 33 + (33 + 1)
+    assert(rows("none") === (1L, 5.0))
+    // conservation: channel revenues reconstruct total purchase revenue
+    assert(math.abs(rows.values.map(_._2).sum - 6.0) < 1e-9)
+  }
+
+  test("mad: median and MAD immune to a wild outlier") {
+    import spark.implicits._
+    def ev(id: Long, v: Double) =
+      (id, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "purchase", v, "{}")
+    val d = (Seq.tabulate(9)(i => ev(i.toLong, 10.0 + i)) :+ ev(99L, 100000.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = fixtureDir("events" -> d)
+    val r = graft.operators.Scans.madOutliers(spark, dir).collect()
+      .filter(_.getAs[String]("event_type") == "purchase").head
+    // 10 values: 10..18 plus 100000; type-1 median = 5th = 14
+    assert(r.getAs[Double]("median") === 14.0)
+    // deviations: 4,3,2,1,0,1,2,3,4,99986 -> median dev = 2 (ceil(5)=5th of sorted 0,1,1,2,2,...)
+    assert(r.getAs[Double]("mad") === 2.0)
+    assert(r.getAs[Long]("n_outliers") === 1L) // only the wild point
+  }
+
+  test("cdc derive: op counts agree with the dataset diff statuses") {
+    val ops = graft.operators.Curation.cdcDerive(spark, dir).collect()
+      .groupBy(_.getAs[String]("op")).view.mapValues(_.length.toLong).toMap
+    val diff = graft.operators.Curation.datasetDiff(spark, dir).collect()
+      .groupBy(_.getAs[String]("status")).view
+      .mapValues(_.map(_.getAs[Long]("n")).sum).toMap
+    assert(ops("insert") === diff("added"))
+    assert(ops("delete") === diff("removed"))
+    assert(ops("update") === diff("changed"))
+    assert(!ops.contains(null))
+  }
+
   test("mv join incremental: delta terms broadcast the delta side") {
     val plan = Analytics.mvJoinIncremental(spark, dir)
       .queryExecution.executedPlan.toString
