@@ -202,7 +202,74 @@ object EmbedClassify {
        |FROM pred GROUP BY label""".stripMargin
   }
 
+  /** Embedding drift between deterministic train/eval splits: per label,
+    * the cosine between the two splits' centroids plus a norm ratio — the
+    * "did my eval set drift away from train in embedding space" audit a
+    * labeling pipeline runs before trusting eval numbers. Splits use the
+    * engine's standard md5-byte gate on vec_id (~50/50), centroid math is
+    * the exact fixed-point pooling above, and both centroid arrays are
+    * reassembled in dim order so every dot is the same sequential fold.
+    *
+    * Scale: ONE (label, split, dim)-keyed aggregate (≤ labels×2×Dim keys)
+    * then label-sized work. */
+  def embedDrift(spark: SparkSession, dir: String): DataFrame = {
+    val split = when(
+      conv(substring(md5(col("vec_id").cast("string")), 1, 2), 16, 10)
+        .cast("int") < 128, "train").otherwise("eval")
+    val comp = Tables.embeddings(spark, dir)
+      .select(col("label"), split.as("split"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim0", "x")))
+      .select(col("label"), col("split"), (col("dim0") + 1).as("dim"), q6(col("x")).as("qx"))
+    val cents = comp
+      .groupBy(col("label"), col("split"), col("dim"))
+      .agg((sum(col("qx")).cast("double") / 1e6 / count(lit(1))).as("cent"),
+        count(lit(1)).as("n"))
+      .groupBy(col("label"), col("split"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("cent")))),
+        s => s.getField("cent")).as("cv"),
+        max(col("n")).as("n"))
+    val t = cents.filter(col("split") === "train")
+      .select(col("label"), col("cv").as("tv"), col("n").as("n_train"))
+    val e = cents.filter(col("split") === "eval")
+      .select(col("label"), col("cv").as("ev"), col("n").as("n_eval"))
+    t.join(e, "label")
+      .select(col("label"), col("n_train"), col("n_eval"),
+        roundN(call_function("vec_dot", col("tv"), col("ev")) /
+          (sqrt(call_function("vec_dot", col("tv"), col("tv"))) *
+            sqrt(call_function("vec_dot", col("ev"), col("ev")))), 6).as("centroid_cos"),
+        roundN(sqrt(call_function("vec_dot", col("ev"), col("ev"))) /
+          sqrt(call_function("vec_dot", col("tv"), col("tv"))), 6).as("norm_ratio"))
+      .orderBy(col("label"))
+  }
+
+  private val embedDriftSql =
+    s"""WITH c AS (
+       |  SELECT label,
+       |    CASE WHEN ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 2))::INT < 128
+       |         THEN 'train' ELSE 'eval' END AS split,
+       |    CAST(i AS INT) AS dim,
+       |    CAST(floor((embedding::DOUBLE[])[i] * 1e6 + 0.5) AS BIGINT) AS qx
+       |  FROM embeddings CROSS JOIN range(1, 65) r(i)),
+       |g AS (SELECT label, split, dim,
+       |        CAST(sum(qx) AS DOUBLE) / 1e6 / count(*) AS cent, count(*) AS n
+       |      FROM c GROUP BY 1, 2, 3),
+       |v AS (SELECT label, split, list(cent ORDER BY dim) AS cv, CAST(max(n) AS BIGINT) AS n
+       |      FROM g GROUP BY 1, 2),
+       |t AS (SELECT label, cv AS tv, n AS n_train FROM v WHERE split = 'train'),
+       |e AS (SELECT label, cv AS ev, n AS n_eval FROM v WHERE split = 'eval')
+       |SELECT label, n_train, n_eval,
+       |  ${roundNSql(
+        "list_sum(list_transform(range(1, 65), i -> tv[i] * ev[i])) / " +
+          "(sqrt(list_sum(list_transform(range(1, 65), i -> tv[i] * tv[i]))) * " +
+          "sqrt(list_sum(list_transform(range(1, 65), i -> ev[i] * ev[i]))))", 6)} AS centroid_cos,
+       |  ${roundNSql(
+        "sqrt(list_sum(list_transform(range(1, 65), i -> ev[i] * ev[i]))) / " +
+          "sqrt(list_sum(list_transform(range(1, 65), i -> tv[i] * tv[i])))", 6)} AS norm_ratio
+       |FROM t JOIN e USING (label)
+       |ORDER BY label""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q_embed_drift", embedDrift, Some(embedDriftSql)),
     Q("q_embed_centroids", centroids, Some(centroidsSql)),
     Q("q_embed_nearest_centroid", nearestCentroid, Some(nearestCentroidSql), bench = true),
     Q("q_sim_knn_eval", knnEval, Some(knnEvalSql)),

@@ -407,7 +407,118 @@ object Inference {
        |FROM pt CROSS JOIN ci""".stripMargin
   }
 
+  // ----------------------------------------------------------------- cuped
+
+  /** CUPED variance-reduced A/B comparison (Deng et al., the standard
+    * big-tech experimentation adjustment): per user, the PRE-period
+    * purchase spend X (events before the calendar midpoint) predicts the
+    * EXPERIMENT-period spend Y; regressing Y on X pooled across arms
+    * (θ = cov(X,Y)/var(X)) and reporting the θ-adjusted arm means cuts
+    * metric variance by corr² without biasing the lift (assignment is
+    * independent of X).
+    *
+    * Exactness: the calendar midpoint is integer epoch-micros arithmetic
+    * on a 1-row broadcast; X/Y are exact per-user integer cents from ONE
+    * conditional keyed aggregate; the five pooled sufficient statistics
+    * (n, ΣX, ΣY, ΣXY, ΣX²) and the per-arm sums are exact BIGINTs
+    * (product budget: per-user cents < 2^31.5 ≈ $21M each side), so θ,
+    * the adjusted means, and the variance-reduction ratio are single-row
+    * double computations written token-identically in both engines.
+    *
+    * Scale shape: one user-keyed aggregate + two single-row frames —
+    * nothing after the per-user collapse depends on event volume. */
+  def cuped(spark: SparkSession, dir: String): DataFrame =
+    cupedOf(Tables.events(spark, dir))
+
+  def cupedOf(ev: DataFrame): DataFrame = {
+    val cents = floor(col("value") * 100 + 0.5).cast("long")
+    val us = unix_micros(col("ts"))
+    val mid = ev.agg(((min(us) + max(us)) / lit(2L)).cast("long").as("mid_us"))
+    val perUser = ev
+      .crossJoin(broadcast(mid))
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(us < col("mid_us"), cents).otherwise(0L)).as("x"),
+        sum(when(us >= col("mid_us"), cents).otherwise(0L)).as("y"))
+      .select(armCol(col("user_id")).as("arm"), col("x"), col("y"))
+    val pooled = perUser.agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val arms = perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).as("an"), sum(col("x")).as("ax"), sum(col("y")).as("ay"))
+    val w = arms.agg(
+      max(when(col("arm") === 0, col("an"))).as("n_c"),
+      max(when(col("arm") === 0, col("ax"))).as("x_c"),
+      max(when(col("arm") === 0, col("ay"))).as("y_c"),
+      max(when(col("arm") === 1, col("an"))).as("n_t"),
+      max(when(col("arm") === 1, col("ax"))).as("x_t"),
+      max(when(col("arm") === 1, col("ay"))).as("y_t"))
+      .crossJoin(broadcast(pooled))
+    def m(s: Column, n: Column) = s.cast("double") / n
+    val covXY = (col("sxy").cast("double") - col("sx").cast("double") * col("sy") / col("n")) / col("n")
+    val varX = (col("sxx").cast("double") - col("sx").cast("double") * col("sx") / col("n")) / col("n")
+    val varY = (col("syy").cast("double") - col("sy").cast("double") * col("sy") / col("n")) / col("n")
+    val theta = covXY / varX
+    val mxAll = m(col("sx"), col("n"))
+    val adjC = m(col("y_c"), col("n_c")) - theta * (m(col("x_c"), col("n_c")) - mxAll)
+    val adjT = m(col("y_t"), col("n_t")) - theta * (m(col("x_t"), col("n_t")) - mxAll)
+    w.select(col("n_c"), col("n_t"),
+      roundN(m(col("y_c"), col("n_c")) / 100, 4).as("mean_c_raw"),
+      roundN(m(col("y_t"), col("n_t")) / 100, 4).as("mean_t_raw"),
+      roundN(adjC / 100, 4).as("mean_c_adj"),
+      roundN(adjT / 100, 4).as("mean_t_adj"),
+      roundN((adjT - adjC) / 100, 4).as("lift_adj"),
+      roundN(theta, 6).as("theta"),
+      roundN(covXY * covXY / (varX * varY), 6).as("var_reduction"))
+  }
+
+  private val cupedSql = {
+    val covXY = "((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n) / n)"
+    val varX = "((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / n)"
+    val varY = "((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) / n)"
+    val theta = s"($covXY / $varX)"
+    val mxAll = "(CAST(sx AS DOUBLE) / n)"
+    val adjC = s"(CAST(y_c AS DOUBLE) / n_c - $theta * (CAST(x_c AS DOUBLE) / n_c - $mxAll))"
+    val adjT = s"(CAST(y_t AS DOUBLE) / n_t - $theta * (CAST(x_t AS DOUBLE) / n_t - $mxAll))"
+    s"""WITH $eventsUs,
+       |mid AS (SELECT CAST((min(epoch_us(ts)) + max(epoch_us(ts))) / 2 AS BIGINT) AS mid_us
+       |        FROM e),
+       |u AS (SELECT user_id,
+       |        CAST(sum(CASE WHEN epoch_us(ts) < mid_us
+       |                      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+       |        CAST(sum(CASE WHEN epoch_us(ts) >= mid_us
+       |                      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+       |      FROM e CROSS JOIN mid WHERE event_type = 'purchase'
+       |      GROUP BY 1),
+       |ua AS (SELECT $armSql AS arm, x, y FROM u),
+       |pooled AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+       |             CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+       |             CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
+       |           FROM ua),
+       |arms AS (SELECT arm, count(*) AS an, CAST(sum(x) AS BIGINT) AS ax,
+       |           CAST(sum(y) AS BIGINT) AS ay FROM ua GROUP BY 1),
+       |w AS (SELECT max(CASE WHEN arm = 0 THEN an END) AS n_c,
+       |             max(CASE WHEN arm = 0 THEN ax END) AS x_c,
+       |             max(CASE WHEN arm = 0 THEN ay END) AS y_c,
+       |             max(CASE WHEN arm = 1 THEN an END) AS n_t,
+       |             max(CASE WHEN arm = 1 THEN ax END) AS x_t,
+       |             max(CASE WHEN arm = 1 THEN ay END) AS y_t
+       |      FROM arms)
+       |SELECT n_c, n_t,
+       |  ${roundNSql("CAST(y_c AS DOUBLE) / n_c / 100", 4)} AS mean_c_raw,
+       |  ${roundNSql("CAST(y_t AS DOUBLE) / n_t / 100", 4)} AS mean_t_raw,
+       |  ${roundNSql(s"$adjC / 100", 4)} AS mean_c_adj,
+       |  ${roundNSql(s"$adjT / 100", 4)} AS mean_t_adj,
+       |  ${roundNSql(s"($adjT - $adjC) / 100", 4)} AS lift_adj,
+       |  ${roundNSql(theta, 6)} AS theta,
+       |  ${roundNSql(s"$covXY * $covXY / ($varX * $varY)", 6)} AS var_reduction
+       |FROM w CROSS JOIN pooled""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_events_abtest_cuped", cuped, Some(cupedSql)),
     Q("q_stats_bootstrap", bootstrap, Some(bootstrapSql)),
     Q("q_events_abtest", abtest, Some(abtestSql)),
     Q("q_events_survival", survival, Some(survivalSql)),

@@ -191,11 +191,19 @@ object Trend {
   def ewma(spark: SparkSession, dir: String): DataFrame =
     ewmaOf(Tables.events(spark, dir))
 
-  def ewmaOf(ev: DataFrame): DataFrame = {
+  def ewmaOf(ev: DataFrame): DataFrame = ewmaFromDaily(dailyCents(ev))
+
+  /** (day, c) daily purchase cents — the shared base of the smoothing and
+    * change-point scans, and the store shape the streaming revenue
+    * monitor maintains ([[graft.streaming.RevenueMonitor]]). */
+  private[graft] def dailyCents(ev: DataFrame): DataFrame = {
     val cents = floor(col("value") * 100 + 0.5).cast("long")
-    val daily = ev.filter(col("event_type") === "purchase")
+    ev.filter(col("event_type") === "purchase")
       .groupBy(to_date(col("ts")).as("day"))
       .agg(sum(cents).as("c"))
+  }
+
+  private[graft] def ewmaFromDaily(daily: DataFrame): DataFrame = {
     val contrib = daily
       .select(col("day"), col("c"),
         explode(sequence(lit(0), lit(EwmaLagK))).as("lag"))
@@ -242,12 +250,10 @@ object Trend {
   def cusum(spark: SparkSession, dir: String): DataFrame =
     cusumOf(Tables.events(spark, dir))
 
-  def cusumOf(ev: DataFrame): DataFrame = {
+  def cusumOf(ev: DataFrame): DataFrame = cusumFromDaily(dailyCents(ev))
+
+  private[graft] def cusumFromDaily(daily: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents = floor(col("value") * 100 + 0.5).cast("long")
-    val daily = ev.filter(col("event_type") === "purchase")
-      .groupBy(to_date(col("ts")).as("day"))
-      .agg(sum(cents).as("c"))
     val win = Window.orderBy(col("day"))
     val cum = daily
       .withColumn("t", row_number().over(win).cast("long"))

@@ -128,6 +128,36 @@ class InferenceSpec extends SparkSuite {
     assert(r2.getAs[Double]("t_stat") > 0)
   }
 
+  // ----------------------------------------------------------------- cuped
+
+  test("cuped: a perfectly predictive pre-period zeroes the adjusted lift") {
+    // every user spends the same amount pre and post: Y = X, so theta = 1,
+    // variance reduction = 1, and the adjusted means collapse to the grand
+    // pre-period mean in BOTH arms -> lift_adj = 0 regardless of arm skew
+    val rows = (1L to 20L).flatMap { u =>
+      val v = 10.0 + u
+      Seq((u * 2, "2024-01-01 10:00:00", u, "purchase", v, "{}"),
+        (u * 2 + 1, "2024-01-09 10:00:00", u, "purchase", v, "{}"))
+    }.map { case (id, ts, u, t, v, p) =>
+      (id, java.sql.Timestamp.valueOf(ts), u, t, v, p)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val d = fixtureDir("events" -> rows)
+    val r = Inference.cuped(spark, d).collect().head
+    assert(math.abs(r.getAs[Double]("theta") - 1.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("var_reduction") - 1.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("lift_adj")) < 1e-6)
+    // the RAW lift is nonzero (arms have different users), proving the
+    // adjustment did the work
+    assert(math.abs(r.getAs[Double]("mean_t_raw") - r.getAs[Double]("mean_c_raw")) > 1e-6)
+  }
+
+  test("cuped: variance reduction bounded on real data") {
+    val r = Inference.cuped(spark, SparkSpec.sf0001).collect().head
+    val vr = r.getAs[Double]("var_reduction")
+    assert(vr >= 0.0 && vr <= 1.0)
+    assert(r.getAs[Long]("n_c") > 0 && r.getAs[Long]("n_t") > 0)
+  }
+
   // --------------------------------------------------------------- benford
 
   test("benford: shares sum to 1, digits complete, chi2 non-negative") {
