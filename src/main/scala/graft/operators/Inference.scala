@@ -119,29 +119,53 @@ object Inference {
 
   // -------------------------------------------------------------- survival
 
-  /** Kaplan-Meier retention curve over user lifetimes. A user's lifetime
-    * is last-seen − first-seen in days; churn is OBSERVED when the last
-    * event is ≥ 7 days before the corpus horizon, otherwise the user is
-    * right-censored (still alive at horizon). S(t) multiplies (1 − d/n)
+  /** Kaplan-Meier time-to-conversion curve: per user, days from first
+    * sighting to the first big-ticket purchase (value ≥ ConvThreshold —
+    * the abtest conversion event); users who never convert are
+    * right-censored at the corpus horizon. ("Days to churn" is the
+    * textbook framing, but this corpus keeps every user active to the
+    * horizon — zero churn events at every SF — so conversion is the
+    * event that actually produces a curve.) S(t) multiplies (1 − d/n)
     * over event times ≤ t; the product rides a cumulative sum of
     * micro-quantized ln terms so both engines agree bit-for-bit, and a
     * cumulative absorbed flag pins S = 0 past any time where the whole
-    * risk set churns.
+    * risk set converts.
     *
-    * Scale shape: user-sized work is ONE keyed aggregate (first/last per
-    * user); the only window runs over DISTINCT lifetime days — bounded by
-    * the calendar horizon, the whitelisted q_stats_quantiles class. */
+    * Scale shape: user-sized work is ONE conditional keyed aggregate;
+    * the only window runs over DISTINCT day values — bounded by the
+    * calendar horizon, the whitelisted q_stats_quantiles class. */
   def survival(spark: SparkSession, dir: String): DataFrame =
     survivalOf(Tables.events(spark, dir))
 
-  def survivalOf(ev: DataFrame): DataFrame = {
+  /** (arm, lifetime_days, event) time-to-conversion base shared by the
+    * KM curve and the log-rank test. */
+  private def timeToConv(ev: DataFrame): DataFrame = {
     val perUser = ev.groupBy(col("user_id"))
-      .agg(min(to_date(col("ts"))).as("f"), max(to_date(col("ts"))).as("l"))
-    val horizon = perUser.agg(max(col("l")).as("hz"))
-    val lives = perUser.crossJoin(broadcast(horizon))
-      .select(datediff(col("l"), col("f")).as("lifetime_days"),
-        when(datediff(col("hz"), col("l")) >= 7, 1).otherwise(0).as("churn"))
-    val hist = lives.groupBy(col("lifetime_days"))
+      .agg(min(to_date(col("ts"))).as("f"),
+        min(when(col("event_type") === "purchase" && col("value") >= ConvThreshold,
+          to_date(col("ts")))).as("conv"))
+    val horizon = ev.agg(max(to_date(col("ts"))).as("hz"))
+    perUser.crossJoin(broadcast(horizon))
+      .select(armCol(col("user_id")).as("arm"),
+        when(col("conv").isNotNull, datediff(col("conv"), col("f")))
+          .otherwise(datediff(col("hz"), col("f"))).cast("long").as("lifetime_days"),
+        when(col("conv").isNotNull, 1L).otherwise(0L).as("churn"))
+  }
+
+  private val timeToConvSql =
+    s"""u AS (SELECT user_id, min(CAST(ts AS DATE)) AS f,
+       |        min(CASE WHEN event_type = 'purchase' AND value >= $ConvThreshold
+       |                 THEN CAST(ts AS DATE) END) AS conv
+       |      FROM e GROUP BY 1),
+       |hz AS (SELECT max(CAST(ts AS DATE)) AS hz FROM e),
+       |lv AS (SELECT $armSql AS arm,
+       |         CAST(CASE WHEN conv IS NOT NULL THEN date_diff('day', f, conv)
+       |              ELSE date_diff('day', f, hz) END AS BIGINT) AS lifetime_days,
+       |         CASE WHEN conv IS NOT NULL THEN 1 ELSE 0 END AS churn
+       |       FROM u CROSS JOIN hz)""".stripMargin
+
+  def survivalOf(ev: DataFrame): DataFrame = {
+    val hist = timeToConv(ev).groupBy(col("lifetime_days"))
       .agg(count(lit(1)).as("leave"), sum(col("churn")).as("d"))
     val win = Window.orderBy(col("lifetime_days"))
     val total = hist.agg(sum(col("leave")).as("n_users"))
@@ -157,19 +181,14 @@ object Inference {
       .withColumn("absorbed", max(when(col("qln").isNull, 1).otherwise(0)).over(win))
       .withColumn("s", sum(coalesce(col("qln"), lit(0L))).over(win))
     cum.select(col("lifetime_days").cast("long").as("lifetime_days"),
-      col("n_risk"), col("d").as("n_churn"),
+      col("n_risk"), col("d").as("n_events"),
       when(col("absorbed") === 1, lit(0.0))
         .otherwise(roundN(exp(col("s").cast("double") / 1e6), 6)).as("survival"))
   }
 
   private val survivalSql =
     s"""WITH $eventsUs,
-       |u AS (SELECT user_id, min(CAST(ts AS DATE)) AS f, max(CAST(ts AS DATE)) AS l
-       |      FROM e GROUP BY 1),
-       |hz AS (SELECT max(l) AS hz FROM u),
-       |lv AS (SELECT date_diff('day', f, l) AS lifetime_days,
-       |              CASE WHEN date_diff('day', l, hz) >= 7 THEN 1 ELSE 0 END AS churn
-       |       FROM u CROSS JOIN hz),
+       |$timeToConvSql,
        |h AS (SELECT lifetime_days, count(*) AS leave, sum(churn) AS d
        |      FROM lv GROUP BY 1),
        |c AS (SELECT lifetime_days, leave, d,
@@ -187,9 +206,106 @@ object Inference {
        |          OVER (ORDER BY lifetime_days) AS absorbed,
        |        sum(coalesce(qln, 0)) OVER (ORDER BY lifetime_days) AS s
        |      FROM q)
-       |SELECT lifetime_days, CAST(n_risk AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS n_churn,
+       |SELECT lifetime_days, CAST(n_risk AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS n_events,
        |  CASE WHEN absorbed = 1 THEN 0.0
        |       ELSE ${roundNSql("exp(CAST(s AS DOUBLE) / 1e6)", 6)} END AS survival
+       |FROM s""".stripMargin
+
+  // --------------------------------------------------------------- logrank
+
+  /** Log-rank test between the two arms' time-to-conversion curves —
+    * "does the treatment speed up conversion", the standard sequel to the
+    * Kaplan-Meier plot. At every event time t: observed arm-1 events d1_t vs expected
+    * E1_t = d·n1/n under H0, with hypergeometric variance
+    * V_t = d·(n1/n)·(1−n1/n)·(n−d)/(n−1); χ² = (Σ(d1−E1))²/ΣV.
+    *
+    * Exactness: E1 and V are rationals of exact integers; each term is
+    * quantized to integer micro-units BEFORE the sum (the engine's
+    * standard transcendental-sum rule — here it guards float ADDITION
+    * order, same reason), so both engines sum identical integers and χ²
+    * is one final division. Risk sets come from per-arm cumulative
+    * windows over the DISTINCT-lifetime grid (calendar-bounded,
+    * partitioned by arm). */
+  def logrank(spark: SparkSession, dir: String): DataFrame =
+    logrankOf(Tables.events(spark, dir))
+
+  def logrankOf(ev: DataFrame): DataFrame = {
+    val hist = timeToConv(ev)
+      .withColumnRenamed("lifetime_days", "t")
+      .groupBy(col("arm"), col("t"))
+      .agg(count(lit(1)).as("leave"), sum(col("churn")).as("d"))
+    // full (t × arm) grid so per-arm cumulative risk sets line up
+    val grid = hist.select(col("t")).distinct()
+      .select(col("t"), explode(array(lit(0), lit(1))).as("arm"))
+      .join(hist, Seq("arm", "t"), "left_outer")
+      .select(col("arm"), col("t"),
+        coalesce(col("leave"), lit(0L)).as("leave"),
+        coalesce(col("d"), lit(0L)).as("d"))
+    val byArm = Window.partitionBy(col("arm")).orderBy(col("t"))
+    val risk = grid
+      .withColumn("left_before",
+        coalesce(sum(col("leave")).over(byArm.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn("total_arm",
+        sum(col("leave")).over(Window.partitionBy(col("arm"))))
+      .withColumn("at_risk", col("total_arm") - col("left_before"))
+    val perT = risk.groupBy(col("t")).agg(
+      sum(col("d")).as("d"),
+      sum(col("at_risk")).as("n"),
+      max(when(col("arm") === 1, col("at_risk"))).as("n1"),
+      max(when(col("arm") === 1, col("d"))).as("d1"))
+      .filter(col("d") > 0 && col("n") > 1)
+    val e1 = col("d").cast("double") * col("n1") / col("n")
+    val p1 = col("n1").cast("double") / col("n")
+    val v = col("d").cast("double") * p1 * (lit(1.0) - p1) *
+      (col("n") - col("d")) / (col("n") - lit(1))
+    val terms = perT.select(
+      col("d1"),
+      floor(e1 * 1e6 + 0.5).cast("long").as("qe1"),
+      floor(v * 1e6 + 0.5).cast("long").as("qv"))
+    terms.agg(
+      sum(col("d1")).as("o1"),
+      (sum(col("qe1")).cast("double") / 1e6).as("e1"),
+      (sum(col("qv")).cast("double") / 1e6).as("v"))
+      .select(col("o1"), roundN(col("e1"), 4).as("e1"),
+        roundN((col("o1") - col("e1")) * (col("o1") - col("e1")) / col("v"), 4)
+          .as("chi2"))
+  }
+
+  private val logrankSql =
+    s"""WITH $eventsUs,
+       |$timeToConvSql,
+       |h AS (SELECT arm, lifetime_days AS t, count(*) AS leave,
+       |        CAST(sum(churn) AS BIGINT) AS d
+       |      FROM lv GROUP BY 1, 2),
+       |grid AS (SELECT a.arm, tt.t,
+       |           coalesce(h.leave, 0) AS leave, coalesce(h.d, 0) AS d
+       |         FROM (SELECT DISTINCT t FROM h) tt
+       |         CROSS JOIN (SELECT 0 AS arm UNION ALL SELECT 1) a
+       |         LEFT JOIN h ON h.arm = a.arm AND h.t = tt.t),
+       |risk AS (SELECT arm, t, d,
+       |           coalesce(sum(leave) OVER (PARTITION BY arm ORDER BY t
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS left_before,
+       |           sum(leave) OVER (PARTITION BY arm) AS total_arm
+       |         FROM grid),
+       |pt AS (SELECT t, CAST(sum(d) AS BIGINT) AS d,
+       |         CAST(sum(total_arm - left_before) AS BIGINT) AS n,
+       |         CAST(max(CASE WHEN arm = 1 THEN total_arm - left_before END) AS BIGINT) AS n1,
+       |         CAST(max(CASE WHEN arm = 1 THEN d END) AS BIGINT) AS d1
+       |       FROM risk GROUP BY 1
+       |       HAVING sum(d) > 0 AND CAST(sum(total_arm - left_before) AS BIGINT) > 1),
+       |q AS (SELECT d1,
+       |        CAST(floor(CAST(d AS DOUBLE) * n1 / n * 1e6 + 0.5) AS BIGINT) AS qe1,
+       |        CAST(floor(CAST(d AS DOUBLE) * (CAST(n1 AS DOUBLE) / n)
+       |          * (1.0 - CAST(n1 AS DOUBLE) / n) * (n - d) / (n - 1) * 1e6 + 0.5)
+       |          AS BIGINT) AS qv
+       |      FROM pt),
+       |s AS (SELECT CAST(sum(d1) AS BIGINT) AS o1,
+       |        CAST(sum(qe1) AS DOUBLE) / 1e6 AS e1,
+       |        CAST(sum(qv) AS DOUBLE) / 1e6 AS v
+       |      FROM q)
+       |SELECT o1, ${roundNSql("e1", 4)} AS e1,
+       |  ${roundNSql("(o1 - e1) * (o1 - e1) / v", 4)} AS chi2
        |FROM s""".stripMargin
 
   // ----------------------------------------------------------------- welch
@@ -522,6 +638,7 @@ object Inference {
     Q("q_stats_bootstrap", bootstrap, Some(bootstrapSql)),
     Q("q_events_abtest", abtest, Some(abtestSql)),
     Q("q_events_survival", survival, Some(survivalSql)),
+    Q("q_events_logrank", logrank, Some(logrankSql)),
     Q("q_stats_welch", welch, Some(welchSql)),
     Q("q_stats_benford", benford, Some(benfordSql)),
   )

@@ -496,7 +496,79 @@ object Mining {
        |FROM x GROUP BY 1, 2
        |HAVING sum(s) != 0""".stripMargin
 
+  // --------------------------------------------- LLR collocations (Dunning)
+
+  /** Collocation support floor and report size. */
+  val LlrMinCount = 5L
+  val LlrTopK = 20
+
+  /** Dunning log-likelihood-ratio collocations — the robust complement to
+    * PMI (`q_text_pmi`), which over-ranks rare pairs: G² scores each
+    * adjacent bigram's 2×2 contingency (k11 together, k12/k21 one-sided,
+    * k22 neither) and is safe at small counts. Every x·ln(x) entropy term
+    * is quantized to integer micro-units BEFORE summation (0·ln0 = 0
+    * pinned via CASE), so the eight-term alternating sum is exact integer
+    * arithmetic in both engines; ranking is a bounded-heap top-k.
+    *
+    * Scale shape: one bigram aggregate + two marginal aggregates joined
+    * back on their word key (vocabulary-sized), then per-bigram scalar
+    * math; no window over the corpus. */
+  def llrCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val w = col("w")
+    val grams = when(size(w) < 2, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), size(w) - 2), i =>
+        concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2))))
+    val bg = TextAnalysis.withWordsOf(Tables.documents(spark, dir))
+      .select(explode(grams).as("bg"))
+    val counts = bg.groupBy(col("bg")).agg(count(lit(1)).as("k11"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+    val c1 = counts.groupBy(col("w1")).agg(sum(col("k11")).as("c1"))
+    val c2 = counts.groupBy(col("w2")).agg(sum(col("k11")).as("c2"))
+    val n = counts.agg(sum(col("k11")).as("nn"))
+    def qxlx(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(x > 0, floor(x.cast("double") * log(x.cast("double")) * 1e6 + 0.5).cast("long"))
+        .otherwise(0L)
+    val t = counts.filter(col("k11") >= LlrMinCount)
+      .join(c1, "w1").join(c2, "w2").crossJoin(broadcast(n))
+      .withColumn("k12", col("c1") - col("k11"))
+      .withColumn("k21", col("c2") - col("k11"))
+      .withColumn("k22", col("nn") - col("c1") - col("k21"))
+    val g2q = qxlx(col("k11")) + qxlx(col("k12")) + qxlx(col("k21")) + qxlx(col("k22")) -
+      qxlx(col("c1")) - qxlx(col("nn") - col("c1")) -
+      qxlx(col("c2")) - qxlx(col("nn") - col("c2")) + qxlx(col("nn"))
+    t.select(col("bg").as("bigram"), col("k11").as("n_pair"),
+      roundN(lit(2.0) * g2q.cast("double") / 1e6, 4).as("g2"))
+      .orderBy(col("g2").desc, col("bigram"))
+      .limit(LlrTopK)
+  }
+
+  private val llrCollocationsSql = {
+    def qxlx(x: String) =
+      s"(CASE WHEN $x > 0 THEN CAST(floor(CAST($x AS DOUBLE) * ln(CAST($x AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) ELSE 0 END)"
+    val g2q = Seq(qxlx("k11"), qxlx("k12"), qxlx("k21"), qxlx("k22")).mkString(" + ") +
+      s" - ${qxlx("c1")} - ${qxlx("(nn - c1)")} - ${qxlx("c2")} - ${qxlx("(nn - c2)")} + ${qxlx("nn")}"
+    s"""WITH d AS (SELECT string_split(${TextAnalysis.normSql}, ' ') AS w FROM documents),
+       |bgi AS (SELECT w, unnest(range(1, len(w))) AS i FROM d),
+       |bg AS (SELECT w[i] || ' ' || w[i + 1] AS bg FROM bgi),
+       |counts AS (SELECT bg, count(*) AS k11,
+       |             split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2
+       |           FROM bg GROUP BY 1),
+       |m1 AS (SELECT w1, CAST(sum(k11) AS BIGINT) AS c1 FROM counts GROUP BY 1),
+       |m2 AS (SELECT w2, CAST(sum(k11) AS BIGINT) AS c2 FROM counts GROUP BY 1),
+       |nn AS (SELECT CAST(sum(k11) AS BIGINT) AS nn FROM counts),
+       |t AS (SELECT bg, k11, c1, c2, nn,
+       |        c1 - k11 AS k12, c2 - k11 AS k21, nn - c1 - (c2 - k11) AS k22
+       |      FROM counts JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN nn
+       |      WHERE k11 >= $LlrMinCount)
+       |SELECT bg AS bigram, k11 AS n_pair,
+       |  ${roundNSql(s"2.0 * CAST($g2q AS DOUBLE) / 1e6", 4)} AS g2
+       |FROM t
+       |ORDER BY g2 DESC, bigram LIMIT $LlrTopK""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_text_llr", llrCollocations, Some(llrCollocationsSql)),
     Q("q_text_feature_hash", featureHash, Some(featureHashSql)),
     Q("q_embed_rp_distortion", rpDistortion, Some(rpDistortionSql)),
     Q("q_text_zipf", zipfFit, Some(zipfFitSql)),

@@ -47,54 +47,88 @@ class InferenceSpec extends SparkSuite {
   // -------------------------------------------------------------- survival
 
   test("survival: KM curve matches the hand-multiplied product") {
-    // horizon = day of user 4's last event (2024-01-20). Users:
-    //  u1: 01-01..01-03  lifetime 2, churn (17d before horizon)
-    //  u2: 01-01..01-03  lifetime 2, churn
-    //  u3: 01-01..01-06  lifetime 5, churn
-    //  u4: 01-01..01-20  lifetime 19, censored (defines horizon)
+    // time-to-conversion; horizon = 2024-01-20 (u4's last event). Users:
+    //  u1: first 01-01, big purchase 01-03 -> t=2, event
+    //  u2: same -> t=2, event
+    //  u3: first 01-01, big purchase 01-06 -> t=5, event
+    //  u4: first 01-01, never converts, last 01-20 -> t=19, censored
     val d = fixtureDir("events" -> eventsDf(
       (1L, "2024-01-01 09:00:00", 1L, "view", 1.0),
-      (2L, "2024-01-03 09:00:00", 1L, "view", 1.0),
+      (2L, "2024-01-03 09:00:00", 1L, "purchase", 300.0),
       (3L, "2024-01-01 09:00:00", 2L, "view", 1.0),
-      (4L, "2024-01-03 09:00:00", 2L, "view", 1.0),
+      (4L, "2024-01-03 09:00:00", 2L, "purchase", 300.0),
       (5L, "2024-01-01 09:00:00", 3L, "view", 1.0),
-      (6L, "2024-01-06 09:00:00", 3L, "view", 1.0),
+      (6L, "2024-01-06 09:00:00", 3L, "purchase", 300.0),
       (7L, "2024-01-01 09:00:00", 4L, "view", 1.0),
       (8L, "2024-01-20 09:00:00", 4L, "view", 1.0)))
     val rows = Inference.survival(spark, d).collect()
       .sortBy(_.getAs[Long]("lifetime_days"))
     assert(rows.map(_.getAs[Long]("lifetime_days")).toSeq === Seq(2L, 5L, 19L))
     val byT = rows.map(r => r.getAs[Long]("lifetime_days") ->
-      (r.getAs[Long]("n_risk"), r.getAs[Long]("n_churn"), r.getAs[Double]("survival"))).toMap
+      (r.getAs[Long]("n_risk"), r.getAs[Long]("n_events"), r.getAs[Double]("survival"))).toMap
     assert(byT(2L)._1 === 4 && byT(2L)._2 === 2)
     assert(math.abs(byT(2L)._3 - 0.5) < 1e-4) // 1 - 2/4
     assert(byT(5L)._1 === 2 && byT(5L)._2 === 1)
     assert(math.abs(byT(5L)._3 - 0.25) < 1e-4) // 0.5 * (1 - 1/2)
-    // u4 censored at 19: no churn there, survival unchanged
+    // u4 censored at 19: no event there, survival unchanged
     assert(byT(19L)._2 === 0)
     assert(math.abs(byT(19L)._3 - 0.25) < 1e-4)
   }
 
-  test("survival: full churn at the last step absorbs S to exactly 0") {
-    // all three users end >= 7 days before the horizon-defining user's
-    // last event... here everyone churns: horizon user churns too (its
-    // own gap is 0 < 7 — so keep a horizon anchor that ALSO churns by
-    // making the max-l user 8 days before a later observer? Simplest:
-    // single cohort where the horizon user has lifetime 0 and everyone
-    // churns is impossible (horizon user's gap to horizon is 0). Use two
-    // lifetimes where the LAST observed lifetime has d = n.
+  test("survival: full conversion at the last step absorbs S to exactly 0") {
+    // u1, u2 convert at t=1 (the last event time, d = n there); u3 never
+    // converts and censors at t=0 (single sighting on the horizon day)
     val d = fixtureDir("events" -> eventsDf(
       (1L, "2024-01-01 09:00:00", 1L, "view", 1.0),
-      (2L, "2024-01-02 09:00:00", 1L, "view", 1.0), // lifetime 1, churn
+      (2L, "2024-01-02 09:00:00", 1L, "purchase", 300.0), // t=1, event
       (3L, "2024-01-01 09:00:00", 2L, "view", 1.0),
-      (4L, "2024-01-02 09:00:00", 2L, "view", 1.0), // lifetime 1, churn
-      (5L, "2024-01-20 09:00:00", 3L, "view", 1.0))) // lifetime 0, censored (horizon)
+      (4L, "2024-01-02 09:00:00", 2L, "purchase", 300.0), // t=1, event
+      (5L, "2024-01-20 09:00:00", 3L, "view", 1.0))) // t=0, censored (horizon)
     val rows = Inference.survival(spark, d).collect()
       .sortBy(_.getAs[Long]("lifetime_days"))
-    // t=0: risk 3, churn 0 (u3 censored, leaves). t=1: risk 2, churn 2 -> S=0
+    // t=0: risk 3, events 0 (u3 censored, leaves). t=1: risk 2, d=2 -> S=0
     assert(rows.map(r => (r.getAs[Long]("lifetime_days"), r.getAs[Long]("n_risk"),
-      r.getAs[Long]("n_churn"))).toSeq === Seq((0L, 3L, 0L), (1L, 2L, 2L)))
+      r.getAs[Long]("n_events"))).toSeq === Seq((0L, 3L, 0L), (1L, 2L, 2L)))
     assert(rows.last.getAs[Double]("survival") === 0.0)
+  }
+
+  // --------------------------------------------------------------- logrank
+
+  test("logrank: identical arm curves give chi2 exactly 0") {
+    // 2 users per md5 arm with the SAME time-to-conversion profile:
+    // one converter at t=2, one never-converter censored at the horizon
+    val ids = (1L to 40L).toList
+    val armOf = ids.map { u =>
+      u -> Integer.parseInt(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(u.toString).substring(0, 2), 16) % 2
+    }.toMap
+    val arm0 = ids.filter(armOf(_) == 0).take(2)
+    val arm1 = ids.filter(armOf(_) == 1).take(2)
+    def pair(conv: Long, cens: Long) = Seq(
+      (conv * 10, "2024-01-01 09:00:00", conv, "view", 1.0),
+      (conv * 10 + 1, "2024-01-03 09:00:00", conv, "purchase", 300.0), // t=2, event
+      (cens * 10, "2024-01-01 09:00:00", cens, "view", 1.0),
+      (cens * 10 + 1, "2024-01-20 09:00:00", cens, "view", 1.0)) // censored, defines horizon
+    val rows = (pair(arm0.head, arm0(1)) ++ pair(arm1.head, arm1(1)))
+      .map { case (id, ts, u, t, v) =>
+        (id, java.sql.Timestamp.valueOf(ts), u, t, v, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val d = fixtureDir("events" -> rows)
+    val r = Inference.logrank(spark, d).collect().head
+    assert(r.getAs[Long]("o1") === 1L) // arm 1's converter
+    assert(math.abs(r.getAs[Double]("e1") - 1.0) < 1e-4) // d=2, n1=n/2
+    assert(r.getAs[Double]("chi2") === 0.0)
+  }
+
+  test("logrank and survival: non-degenerate on real data") {
+    val r = Inference.logrank(spark, SparkSpec.sf0001).collect().head
+    assert(r.getAs[Double]("chi2") >= 0.0)
+    assert(r.getAs[Double]("e1") > 0.0)
+    assert(r.getAs[Long]("o1") > 0L)
+    // the KM curve must actually step down (events exist at this SF)
+    val s = Inference.survival(spark, SparkSpec.sf0001).collect()
+    assert(s.exists(_.getAs[Long]("n_events") > 0))
+    assert(s.map(_.getAs[Double]("survival")).min < 1.0)
   }
 
   // ----------------------------------------------------------------- welch

@@ -219,6 +219,30 @@ class Round6OpsSpec extends SparkSuite {
     assert(!ops.contains(null))
   }
 
+  test("llr: G2 matches the hand-computed eight-term formula") {
+    val rows = Mining.llrCollocations(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= Mining.LlrTopK)
+    assert(rows.forall(_.getAs[Long]("n_pair") >= Mining.LlrMinCount))
+    assert(rows.forall(_.getAs[Double]("g2") >= -1e-3)) // G2 >= 0 up to quantization
+    // recompute the top bigram's G2 from raw counts
+    val top = rows.head
+    val bg = top.getAs[String]("bigram")
+    val Array(w1, w2) = bg.split(" ", 2)
+    val grams = graft.operators.TextAnalysis.withWordsOf(
+      graft.sources.Tables.documents(spark, dir))
+      .select(explode(expr(
+        "CASE WHEN size(w) < 2 THEN array() ELSE transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1])) END"))
+        .as("bg")).collect().map(_.getString(0))
+    val k11 = grams.count(_ == bg).toDouble
+    val c1 = grams.count(_.startsWith(w1 + " ")).toDouble
+    val c2 = grams.count(_.endsWith(" " + w2)).toDouble
+    val nn = grams.length.toDouble
+    def xlx(x: Double) = if (x > 0) x * math.log(x) else 0.0
+    val g2 = 2.0 * (xlx(k11) + xlx(c1 - k11) + xlx(c2 - k11) + xlx(nn - c1 - (c2 - k11)) -
+      xlx(c1) - xlx(nn - c1) - xlx(c2) - xlx(nn - c2) + xlx(nn))
+    assert(math.abs(top.getAs[Double]("g2") - g2) < 0.01, s"$bg: ${top.getAs[Double]("g2")} vs $g2")
+  }
+
   test("mv join incremental: delta terms broadcast the delta side") {
     val plan = Analytics.mvJoinIncremental(spark, dir)
       .queryExecution.executedPlan.toString
