@@ -72,7 +72,60 @@ object AsOf {
       |FROM c ASOF LEFT JOIN v
       |  ON c.user_id = v.user_id AND c.ts >= v.ts""".stripMargin
 
+  /** FORWARD as-of: for each left event, the EARLIEST right event of the
+    * same key at or after it — the "next state after the trigger" shape
+    * (reaction-time joins, next-heartbeat attachment). Same merge-style
+    * single-exchange plan as the backward join, with the window walked in
+    * DESCENDING time order; left rows sort before right at equal ts is
+    * inverted here (right side 0 still orders first within a tie under
+    * the descending walk, preserving ASOF `<=` tie visibility). */
+  def asOfJoinForward(left: DataFrame, right: DataFrame, key: String, ts: String,
+      carry: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.Column
+    val leftOther = left.columns.filter(c => c != key && c != ts).toSeq
+    val lSel: Seq[Column] = Seq(col(key), col(ts).as("__ts"), lit(1).as("__side")) ++
+      leftOther.map(col) ++
+      carry.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c"))
+    val rSel: Seq[Column] = Seq(col(key), col(ts).as("__ts"), lit(0).as("__side")) ++
+      leftOther.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+      carry.map(c => col(c).as(s"__r_$c"))
+    val u = left.select(lSel: _*).unionByName(right.select(rSel: _*))
+    // descending time: a right row at the SAME ts must still be visible to
+    // the left row (ASOF <=), so right (side 0) sorts first within a tie
+    val w = Window.partitionBy(col(key)).orderBy(col("__ts").desc, col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = carry.foldLeft(u) { (df, c) =>
+      df.withColumn(s"__next_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+    val outSel: Seq[Column] = Seq(col(key), col("__ts").as(ts)) ++
+      leftOther.map(col) ++ carry.map(c => col(s"__next_$c").as(s"asof_$c"))
+    carried.filter(col("__side") === 1).select(outSel: _*)
+  }
+
+  /** clicks ⟕asof-forward next purchase per user — time-to-next-purchase
+    * after each click. */
+  def clicksBeforePurchase(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    asOfJoinForward(clicks, purchases, "user_id", "ts", carry = Seq("ts", "value"))
+      .withColumnRenamed("asof_ts", "purchase_ts")
+      .withColumnRenamed("asof_value", "purchase_value")
+  }
+
+  private val clicksBeforePurchaseSql =
+    """WITH e AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type, value FROM events),
+      |c AS (SELECT user_id, ts, event_id, value FROM e WHERE event_type = 'click'),
+      |p AS (SELECT user_id, ts, value FROM e WHERE event_type = 'purchase')
+      |SELECT c.user_id, c.ts, c.event_id, c.value,
+      |       p.ts AS purchase_ts, p.value AS purchase_value
+      |FROM c ASOF LEFT JOIN p
+      |  ON c.user_id = p.user_id AND c.ts <= p.ts""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q_join_asof", clicksAsOfViews, Some(clicksAsOfViewsSql), bench = true),
+    Q("q_join_asof_forward", clicksBeforePurchase, Some(clicksBeforePurchaseSql)),
   )
 }

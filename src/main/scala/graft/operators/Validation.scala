@@ -236,8 +236,86 @@ object Validation {
       |  count(DISTINCT CASE WHEN req THEN user_id END) AS n_users_purged
       |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** t-closeness audit (Li et al. 2007) — the third rung of the
+    * k-anonymity ladder: a QI group can be large AND diverse yet still
+    * leak if its SENSITIVE-VALUE DISTRIBUTION differs sharply from the
+    * table's (skewness attack). Reports, per QI group, the ordered-domain
+    * earth-mover's distance between the group's account-balance
+    * distribution and the global one: EMD = Σ|cumulative p−q| / (m−1)
+    * over the m distinct values.
+    *
+    * Exactness: with p_j = g_j/n_g and q_j = c_j/N, each cumulative
+    * difference clears denominators to the BIGINT numerator
+    * N·cumG_j − n_g·cum_j; the Σ|·| is an exact integer and ONE final
+    * division by n_g·N·(m−1) yields t. Overflow budget:
+    * N·n_g·m < 2^63 — at N = 1e8 customers, n_g = 1e5, m = 1e6 distinct
+    * cents it would overflow; lift to DECIMAL beyond, documented here.
+    *
+    * Scale shape: the domain grid is (QI groups × distinct cent values) —
+    * group-count-bounded × money-bounded, never row-count-bounded; the
+    * cumulative windows partition by group over that grid. */
+  def tCloseness(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = graft.functions.Rounding.roundN(col("c_acctbal") * 100, 0).cast("long")
+    val base = Tables.customer(spark, dir)
+      .select(col("c_nationkey").as("nationkey"),
+        col("c_mktsegment").as("mktsegment"), cents.as("v"))
+    val domain = base.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val m = domain.agg(count(lit(1)).as("m"), sum(col("c")).as("nn"))
+    val groups = base.groupBy(col("nationkey"), col("mktsegment"), col("v"))
+      .agg(count(lit(1)).as("g"))
+    // full grid: every group × every domain value (zero-filled); the QI
+    // side is schema-bounded (≤ nations × segments rows) and broadcast —
+    // the one whitelisted multi-row BNLJ build in the registry
+    val grid = domain
+      .crossJoin(broadcast(base.select(col("nationkey"), col("mktsegment")).distinct()))
+      .join(groups, Seq("nationkey", "mktsegment", "v"), "left_outer")
+      .na.fill(0L, Seq("g"))
+    val byG = Window.partitionBy(col("nationkey"), col("mktsegment"))
+    val cum = grid
+      .withColumn("cum_g", sum(col("g")).over(byG.orderBy(col("v"))))
+      .withColumn("cum_c", sum(col("c")).over(byG.orderBy(col("v"))))
+      .withColumn("n_g", sum(col("g")).over(byG))
+      .crossJoin(broadcast(m))
+    cum.groupBy(col("nationkey"), col("mktsegment"))
+      .agg(max(col("n_g")).as("group_size"),
+        (sum(abs(col("nn") * col("cum_g") - col("n_g") * col("cum_c"))).cast("double") /
+          (max(col("n_g")) * max(col("nn")) * (max(col("m")) - lit(1)))).as("t0"))
+      .select(col("nationkey"), col("mktsegment"), col("group_size"),
+        graft.functions.Rounding.roundN(col("t0"), 6).as("t"))
+      .orderBy(col("nationkey"), col("mktsegment"))
+  }
+
+  private val tClosenessSql = {
+    val cents = s"CAST(${graft.functions.Rounding.roundNSql("c_acctbal * 100", 0)} AS BIGINT)"
+    s"""WITH base AS (SELECT c_nationkey AS nationkey, c_mktsegment AS mktsegment,
+       |                $cents AS v FROM customer),
+       |domain AS (SELECT v, count(*) AS c FROM base GROUP BY 1),
+       |mm AS (SELECT count(*) AS m, CAST(sum(c) AS BIGINT) AS nn FROM domain),
+       |groups AS (SELECT nationkey, mktsegment, v, count(*) AS g
+       |           FROM base GROUP BY 1, 2, 3),
+       |grid AS (SELECT q.nationkey, q.mktsegment, d.v, d.c, coalesce(groups.g, 0) AS g
+       |         FROM (SELECT DISTINCT nationkey, mktsegment FROM base) q
+       |         CROSS JOIN domain d
+       |         LEFT JOIN groups ON groups.nationkey = q.nationkey
+       |           AND groups.mktsegment = q.mktsegment AND groups.v = d.v),
+       |cum AS (SELECT nationkey, mktsegment,
+       |          sum(g) OVER (PARTITION BY nationkey, mktsegment ORDER BY v) AS cum_g,
+       |          sum(c) OVER (PARTITION BY nationkey, mktsegment ORDER BY v) AS cum_c,
+       |          sum(g) OVER (PARTITION BY nationkey, mktsegment) AS n_g
+       |        FROM grid)
+       |SELECT nationkey, mktsegment, CAST(max(n_g) AS BIGINT) AS group_size,
+       |  ${graft.functions.Rounding.roundNSql(
+        "CAST(sum(abs(nn * cum_g - n_g * cum_c)) AS DOUBLE) / (max(n_g) * max(nn) * (max(m) - 1))",
+        6)} AS t
+       |FROM cum CROSS JOIN mm
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_privacy_kanon", kAnonymity, Some(kAnonymitySql)),
+    Q("q_privacy_tcloseness", tCloseness, Some(tClosenessSql)),
     Q("q_privacy_forget", forgetAudit, Some(forgetAuditSql)),
     Q("q_privacy_ldiversity", lDiversity, Some(lDiversitySql)),
     Q("q_validate_rules", validateRules, Some(validateRulesSql)),

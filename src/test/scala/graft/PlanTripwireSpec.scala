@@ -35,10 +35,13 @@ class PlanTripwireSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     "q_retrieval_ndcg", // embeds knnBrute as the eval GROUND TRUTH — the
                         // brute pass is the metric's definition, not a plan
                         // choice; the approx side under eval is bucketed
-    "q_sim_matryoshka" // prefix-dim recall eval: ONE brute pair pass at
-                       // every truncation width is the metric's
-                       // definition; the truncated-ANN tier it qualifies
-                       // is the thing that runs at scale
+    "q_sim_matryoshka", // prefix-dim recall eval: ONE brute pair pass at
+                        // every truncation width is the metric's
+                        // definition; the truncated-ANN tier it qualifies
+                        // is the thing that runs at scale
+    "q_privacy_tcloseness" // domain grid = distinct cents × QI groups;
+                           // the broadcast build is the QI-group table,
+                           // schema-bounded at ≤ nations × segments rows
   )
 
   /** Build side is a grand aggregate — guaranteed single row. */

@@ -243,6 +243,47 @@ class Round6OpsSpec extends SparkSuite {
     assert(math.abs(top.getAs[Double]("g2") - g2) < 0.01, s"$bg: ${top.getAs[Double]("g2")} vs $g2")
   }
 
+  test("tcloseness: t in [0,1]; concentrated group scores near 1") {
+    val rows = graft.operators.Validation.tCloseness(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val t = r.getAs[Double]("t"); t >= 0.0 && t <= 1.0 + 1e-9
+    })
+    // hand fixture: group A holds ONLY the max value, group B a uniform
+    // spread. A's ordered EMD vs the near-uniform global is EXACTLY
+    // Σ_{j<m} j/m / (m−1) = 0.5 in the m→∞ limit (mass at one end vs
+    // uniform); B remains ≈ the global itself
+    import spark.implicits._
+    val cust = ((1 to 99).map(i => (i.toLong, s"c$i", 1L, "B", i * 1.0)) :+
+      (100L, "c100", 2L, "A", 10000.0))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal")
+    val d2 = fixtureDir("customer" -> cust)
+    val byG = graft.operators.Validation.tCloseness(spark, d2).collect()
+      .map(r => r.getAs[String]("mktsegment") -> r.getAs[Double]("t")).toMap
+    assert(math.abs(byG("A") - 0.5) < 0.01) // hand-computed: Σ j/100 / 99
+    assert(byG("B") < 0.02) // 99% of the table IS the global distribution
+  }
+
+  test("asof forward: each click gets its nearest future purchase") {
+    import spark.implicits._
+    def ev(id: Long, ts: String, t: String, v: Double) =
+      (id, java.sql.Timestamp.valueOf(ts), 1L, t, v, "{}")
+    val d = fixtureDir("events" -> Seq(
+      ev(1, "2024-01-01 10:00:00", "click", 1.0),
+      ev(2, "2024-01-01 10:05:00", "purchase", 50.0),
+      ev(3, "2024-01-01 10:06:00", "purchase", 60.0),
+      ev(4, "2024-01-01 10:07:00", "click", 2.0), // -> 10:09 purchase
+      ev(5, "2024-01-01 10:09:00", "purchase", 70.0),
+      ev(6, "2024-01-01 11:00:00", "click", 3.0)) // no future purchase -> null
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val rows = graft.operators.AsOf.clicksBeforePurchase(spark, d).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Double]("purchase_value")).map(_.toDouble)).toMap
+    assert(rows(1L) === Some(50.0)) // nearest future, not latest
+    assert(rows(4L) === Some(70.0))
+    assert(rows(6L) === None)
+  }
+
   test("mv join incremental: delta terms broadcast the delta side") {
     val plan = Analytics.mvJoinIncremental(spark, dir)
       .queryExecution.executedPlan.toString
