@@ -117,6 +117,64 @@ object Inference {
           "(1.0 / n_c + 1.0 / n_t))", 4)} END AS z
        |FROM w""".stripMargin
 
+  // ----------------------------------------------------------------- power
+
+  /** z quantiles quantized once and inlined into both engines:
+    * z_{0.975} (two-sided α = 5%) and z_{0.80} (80% power). */
+  val Z975Micro = 1959964L
+  val Z80Micro = 841621L
+
+  /** Minimum detectable effect for the running experiment — "is this
+    * test big enough": with the observed arm sizes and pooled conversion
+    * rate, the smallest true lift (percentage points) detectable at
+    * α = 5% two-sided with 80% power, MDE = (z_{α/2}+z_β)·SE(p̄). Reads
+    * the same per-user flag aggregate as the z-test; the statistic is a
+    * single-row double from exact integers and two quantized literals. */
+  def abtestPower(spark: SparkSession, dir: String): DataFrame =
+    abtestPowerOf(Tables.events(spark, dir))
+
+  def abtestPowerOf(ev: DataFrame): DataFrame = {
+    val perUser = ev
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") >= ConvThreshold, 1)
+        .otherwise(0)).as("conv"))
+      .select(armCol(col("user_id")).as("arm"), col("conv"))
+    val arms = perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("x"))
+    val w = arms.agg(
+      max(when(col("arm") === 0, col("n"))).as("n_c"),
+      max(when(col("arm") === 1, col("n"))).as("n_t"),
+      sum(col("x")).as("x_all"), sum(col("n")).as("n_all"))
+    val pPool = col("x_all").cast("double") / col("n_all")
+    val se = sqrt(pPool * (lit(1.0) - pPool) *
+      (lit(1.0) / col("n_c") + lit(1.0) / col("n_t")))
+    val zsum = lit((Z975Micro + Z80Micro).toDouble / 1e6)
+    w.select(col("n_c"), col("n_t"),
+      roundN(pPool, 6).as("p_pool"),
+      roundN(zsum * se * 100, 4).as("mde_pp"))
+  }
+
+  private val abtestPowerSql = {
+    val pPool = "(CAST(x_all AS DOUBLE) / n_all)"
+    val se = s"sqrt($pPool * (1.0 - $pPool) * (1.0 / n_c + 1.0 / n_t))"
+    val zsum = (Z975Micro + Z80Micro).toDouble / 1e6
+    s"""WITH $eventsUs,
+       |u AS (SELECT user_id,
+       |        max(CASE WHEN event_type = 'purchase' AND value >= $ConvThreshold
+       |            THEN 1 ELSE 0 END) AS conv
+       |      FROM e GROUP BY 1),
+       |a AS (SELECT $armSql AS arm, count(*) AS n,
+       |             CAST(sum(conv) AS BIGINT) AS x FROM u GROUP BY 1),
+       |w AS (SELECT max(CASE WHEN arm = 0 THEN n END) AS n_c,
+       |             max(CASE WHEN arm = 1 THEN n END) AS n_t,
+       |             CAST(sum(x) AS BIGINT) AS x_all,
+       |             CAST(sum(n) AS BIGINT) AS n_all FROM a)
+       |SELECT n_c, n_t,
+       |  ${roundNSql(pPool, 6)} AS p_pool,
+       |  ${roundNSql(s"$zsum * $se * 100", 4)} AS mde_pp
+       |FROM w""".stripMargin
+  }
+
   // -------------------------------------------------------------- survival
 
   /** Kaplan-Meier time-to-conversion curve: per user, days from first
@@ -637,6 +695,7 @@ object Inference {
     Q("q_events_abtest_cuped", cuped, Some(cupedSql)),
     Q("q_stats_bootstrap", bootstrap, Some(bootstrapSql)),
     Q("q_events_abtest", abtest, Some(abtestSql)),
+    Q("q_events_abtest_power", abtestPower, Some(abtestPowerSql)),
     Q("q_events_survival", survival, Some(survivalSql)),
     Q("q_events_logrank", logrank, Some(logrankSql)),
     Q("q_stats_welch", welch, Some(welchSql)),

@@ -384,7 +384,47 @@ object Sampling {
        |  CAST(ntile(5) OVER (ORDER BY difficulty_micro, doc_id) AS INT) AS stage
        |FROM d ORDER BY doc_id""".stripMargin
 
+  /** Class-balanced downsampling — equalize the language mix for
+    * classifier training: every class keeps ~min-class-count docs via a
+    * per-class md5 16-bit gate with an INTEGER threshold
+    * floor(m·65536/n_class) (no float rate, so the gate is bit-identical
+    * in both engines and rerun-stable). The class-threshold table is a
+    * groups-sized broadcast; selection is a narrow per-row compare.
+    * Output is the per-class audit (kept counts converge to the min
+    * class as n grows; the hash gate makes small-class kept ≈ m, not
+    * exactly m — documented estimator behavior, same rows both engines). */
+  def sampleBalanced(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
+    val minC = counts.agg(min(col("n_total")).as("m"))
+    val thr = counts.crossJoin(broadcast(minC))
+      .select(col("lang"), col("n_total"),
+        floor(col("m") * 65536 / col("n_total")).cast("long").as("thr"))
+    val h16 = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long")
+    docs.select(col("lang"), h16.as("h"))
+      .join(broadcast(thr), "lang")
+      .groupBy(col("lang"))
+      .agg(max(col("n_total")).as("n_total"),
+        sum(when(col("h") < col("thr"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy(col("lang"))
+  }
+
+  private val sampleBalancedSql =
+    """WITH c AS (SELECT lang, count(*) AS n_total FROM documents GROUP BY 1),
+      |m AS (SELECT min(n_total) AS m FROM c),
+      |t AS (SELECT lang, n_total,
+      |        CAST(floor(m * 65536 / n_total) AS BIGINT) AS thr
+      |      FROM c CROSS JOIN m),
+      |d AS (SELECT lang,
+      |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT AS h
+      |      FROM documents)
+      |SELECT lang, max(n_total) AS n_total,
+      |  CAST(sum(CASE WHEN h < thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |FROM d JOIN t USING (lang)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q_sample_balanced", sampleBalanced, Some(sampleBalancedSql)),
     Q("q_sample_neyman", sampleNeyman, Some(sampleNeymanSql)),
     Q("q_sample_curriculum", sampleCurriculum, Some(sampleCurriculumSql)),
     Q("q_mix_sqrt", mixSqrt, Some(mixSqrtSql)),

@@ -291,7 +291,69 @@ object Trend {
        |  (t = peak_t) AS is_peak
        |FROM y CROSS JOIN pt""".stripMargin
 
+  // -------------------------------------------------------------- autocorr
+
+  /** Autocorrelation lags reported (1 day and the weekly cycle). */
+  val AutocorrLags = Seq(1, 7)
+
+  /** Lag-k autocorrelation of daily purchase revenue — the seasonality
+    * detector (r₇ high ⇒ weekly cycle) that decides whether the seasonal
+    * index (`q_stats_seasonal_index`) applies. Pearson r over the
+    * (x_t, x_{t+k}) paired series, computed per lag from six exact BIGINT
+    * sums of cents — the lag pairing is an equi-join on day+k over the
+    * calendar-bounded day table, no window at all; one sqrt per lag at
+    * the end. Degenerate series (constant ⇒ zero variance) release NULL
+    * in both engines. */
+  def autocorr(spark: SparkSession, dir: String): DataFrame =
+    autocorrOf(Tables.events(spark, dir))
+
+  def autocorrOf(ev: DataFrame): DataFrame = {
+    val daily = dailyCents(ev)
+    val lagged = AutocorrLags.map { k =>
+      val a = daily.alias("a")
+      val b = daily.alias("b")
+      a.join(b, date_add(col("a.day"), k) === col("b.day"))
+        .select(lit(k).as("lag"), col("a.c").as("x"), col("b.c").as("y"))
+    }.reduce(_ unionByName _)
+    val s = lagged.groupBy(col("lag")).agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
+    val num = col("n").cast("double") * col("sxy") - col("sx").cast("double") * col("sy")
+    val dx = col("n").cast("double") * col("sxx") - col("sx").cast("double") * col("sx")
+    val dy = col("n").cast("double") * col("syy") - col("sy").cast("double") * col("sy")
+    s.select(col("lag"), col("n").as("n_pairs"),
+      when(dx === 0 || dy === 0, lit(null).cast("double"))
+        .otherwise(roundN(num / sqrt(dx * dy), 6)).as("r"))
+      .orderBy(col("lag"))
+  }
+
+  private val autocorrSql = {
+    val branches = AutocorrLags.map(k =>
+      s"""SELECT $k AS lag, a.c AS x, b.c AS y
+         |FROM d a JOIN d b ON a.day + to_days($k) = b.day""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT ts::TIMESTAMP AS ts, event_type, value FROM events),
+       |d AS (SELECT CAST(ts AS DATE) AS day,
+       |        CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+       |      FROM e WHERE event_type = 'purchase' GROUP BY 1),
+       |l AS ($branches),
+       |s AS (SELECT lag, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+       |        CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+       |        CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
+       |      FROM l GROUP BY 1)
+       |SELECT lag, n AS n_pairs,
+       |  CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx = 0
+       |         OR CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy = 0 THEN NULL
+       |       ELSE ${roundNSql(
+        "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / " +
+          "sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * " +
+          "(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))", 6)} END AS r
+       |FROM s ORDER BY lag""".stripMargin
+  }
+
   def queries: Seq[Q] = Seq(
+    Q("q_stats_autocorr", autocorr, Some(autocorrSql)),
     Q("q_stats_cusum", cusum, Some(cusumSql)),
     Q("q_stats_ewma", ewma, Some(ewmaSql)),
     Q("q_stats_trend_ols", revenueTrend, Some(revenueTrendSql)),

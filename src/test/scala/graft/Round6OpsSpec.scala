@@ -284,6 +284,49 @@ class Round6OpsSpec extends SparkSuite {
     assert(rows(6L) === None)
   }
 
+  test("autocorr: perfectly periodic series gives r7 = 1, constant gives NULL") {
+    import spark.implicits._
+    def ev(id: Long, day: Int, v: Double) =
+      (id, java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:00:00"), 1L, "purchase", v, "{}")
+    // strict period-7 pattern over 28 days: lag-7 pairs are identical
+    val per = (1 to 28).map(d => ev(d.toLong, d, 10.0 + (d % 7) * 5))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = graft.operators.Trend.autocorrOf(per).collect()
+      .map(x => x.getAs[Int]("lag") -> x.getAs[java.lang.Double]("r").doubleValue).toMap
+    assert(math.abs(r(7) - 1.0) < 1e-6)
+    assert(r(1) < 1.0) // within-week variation decorrelates lag 1
+    // constant series: zero variance -> NULL both lags
+    val const = (1 to 14).map(d => ev(d.toLong, d, 10.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rc = graft.operators.Trend.autocorrOf(const).collect()
+    assert(rc.forall(_.isNullAt(rc.head.fieldIndex("r"))))
+  }
+
+  test("sample balanced: every kept count lands near the min class") {
+    val rows = graft.operators.Sampling.sampleBalanced(spark, SparkSpec.sf0001).collect()
+    val m = rows.map(_.getAs[Long]("n_total")).min
+    rows.foreach { r =>
+      val kept = r.getAs[Long]("n_kept")
+      // hash-gate estimator: within 50% of the min class on this tiny SF
+      assert(kept <= r.getAs[Long]("n_total"))
+      assert(kept >= 0 && kept <= 2 * m, s"${r.getAs[String]("lang")}: $kept vs min $m")
+    }
+  }
+
+  test("abtest power: MDE shrinks as arms grow") {
+    import spark.implicits._
+    def evs(n: Int) = (1 to n).map(i =>
+      (i.toLong, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), i.toLong, "purchase",
+        if (i % 4 == 0) 250.0 else 10.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val small = graft.operators.Inference.abtestPower(spark, fixtureDir("events" -> evs(40)))
+      .collect().head
+    val big = graft.operators.Inference.abtestPower(spark, fixtureDir("events" -> evs(400)))
+      .collect().head
+    assert(small.getAs[Double]("mde_pp") > big.getAs[Double]("mde_pp"))
+    assert(big.getAs[Double]("mde_pp") > 0)
+  }
+
   test("mv join incremental: delta terms broadcast the delta side") {
     val plan = Analytics.mvJoinIncremental(spark, dir)
       .queryExecution.executedPlan.toString
