@@ -1024,7 +1024,64 @@ object Events {
        |UNION ALL
        |SELECT 'none', CAST(n_purchases AS BIGINT), revenue FROM none_p WHERE n_purchases > 0""".stripMargin
 
+  // -------------------------------------------------------------- lifecycle
+
+  /** Weekly growth accounting — the new/retained/resurrected/churned
+    * decomposition every growth team reports (net change = new +
+    * resurrected − churned): per ISO week, users active this week split
+    * by first-week and prior-week activity; churned counts users active
+    * LAST week who went silent this week (so the week after the corpus
+    * horizon carries the final churn row — kept, both engines agree).
+    *
+    * Scale shape: the corpus collapses to the DISTINCT (user, week)
+    * activity table in one aggregate; classification is a self
+    * full-outer-join on (user, week vs week+7) plus the user-keyed
+    * first-week join — all equi-joins on user_id, map-side-combinable
+    * final aggregate, calendar-bounded output. */
+  def lifecycle(spark: SparkSession, dir: String): DataFrame =
+    lifecycleOf(Tables.events(spark, dir))
+
+  def lifecycleOf(ev: DataFrame): DataFrame = {
+    val uw = ev.select(col("user_id"),
+      to_date(date_trunc("week", col("ts"))).as("w")).distinct()
+    val fw = uw.groupBy(col("user_id")).agg(min(col("w")).as("first_w"))
+    val cur = uw.select(col("user_id"), col("w"), lit(1).as("cur"))
+    val prev = uw.select(col("user_id"), date_add(col("w"), 7).as("w"), lit(1).as("prev"))
+    cur.join(prev, Seq("user_id", "w"), "full_outer")
+      .join(fw, "user_id")
+      .groupBy(col("w"))
+      .agg(
+        sum(when(col("cur") === 1 && col("first_w") === col("w"), 1).otherwise(0))
+          .cast("long").as("n_new"),
+        sum(when(col("cur") === 1 && col("prev") === 1, 1).otherwise(0))
+          .cast("long").as("n_retained"),
+        sum(when(col("cur") === 1 && col("prev").isNull && col("first_w") < col("w"), 1)
+          .otherwise(0)).cast("long").as("n_resurrected"),
+        sum(when(col("prev") === 1 && col("cur").isNull, 1).otherwise(0))
+          .cast("long").as("n_churned"))
+      .orderBy(col("w"))
+  }
+
+  private val lifecycleSql =
+    s"""WITH $eventsUs,
+       |uw AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w FROM e),
+       |fw AS (SELECT user_id, min(w) AS first_w FROM uw GROUP BY 1),
+       |cur AS (SELECT user_id, w, 1 AS cur FROM uw),
+       |prev AS (SELECT user_id, w + to_days(7) AS w, 1 AS prev FROM uw),
+       |j AS (SELECT coalesce(cur.user_id, prev.user_id) AS user_id,
+       |        coalesce(cur.w, prev.w) AS w, cur.cur, prev.prev
+       |      FROM cur FULL OUTER JOIN prev
+       |        ON cur.user_id = prev.user_id AND cur.w = prev.w)
+       |SELECT j.w,
+       |  CAST(sum(CASE WHEN cur = 1 AND first_w = j.w THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       |  CAST(sum(CASE WHEN cur = 1 AND prev = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+       |  CAST(sum(CASE WHEN cur = 1 AND prev IS NULL AND first_w < j.w THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+       |  CAST(sum(CASE WHEN prev = 1 AND cur IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_churned
+       |FROM j JOIN fw USING (user_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q_events_lifecycle", lifecycle, Some(lifecycleSql)),
     Q("q_events_paths", paths, Some(pathsSql)),
     Q("q_events_attribution_linear", attributionLinear, Some(attributionLinearSql)),
     Q("q_events_cohort_ltv", cohortLtv, Some(cohortLtvSql)),

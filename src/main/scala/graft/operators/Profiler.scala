@@ -83,7 +83,58 @@ object Profiler {
        |FROM g ORDER BY 1""".stripMargin
   }
 
+  /** Per-column Shannon entropy — the catalog's "how informative is this
+    * column" signal (near-zero ⇒ constant, ln(NDV) ⇒ uniform key).
+    * H = ln(n) − (Σ c·ln c)/n over the value histogram; each c·ln c term
+    * is quantized to integer micro-units before the sum (the engine's
+    * transcendental-sum rule), so H and the ln(NDV)-normalized form are
+    * exact-identical in both engines. Same one-scan canonical melt as the
+    * catalog profile; per-column work is histogram-sized. */
+  def columnEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val melted = Tables.lineitem(spark, dir).select(
+      explode(array(canon.map { case (n, c, _) =>
+        struct(lit(n).as("c"), coalesce(c, lit(NullSentinel)).as("v"))
+      }: _*)).as("kv"))
+      .select(col("kv.c").as("col_name"), col("kv.v").as("v"))
+    val hist = melted.groupBy(col("col_name"), col("v")).agg(count(lit(1)).as("c"))
+    val qclc = floor(col("c").cast("double") * log(col("c").cast("double")) * 1e6 + 0.5)
+      .cast("long")
+    val g = hist.select(col("col_name"), col("c"), qclc.as("q"))
+      .groupBy(col("col_name"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("m"), sum(col("q")).as("sq"))
+    val h = log(col("n").cast("double")) - col("sq").cast("double") / 1e6 / col("n")
+    g.select(col("col_name"), col("m").as("n_distinct"),
+      graft.functions.Rounding.roundN(h, 6).as("entropy_nats"),
+      when(col("m") === 1, lit(null).cast("double"))
+        .otherwise(graft.functions.Rounding.roundN(h / log(col("m").cast("double")), 6))
+        .as("entropy_norm"))
+      .orderBy(col("col_name"))
+  }
+
+  private val columnEntropySql = {
+    val legs = canon.map { case (n, _, sql) =>
+      s"SELECT '$n' AS col_name, coalesce($sql, '$NullSentinel') AS v FROM lineitem"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH m AS (
+       |  $legs),
+       |h AS (SELECT col_name, v, count(*) AS c FROM m GROUP BY 1, 2),
+       |q AS (SELECT col_name, c,
+       |        CAST(floor(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS q
+       |      FROM h),
+       |g AS (SELECT col_name, CAST(sum(c) AS BIGINT) AS n, count(*) AS m,
+       |        CAST(sum(q) AS BIGINT) AS sq
+       |      FROM q GROUP BY 1)
+       |SELECT col_name, m AS n_distinct,
+       |  ${roundNSql("ln(CAST(n AS DOUBLE)) - CAST(sq AS DOUBLE) / 1e6 / n", 6)} AS entropy_nats,
+       |  CASE WHEN m = 1 THEN NULL
+       |       ELSE ${roundNSql(
+        "(ln(CAST(n AS DOUBLE)) - CAST(sq AS DOUBLE) / 1e6 / n) / ln(CAST(m AS DOUBLE))", 6)}
+       |  END AS entropy_norm
+       |FROM g ORDER BY 1""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_profile_catalog", catalogProfile, Some(catalogProfileSql)),
+    Q("q_profile_entropy", columnEntropy, Some(columnEntropySql)),
   )
 }

@@ -327,6 +327,42 @@ class Round6OpsSpec extends SparkSuite {
     assert(big.getAs[Double]("mde_pp") > 0)
   }
 
+  test("lifecycle: new/retained/resurrected/churned partition correctly") {
+    import spark.implicits._
+    def ev(id: Long, ts: String, u: Long) =
+      (id, java.sql.Timestamp.valueOf(ts), u, "view", 1.0, "{}")
+    // weeks (Mon-start): W1=01-01, W2=01-08, W3=01-15
+    val d = fixtureDir("events" -> Seq(
+      ev(1, "2024-01-02 10:00:00", 1), // u1 W1
+      ev(2, "2024-01-09 10:00:00", 1), // u1 W2 retained
+      ev(3, "2024-01-03 10:00:00", 2), // u2 W1
+      ev(4, "2024-01-16 10:00:00", 2), // u2 W3 resurrected (skipped W2)
+      ev(5, "2024-01-10 10:00:00", 3)) // u3 new in W2, churned in W3
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val rows = graft.operators.Events.lifecycle(spark, d).collect()
+      .map(r => r.getAs[java.sql.Date]("w").toString ->
+        (r.getAs[Long]("n_new"), r.getAs[Long]("n_retained"),
+          r.getAs[Long]("n_resurrected"), r.getAs[Long]("n_churned"))).toMap
+    assert(rows("2024-01-01") === (2L, 0L, 0L, 0L)) // u1, u2 new
+    assert(rows("2024-01-08") === (1L, 1L, 0L, 1L)) // u3 new, u1 retained, u2 churned
+    assert(rows("2024-01-15") === (0L, 0L, 1L, 2L)) // u2 back, u1+u3 churned
+    assert(rows("2024-01-22") === (0L, 0L, 0L, 1L)) // final churn row (u2)
+  }
+
+  test("entropy: constant column 0, near-unique key near ln(n)") {
+    val rows = graft.operators.Profiler.columnEntropy(spark, dir).collect()
+      .map(r => r.getAs[String]("col_name") ->
+        (r.getAs[Long]("n_distinct"), r.getAs[Double]("entropy_nats"))).toMap
+    // l_returnflag has 3 values -> entropy <= ln(3); orderkey is near-key
+    assert(rows("l_returnflag")._2 <= math.log(3.0) + 1e-6)
+    assert(rows("l_returnflag")._2 > 0)
+    val (mOk, hOk) = rows("l_orderkey")
+    assert(hOk > 0.9 * math.log(mOk.toDouble)) // high-cardinality ~ uniform
+    rows.values.foreach { case (m, h) =>
+      assert(h >= -1e-6 && h <= math.log(m.toDouble) + 1e-6)
+    }
+  }
+
   test("mv join incremental: delta terms broadcast the delta side") {
     val plan = Analytics.mvJoinIncremental(spark, dir)
       .queryExecution.executedPlan.toString
