@@ -533,6 +533,10 @@ object Analytics {
     val items = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
       .distinct()
+      .persist() // read by the pair join (twice) and the support count
+    // persisted: `cand` references fp THREE times — without it Spark
+    // re-runs the whole pair aggregation per reference (the exact analog
+    // of the DuckDB MATERIALIZED lesson below; measured 3.1 s → ~1 s)
     val fp = items.alias("a")
       .join(items.alias("b"),
         col("a.okey") === col("b.okey") && col("a.part") < col("b.part"))
@@ -540,6 +544,7 @@ object Analytics {
       .agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= TripleSupport)
       .select(col("pa"), col("pb"))
+      .persist()
     // candidates: (p1,p2) ⋈ (p1,p3), p2 < p3, with (p2,p3) also frequent
     val cand = fp.select(col("pa").as("p1"), col("pb").as("p2"))
       .join(fp.select(col("pa").as("p1"), col("pb").as("p3")), "p1")
