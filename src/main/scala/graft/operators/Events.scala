@@ -1080,7 +1080,93 @@ object Events {
        |FROM j JOIN fw USING (user_id)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------ rolling window
+
+  /** 7-day rolling revenue per event type — the trailing-window trend
+    * line, gap-correct: the window is a RANGE frame over the integer day
+    * index (days since the fixed 2024-01-01 anchor), so missing calendar
+    * days genuinely shrink the trailing sum instead of silently widening
+    * the frame the way a ROWS frame would. Cents stay exact integers;
+    * the per-(type, day) base is a keyed aggregate and the window
+    * partitions by type over calendar-bounded rows. */
+  def rolling(spark: SparkSession, dir: String): DataFrame =
+    rollingOf(Tables.events(spark, dir))
+
+  def rollingOf(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = floor(col("value") * 100 + 0.5).cast("long")
+    val daily = ev
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(cents).as("c"), count(lit(1)).as("n"))
+      .withColumn("d", datediff(col("day"), lit("2024-01-01").cast("date")).cast("long"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d")).rangeBetween(-6, 0)
+    daily
+      .withColumn("c7", sum(col("c")).over(w))
+      .withColumn("n7", sum(col("n")).over(w))
+      .select(col("event_type"), col("day"),
+        roundN(col("c").cast("double") / 100.0, 2).as("revenue"),
+        roundN(col("c7").cast("double") / 100.0, 2).as("revenue_7d"),
+        roundN(col("c7").cast("double") / col("n7") / 100.0, 4).as("avg_value_7d"))
+  }
+
+  private val rollingSql =
+    s"""WITH $eventsUs,
+       |d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+       |        CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c,
+       |        count(*) AS n
+       |      FROM e GROUP BY 1, 2),
+       |x AS (SELECT *, date_diff('day', DATE '2024-01-01', day) AS di FROM d),
+       |r AS (SELECT event_type, day, c,
+       |        CAST(sum(c) OVER w AS BIGINT) AS c7, CAST(sum(n) OVER w AS BIGINT) AS n7
+       |      FROM x
+       |      WINDOW w AS (PARTITION BY event_type ORDER BY di
+       |                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+       |SELECT event_type, day,
+       |  ${roundNSql("CAST(c AS DOUBLE) / 100.0", 2)} AS revenue,
+       |  ${roundNSql("CAST(c7 AS DOUBLE) / 100.0", 2)} AS revenue_7d,
+       |  ${roundNSql("CAST(c7 AS DOUBLE) / n7 / 100.0", 4)} AS avg_value_7d
+       |FROM r""".stripMargin
+
+  // ----------------------------------------------------------------- dwell
+
+  /** Transition dwell times — the time dimension the Markov matrix
+    * (`q_events_markov`) drops: per (from → to) event-type transition,
+    * how long users linger before moving. Gaps are exact integer
+    * microseconds out of a user-partitioned lead window; the aggregate is
+    * keyed by the (groups²-bounded) transition pair. */
+  def dwell(spark: SparkSession, dir: String): DataFrame =
+    dwellOf(Tables.events(spark, dir))
+
+  def dwellOf(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev.withColumn("us", unix_micros(col("ts")))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .withColumn("gap_us", lead(col("us"), 1).over(w) - col("us"))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"),
+        roundN(sum(col("gap_us")).cast("double") / count(lit(1)) / 1e6, 3).as("mean_gap_s"),
+        (max(col("gap_us")) / lit(1000000L)).cast("long").as("max_gap_s"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  private val dwellSql =
+    s"""WITH $eventsUs,
+       |x AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+       |        lead(event_type) OVER w AS to_type,
+       |        lead(epoch_us(ts)) OVER w - epoch_us(ts) AS gap_us
+       |      FROM e
+       |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       |SELECT event_type AS from_type, to_type, count(*) AS n,
+       |  ${roundNSql("CAST(sum(gap_us) AS DOUBLE) / count(*) / 1e6", 3)} AS mean_gap_s,
+       |  CAST(max(gap_us) // 1000000 AS BIGINT) AS max_gap_s
+       |FROM x WHERE to_type IS NOT NULL
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q_events_rolling", rolling, Some(rollingSql)),
+    Q("q_events_dwell", dwell, Some(dwellSql)),
     Q("q_events_lifecycle", lifecycle, Some(lifecycleSql)),
     Q("q_events_paths", paths, Some(pathsSql)),
     Q("q_events_attribution_linear", attributionLinear, Some(attributionLinearSql)),

@@ -29,11 +29,13 @@ object Trend {
 
   /** Monthly revenue OLS trend per nation: slope (cents/month) and
     * intercept (cents at the anchor month) of the least-squares line. */
-  def revenueTrend(spark: SparkSession, dir: String): DataFrame = {
+  /** (c_nationkey, x = month index from the corpus min month, y = exact
+    * revenue cents) — the monthly base shared by the OLS and Theil-Sen
+    * fits. */
+  private def monthlyByNation(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val ord = Tables.orders(spark, dir)
     val cust = Tables.customer(spark, dir)
-    val nat = Tables.nation(spark, dir)
     val cents =
       floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)
         .cast("long")
@@ -42,10 +44,15 @@ object Trend {
       .select(col("c_nationkey"),
         date_trunc("month", col("o_orderdate")).as("mon"), cents.as("cents"))
     val anchor = broadcast(f.agg(min(col("mon")).as("m0")))
-    val monthly = f.crossJoin(anchor)
+    f.crossJoin(anchor)
       .groupBy(col("c_nationkey"),
         months_between(col("mon"), col("m0")).cast("long").as("x"))
       .agg(sum(col("cents")).as("y"))
+  }
+
+  def revenueTrend(spark: SparkSession, dir: String): DataFrame = {
+    val nat = Tables.nation(spark, dir)
+    val monthly = monthlyByNation(spark, dir)
     val s = monthly.groupBy(col("c_nationkey")).agg(
       count(lit(1)).as("n_months"),
       sum(col("x")).as("sx"), sum(col("y")).as("sy"),
@@ -352,7 +359,71 @@ object Trend {
        |FROM s ORDER BY lag""".stripMargin
   }
 
+  // ------------------------------------------------------------- theil-sen
+
+  /** Theil-Sen robust slope per nation — the median of all pairwise
+    * monthly slopes, immune to the single-month outliers that swing OLS
+    * (`q_stats_trend_ols` is the efficiency baseline; a large OLS/TS gap
+    * flags contaminated months). Pairs form within a nation over the
+    * MONTHLY rollup, so the pair table is #nations × C(months, 2) —
+    * calendar²-bounded, never row-bounded. Each slope is one double
+    * division of exact integers (identical both engines); the median is
+    * the type-1 histogram-cumulative pick partitioned by nation over the
+    * distinct slope values. */
+  def theilSen(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nat = Tables.nation(spark, dir)
+    val m = monthlyByNation(spark, dir)
+    val pairs = m.alias("a")
+      .join(m.alias("b"),
+        col("a.c_nationkey") === col("b.c_nationkey") && col("a.x") < col("b.x"))
+      .select(col("a.c_nationkey").as("nk"),
+        ((col("b.y") - col("a.y")).cast("double") / (col("b.x") - col("a.x")) / 100.0)
+          .as("slope"))
+    val hist = pairs.groupBy(col("nk"), col("slope")).agg(count(lit(1)).as("cnt"))
+    val byN = Window.partitionBy(col("nk"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(byN.orderBy(col("slope"))))
+      .withColumn("n", sum(col("cnt")).over(byN))
+    cum.groupBy(col("nk"))
+      .agg(max(col("n")).as("n_pairs"),
+        roundN(min(when(col("cum") >= ceil(lit(0.5) * col("n")), col("slope"))), 4)
+          .as("slope_monthly"))
+      .join(broadcast(nat), col("nk") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("n_pairs"), col("slope_monthly"))
+      .orderBy(col("nation"))
+  }
+
+  private val theilSenSql = {
+    val cents = "CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)"
+    s"""WITH f AS (
+       |  SELECT c_nationkey, date_trunc('month', o_orderdate) AS mon, $cents AS cents
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey),
+       |a0 AS (SELECT min(mon) AS m0 FROM f),
+       |m AS (SELECT c_nationkey,
+       |        CAST(date_diff('month', m0, mon) AS BIGINT) AS x,
+       |        CAST(sum(cents) AS BIGINT) AS y
+       |      FROM f CROSS JOIN a0 GROUP BY 1, 2),
+       |p AS (SELECT a.c_nationkey AS nk,
+       |        CAST(b.y - a.y AS DOUBLE) / (b.x - a.x) / 100.0 AS slope
+       |      FROM m a JOIN m b ON a.c_nationkey = b.c_nationkey AND a.x < b.x),
+       |h AS (SELECT nk, slope, count(*) AS cnt FROM p GROUP BY 1, 2),
+       |c AS (SELECT nk, slope,
+       |        sum(cnt) OVER (PARTITION BY nk ORDER BY slope) AS cum,
+       |        sum(cnt) OVER (PARTITION BY nk) AS n
+       |      FROM h),
+       |s AS (SELECT nk, CAST(max(n) AS BIGINT) AS n_pairs,
+       |        ${roundNSql("min(CASE WHEN cum >= ceil(0.5 * n) THEN slope END)", 4)}
+       |          AS slope_monthly
+       |      FROM c GROUP BY 1)
+       |SELECT n_name AS nation, n_pairs, slope_monthly
+       |FROM s JOIN nation ON nk = n_nationkey
+       |ORDER BY nation""".stripMargin
+  }
+
   def queries: Seq[Q] = Seq(
+    Q("q_stats_trend_theilsen", theilSen, Some(theilSenSql)),
     Q("q_stats_autocorr", autocorr, Some(autocorrSql)),
     Q("q_stats_cusum", cusum, Some(cusumSql)),
     Q("q_stats_ewma", ewma, Some(ewmaSql)),

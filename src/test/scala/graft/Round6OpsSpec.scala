@@ -363,6 +363,64 @@ class Round6OpsSpec extends SparkSuite {
     }
   }
 
+  test("rolling: range frame is gap-correct (missing day shrinks the sum)") {
+    import spark.implicits._
+    def ev(id: Long, day: Int, v: Double) =
+      (id, java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:00:00"), 1L, "purchase", v, "{}")
+    // active days 1..3, then a gap, then day 10: the day-10 trailing-7d
+    // frame (days 4..10) must contain ONLY day 10
+    val d = fixtureDir("events" -> (Seq(1, 2, 3, 10).zipWithIndex.map {
+      case (day, i) => ev(i.toLong, day, 10.0)
+    }).toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val rows = graft.operators.Events.rolling(spark, d).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString -> r.getAs[Double]("revenue_7d")).toMap
+    assert(rows("2024-01-03") === 30.0) // days 1+2+3
+    assert(rows("2024-01-10") === 10.0) // gap: only itself
+  }
+
+  test("dwell: mean gap matches hand computation per transition") {
+    import spark.implicits._
+    def ev(id: Long, ts: String, t: String) =
+      (id, java.sql.Timestamp.valueOf(ts), 1L, t, 1.0, "{}")
+    val d = fixtureDir("events" -> Seq(
+      ev(1, "2024-01-01 10:00:00", "view"),
+      ev(2, "2024-01-01 10:00:10", "click"), // view->click 10s
+      ev(3, "2024-01-01 10:00:40", "view"), // click->view 30s
+      ev(4, "2024-01-01 10:00:50", "click")) // view->click 10s
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val rows = graft.operators.Events.dwell(spark, d).collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("mean_gap_s"))).toMap
+    assert(rows(("view", "click")) === (2L, 10.0))
+    assert(rows(("click", "view")) === (1L, 30.0))
+  }
+
+  test("theil-sen: robust to an outlier month that swings OLS") {
+    // nation fixture via customer/orders/lineitem: linear y = 100/month,
+    // one wild outlier month; TS median slope stays ~1.00/month
+    import spark.implicits._
+    def mon(m: Int) = java.sql.Timestamp.valueOf(f"1995-$m%02d-15 00:00:00")
+    val cust = Seq((1L, "c1", 0L, "B", 0.0))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal")
+    val nat = Seq((0L, "ALPHA", 0L, "x"))
+      .toDF("n_nationkey", "n_name", "n_regionkey", "n_comment")
+    val orders = (1 to 8).map(m => (m.toLong, 1L, "O", 0.0, mon(m), "p"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val li = (1 to 8).map { m =>
+      val rev = if (m == 5) 100000.0 else m * 1.0 // outlier at month 5
+      (m.toLong, 1L, 1L, 1, 1.0, rev, 0.0, 0.0, "N", "O", mon(m))
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+      "l_shipdate")
+    val d = fixtureDir("customer" -> cust, "nation" -> nat,
+      "orders" -> orders, "lineitem" -> li)
+    val ts = graft.operators.Trend.theilSen(spark, d).collect().head
+    assert(ts.getAs[Long]("n_pairs") === 28) // C(8,2)
+    val slope = ts.getAs[Double]("slope_monthly")
+    assert(slope > 0.5 && slope < 2.0, s"TS slope $slope should ignore the outlier")
+  }
+
   test("mv join incremental: delta terms broadcast the delta side") {
     val plan = Analytics.mvJoinIncremental(spark, dir)
       .queryExecution.executedPlan.toString
