@@ -1164,7 +1164,49 @@ object Events {
        |FROM x WHERE to_type IS NOT NULL
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --------------------------------------------------- second-order markov
+
+  /** Second-order transition matrix — P(next | previous two): the
+    * sequence-model refinement of `q_events_markov` that answers whether
+    * the journey is actually Markovian (compare P(c|b) to P(c|a,b) —
+    * large gaps falsify the first-order model). Two leads over the same
+    * user-partitioned window; the matrix is groups³-bounded. */
+  def transitionMatrix2(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trips = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .filter(col("t3").isNotNull)
+      .groupBy(col("event_type").as("from1"), col("t2").as("from2"),
+        col("t3").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = trips.groupBy(col("from1"), col("from2"))
+      .agg(sum(col("n")).as("n_ctx"))
+    trips.join(totals, Seq("from1", "from2"))
+      .select(col("from1"), col("from2"), col("to_type"), col("n"),
+        roundN(col("n").cast("double") / col("n_ctx"), 6).as("p"))
+      .orderBy(col("from1"), col("from2"), col("to_type"))
+  }
+
+  private val transitionMatrix2Sql =
+    s"""WITH $eventsUs,
+       |x AS (SELECT user_id, event_type,
+       |        lead(event_type, 1) OVER w AS t2,
+       |        lead(event_type, 2) OVER w AS t3
+       |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |t AS (SELECT event_type AS from1, t2 AS from2, t3 AS to_type, count(*) AS n
+       |      FROM x WHERE t3 IS NOT NULL GROUP BY 1, 2, 3),
+       |tot AS (SELECT from1, from2, CAST(sum(n) AS BIGINT) AS n_ctx
+       |        FROM t GROUP BY 1, 2)
+       |SELECT from1, from2, to_type, n,
+       |  ${roundNSql("CAST(n AS DOUBLE) / n_ctx", 6)} AS p
+       |FROM t JOIN tot USING (from1, from2)
+       |ORDER BY from1, from2, to_type""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q_events_markov2", transitionMatrix2, Some(transitionMatrix2Sql)),
     Q("q_events_rolling", rolling, Some(rollingSql)),
     Q("q_events_dwell", dwell, Some(dwellSql)),
     Q("q_events_lifecycle", lifecycle, Some(lifecycleSql)),

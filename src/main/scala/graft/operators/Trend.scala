@@ -422,7 +422,73 @@ object Trend {
        |ORDER BY nation""".stripMargin
   }
 
+  // ------------------------------------------------------------- runs test
+
+  /** Wald-Wolfowitz runs test on daily revenue vs its median — "is the
+    * series random or does it trend/oscillate": too FEW runs of
+    * above/below-median days ⇒ momentum, too MANY ⇒ mean reversion.
+    * The median is the type-1 histogram pick over distinct day-cents
+    * (calendar-bounded); runs count via a lag over the day series (same
+    * whitelisted window class as CUSUM); n1/n2/runs are exact integers
+    * and the normal-approximation z is a single-row double, token-
+    * identical both engines. Days AT the median count as "below" (a
+    * pinned convention — both engines must tie-break identically). */
+  def runsTest(spark: SparkSession, dir: String): DataFrame =
+    runsTestOf(Tables.events(spark, dir))
+
+  def runsTestOf(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = dailyCents(ev)
+    val hist = daily.groupBy(col("c")).agg(count(lit(1)).as("cnt"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("c"))))
+      .crossJoin(broadcast(hist.agg(sum(col("cnt")).as("n"))))
+    val med = cum.agg(
+      min(when(col("cum") >= ceil(lit(0.5) * col("n")), col("c"))).as("med"))
+    val signs = daily.crossJoin(broadcast(med))
+      .select(col("day"), when(col("c") > col("med"), 1).otherwise(0).as("s"))
+    val win = Window.orderBy(col("day"))
+    val runs = signs
+      .withColumn("brk",
+        when(lag(col("s"), 1).over(win).isNull ||
+          col("s") =!= lag(col("s"), 1).over(win), 1).otherwise(0))
+      .agg(sum(col("brk")).as("runs"),
+        sum(col("s")).cast("long").as("n1"),
+        sum(lit(1) - col("s")).cast("long").as("n2"))
+    val n1 = col("n1").cast("double")
+    val n2 = col("n2").cast("double")
+    val mu = lit(1.0) + lit(2.0) * n1 * n2 / (n1 + n2)
+    val vr = (mu - lit(1.0)) * (mu - lit(2.0)) / (n1 + n2 - lit(1.0))
+    runs.select(col("runs"), col("n1"), col("n2"),
+      roundN(mu, 4).as("expected_runs"),
+      when(col("n1") === 0 || col("n2") === 0, lit(null).cast("double"))
+        .otherwise(roundN((col("runs") - mu) / sqrt(vr), 4)).as("z"))
+  }
+
+  private val runsTestSql = {
+    val mu = "(1.0 + 2.0 * CAST(n1 AS DOUBLE) * n2 / (n1 + n2))"
+    val vr = s"(($mu - 1.0) * ($mu - 2.0) / (CAST(n1 AS DOUBLE) + n2 - 1.0))"
+    s"""WITH e AS (SELECT ts::TIMESTAMP AS ts, event_type, value FROM events),
+       |d AS (SELECT CAST(ts AS DATE) AS day,
+       |        CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+       |      FROM e WHERE event_type = 'purchase' GROUP BY 1),
+       |h AS (SELECT c, count(*) AS cnt FROM d GROUP BY 1),
+       |cu AS (SELECT c, sum(cnt) OVER (ORDER BY c) AS cum, sum(cnt) OVER () AS n FROM h),
+       |med AS (SELECT min(CASE WHEN cum >= ceil(0.5 * n) THEN c END) AS med FROM cu),
+       |s AS (SELECT day, CASE WHEN c > med THEN 1 ELSE 0 END AS s
+       |      FROM d CROSS JOIN med),
+       |r AS (SELECT CAST(sum(CASE WHEN prev IS NULL OR s != prev THEN 1 ELSE 0 END) AS BIGINT) AS runs,
+       |        CAST(sum(s) AS BIGINT) AS n1, CAST(sum(1 - s) AS BIGINT) AS n2
+       |      FROM (SELECT s, lag(s) OVER (ORDER BY day) AS prev FROM s))
+       |SELECT runs, n1, n2,
+       |  ${roundNSql(mu, 4)} AS expected_runs,
+       |  CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+       |       ELSE ${roundNSql(s"(runs - $mu) / sqrt($vr)", 4)} END AS z
+       |FROM r""".stripMargin
+  }
+
   def queries: Seq[Q] = Seq(
+    Q("q_stats_runs", runsTest, Some(runsTestSql)),
     Q("q_stats_trend_theilsen", theilSen, Some(theilSenSql)),
     Q("q_stats_autocorr", autocorr, Some(autocorrSql)),
     Q("q_stats_cusum", cusum, Some(cusumSql)),

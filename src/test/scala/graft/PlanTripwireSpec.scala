@@ -116,7 +116,11 @@ class PlanTripwireSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     // rank window over the LIMIT-PathTopK bounded-heap result — 20 rows
     // by construction (the q_text_zipf class); sessionization windows
     // upstream are user-partitioned
-    "q_events_paths")
+    "q_events_paths",
+    // median over the DISTINCT day-cents histogram + the run-break lag
+    // over the DAY series — money-bounded and calendar-bounded (the
+    // cusum class); the corpus-sized pass is the per-day aggregate
+    "q_stats_runs")
 
   private def globalWindows(name: String, df: DataFrame): Seq[String] = {
     val plan = df.queryExecution.executedPlan

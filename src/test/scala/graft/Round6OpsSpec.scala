@@ -421,6 +421,48 @@ class Round6OpsSpec extends SparkSuite {
     assert(slope > 0.5 && slope < 2.0, s"TS slope $slope should ignore the outlier")
   }
 
+  test("markov2: context probabilities sum to 1 and refine first order") {
+    val rows = graft.operators.Events.transitionMatrix2(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byCtx = rows.groupBy(r => (r.getAs[String]("from1"), r.getAs[String]("from2")))
+    byCtx.values.foreach { ctx =>
+      val pSum = ctx.map(_.getAs[Double]("p")).sum
+      assert(math.abs(pSum - 1.0) < 1e-3)
+    }
+    // trigram counts must be consistent with the first-order pair counts:
+    // sum over from1 of n(from1, a, b) = n(a, b) minus journeys where
+    // (a,b) opens the journey — so it can only be <= the pair count
+    val m1 = graft.operators.Events.transitionMatrix(spark, dir).collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+        r.getAs[Long]("n")).toMap
+    byCtx.foreach { case ((_, from2), ctx) =>
+      ctx.groupBy(_.getAs[String]("to_type")).foreach { case (to, rs) =>
+        val n2 = rs.map(_.getAs[Long]("n")).sum
+        assert(n2 <= m1((from2, to)))
+      }
+    }
+  }
+
+  test("runs test: alternating series maximizes runs, blocked series minimizes") {
+    import spark.implicits._
+    def ev(id: Long, day: Int, v: Double) =
+      (id, java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:00:00"), 1L, "purchase", v, "{}")
+    // alternating high/low: runs = n
+    val alt = (1 to 10).map(d => ev(d.toLong, d, if (d % 2 == 0) 100.0 else 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val ra = graft.operators.Trend.runsTest(spark, fixtureDir("events" -> alt))
+      .collect().head
+    assert(ra.getAs[Long]("runs") === 10L)
+    assert(ra.getAs[Double]("z") > 0) // more runs than expected
+    // blocked: 5 low then 5 high -> 2 runs
+    val blk = (1 to 10).map(d => ev(d.toLong, d, if (d <= 5) 1.0 else 100.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rb = graft.operators.Trend.runsTest(spark, fixtureDir("events" -> blk))
+      .collect().head
+    assert(rb.getAs[Long]("runs") === 2L)
+    assert(rb.getAs[Double]("z") < 0)
+  }
+
   test("mv join incremental: delta terms broadcast the delta side") {
     val plan = Analytics.mvJoinIncremental(spark, dir)
       .queryExecution.executedPlan.toString
