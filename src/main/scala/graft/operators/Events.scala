@@ -1205,7 +1205,55 @@ object Events {
        |FROM t JOIN tot USING (from1, from2)
        |ORDER BY from1, from2, to_type""".stripMargin
 
+  // ------------------------------------------------------------------ gini
+
+  /** Gini coefficient of per-user purchase spend — the inequality summary
+    * next to the Pareto cutpoints (`q_events_concentration`): 0 = every
+    * user spends alike, →1 = one whale carries the corpus. Computed on
+    * the DISTINCT spend-cents histogram (money-bounded, the whitelisted
+    * cumulative class — never a user-sized sort) via the grouped-data
+    * identity G = Σ c_i·x_i·(2·cumBefore_i + c_i − n) / (n·Σx), whose
+    * numerator and denominator are exact BIGINTs; one final division.
+    * Overflow budget: n·Σcents < 2^63 (≈ 10⁹ users × $90M total) —
+    * beyond, lift to DECIMAL. */
+  def gini(spark: SparkSession, dir: String): DataFrame =
+    giniOf(Tables.events(spark, dir))
+
+  def giniOf(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = floor(col("value") * 100 + 0.5).cast("long")
+    val spend = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(sum(cents).as("x"))
+    val hist = spend.groupBy(col("x")).agg(count(lit(1)).as("c"))
+    val win = Window.orderBy(col("x"))
+    val cum = hist
+      .withColumn("cb",
+        coalesce(sum(col("c")).over(win.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .crossJoin(broadcast(hist.agg(sum(col("c")).as("n"),
+        sum(col("c") * col("x")).as("sx"))))
+    cum.agg(
+      max(col("n")).as("n_users"),
+      roundN(sum(col("c") * col("x") * (lit(2) * col("cb") + col("c") - col("n")))
+        .cast("double") / (max(col("n")) * max(col("sx"))), 6).as("gini"))
+  }
+
+  private val giniSql =
+    s"""WITH $eventsUs,
+       |u AS (SELECT user_id, CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+       |      FROM e WHERE event_type = 'purchase' GROUP BY 1),
+       |h AS (SELECT x, count(*) AS c FROM u GROUP BY 1),
+       |cu AS (SELECT x, c,
+       |         coalesce(sum(c) OVER (ORDER BY x
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+       |         sum(c) OVER () AS n, sum(c * x) OVER () AS sx
+       |       FROM h)
+       |SELECT CAST(max(n) AS BIGINT) AS n_users,
+       |  ${roundNSql(
+        "CAST(sum(c * x * (2 * cb + c - n)) AS DOUBLE) / (max(n) * max(sx))", 6)} AS gini
+       |FROM cu""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q_events_gini", gini, Some(giniSql)),
     Q("q_events_markov2", transitionMatrix2, Some(transitionMatrix2Sql)),
     Q("q_events_rolling", rolling, Some(rollingSql)),
     Q("q_events_dwell", dwell, Some(dwellSql)),

@@ -120,7 +120,11 @@ class PlanTripwireSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     // median over the DISTINCT day-cents histogram + the run-break lag
     // over the DAY series — money-bounded and calendar-bounded (the
     // cusum class); the corpus-sized pass is the per-day aggregate
-    "q_stats_runs")
+    "q_stats_runs",
+    // cumulative over the DISTINCT per-user-spend-cents histogram — the
+    // same money-bounded input as q_events_concentration; user-sized
+    // work is the keyed spend aggregate
+    "q_events_gini")
 
   private def globalWindows(name: String, df: DataFrame): Seq[String] = {
     val plan = df.queryExecution.executedPlan

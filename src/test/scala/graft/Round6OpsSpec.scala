@@ -463,6 +463,24 @@ class Round6OpsSpec extends SparkSuite {
     assert(rb.getAs[Double]("z") < 0)
   }
 
+  test("gini: equal spend 0, one-whale fixture matches hand computation") {
+    import spark.implicits._
+    def ev(id: Long, u: Long, v: Double) =
+      (id, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), u, "purchase", v, "{}")
+    val eq = (1 to 10).map(i => ev(i.toLong, i.toLong, 5.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val g0 = graft.operators.Events.gini(spark, fixtureDir("events" -> eq))
+      .collect().head
+    assert(g0.getAs[Double]("gini") === 0.0)
+    // spends (1,1,4): hand-computed G = 1/3
+    val three = Seq(ev(1, 1, 0.01), ev(2, 2, 0.01), ev(3, 3, 0.04))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val g3 = graft.operators.Events.gini(spark, fixtureDir("events" -> three))
+      .collect().head
+    assert(math.abs(g3.getAs[Double]("gini") - 1.0 / 3) < 1e-6)
+    assert(g3.getAs[Long]("n_users") === 3L)
+  }
+
   test("mv join incremental: delta terms broadcast the delta side") {
     val plan = Analytics.mvJoinIncremental(spark, dir)
       .queryExecution.executedPlan.toString
