@@ -124,8 +124,62 @@ object AsOf {
       |FROM c ASOF LEFT JOIN p
       |  ON c.user_id = p.user_id AND c.ts <= p.ts""".stripMargin
 
+  /** NEAREST as-of: each click gets whichever purchase is closer in time
+    * — backward or forward — with the backward side winning exact ties.
+    * Composed from the two directional joins (each a single-exchange
+    * merge walk) and one row-local comparison; the "match to the closest
+    * observation" shape sensor-fusion pipelines use. */
+  def clicksNearestPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    val back = asOfJoin(clicks, purchases, "user_id", "ts", carry = Seq("ts", "value"))
+      .withColumnRenamed("asof_ts", "b_ts").withColumnRenamed("asof_value", "b_value")
+    val fwd = asOfJoinForward(clicks, purchases, "user_id", "ts", carry = Seq("ts", "value"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("asof_ts").as("f_ts"), col("asof_value").as("f_value"))
+    val db = abs(unix_micros(col("ts")) - unix_micros(col("b_ts")))
+    val df_ = abs(unix_micros(col("f_ts")) - unix_micros(col("ts")))
+    back.join(fwd, Seq("user_id", "ts", "event_id"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+        when(col("b_ts").isNull && col("f_ts").isNull, lit(null).cast("timestamp"))
+          .when(col("f_ts").isNull, col("b_ts"))
+          .when(col("b_ts").isNull, col("f_ts"))
+          .when(db <= df_, col("b_ts")).otherwise(col("f_ts")).as("purchase_ts"),
+        when(col("b_ts").isNull && col("f_ts").isNull, lit(null).cast("double"))
+          .when(col("f_ts").isNull, col("b_value"))
+          .when(col("b_ts").isNull, col("f_value"))
+          .when(db <= df_, col("b_value")).otherwise(col("f_value")).as("purchase_value"))
+  }
+
+  private val clicksNearestPurchaseSql =
+    """WITH e AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type, value FROM events),
+      |c AS (SELECT user_id, ts, event_id, value FROM e WHERE event_type = 'click'),
+      |p AS (SELECT user_id, ts, value FROM e WHERE event_type = 'purchase'),
+      |b AS (SELECT c.user_id, c.ts, c.event_id, c.value,
+      |        p.ts AS b_ts, p.value AS b_value
+      |      FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts),
+      |f AS (SELECT c.user_id, c.ts, c.event_id,
+      |        p.ts AS f_ts, p.value AS f_value
+      |      FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts)
+      |SELECT b.user_id, b.ts, b.event_id, b.value,
+      |  CASE WHEN b_ts IS NULL AND f_ts IS NULL THEN NULL
+      |       WHEN f_ts IS NULL THEN b_ts
+      |       WHEN b_ts IS NULL THEN f_ts
+      |       WHEN epoch_us(b.ts) - epoch_us(b_ts) <= epoch_us(f_ts) - epoch_us(b.ts)
+      |         THEN b_ts ELSE f_ts END AS purchase_ts,
+      |  CASE WHEN b_ts IS NULL AND f_ts IS NULL THEN NULL
+      |       WHEN f_ts IS NULL THEN b_value
+      |       WHEN b_ts IS NULL THEN f_value
+      |       WHEN epoch_us(b.ts) - epoch_us(b_ts) <= epoch_us(f_ts) - epoch_us(b.ts)
+      |         THEN b_value ELSE f_value END AS purchase_value
+      |FROM b JOIN f USING (user_id, ts, event_id)""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q_join_asof", clicksAsOfViews, Some(clicksAsOfViewsSql), bench = true),
     Q("q_join_asof_forward", clicksBeforePurchase, Some(clicksBeforePurchaseSql)),
+    Q("q_join_asof_nearest", clicksNearestPurchase, Some(clicksNearestPurchaseSql)),
   )
 }

@@ -705,8 +705,11 @@ object Scans {
   def madOutliers(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cents = floor(col("value") * 100 + 0.5).cast("long")
+    // persisted: read by the median histogram, the deviation histogram,
+    // and the outlier count — three passes over one projection
     val vals = Tables.events(spark, dir)
       .select(col("event_type"), cents.as("c"))
+      .persist()
     def medOf(df: DataFrame, valCol: String): DataFrame = {
       val byT = Window.partitionBy(col("event_type"))
       df.groupBy(col("event_type"), col(valCol))

@@ -284,6 +284,28 @@ class Round6OpsSpec extends SparkSuite {
     assert(rows(6L) === None)
   }
 
+  test("asof nearest: closer side wins, backward wins exact ties, one-sided falls back") {
+    import spark.implicits._
+    def ev(id: Long, ts: String, t: String, v: Double) =
+      (id, java.sql.Timestamp.valueOf(ts), 1L, t, v, "{}")
+    val d = fixtureDir("events" -> Seq(
+      ev(1, "2024-01-01 10:00:00", "click", 1.0),    // back 09:58 (2m) vs fwd 10:05 (5m) -> back 10.0
+      ev(2, "2024-01-01 09:58:00", "purchase", 10.0),
+      ev(3, "2024-01-01 10:05:00", "purchase", 20.0),
+      ev(4, "2024-01-01 10:06:00", "click", 2.0),    // back 10:05 (1m) vs fwd 10:07 (1m) -> tie, back 20.0
+      ev(5, "2024-01-01 10:07:00", "purchase", 30.0),
+      ev(6, "2024-01-01 09:00:00", "click", 3.0),    // nothing before -> forward 10.0
+      ev(7, "2024-01-01 23:00:00", "click", 4.0))    // nothing after -> backward 30.0
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val rows = graft.operators.AsOf.clicksNearestPurchase(spark, d).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Double]("purchase_value")).map(_.toDouble)).toMap
+    assert(rows(1L) === Some(10.0))
+    assert(rows(4L) === Some(20.0)) // exact tie -> backward side
+    assert(rows(6L) === Some(10.0)) // only a future purchase exists
+    assert(rows(7L) === Some(30.0)) // only a past purchase exists
+  }
+
   test("autocorr: perfectly periodic series gives r7 = 1, constant gives NULL") {
     import spark.implicits._
     def ev(id: Long, day: Int, v: Double) =
