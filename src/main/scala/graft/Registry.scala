@@ -41,6 +41,7 @@ object Registry {
       operators.TextAnalysis.queries ++
       operators.Retrieval.queries ++
       operators.TrainClassifier.queries ++
+      operators.ModelEval.queries ++
       operators.Packing.queries ++
       operators.Sketches.queries ++
       operators.Layout.queries ++

@@ -49,7 +49,7 @@ object TrainClassifier {
 
   /** (x1, x2, x3, y): scaled token count, stopword ratio, scaled average
     * token length; weak label = the q_text_quality pass rule. */
-  private def features(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def features(spark: SparkSession, dir: String): DataFrame = {
     val w = col("w")
     Tables.documents(spark, dir)
       .select(col("doc_id"), TextAnalysis.normText(col("text")).as("norm"))
@@ -79,12 +79,12 @@ object TrainClassifier {
 
   /** margin under the current weights, association pinned to
     * ((b + w1·x1) + w2·x2) + w3·x3 in both engines. */
-  private def margin(ws: Array[Double]): Column =
+  private[operators] def margin(ws: Array[Double]): Column =
     lit(ws(0)) + lit(ws(1)) * col("x1") + lit(ws(2)) * col("x2") +
       lit(ws(3)) * col("x3")
 
   /** rational sigmoid surrogate — exp-free, bit-portable. */
-  private def sigma(m: Column): Column =
+  private[operators] def sigma(m: Column): Column =
     lit(0.5) + lit(0.5) * (m / (lit(1.0) + abs(m)))
 
   private def microSum(g: Column): Column =
@@ -94,7 +94,7 @@ object TrainClassifier {
     * (weights, n, n1, oneClass). Shared by the training query and the
     * calibration audit so both score with the IDENTICAL weight
     * trajectory. */
-  private def fit(f: DataFrame): (Array[Double], Long, Long, Boolean) = {
+  private[operators] def fit(f: DataFrame): (Array[Double], Long, Long, Boolean) = {
     // exact label counts -> inverse-frequency class weights (guarded: a
     // single-class corpus degrades to unweighted GD, never a div-by-zero)
     val cr = f.agg(count(lit(1)).as("n"),
@@ -164,7 +164,7 @@ object TrainClassifier {
   /** The shared WITH-chain: features → class weights → unrolled GD
     * iterations, ending at w$Iterations. Reused by the calibration
     * oracle so both queries train the identical model. */
-  private val trainCtesSql: String =
+  private[operators] val trainCtesSql: String =
     s"""$featureSql,
        |cnt AS (SELECT count(*) AS n,
        |          sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS n1 FROM f),

@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.ModelEval
+import org.apache.spark.sql.functions._
+
+/** Hand-pinned metric math for the classifier-eval family, plus sanity
+  * bounds on the real corpus queries. */
+class ModelEvalSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val dir = SparkSpec.sf0001
+
+  private def firstD(df: org.apache.spark.sql.DataFrame, c: String): Double =
+    df.collect()(0).getAs[Double](c)
+
+  test("aucOf: hand case — 3 of 4 pairs concordant = 0.75") {
+    // pos scores {9, 7}, neg {8, 6}: concordant pairs (9,8) (9,6) (7,6)
+    val sc = Seq((9L, 1.0), (8L, 0.0), (7L, 1.0), (6L, 0.0)).toDF("mu", "y")
+    assert(firstD(ModelEval.aucOf(sc), "auc") === 0.75)
+  }
+
+  test("aucOf: ties at one score contribute half credit") {
+    // one pos and one neg at the SAME score: single pair, tied -> 0.5
+    val sc = Seq((5L, 1.0), (5L, 0.0)).toDF("mu", "y")
+    assert(firstD(ModelEval.aucOf(sc), "auc") === 0.5)
+    // perfect separation -> 1.0; inverted -> 0.0
+    assert(firstD(ModelEval.aucOf(Seq((2L, 1.0), (1L, 0.0)).toDF("mu", "y")), "auc") === 1.0)
+    assert(firstD(ModelEval.aucOf(Seq((1L, 1.0), (2L, 0.0)).toDF("mu", "y")), "auc") === 0.0)
+  }
+
+  test("aucOf: single-class input yields NULL, not a crash or Infinity") {
+    val sc = Seq((3L, 1.0), (2L, 1.0)).toDF("mu", "y")
+    val r = ModelEval.aucOf(sc).collect()(0)
+    assert(r.isNullAt(r.fieldIndex("auc")))
+  }
+
+  test("apOf: hand case — AP = (1 + 2/3) / 2") {
+    // descending: 9(+) P=1, 8(-), 7(+) P=2/3 -> AP = (1 + 2/3)/2
+    val sc = Seq((9L, 1.0), (8L, 0.0), (7L, 1.0), (6L, 0.0)).toDF("mu", "y")
+    assert(math.abs(firstD(ModelEval.apOf(sc), "avg_precision") - 5.0 / 6.0) < 1e-5)
+    // all-positive corpus: precision 1 at every step -> AP = 1
+    assert(firstD(ModelEval.apOf(Seq((2L, 1.0), (1L, 1.0)).toDF("mu", "y")),
+      "avg_precision") === 1.0)
+  }
+
+  test("trained-model metrics on the corpus are coherent") {
+    val a = ModelEval.auc(spark, dir).collect()(0)
+    assert(a.getAs[Long]("n_pos") > 0 && a.getAs[Long]("n_neg") > 0)
+    val auc = a.getAs[Double]("auc")
+    assert(auc > 0.5 && auc <= 1.0, s"auc $auc") // better than chance
+    val c = ModelEval.confusion(spark, dir).collect()(0)
+    val Seq(tp, fp, fn, tn) = Seq("tp", "fp", "fn", "tn").map(c.getAs[Long])
+    assert(tp + fp + fn + tn === a.getAs[Long]("n_pos") + a.getAs[Long]("n_neg"))
+    // accuracy consistent with the counts
+    val acc = c.getAs[Double]("accuracy")
+    assert(math.abs(acc - (tp + tn).toDouble / (tp + fp + fn + tn)) < 1e-6)
+    // AP of a better-than-chance model beats the positive base rate
+    val ap = firstD(ModelEval.averagePrecision(spark, dir), "avg_precision")
+    val base = a.getAs[Long]("n_pos").toDouble /
+      (a.getAs[Long]("n_pos") + a.getAs[Long]("n_neg"))
+    assert(ap > base, s"ap $ap <= base rate $base")
+  }
+}

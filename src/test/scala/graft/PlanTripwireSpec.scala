@@ -124,7 +124,11 @@ class PlanTripwireSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     // cumulative over the DISTINCT per-user-spend-cents histogram — the
     // same money-bounded input as q_events_concentration; user-sized
     // work is the keyed spend aggregate
-    "q_events_gini")
+    "q_events_gini",
+    // rank walks over the DISTINCT micro-quantized-score histogram —
+    // bounded by the quantization domain (≤ 1e6+1 rows) by construction;
+    // the corpus-sized pass is the score hash-aggregate upstream
+    "q_train_auc", "q_train_prauc")
 
   private def globalWindows(name: String, df: DataFrame): Seq[String] = {
     val plan = df.queryExecution.executedPlan
