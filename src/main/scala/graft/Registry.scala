@@ -42,6 +42,7 @@ object Registry {
       operators.Retrieval.queries ++
       operators.TrainClassifier.queries ++
       operators.ModelEval.queries ++
+      operators.MarkovAttribution.queries ++
       operators.Packing.queries ++
       operators.Sketches.queries ++
       operators.Layout.queries ++
