@@ -43,6 +43,8 @@ object Registry {
       operators.TrainClassifier.queries ++
       operators.ModelEval.queries ++
       operators.MarkovAttribution.queries ++
+      operators.FeatureEng.queries ++
+      operators.Concurrency.queries ++
       operators.Packing.queries ++
       operators.Sketches.queries ++
       operators.Layout.queries ++

@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.{Concurrency, FeatureEng}
+import org.apache.spark.sql.functions._
+
+/** Hand fixtures for LOO target encoding, winsorized means, and the
+  * concurrency sweep (touching intervals + cross-midnight carry). */
+class FeatureEngSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("target encode: LOO mean excludes self; singleton category is NULL") {
+    val d = fixtureDir("orders" -> Seq(
+      (1L, "A", 10.0), (2L, "A", 20.0), (3L, "A", 40.0), (4L, "B", 99.0))
+      .toDF("o_orderkey", "o_orderpriority", "o_totalprice"))
+    val out = FeatureEng.targetEncode(spark, d).collect()
+      .map(r => r.getAs[Long]("o_orderkey") ->
+        Option(r.getAs[java.lang.Double]("loo_mean_price")).map(_.toDouble)).toMap
+    assert(out(1L) === Some(30.0))
+    assert(out(2L) === Some(25.0))
+    assert(out(3L) === Some(15.0))
+    assert(out(4L) === None) // n = 1 -> leakage-safe NULL, not 0/0
+  }
+
+  test("winsorize: 1..20 clips the top to 19, mean = 10.45") {
+    def ev(id: Long, v: Double) =
+      (id, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "click", v, "{}")
+    val d = fixtureDir("events" -> (1 to 20).map(i => ev(i.toLong, i.toDouble))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val r = FeatureEng.winsorize(spark, d).collect()(0)
+    assert(r.getAs[Long]("n") === 20L)
+    assert(r.getAs[Double]("p05") === 1.0) // ceil(0.05*20)=1 -> first value
+    assert(r.getAs[Double]("p95") === 19.0) // ceil(0.95*20)=19 -> 19th value
+    assert(r.getAs[Double]("mean_winsorized") === 10.45) // (190+19)/20/... cents exact
+  }
+
+  private def ev(id: Long, uid: Long, ts: String) =
+    (id, java.sql.Timestamp.valueOf(ts), uid, "click", 1.0, "{}")
+
+  test("concurrency: overlapping and touching sessions count together") {
+    // u1 10:00-10:10, u2 10:05-10:15 overlap -> 2;
+    // u3 10:15-10:20 TOUCHES u2's close instant -> still 2 (start before end)
+    val d = fixtureDir("events" -> Seq(
+      ev(1, 1, "2024-01-01 10:00:00"), ev(2, 1, "2024-01-01 10:10:00"),
+      ev(3, 2, "2024-01-01 10:05:00"), ev(4, 2, "2024-01-01 10:15:00"),
+      ev(5, 3, "2024-01-01 10:15:00"), ev(6, 3, "2024-01-01 10:20:00"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val out = Concurrency.maxConcurrent(spark, d).collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[Long]("max_concurrent") === 2L)
+  }
+
+  test("concurrency: a session open across midnight carries into the next day") {
+    // u1's single session spans 23:40 -> 00:20 (gap 40min < ... both gaps
+    // 20min so one session); day2 has ONLY the close boundary, so its max
+    // comes from the carry term, not the within-day peak
+    val d = fixtureDir("events" -> Seq(
+      ev(1, 1, "2024-01-01 23:40:00"), ev(2, 1, "2024-01-02 00:00:00"),
+      ev(3, 1, "2024-01-02 00:20:00"),
+      ev(4, 2, "2024-01-01 23:50:00")) // second session inside day 1
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val out = Concurrency.maxConcurrent(spark, d).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString -> r.getAs[Long]("max_concurrent")).toMap
+    assert(out("2024-01-01") === 2L) // u1 open + u2's instant session
+    assert(out("2024-01-02") === 1L) // carry=1, peak_in_day=-1 -> greatest
+  }
+}
