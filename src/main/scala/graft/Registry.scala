@@ -45,6 +45,7 @@ object Registry {
       operators.MarkovAttribution.queries ++
       operators.FeatureEng.queries ++
       operators.Concurrency.queries ++
+      operators.Seasonal.queries ++
       operators.Packing.queries ++
       operators.Sketches.queries ++
       operators.Layout.queries ++

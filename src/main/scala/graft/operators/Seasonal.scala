@@ -1,0 +1,203 @@
+package graft.operators
+
+import graft.Q
+import graft.functions.Rounding.{roundN, roundNSql}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Time-series structure over the daily revenue KPI: classical additive
+  * decomposition (trend / weekday seasonal / residual) and Spearman rank
+  * correlation between the revenue and volume series — the monotone
+  * dependence check that is robust where `q_stats_corr`'s Pearson is
+  * leverage-dominated.
+  *
+  * Scale design: both queries collapse the corpus to the per-DAY series
+  * in one keyed aggregate; every window after that runs over the
+  * calendar-bounded day table (the whitelisted q_events_cum_users
+  * class). Weekday seasonal means are a 7-group aggregate.
+  *
+  * Exactness:
+  *  - Decomposition works in integer MICRO-dollars: the centered 7-day
+  *    trend quantizes floor(Σ7·10⁴/7 + 0.5) once, the weekday seasonal
+  *    quantizes its mean once, residual = exact integer subtraction —
+  *    both engines do the identical double division between identical
+  *    BIGINTs at each of the two quantization points.
+  *  - Spearman doubles the average ranks to stay integral
+  *    (a2 = 2·cntBefore + cntEq + 1), then Pearson on BIGINT rank sums:
+  *    one sqrt per side at the very end.
+  */
+object Seasonal {
+
+  // ----------------------------------------------------------- decompose
+
+  /** Additive decomposition of daily purchase revenue. Trend is the
+    * centered 7-day moving average (NULL on the 3-day edges), seasonal
+    * the per-weekday mean of the detrended series, residual the exact
+    * remainder. */
+  def decompose(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = floor(col("value") * 100 + 0.5).cast("long")
+    val day = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day")).agg(sum(cents).as("v"))
+    val w7 = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    val tr = day
+      .withColumn("s7", sum(col("v")).over(w7))
+      .withColumn("c7", count(lit(1)).over(w7))
+      .withColumn("t_mu",
+        when(col("c7") === 7L,
+          floor(col("s7").cast("double") * 10000.0 / 7.0 + 0.5).cast("long")))
+      .withColumn("d_mu", col("v") * 10000L - col("t_mu"))
+      .withColumn("dow", dayofweek(col("day")))
+    val seas = tr.filter(col("t_mu").isNotNull)
+      .groupBy(col("dow"))
+      .agg(floor(sum(col("d_mu")).cast("double") / count(lit(1)) + 0.5)
+        .cast("long").as("s_mu"))
+    tr.join(broadcast(seas), Seq("dow"), "left_outer")
+      .select(col("day"),
+        roundN(col("v").cast("double") / 100.0, 6).as("revenue"),
+        roundN(col("t_mu").cast("double") / 1000000.0, 6).as("trend"),
+        roundN(col("s_mu").cast("double") / 1000000.0, 6).as("seasonal"),
+        roundN((col("d_mu") - col("s_mu")).cast("double") / 1000000.0, 6).as("residual"))
+      .orderBy(col("day"))
+  }
+
+  private val decomposeSql =
+    s"""WITH e AS (SELECT ts::TIMESTAMP AS ts, event_type, value FROM events),
+       |d AS (SELECT CAST(ts AS DATE) AS day,
+       |        CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+       |      FROM e WHERE event_type = 'purchase' GROUP BY 1),
+       |t AS (SELECT day, v,
+       |        sum(v) OVER w7 AS s7, count(*) OVER w7 AS c7,
+       |        dayofweek(day) + 1 AS dow
+       |      FROM d WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+       |tm AS (SELECT day, v, dow,
+       |         CASE WHEN c7 = 7 THEN
+       |           CAST(floor(CAST(s7 AS DOUBLE) * 10000.0 / 7.0 + 0.5) AS BIGINT)
+       |         END AS t_mu
+       |       FROM t),
+       |td AS (SELECT *, v * 10000 - t_mu AS d_mu FROM tm),
+       |se AS (SELECT dow,
+       |         CAST(floor(CAST(sum(d_mu) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS s_mu
+       |       FROM td WHERE t_mu IS NOT NULL GROUP BY 1)
+       |SELECT td.day,
+       |  ${roundNSql("CAST(td.v AS DOUBLE) / 100.0", 6)} AS revenue,
+       |  ${roundNSql("CAST(td.t_mu AS DOUBLE) / 1000000.0", 6)} AS trend,
+       |  ${roundNSql("CAST(se.s_mu AS DOUBLE) / 1000000.0", 6)} AS seasonal,
+       |  ${roundNSql("CAST(td.d_mu - se.s_mu AS DOUBLE) / 1000000.0", 6)} AS residual
+       |FROM td LEFT JOIN se USING (dow)
+       |ORDER BY td.day""".stripMargin
+
+  // ------------------------------------------------------------ spearman
+
+  /** Spearman rank correlation between daily revenue and daily event
+    * volume (average ranks for ties, doubled to stay integral). */
+  def spearman(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = floor(col("value") * 100 + 0.5).cast("long")
+    val day = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(when(col("event_type") === "purchase", cents).otherwise(0L)).as("r"),
+        count(lit(1)).as("v"))
+    def a2(c: String) = {
+      val w = Window.orderBy(col(c))
+      // doubled average rank: 2·cntBefore + cntEq + 1
+      lit(2) * (coalesce(count(lit(1)).over(
+        w.rangeBetween(Window.unboundedPreceding, -1)), lit(0L))) +
+        count(lit(1)).over(w.rangeBetween(0, 0)) + lit(1)
+    }
+    val ranked = day.select(a2("r").as("x"), a2("v").as("y"))
+    ranked.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+      .select(col("n").as("n_days"),
+        when(
+          (col("n") * col("sxx") - col("sx") * col("sx")) === 0L ||
+            (col("n") * col("syy") - col("sy") * col("sy")) === 0L,
+          lit(null).cast("double"))
+          .otherwise(roundN(
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+                sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))), 6))
+          .as("spearman_rho"))
+  }
+
+  private val spearmanSql =
+    s"""WITH e AS (SELECT ts::TIMESTAMP AS ts, event_type, value FROM events),
+       |d AS (SELECT CAST(ts AS DATE) AS day,
+       |        CAST(sum(CASE WHEN event_type = 'purchase'
+       |          THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS r,
+       |        count(*) AS v
+       |      FROM e GROUP BY 1),
+       |rk AS (SELECT
+       |         2 * (count(*) OVER (ORDER BY r RANGE BETWEEN UNBOUNDED PRECEDING
+       |              AND 1 PRECEDING)) +
+       |           count(*) OVER (ORDER BY r RANGE BETWEEN CURRENT ROW AND CURRENT ROW)
+       |           + 1 AS x,
+       |         2 * (count(*) OVER (ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING
+       |              AND 1 PRECEDING)) +
+       |           count(*) OVER (ORDER BY v RANGE BETWEEN CURRENT ROW AND CURRENT ROW)
+       |           + 1 AS y
+       |       FROM d),
+       |a AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+       |        CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * x) AS BIGINT) AS sxx,
+       |        CAST(sum(y * y) AS BIGINT) AS syy, CAST(sum(x * y) AS BIGINT) AS sxy
+       |      FROM rk)
+       |SELECT n AS n_days,
+       |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+       |       ELSE ${roundNSql(
+        "CAST(n * sxy - sx * sy AS DOUBLE) / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))", 6)}
+       |  END AS spearman_rho
+       |FROM a""".stripMargin
+
+  // ---------------------------------------------------------- entry/exit
+
+  /** Session entry/exit matrix: which event type opens and closes each
+    * 30-minute-gap session, plus single-event bounces per cell. */
+  def entryExit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sess = Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(
+        min_by(col("event_type"), struct(col("ts"), col("event_id"))).as("entry_type"),
+        max_by(col("event_type"), struct(col("ts"), col("event_id"))).as("exit_type"),
+        count(lit(1)).as("n_events"))
+    sess.groupBy(col("entry_type"), col("exit_type"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1L, 1L).otherwise(0L)).as("n_bounce"))
+      .orderBy(col("entry_type"), col("exit_type"))
+  }
+
+  private val entryExitSql =
+    """WITH e AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type FROM events),
+      |x AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |y AS (
+      |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                           ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM x),
+      |z AS (SELECT *,
+      |        row_number() OVER (PARTITION BY user_id, sid
+      |          ORDER BY ts, event_id) AS rna,
+      |        row_number() OVER (PARTITION BY user_id, sid
+      |          ORDER BY ts DESC, event_id DESC) AS rnd
+      |      FROM y),
+      |s AS (SELECT user_id, sid,
+      |        max(CASE WHEN rna = 1 THEN event_type END) AS entry_type,
+      |        max(CASE WHEN rnd = 1 THEN event_type END) AS exit_type,
+      |        count(*) AS n_events
+      |      FROM z GROUP BY 1, 2)
+      |SELECT entry_type, exit_type, count(*) AS n_sessions,
+      |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce
+      |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    Q("q_stats_decompose", decompose, Some(decomposeSql)),
+    Q("q_stats_spearman", spearman, Some(spearmanSql)),
+    Q("q_events_entry_exit", entryExit, Some(entryExitSql)))
+}

@@ -132,7 +132,11 @@ class PlanTripwireSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     // cross-day carry is a cumulative sum over the per-DAY net series —
     // calendar-bounded (the q_events_cum_users class); the events-sized
     // sweep runs in the day-partitioned window upstream
-    "q_events_concurrency")
+    "q_events_concurrency",
+    // centered 7-day MA and rank windows run over the per-DAY series —
+    // calendar-bounded (the q_events_cum_users class); the events-sized
+    // pass is the per-day keyed aggregate upstream
+    "q_stats_decompose", "q_stats_spearman")
 
   private def globalWindows(name: String, df: DataFrame): Seq[String] = {
     val plan = df.queryExecution.executedPlan

@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.Seasonal
+
+/** Hand fixtures for the decomposition, Spearman, and entry/exit ops. */
+class SeasonalSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ev(id: Long, uid: Long, ts: String, t: String, v: Double) =
+    (id, java.sql.Timestamp.valueOf(ts), uid, t, v, "{}")
+
+  test("decompose: strict period-7 series has zero residual inside the trend span") {
+    // day d carries 100·(1 + d mod 7): every 7-day window sums alike, so
+    // the trend is constant and the weekday seasonal absorbs the rest
+    val rows = (1 to 21).map { d =>
+      ev(d.toLong, 1L, f"2024-01-$d%02d 10:00:00", "purchase", 100.0 * (1 + d % 7))
+    }
+    val d = fixtureDir("events" -> rows
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val out = Seasonal.decompose(spark, d).collect()
+    assert(out.length === 21)
+    val full = out.filter(!_.isNullAt(2))
+    assert(full.length === 15) // 3-day edges are NULL
+    full.foreach { r =>
+      assert(math.abs(r.getAs[Double]("trend") - 400.0) < 1e-6) // mean of 100..700
+      assert(math.abs(r.getAs[Double]("residual")) < 1e-3,
+        s"residual ${r.getAs[Double]("residual")} on ${r.get(0)}")
+      // additivity: revenue = trend + seasonal + residual
+      val sum = r.getAs[Double]("trend") + r.getAs[Double]("seasonal") +
+        r.getAs[Double]("residual")
+      assert(math.abs(sum - r.getAs[Double]("revenue")) < 1e-3)
+    }
+  }
+
+  test("spearman: monotone association = 1, inverse = -1") {
+    // day i: i purchases of $10 -> revenue and volume both increase
+    val up = (1 to 5).flatMap { i =>
+      (1 to i).map(j => ev((i * 10 + j).toLong, 1L,
+        f"2024-01-0$i%d 10:0$j%d:00", "purchase", 10.0))
+    }
+    val d1 = fixtureDir("events" -> up
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    assert(Seasonal.spearman(spark, d1).collect()(0).getAs[Double]("spearman_rho") === 1.0)
+    // day i: one purchase of $(6-i) plus i clicks -> revenue falls as
+    // volume rises
+    val down = (1 to 5).flatMap { i =>
+      ev((i * 10).toLong, 1L, f"2024-01-0$i%d 10:00:00", "purchase", (6 - i) * 10.0) +:
+        (1 to i).map(j => ev((i * 100 + j).toLong, 1L,
+          f"2024-01-0$i%d 10:0$j%d:00", "click", 1.0))
+    }
+    val d2 = fixtureDir("events" -> down
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    assert(Seasonal.spearman(spark, d2).collect()(0).getAs[Double]("spearman_rho") === -1.0)
+  }
+
+  test("entry/exit: session boundaries pick first and last by (ts, event_id)") {
+    val d = fixtureDir("events" -> Seq(
+      ev(1, 1, "2024-01-01 10:00:00", "view", 1.0),
+      ev(2, 1, "2024-01-01 10:05:00", "click", 1.0),
+      ev(3, 1, "2024-01-01 12:00:00", "signup", 1.0), // new session (gap > 30m), bounce
+      ev(4, 2, "2024-01-01 10:00:00", "purchase", 5.0)) // single-event bounce
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val out = Seasonal.entryExit(spark, d).collect()
+      .map(r => (r.getAs[String]("entry_type"), r.getAs[String]("exit_type")) ->
+        (r.getAs[Long]("n_sessions"), r.getAs[Long]("n_bounce"))).toMap
+    assert(out(("view", "click")) === ((1L, 0L)))
+    assert(out(("signup", "signup")) === ((1L, 1L)))
+    assert(out(("purchase", "purchase")) === ((1L, 1L)))
+    assert(out.size === 3)
+  }
+}
