@@ -3,8 +3,9 @@ package graft.operators
 import graft.Q
 import graft.functions.Rounding.{roundN, roundNSql}
 import graft.sources.Tables
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
 /** Hybrid retrieval: reciprocal-rank fusion (RRF, Cormack et al. SIGIR'09 —
   * public) of the sparse BM25 ranking over `documents` and a dense
@@ -190,8 +191,144 @@ object Retrieval {
        |FROM sparse FULL JOIN dense USING (query_id, doc_id)""".stripMargin
   }
 
+  /** MMR picks per query (M of the DenseTopK candidates). */
+  val MmrPicks = 5
+
+  /** MMR trade-off λ: score = λ·relevance − (1−λ)·max-sim-to-selected. */
+  val MmrLambda = 0.7
+
+  /** Maximal-marginal-relevance diversified re-ranking (Carbonell &
+    * Goldstein SIGIR'98 — public) of each query's dense top-k: pick 1 is
+    * the most relevant candidate; each later pick maximizes
+    * λ·rel − (1−λ)·max sim to the already-picked set — the standard
+    * redundancy filter before a RAG context window is filled.
+    *
+    * Scale shape: candidate generation is the exact same plan as the RRF
+    * dense side (1-row broadcast + narrow scan + native bounded-heap
+    * top-k); everything after operates on ≤ DenseTopK rows per query —
+    * the candidate×candidate sim table is k²-bounded BY CONSTRUCTION and
+    * the greedy selection is a (queries·k²)-sized driver model (the
+    * KMeans collect class), never a corpus operation.
+    *
+    * Exactness: relevance and pairwise sims quantize to integer micro
+    * units once; each step's score floor(λ·rel_µ − (1−λ)·maxSim_µ + 0.5)
+    * is the identical IEEE op sequence in both engines (the oracle
+    * unrolls the M−1 greedy steps as CTEs), ties break on doc_id. */
+  def mmr(spark: SparkSession, dir: String): DataFrame =
+    mmrOf(spark, Tables.embeddings(spark, dir), RrfQueryVecs)
+
+  /** Library form over any (vec_id, embedding) frame and query-id set. */
+  def mmrOf(spark: SparkSession, embeddings: DataFrame, qids: Seq[Long]): DataFrame = {
+    val emb = embeddings.select(
+      col("vec_id"), vecD.as("v"), sqrt(dot(vecD, vecD)).as("nrm"))
+    val scored = qids.map { qid =>
+      val qv = broadcast(emb.filter(col("vec_id") === qid)
+        .agg(first(col("v")).as("qv"), first(col("nrm")).as("qnrm")))
+      emb.filter(col("vec_id") =!= qid).crossJoin(qv)
+        .select(lit(qid).as("query_id"), col("vec_id"),
+          (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"),
+          col("v"), col("nrm"))
+    }.reduce(_ unionByName _)
+    val cand = graft.plans.TopK.topK(scored, Seq("query_id"),
+      Seq(("cos", true), ("vec_id", false)), DenseTopK)
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        floor(col("cos") * 1e6 + 0.5).cast("long").as("rel_mu"),
+        col("v"), col("nrm"))
+    val a = cand.select(col("query_id"), col("doc_id").as("a"),
+      col("rel_mu"), col("v").as("va"), col("nrm").as("na"))
+    val b = cand.select(col("query_id"), col("doc_id").as("b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val pairs = a.join(b, "query_id").filter(col("a") =!= col("b"))
+      .select(col("query_id"), col("a"), col("b"),
+        floor(dot(col("va"), col("vb")) / (col("na") * col("nb")) * 1e6 + 0.5)
+          .cast("long").as("sim_mu"))
+
+    // ≤ queries·k² rows by construction — the driver-model collect class
+    val rel = cand.select(col("query_id"), col("doc_id"), col("rel_mu")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val sim = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    val byQ = rel.keys.groupBy(_._1)
+    val out = byQ.toSeq.sortBy(_._1).flatMap { case (q, keys) =>
+      val docs = keys.map(_._2).toSeq
+      var selected = Vector.empty[Long]
+      (1 to math.min(MmrPicks, docs.size)).map { pick =>
+        val remaining = docs.filterNot(selected.contains)
+        val best = remaining.map { d =>
+          val score =
+            if (selected.isEmpty) rel((q, d))
+            else {
+              val ms = selected.map(s => sim((q, d, s))).max
+              math.floor(MmrLambda * rel((q, d)).toDouble -
+                (1.0 - MmrLambda) * ms.toDouble + 0.5).toLong
+            }
+          (score, d)
+        }.minBy { case (s, d) => (-s, d) }
+        selected :+= best._2
+        Row(q, pick, best._2)
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("query_id", LongType), StructField("pick", IntegerType),
+      StructField("doc_id", LongType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(out, 1), schema)
+      .orderBy(col("query_id"), col("pick"))
+  }
+
+  private val mmrSql = {
+    val nrm = "sqrt(list_sum(list_transform(range(1, len(embedding) + 1), " +
+      "i -> (embedding::DOUBLE[])[i] * (embedding::DOUBLE[])[i])))"
+    val dotQc = "list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i]))"
+    val dotAb = "list_sum(list_transform(range(1, len(va.v) + 1), i -> va.v[i] * vb.v[i]))"
+    val qids = RrfQueryVecs.mkString(", ")
+    def step(j: Int): String = {
+      val prev = (1 to j - 1).map(i => s"SELECT query_id, doc_id, $i AS pick FROM sel$i")
+        .mkString(" UNION ALL ")
+      s"""ss$j AS ($prev),
+         |ms$j AS (SELECT p.query_id, p.a AS doc_id, max(p.sim_mu) AS ms
+         |         FROM pairs p JOIN ss$j s
+         |           ON s.query_id = p.query_id AND s.doc_id = p.b
+         |         GROUP BY 1, 2),
+         |sc$j AS (SELECT c.query_id, c.doc_id,
+         |           CAST(floor($MmrLambda * c.rel_mu -
+         |             ${1.0 - MmrLambda} * m.ms + 0.5) AS BIGINT) AS mmr_mu
+         |         FROM cand c
+         |         JOIN ms$j m ON m.query_id = c.query_id AND m.doc_id = c.doc_id
+         |         LEFT JOIN ss$j s
+         |           ON s.query_id = c.query_id AND s.doc_id = c.doc_id
+         |         WHERE s.doc_id IS NULL),
+         |sel$j AS (SELECT query_id, doc_id FROM sc$j
+         |          QUALIFY row_number() OVER (PARTITION BY query_id
+         |            ORDER BY mmr_mu DESC, doc_id) = 1)""".stripMargin
+    }
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v, $nrm AS nrm FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v, nrm FROM v WHERE vec_id IN ($qids)),
+       |sc AS (SELECT q.query_id, c.vec_id, $dotQc / (q.nrm * c.nrm) AS cos
+       |       FROM v c CROSS JOIN q WHERE c.vec_id != q.query_id),
+       |cand AS (SELECT query_id, vec_id AS doc_id,
+       |           CAST(floor(cos * 1e6 + 0.5) AS BIGINT) AS rel_mu
+       |         FROM sc
+       |         QUALIFY row_number() OVER (PARTITION BY query_id
+       |           ORDER BY cos DESC, vec_id) <= $DenseTopK),
+       |pairs AS (SELECT a.query_id, a.doc_id AS a, b.doc_id AS b,
+       |            CAST(floor($dotAb / (va.nrm * vb.nrm) * 1e6 + 0.5) AS BIGINT) AS sim_mu
+       |          FROM cand a JOIN cand b
+       |            ON a.query_id = b.query_id AND a.doc_id <> b.doc_id
+       |          JOIN v va ON va.vec_id = a.doc_id
+       |          JOIN v vb ON vb.vec_id = b.doc_id),
+       |sel1 AS (SELECT query_id, doc_id FROM cand
+       |         QUALIFY row_number() OVER (PARTITION BY query_id
+       |           ORDER BY rel_mu DESC, doc_id) = 1),
+       |${(2 to MmrPicks).map(step).mkString(",\n")}
+       |SELECT query_id, CAST(pick AS INT) AS pick, doc_id FROM (
+       |  ${(1 to MmrPicks).map(i => s"SELECT query_id, doc_id, $i AS pick FROM sel$i")
+         .mkString(" UNION ALL ")})
+       |ORDER BY query_id, pick""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_retrieval_rrf", rrfFusion, Some(rrfSql)),
     Q("q_retrieval_rrf_multi", rrfFusionMulti, Some(rrfMultiSql)),
+    Q("q_retrieval_mmr", mmr, Some(mmrSql)),
     Q("q_retrieval_ndcg", annNdcg, Some(annNdcgSql)))
 }
