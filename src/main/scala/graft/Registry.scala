@@ -46,6 +46,7 @@ object Registry {
       operators.FeatureEng.queries ++
       operators.Concurrency.queries ++
       operators.Seasonal.queries ++
+      operators.Recommend.queries ++
       operators.Packing.queries ++
       operators.Sketches.queries ++
       operators.Layout.queries ++

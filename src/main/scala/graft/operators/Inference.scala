@@ -34,10 +34,10 @@ object Inference {
   /** Deterministic experiment arm from the user id — the md5-byte gate
     * every sampler in this engine uses (operators/Sampling.scala): bit
     * parity of the first md5 byte, 0 = control, 1 = treatment. */
-  private def armCol(c: Column): Column =
+  private[operators] def armCol(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 2), 16, 10).cast("int") % 2
 
-  private val armSql = "(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))::INT % 2)"
+  private[operators] val armSql = "(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))::INT % 2)"
 
   private val eventsUs =
     "e AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type, value FROM events)"
