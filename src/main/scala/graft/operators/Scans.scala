@@ -177,6 +177,57 @@ object Scans {
     * is unit-testable on constructed small groups (where type-1's
     * ceil(q·n) and other discrete conventions pick different elements —
     * e.g. n=2, q=0.75). Input: (l_returnflag, cents). */
+  /** 95% z for the median CI ranks, quantized once. */
+  private val MedianCiZ = 1.959964
+
+  /** Distribution-free 95% CI for the per-type median of event value via
+    * binomial order statistics: the interval between the values at ranks
+    * L = max(1, floor((n − z√n)/2)) and U = min(n, ceil((n + z√n)/2) + 1)
+    * covers the true median with ≥95% probability for any distribution —
+    * the robust uncertainty statement next to `q_stats_quantiles`' point
+    * estimate. Ranks resolve on the per-type DISTINCT-cents histogram
+    * (group-partitioned cumulative, the scale-safe quantile class); the
+    * only float ops are z·√n (identical IEEE in both engines) and the
+    * final /100 displays. */
+  def medianCi(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = floor(col("value") * 100 + 0.5).cast("long")
+    val vals = Tables.events(spark, dir).select(col("event_type"), cents.as("c"))
+    val byT = Window.partitionBy(col("event_type"))
+    val cum = vals.groupBy(col("event_type"), col("c"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(byT.orderBy(col("c"))))
+      .withColumn("n", sum(col("cnt")).over(byT))
+    val zrtn = lit(MedianCiZ) * sqrt(col("n").cast("double"))
+    val lRank = greatest(lit(1L), floor((col("n").cast("double") - zrtn) / 2.0).cast("long"))
+    val uRank = least(col("n"), (ceil((col("n").cast("double") + zrtn) / 2.0) + 1).cast("long"))
+    cum.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        (min(when(col("cum") >= ceil(lit(0.5) * col("n")), col("c")))
+          .cast("double") / 100.0).as("median"),
+        (min(when(col("cum") >= lRank, col("c"))).cast("double") / 100.0).as("ci_lo"),
+        (min(when(col("cum") >= uRank, col("c"))).cast("double") / 100.0).as("ci_hi"))
+      .orderBy(col("event_type"))
+  }
+
+  private val medianCiSql =
+    s"""WITH e AS (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+       |           FROM events),
+       |h AS (SELECT event_type, c, count(*) AS cnt FROM e GROUP BY 1, 2),
+       |cu AS (SELECT event_type, c,
+       |         sum(cnt) OVER (PARTITION BY event_type ORDER BY c) AS cum,
+       |         sum(cnt) OVER (PARTITION BY event_type) AS n
+       |       FROM h),
+       |r AS (SELECT *,
+       |        greatest(1, CAST(floor((CAST(n AS DOUBLE) - $MedianCiZ * sqrt(CAST(n AS DOUBLE))) / 2.0) AS BIGINT)) AS l_rank,
+       |        least(n, CAST(ceil((CAST(n AS DOUBLE) + $MedianCiZ * sqrt(CAST(n AS DOUBLE))) / 2.0) AS BIGINT) + 1) AS u_rank
+       |      FROM cu)
+       |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+       |  CAST(min(CASE WHEN cum >= ceil(0.5 * n) THEN c END) AS DOUBLE) / 100.0 AS median,
+       |  CAST(min(CASE WHEN cum >= l_rank THEN c END) AS DOUBLE) / 100.0 AS ci_lo,
+       |  CAST(min(CASE WHEN cum >= u_rank THEN c END) AS DOUBLE) / 100.0 AS ci_hi
+       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
   private[graft] def type1CentsQuantiles(vals: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hist = vals
@@ -783,6 +834,7 @@ object Scans {
     // interpolated form is explicitly suffixed _sorted and stays the
     // bounded-groups convenience (round-3 "weak while unqualified" fix)
     Q("q_stats_quantiles", quantilesHist, Some(quantilesHistSql)),
+    Q("q_stats_median_ci", medianCi, Some(medianCiSql)),
     Q("q_stats_chi2", chi2Drift, Some(chi2Sql)),
     Q("q_stats_corr", corrStats, Some(corrSql)),
     Q("q_stats_histogram", histogram, Some(histogramSql)),

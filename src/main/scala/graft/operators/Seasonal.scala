@@ -196,8 +196,67 @@ object Seasonal {
       |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce
       |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------------- xcorr
+
+  /** Cross-correlation lags checked (0..K days). */
+  val XcorrMaxLag = 7
+
+  /** Lead-lag cross-correlation: Pearson r between signup volume on day
+    * t and purchase volume on day t+k for k = 0..[[XcorrMaxLag]] — the
+    * "how long after a signup wave does the revenue wave arrive"
+    * question. The lag pairing is an equi-join on day+k over the
+    * calendar-bounded day series (the q_stats_autocorr class — no
+    * window at all); r comes from six exact BIGINT sums per lag. */
+  def xcorr(spark: SparkSession, dir: String): DataFrame = {
+    val day = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+    val lags = spark.range(0, XcorrMaxLag + 1).select(col("id").cast("int").as("lag"))
+    val a = day.select(col("day"), col("x"))
+    val b = day.select(col("day").as("day2"), col("y"))
+    val pairs = a.crossJoin(broadcast(lags))
+      .join(b, date_add(col("day"), col("lag")) === col("day2"))
+    pairs.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("lag"), col("n").as("n_pairs"),
+        when((col("n") * col("sxx") - col("sx") * col("sx")) <= 0L ||
+          (col("n") * col("syy") - col("sy") * col("sy")) <= 0L,
+          lit(null).cast("double"))
+          .otherwise(roundN(
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+                sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))), 6))
+          .as("r"))
+      .orderBy(col("lag"))
+  }
+
+  private val xcorrSql =
+    s"""WITH e AS (SELECT ts::TIMESTAMP AS ts, event_type FROM events),
+       |d AS (SELECT CAST(ts AS DATE) AS day,
+       |        CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+       |        CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+       |      FROM e GROUP BY 1),
+       |lg AS (SELECT unnest(range(0, ${XcorrMaxLag + 1})) AS lag),
+       |p AS (SELECT lg.lag, a.x, b.y
+       |      FROM d a CROSS JOIN lg
+       |      JOIN d b ON b.day = a.day + to_days(CAST(lg.lag AS INT))),
+       |g AS (SELECT lag, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+       |        CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * x) AS BIGINT) AS sxx,
+       |        CAST(sum(y * y) AS BIGINT) AS syy, CAST(sum(x * y) AS BIGINT) AS sxy
+       |      FROM p GROUP BY 1)
+       |SELECT CAST(lag AS INT) AS lag, n AS n_pairs,
+       |  CASE WHEN n * sxx - sx * sx <= 0 OR n * syy - sy * sy <= 0 THEN NULL
+       |       ELSE ${roundNSql(
+        "CAST(n * sxy - sx * sy AS DOUBLE) / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))", 6)}
+       |  END AS r
+       |FROM g ORDER BY 1""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q_stats_decompose", decompose, Some(decomposeSql)),
     Q("q_stats_spearman", spearman, Some(spearmanSql)),
+    Q("q_stats_xcorr", xcorr, Some(xcorrSql)),
     Q("q_events_entry_exit", entryExit, Some(entryExitSql)))
 }

@@ -53,6 +53,36 @@ class SeasonalSpec extends SparkSuite {
     assert(Seasonal.spearman(spark, d2).collect()(0).getAs[Double]("spearman_rho") === -1.0)
   }
 
+  test("xcorr: a 2-day shifted purchase wave peaks at lag 2") {
+    // signups day 1..6 count = d; purchases day 3..8 count = d-2 -> at
+    // lag 2 the pair series are identical (r = 1)
+    var id = 0L
+    def mk(day: Int, t: String, cnt: Int) = (1 to cnt).map { _ =>
+      id += 1; ev(id, 1L, f"2024-01-$day%02d 10:00:00", t, 1.0)
+    }
+    val rows = (1 to 6).flatMap(d => mk(d, "signup", d)) ++
+      (3 to 8).flatMap(d => mk(d, "purchase", d - 2))
+    val d = fixtureDir("events" -> rows
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val out = Seasonal.xcorr(spark, d).collect()
+      .map(r => r.getAs[Int]("lag") ->
+        Option(r.getAs[java.lang.Double]("r")).map(_.toDouble)).toMap
+    assert(out(2) === Some(1.0))
+    assert(out(0).forall(_ < 1.0)) // unshifted series are not identical
+  }
+
+  test("median ci: binomial order-statistic ranks on 1..100") {
+    // n=100, z√n=19.59964: L=floor(40.2)=40, U=min(100, ceil(59.8)+1)=61
+    val rows = (1 to 100).map(i => ev(i.toLong, 1L, "2024-01-01 10:00:00", "click", i.toDouble))
+    val d = fixtureDir("events" -> rows
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val r = graft.operators.Scans.medianCi(spark, d).collect()(0)
+    assert(r.getAs[Long]("n") === 100L)
+    assert(r.getAs[Double]("median") === 50.0)
+    assert(r.getAs[Double]("ci_lo") === 40.0)
+    assert(r.getAs[Double]("ci_hi") === 61.0)
+  }
+
   test("entry/exit: session boundaries pick first and last by (ts, event_id)") {
     val d = fixtureDir("events" -> Seq(
       ev(1, 1, "2024-01-01 10:00:00", "view", 1.0),
