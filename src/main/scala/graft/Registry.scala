@@ -47,6 +47,7 @@ object Registry {
       operators.Concurrency.queries ++
       operators.Seasonal.queries ++
       operators.Recommend.queries ++
+      operators.Engagement.queries ++
       operators.Packing.queries ++
       operators.Sketches.queries ++
       operators.Layout.queries ++

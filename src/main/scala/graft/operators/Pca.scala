@@ -191,7 +191,51 @@ object Pca {
     s"WITH $gramCte,\n$v0,\n$rounds\nSELECT i, v FROM v$Rounds"
   }
 
+  /** Per-dimension mean/std of the embedding corpus — the whitening
+    * statistics an embedding pipeline fits before PCA/SQ8 quantization
+    * (subtract mean, divide by std). One explode + map-side-combined
+    * aggregate (the [[gramOf]] shape at Dim instead of Dim² fanout);
+    * sums ride the same integer TICKS with the same [[GramRowBudget]]
+    * guard (Σt² approaches 2⁶³ at ~9e6 rows — beyond, lift to DECIMAL).
+    * mean and var then derive from identical BIGINTs with a pinned
+    * double-op sequence, so both engines agree bit-for-bit. */
+  def whitenStats(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Tables.embeddings(spark, dir).select(ticks.as("t"))
+      .select(explode(sequence(lit(1), lit(Dim))).as("dim"), col("t"))
+      .select(col("dim"), element_at(col("t"), col("dim")).as("v"))
+    val g = terms.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("st"),
+        sum(col("v") * col("v")).as("sq"))
+      .filter(assert_true(col("n") <= GramRowBudget,
+        lit(s"whitening BIGINT overflow budget: corpus rows > $GramRowBudget; " +
+          "rerun on DECIMAL(38,0)")).isNull)
+    val meanT = col("st").cast("double") / col("n")
+    val varT = col("sq").cast("double") / col("n") - meanT * meanT
+    g.select(col("dim"), col("n"),
+      graft.functions.Rounding.roundN(meanT / lit(1e6), 6).as("mean"),
+      graft.functions.Rounding.roundN(
+        sqrt(greatest(varT, lit(0.0))) / lit(1e6), 6).as("std"))
+      .orderBy(col("dim"))
+  }
+
+  private val whitenStatsSql =
+    s"""WITH t AS (SELECT list_transform(embedding::DOUBLE[],
+       |             x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS t
+       |           FROM embeddings),
+       |x AS (SELECT u.i AS dim, (t)[u.i] AS v
+       |      FROM t, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) u),
+       |g AS (SELECT dim, count(*) AS n, CAST(sum(v) AS BIGINT) AS st,
+       |        CAST(sum(v * v) AS BIGINT) AS sq
+       |      FROM x GROUP BY 1)
+       |SELECT CAST(dim AS INT) AS dim, n,
+       |  ${graft.functions.Rounding.roundNSql(
+        "CAST(st AS DOUBLE) / n / 1e6", 6)} AS mean,
+       |  ${graft.functions.Rounding.roundNSql(
+        "sqrt(greatest(CAST(sq AS DOUBLE) / n - (CAST(st AS DOUBLE) / n) * (CAST(st AS DOUBLE) / n), 0.0)) / 1e6", 6)} AS std
+       |FROM g ORDER BY 1""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q_embed_gram", gram, Some(gramSql)),
+    Q("q_embed_whiten", whitenStats, Some(whitenStatsSql)),
     Q("q_embed_pca_power", pcaPower, Some(pcaSql)))
 }

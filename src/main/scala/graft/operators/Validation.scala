@@ -313,8 +313,65 @@ object Validation {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  /** Minimal-generalization pick over a fixed QI ladder — the release
+    * policy on top of the `q_privacy_kanon` audit: walk
+    * L0 (nation, segment) → L1 (region, segment) → L2 (region, *) →
+    * L3 (*, *) and choose the first level whose SMALLEST QI group
+    * reaches k = [[KAnon]]. All four levels compute in ONE Expand pass
+    * (the q_grouping_sets operator class — a single scan regardless of
+    * corpus size); the level summary is ladder-sized (4 rows) and the
+    * chosen marker joins a 1-row grand aggregate. The oracle recomputes
+    * each level as a plain UNION (correctness-only role). */
+  def kAnonLevels(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_nationkey").as("nationkey"),
+        col("n_regionkey").as("region"), col("c_mktsegment").as("mktsegment"))
+    val sized = cust
+      .groupingSets(
+        Seq(Seq(col("nationkey"), col("region"), col("mktsegment")),
+          Seq(col("region"), col("mktsegment")), Seq(col("region")), Seq()),
+        col("nationkey"), col("region"), col("mktsegment"))
+      .agg(count(lit(1)).as("sz"), grouping_id().as("gid"))
+      .select(
+        when(col("gid") === 0, 0).when(col("gid") === 4, 1)
+          .when(col("gid") === 5, 2).otherwise(3).as("level"),
+        col("sz"))
+    val levels = sized.groupBy(col("level"))
+      .agg(count(lit(1)).as("n_groups"), min(col("sz")).as("min_group_size"))
+      .withColumn("meets_k", col("min_group_size") >= KAnon)
+    val minLevel = broadcast(levels.filter(col("meets_k"))
+      .agg(min(col("level")).as("min_level")))
+    levels.crossJoin(minLevel)
+      .select(col("level"), col("n_groups"), col("min_group_size"), col("meets_k"),
+        coalesce(col("level") === col("min_level"), lit(false)).as("chosen"))
+      .orderBy(col("level"))
+  }
+
+  private val kAnonLevelsSql =
+    s"""WITH c AS (SELECT c_nationkey AS nationkey, n_regionkey AS region,
+       |             c_mktsegment AS mktsegment
+       |           FROM customer JOIN nation ON c_nationkey = n_nationkey),
+       |sz AS (
+       |  SELECT 0 AS level, count(*) AS sz FROM c GROUP BY nationkey, region, mktsegment
+       |  UNION ALL SELECT 1, count(*) FROM c GROUP BY region, mktsegment
+       |  UNION ALL SELECT 2, count(*) FROM c GROUP BY region
+       |  UNION ALL SELECT 3, count(*) FROM c),
+       |lv AS (SELECT level, count(*) AS n_groups,
+       |         CAST(min(sz) AS BIGINT) AS min_group_size,
+       |         min(sz) >= $KAnon AS meets_k
+       |       FROM sz GROUP BY 1),
+       |ml AS (SELECT min(level) AS min_level FROM lv WHERE meets_k)
+       |SELECT level, n_groups, min_group_size, meets_k,
+       |  coalesce(level = ml.min_level, false) AS chosen
+       |FROM lv CROSS JOIN ml
+       |ORDER BY level""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q_privacy_kanon", kAnonymity, Some(kAnonymitySql)),
+    Q("q_privacy_kanon_level", kAnonLevels, Some(kAnonLevelsSql)),
     Q("q_privacy_tcloseness", tCloseness, Some(tClosenessSql)),
     Q("q_privacy_forget", forgetAudit, Some(forgetAuditSql)),
     Q("q_privacy_ldiversity", lDiversity, Some(lDiversitySql)),

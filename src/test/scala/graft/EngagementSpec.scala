@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Hand fixtures for streaks, the k-anon generalization ladder, and
+  * embedding whitening stats. */
+class EngagementSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("streaks: longest consecutive-day run per user, histogram shape") {
+    def ev(id: Long, uid: Long, day: Int) =
+      (id, java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:00:00"), uid, "click", 1.0, "{}")
+    // u1: days 1,2,3 then 5,6 -> longest 3; u2: days 1, 3, 5 -> longest 1
+    // u3: two events same day -> one active day, longest 1
+    val d = fixtureDir("events" -> Seq(
+      ev(1, 1, 1), ev(2, 1, 2), ev(3, 1, 3), ev(4, 1, 5), ev(5, 1, 6),
+      ev(6, 2, 1), ev(7, 2, 3), ev(8, 2, 5),
+      ev(9, 3, 7), ev(10, 3, 7))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val out = graft.operators.Engagement.streaks(spark, d).collect()
+      .map(r => r.getAs[Long]("streak_days") -> r.getAs[Long]("n_users")).toMap
+    assert(out === Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("kanon ladder: generalization levels are monotone and chosen is minimal") {
+    val out = graft.operators.Validation.kAnonLevels(spark, SparkSpec.sf0001).collect()
+    assert(out.map(_.getAs[Int]("level")).toSeq === Seq(0, 1, 2, 3))
+    val mins = out.map(_.getAs[Long]("min_group_size"))
+    // coarsening can only grow the smallest group
+    assert(mins.sliding(2).forall(p => p(0) <= p(1)))
+    val chosen = out.filter(_.getAs[Boolean]("chosen"))
+    assert(chosen.length <= 1)
+    chosen.foreach { c =>
+      assert(c.getAs[Boolean]("meets_k"))
+      // nothing below the chosen level meets k
+      out.filter(_.getAs[Int]("level") < c.getAs[Int]("level"))
+        .foreach(r => assert(!r.getAs[Boolean]("meets_k")))
+    }
+  }
+
+  test("whitening: constructed corpus has the hand-computed mean and std") {
+    // dim 1: values 1, 3 -> mean 2, var 1, std 1; dim 2: constant 5 -> std 0
+    // (padded to the pinned Dim = 64 with zeros)
+    val emb = Seq(
+      (1L, Array(1.0f, 5.0f) ++ Array.fill(62)(0.0f)),
+      (2L, Array(3.0f, 5.0f) ++ Array.fill(62)(0.0f))
+    ).toDF("vec_id", "embedding")
+    val d = fixtureDir("embeddings" -> emb)
+    val out = graft.operators.Pca.whitenStats(spark, d)
+      .filter(col("dim") <= 2).collect()
+      .map(r => r.getAs[Int]("dim") -> (r.getAs[Double]("mean"), r.getAs[Double]("std"))).toMap
+    assert(out(1) === ((2.0, 1.0)))
+    assert(out(2) === ((5.0, 0.0)))
+  }
+}
