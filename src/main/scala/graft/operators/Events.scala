@@ -161,6 +161,69 @@ object Events {
        |FROM v LEFT JOIN c ON v.user_id = c.user_id
        |       LEFT JOIN p ON v.user_id = p.user_id""".stripMargin
 
+  /** The configurable funnel's step sequence — a CONFIG, not a schema:
+    * production funnels arrive as an ordered list, so the operator takes
+    * one ([[funnelStepsOf]]) and this 4-step instance (one step longer
+    * than the fixed `q_events_funnel`) is just the registered pin. */
+  val FunnelSteps: Seq[String] = Seq("signup", "view", "click", "purchase")
+
+  /** Steps-table-driven funnel REPORT: per step, the users whose
+    * earliest qualifying event strictly follows their previous step's
+    * time, plus the step-over-step conversion rate. The step list is
+    * config-sized, so the fold builds a LINEAR chain of keyed
+    * aggregates + joins (one per step — the q_events_funnel plan shape
+    * at any step count); counts are 1-row aggregates and the report
+    * joins step k to k−1 on literals. No window, no collect. */
+  def funnelSteps(spark: SparkSession, dir: String): DataFrame =
+    funnelStepsOf(Tables.events(spark, dir), FunnelSteps)
+
+  def funnelStepsOf(ev: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty)
+    val perStep = steps.tail.scanLeft(
+      ev.filter(col("event_type") === steps.head)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t"))) { (prev, st) =>
+      ev.filter(col("event_type") === st)
+        .join(prev.select(col("user_id"), col("t").as("t_prev")), Seq("user_id"))
+        .filter(col("ts") > col("t_prev"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+    }
+    val counts = perStep.zip(steps).zipWithIndex.map { case ((df, st), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("step_no"), lit(st).as("event_type"), col("n_users"))
+    }.reduce(_ unionByName _)
+    val prev = counts.select(col("step_no").as("prev_no"), col("n_users").as("n_prev"))
+    counts.join(prev, col("step_no") === col("prev_no") + 1, "left_outer")
+      .select(col("step_no"), col("event_type"), col("n_users"),
+        when(col("n_prev").isNull || col("n_prev") === 0L, lit(null).cast("double"))
+          .otherwise(roundN(col("n_users").cast("double") / col("n_prev"), 6))
+          .as("conv_rate"))
+      .orderBy(col("step_no"))
+  }
+
+  private val funnelStepsSql = {
+    val ctes = FunnelSteps.zipWithIndex.map { case (st, i) =>
+      if (i == 0)
+        s"""s1 AS (SELECT user_id, min(ts) AS t FROM e
+           |       WHERE event_type = '$st' GROUP BY 1)""".stripMargin
+      else
+        s"""s${i + 1} AS (SELECT e.user_id, min(e.ts) AS t
+           |       FROM e JOIN s$i ON e.user_id = s$i.user_id
+           |       WHERE e.event_type = '$st' AND e.ts > s$i.t GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    val unions = FunnelSteps.zipWithIndex.map { case (st, i) =>
+      s"SELECT ${i + 1} AS step_no, '$st' AS event_type, count(*) AS n_users FROM s${i + 1}"
+    }.mkString(" UNION ALL ")
+    s"""WITH $eventsUs,
+       |$ctes,
+       |c AS ($unions)
+       |SELECT c.step_no, c.event_type, c.n_users,
+       |  CASE WHEN p.n_users IS NULL OR p.n_users = 0 THEN NULL
+       |       ELSE ${roundNSql("CAST(c.n_users AS DOUBLE) / p.n_users", 6)}
+       |  END AS conv_rate
+       |FROM c LEFT JOIN c p ON c.step_no = p.step_no + 1
+       |ORDER BY c.step_no""".stripMargin
+  }
+
   /** Cohort retention: users bucketed by first-activity week (anchor-based
     * integer weeks — no engine-specific week() semantics), counted in every
     * later week they return, keyed (cohort_week, week_offset). Two
@@ -1274,6 +1337,7 @@ object Events {
     Q("q_events_cum_users", cumulativeUsers, Some(cumulativeUsersSql)),
     Q("q_events_anomaly", anomalies, Some(anomaliesSql)),
     Q("q_events_funnel", funnel, Some(funnelSql)),
+    Q("q_events_funnel_steps", funnelSteps, Some(funnelStepsSql)),
     Q("q_events_retention", retention, Some(retentionSql)),
     Q("q_events_window", windowBatch, Some(
       s"""WITH $eventsUs

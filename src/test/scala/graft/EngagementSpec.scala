@@ -22,6 +22,28 @@ class EngagementSpec extends SparkSuite {
     assert(out === Map(1L -> 2L, 3L -> 1L))
   }
 
+  test("funnel steps: order matters, per-step conversion is exact") {
+    def ev(id: Long, uid: Long, min: Int, t: String) =
+      (id, java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00"), uid, t, 1.0, "{}")
+    // u1 walks all four steps in order; u2 stops after view; u3's view
+    // PRECEDES its signup, so it never reaches step 2
+    val d = fixtureDir("events" -> Seq(
+      ev(1, 1, 1, "signup"), ev(2, 1, 2, "view"), ev(3, 1, 3, "click"),
+      ev(4, 1, 4, "purchase"),
+      ev(5, 2, 1, "signup"), ev(6, 2, 2, "view"),
+      ev(7, 3, 1, "view"), ev(8, 3, 2, "signup"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val out = graft.operators.Events.funnelSteps(spark, d).collect()
+      .map(r => r.getAs[Int]("step_no") ->
+        (r.getAs[Long]("n_users"),
+          Option(r.getAs[java.lang.Double]("conv_rate")).map(_.toDouble))).toMap
+    assert(out(1) === ((3L, None)))
+    assert(out(2)._1 === 2L)
+    assert(math.abs(out(2)._2.get - 2.0 / 3.0) < 1e-6)
+    assert(out(3) === ((1L, Some(0.5))))
+    assert(out(4) === ((1L, Some(1.0))))
+  }
+
   test("kanon ladder: generalization levels are monotone and chosen is minimal") {
     val out = graft.operators.Validation.kAnonLevels(spark, SparkSpec.sf0001).collect()
     assert(out.map(_.getAs[Int]("level")).toSeq === Seq(0, 1, 2, 3))
