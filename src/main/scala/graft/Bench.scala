@@ -46,6 +46,10 @@ object Bench {
       }.min
       q.name -> t
     }
+    // SPARK_GRAFT_BENCH_FAST=1 skips the scale-evidence passes — a local
+    // iteration shortcut (the driver never sets it, so BENCH_r{N}.json
+    // always carries the full evidence)
+    val fast = sys.env.get("SPARK_GRAFT_BENCH_FAST").contains("1")
     val results = time(sfDir, 3)
     def fmt(rs: Seq[(String, Double)]) =
       rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -71,7 +75,7 @@ object Bench {
     // The multi-scale pass is additive evidence — it must never cost the
     // round its primary bench line, so any failure degrades to
     // single-scale output instead of crashing the main.
-    val multiScale = try sfLo.map { lo =>
+    val multiScale = if (fast) "" else try sfLo.map { lo =>
       // primary input table per headline query, for the exponent
       // denominator. Name-prefix heuristic with explicit overrides for the
       // queries whose prefix lies about their scan (verified against each
@@ -118,7 +122,7 @@ object Bench {
     // near-dup rate; sources/SyntheticDocs.corpus) and report the
     // measured candidate-pair count at EVERY point, harness SFs included.
     // Same degrade-don't-crash policy as the multi-scale pass.
-    val lshScale = try {
+    val lshScale = if (fast) "" else try {
       val lshNames =
         Seq("q_dedup_minhash_lsh", "q_dedup_minhash_lsh_pruned", "q_dedup_near_materialize")
       val lshQs = Registry.all.filter(q => lshNames.contains(q.name))
@@ -196,7 +200,7 @@ object Bench {
     // harness 6x ratio, generators statistically matched to the testdata —
     // sources/SyntheticEvents) and report alpha per query. Same
     // degrade-don't-crash policy as the other evidence passes.
-    val eventsScale = try {
+    val eventsScale = if (fast) "" else try {
       val names = Seq("q_kpi_category", "q_events_session", "q_join_range_events",
         "q_events_attribution", "q_events_rfm", "q_events_mau",
         "q_events_debounce", "q_events_cohort_ltv")
@@ -248,7 +252,7 @@ object Bench {
     // candidate-pair count under BOTH plane counts at every point — the
     // fixed-plane quadratic vs adaptive linear split is the family's
     // 100 TB story stated with data. Degrade-don't-crash like the others.
-    val embedScale = try {
+    val embedScale = if (fast) "" else try {
       val names = Seq("q_sim_knn_lsh", "q_sim_knn_lsh_adaptive",
         "q_dedup_embed_cos", "q_embed_hard_negatives")
       val qs3 = Registry.all.filter(q => names.contains(q.name))
@@ -298,7 +302,7 @@ object Bench {
     // lsh pass above or here, whichever runs first). These operators'
     // only growing terms are the token count and the vocabulary-sized
     // aggregates — α near the low end is the expected signature.
-    val textScale = try {
+    val textScale = if (fast) "" else try {
       // zipf (open-vocabulary) decade: pmi/batching/zipf-fit + the
       // lossless prefix set-similarity join (realistic sparse-prefix
       // regime). keyphrase needs stopword delimiters, which only the
