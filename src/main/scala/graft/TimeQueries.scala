@@ -2,35 +2,37 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev tool: best-of-2 wall time per registered query (the Bench harness's
-  * timing discipline, pointed at an arbitrary query list) — feeds the
-  * PLANS.md engine-vs-DuckDB tables. Usage:
-  *   runMain graft.TimeQueries <sfDir> q1,q2,...
-  * Prints one `name\tseconds` line per query. */
+/** Dev tool (like PlanDump): best-of-N wall times for an arbitrary
+  * comma-separated registry query list — the source of the PLANS.md
+  * engine-vs-DuckDB tables. Usage:
+  *   runMain graft.TimeQueries <sfDir> <q1,q2,...> [runs=2]
+  */
 object TimeQueries {
   def main(args: Array[String]): Unit = {
-    val sfDir = args(0)
-    val names = args(1).split(",").toSeq
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+    val (sfDir, names) = (args(0), args(1).split(",").toSeq)
+    val runs = args.lift(2).map(_.toInt).getOrElse(2)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    names.foreach { n =>
-      val q = Registry.byName(n)
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        q.run(spark, sfDir).queryExecution.toRdd.count()
-        (System.nanoTime() - t0) / 1e9
-      }
-      val best = math.min(once(), once())
-      println(f"$n\t$best%.3f")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val qs = names.flatMap(n => Registry.byName.get(n))
+    qs.foreach { q => // warmup: classload + parquet footers
+      try q.run(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => () }
       spark.catalog.clearCache()
+    }
+    qs.foreach { q =>
+      val t = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        q.run(spark, sfDir).count()
+        spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      println(f"TIME ${q.name}%-34s $t%7.3f")
     }
     spark.stop()
   }

@@ -35,6 +35,9 @@ object Recommend {
     * item (ties break on neighbor id). */
   def itemSim(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // NOT persisted: the projection scan is cheaper than a persist
+    // barrier (A/B'd at sf0.1: 1.9-2.6 s either way, host-noise-bound;
+    // the distinct shuffle re-runs but is the same exchange AQE reuses)
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
     val deg = li.groupBy(col("p")).agg(count(lit(1)).as("n"))
