@@ -212,11 +212,12 @@ object Seasonal {
       .groupBy(to_date(col("ts")).as("day"))
       .agg(sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("x"),
         sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
-    val lags = spark.range(0, XcorrMaxLag + 1).select(col("id").cast("int").as("lag"))
-    val a = day.select(col("day"), col("x"))
+    // lag fanout via explode (the EWMA contribution trick) — a constant
+    // (K+1)× expansion of the calendar-bounded day table, no cross join
+    val a = day.select(col("day"), col("x"),
+      explode(sequence(lit(0), lit(XcorrMaxLag))).as("lag"))
     val b = day.select(col("day").as("day2"), col("y"))
-    val pairs = a.crossJoin(broadcast(lags))
-      .join(b, date_add(col("day"), col("lag")) === col("day2"))
+    val pairs = a.join(b, date_add(col("day"), col("lag")) === col("day2"))
     pairs.groupBy(col("lag"))
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
