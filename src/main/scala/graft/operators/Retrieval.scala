@@ -326,9 +326,41 @@ object Retrieval {
        |ORDER BY query_id, pick""".stripMargin
   }
 
+  /** Recall@k of the LSH-bucketed ANN against the brute-force exact
+    * top-k — the POSITION-INSENSITIVE companion of [[annNdcg]] (a
+    * registered, oracle-checked form of the AnnRecallSpec floors):
+    * recall = |approx ∩ exact| / |exact| per query, exact integer
+    * counts, one final division. The brute side is the whitelisted
+    * ground-truth baseline; everything else is ≤k-row joins. */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val truth = Similarity.knnBrute(spark, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    val appr = Similarity.knnLsh(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    truth.join(appr, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"), sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .select(col("query_id"), col("n_exact"), col("n_hit"),
+        roundN(col("n_hit").cast("double") / col("n_exact"), 6).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
+  private val annRecallSql =
+    s"""WITH truth AS (${Similarity.knnBruteSql}),
+       |appr AS (${Similarity.knnLshSql}),
+       |g AS (SELECT t.query_id, count(*) AS n_exact,
+       |        CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+       |      FROM truth t LEFT JOIN appr a
+       |        ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+       |      GROUP BY 1)
+       |SELECT query_id, n_exact, n_hit,
+       |  ${roundNSql("CAST(n_hit AS DOUBLE) / n_exact", 6)} AS recall
+       |FROM g ORDER BY 1""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q_retrieval_rrf", rrfFusion, Some(rrfSql)),
     Q("q_retrieval_rrf_multi", rrfFusionMulti, Some(rrfMultiSql)),
     Q("q_retrieval_mmr", mmr, Some(mmrSql)),
+    Q("q_retrieval_recall", annRecall, Some(annRecallSql)),
     Q("q_retrieval_ndcg", annNdcg, Some(annNdcgSql)))
 }

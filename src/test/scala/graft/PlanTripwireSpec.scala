@@ -35,6 +35,8 @@ class PlanTripwireSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     "q_retrieval_ndcg", // embeds knnBrute as the eval GROUND TRUTH — the
                         // brute pass is the metric's definition, not a plan
                         // choice; the approx side under eval is bucketed
+    "q_retrieval_recall", // same ground-truth role as ndcg: the brute
+                          // top-k IS recall's denominator by definition
     "q_sim_matryoshka", // prefix-dim recall eval: ONE brute pair pass at
                         // every truncation width is the metric's
                         // definition; the truncated-ANN tier it qualifies
