@@ -48,6 +48,7 @@ object Registry {
       operators.Seasonal.queries ++
       operators.Recommend.queries ++
       operators.Engagement.queries ++
+      operators.CorpusStats.queries ++
       operators.Packing.queries ++
       operators.Sketches.queries ++
       operators.Layout.queries ++
