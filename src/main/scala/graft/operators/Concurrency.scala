@@ -31,9 +31,12 @@ import org.apache.spark.sql.functions._
   */
 object Concurrency {
 
-  def maxConcurrent(spark: SparkSession, dir: String): DataFrame = {
+  def maxConcurrent(spark: SparkSession, dir: String): DataFrame =
+    maxConcurrentOf(Tables.events(spark, dir))
+
+  def maxConcurrentOf(ev: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sessions = Tables.events(spark, dir)
+    val sessions = ev
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
       .agg(min(col("ts")).as("s"), max(col("ts")).as("e"))
     val b = sessions.select(col("s").as("ts"), lit(1L).as("d"))
