@@ -141,6 +141,27 @@ object Analytics {
       .except(o.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
   }
 
+  /** MULTISET set ops — `exceptAll`/`intersectAll` keep duplicate
+    * multiplicity (the bag semantics a dedup ledger needs: "how many
+    * F-status order rows per customer are NOT matched one-for-one by an
+    * O-status row"). Spark plans both as a count-and-replicate
+    * aggregate+generate — no sort, scale-safe; oracle is ANSI
+    * EXCEPT ALL / INTERSECT ALL. Aggregated to (custkey, n) so the
+    * comparison is order-free. */
+  def customersOnlyFAll(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      .exceptAll(o.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+  }
+
+  def customersBothAll(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      .intersectAll(o.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+  }
+
   /** JSON extraction from the events `props` column (semi-structured path:
     * get_json_object in the engine; the oracle reaches the same value
     * through a regex so it doesn't depend on DuckDB's json extension). */
@@ -662,6 +683,18 @@ object Analytics {
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin)),
+    Q("q_set_except_all", customersOnlyFAll, Some(
+      """SELECT o_custkey, count(*) AS n FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |  EXCEPT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |GROUP BY 1""".stripMargin)),
+    Q("q_set_intersect_all", customersBothAll, Some(
+      """SELECT o_custkey, count(*) AS n FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |  INTERSECT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |GROUP BY 1""".stripMargin)),
     Q("q_events_json", eventsJson, Some(eventsJsonSql)),
     Q("q_events_variant", eventsVariant, Some(eventsJsonSql)),
   )
