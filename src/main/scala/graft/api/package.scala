@@ -81,5 +81,43 @@ package object api {
       * exact-integer power iteration. See [[graft.operators.Pca.pcaPowerOf]]. */
     def pcaTopDirection(): DataFrame =
       operators.Pca.pcaPowerOf(df.sparkSession, df)
+
+    /** Merge-style as-of join: each left row gets the latest `right` row
+      * of the same key at or before its timestamp.
+      * See [[graft.operators.AsOf.asOfJoin]]. */
+    def asOfJoin(right: DataFrame, key: String, ts: String,
+        carry: Seq[String]): DataFrame =
+      operators.AsOf.asOfJoin(df, right, key, ts, carry)
+
+    /** Forward as-of join: earliest right row at or after each left row. */
+    def asOfJoinForward(right: DataFrame, key: String, ts: String,
+        carry: Seq[String]): DataFrame =
+      operators.AsOf.asOfJoinForward(df, right, key, ts, carry)
+
+    /** Exact rank-sum ROC AUC of a scored frame (columns: mu = quantized
+      * score LONG, y ∈ {0.0, 1.0}). See [[graft.operators.ModelEval.aucOf]]. */
+    def aucOf(): DataFrame = operators.ModelEval.aucOf(df)
+
+    /** Step-interpolated average precision of a scored (mu, y) frame. */
+    def averagePrecisionOf(): DataFrame = operators.ModelEval.apOf(df)
+
+    /** Steps-table funnel report over an events frame (columns: user_id,
+      * ts, event_type). See [[graft.operators.Events.funnelStepsOf]]. */
+    def funnelSteps(steps: Seq[String]): DataFrame =
+      operators.Events.funnelStepsOf(df, steps)
+
+    /** Daily peak concurrent 30-minute-gap sessions (columns: user_id,
+      * ts). See [[graft.operators.Concurrency.maxConcurrentOf]]. */
+    def maxConcurrentSessions(): DataFrame =
+      operators.Concurrency.maxConcurrentOf(df)
+
+    /** Gini coefficient of per-user purchase spend (columns: user_id,
+      * event_type, value). See [[graft.operators.Events.giniOf]]. */
+    def giniSpend(): DataFrame = operators.Events.giniOf(df)
+
+    /** MMR-diversified top picks per query over a (vec_id, embedding)
+      * frame. See [[graft.operators.Retrieval.mmrOf]]. */
+    def mmrPicks(queryIds: Seq[Long]): DataFrame =
+      operators.Retrieval.mmrOf(df.sparkSession, df, queryIds)
   }
 }

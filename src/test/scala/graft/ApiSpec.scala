@@ -38,4 +38,35 @@ class ApiSpec extends SparkSuite {
     val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("lo", "hi").triangles()
     assert(tri.count() === 1)
   }
+
+  test("round-6 façade additions: asof, auc, funnel, concurrency, mmr") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), 7L, 0.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val right = Seq((1L, ts("2024-01-01 09:00:00"), 5.0))
+      .toDF("user_id", "ts", "value")
+    assert(left.asOfJoin(right, "user_id", "ts", Seq("value"))
+      .head().getAs[Double]("asof_value") === 5.0)
+    val fwd = left.asOfJoinForward(right, "user_id", "ts", Seq("value")).head()
+    assert(fwd.isNullAt(fwd.fieldIndex("asof_value"))) // nothing at/after
+
+    val auc = Seq((2L, 1.0), (1L, 0.0)).toDF("mu", "y").aucOf()
+      .head().getAs[Double]("auc")
+    assert(auc === 1.0)
+    assert(Seq((2L, 1.0), (1L, 0.0)).toDF("mu", "y").averagePrecisionOf()
+      .head().getAs[Double]("avg_precision") === 1.0)
+
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a", 1.0),
+      (2L, ts("2024-01-01 10:01:00"), 1L, "b", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val fu = ev.funnelSteps(Seq("a", "b")).collect()
+      .map(r => r.getAs[Int]("step_no") -> r.getAs[Long]("n_users")).toMap
+    assert(fu === Map(1 -> 1L, 2 -> 1L))
+    assert(ev.maxConcurrentSessions().head().getAs[Long]("max_concurrent") === 1L)
+
+    val emb = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    assert(emb.mmrPicks(Seq(0L)).count() === 1L)
+  }
 }
