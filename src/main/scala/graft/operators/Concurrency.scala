@@ -39,8 +39,13 @@ object Concurrency {
     val sessions = ev
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
       .agg(min(col("ts")).as("s"), max(col("ts")).as("e"))
-    val b = sessions.select(col("s").as("ts"), lit(1L).as("d"))
-      .unionByName(sessions.select(col("e").as("ts"), lit(-1L).as("d")))
+    // boundaries via explode, NOT a union of two selects — a union
+    // re-plans (and re-computes) the session aggregate once per branch;
+    // the explode keeps ONE MergingSessions subtree with a 2× fanout
+    val b = sessions.select(explode(array(
+        struct(col("s").as("ts"), lit(1L).as("d")),
+        struct(col("e").as("ts"), lit(-1L).as("d")))).as("x"))
+      .select(col("x.ts").as("ts"), col("x.d").as("d"))
       .withColumn("day", to_date(col("ts")))
     val inDay = Window.partitionBy(col("day"))
       .orderBy(col("ts"), col("d").desc)
