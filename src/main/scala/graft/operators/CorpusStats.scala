@@ -26,8 +26,12 @@ object CorpusStats {
   val HeapsPoints = 10
 
   def heaps(spark: SparkSession, dir: String): DataFrame = {
+    // persisted: the normalized word arrays feed BOTH the per-doc token
+    // counts and the first-occurrence vocabulary aggregate — the regex
+    // normalization is the expensive part and must not run twice
     val words = TextAnalysis.withWordsOf(Tables.documents(spark, dir))
       .select(col("doc_id"), col("w"))
+      .persist()
     val perDoc = words.select(col("doc_id"),
       size(filter(col("w"), t => t =!= "")).as("nt"))
     val firstOcc = words

@@ -38,9 +38,13 @@ object Seasonal {
   def decompose(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cents = floor(col("value") * 100 + 0.5).cast("long")
+    // persisted: the trend table feeds BOTH the weekday-seasonal
+    // aggregate and the final join — without it the events scan and
+    // day aggregate plan twice
     val day = Tables.events(spark, dir)
       .filter(col("event_type") === "purchase")
       .groupBy(to_date(col("ts")).as("day")).agg(sum(cents).as("v"))
+      .persist()
     val w7 = Window.orderBy(col("day")).rowsBetween(-3, 3)
     val tr = day
       .withColumn("s7", sum(col("v")).over(w7))
