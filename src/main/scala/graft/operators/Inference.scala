@@ -691,7 +691,86 @@ object Inference {
        |FROM w CROSS JOIN pooled""".stripMargin
   }
 
+  /** Multi-arm (A/B/n, k = 3) conversion χ² — the k×2 contingency test
+    * that generalizes [[abtest]]'s two-proportion z: deterministic md5
+    * arms mod 3, big-ticket conversion flags, χ² = Σ (O−E)²/E over the
+    * six cells with E from the margins.
+    *
+    * Scale: one user-keyed aggregate then ONE 6-integer grand
+    * aggregate; the χ² is a FIXED expression tree over those exact
+    * BIGINTs (literal cell order, no aggregate over float terms), so
+    * both engines evaluate the identical IEEE sequence. Degenerate
+    * margins (an empty arm or 0/100% pooled conversion) → NULL. */
+  def abn(spark: SparkSession, dir: String): DataFrame = {
+    val arm3 = conv(substring(md5(col("user_id").cast("string")), 1, 2), 16, 10)
+      .cast("int") % 3
+    val u = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") >= ConvThreshold, 1L)
+        .otherwise(0L)).as("conv"))
+      .select(arm3.as("arm"), col("conv"))
+    val g = u.agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("x0"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("x1"),
+      sum(when(col("arm") === 2, 1L).otherwise(0L)).as("n2"),
+      sum(when(col("arm") === 2, col("conv")).otherwise(0L)).as("x2"))
+    val nTot = col("n0") + col("n1") + col("n2")
+    val xTot = col("x0") + col("x1") + col("x2")
+    def term(n: org.apache.spark.sql.Column, o: org.apache.spark.sql.Column,
+        colTot: org.apache.spark.sql.Column) = {
+      val e = n.cast("double") * colTot.cast("double") / nTot.cast("double")
+      (o.cast("double") - e) * (o.cast("double") - e) / e
+    }
+    val chi2 =
+      term(col("n0"), col("x0"), xTot) + term(col("n0"), col("n0") - col("x0"), nTot - xTot) +
+        term(col("n1"), col("x1"), xTot) + term(col("n1"), col("n1") - col("x1"), nTot - xTot) +
+        term(col("n2"), col("x2"), xTot) + term(col("n2"), col("n2") - col("x2"), nTot - xTot)
+    val degenerate = col("n0") === 0L || col("n1") === 0L || col("n2") === 0L ||
+      xTot === 0L || xTot === nTot
+    g.select(col("n0"), col("x0"), col("n1"), col("x1"), col("n2"), col("x2"),
+      when(degenerate, lit(null).cast("double")).otherwise(roundN(chi2, 6)).as("chi2"),
+      lit(2).as("df"),
+      when(degenerate, lit(null).cast("boolean"))
+        .otherwise(chi2 > 5.991465).as("significant"))
+  }
+
+  private val abnSql = {
+    def term(n: String, o: String, colTot: String) =
+      s"((CAST($o AS DOUBLE) - CAST($n AS DOUBLE) * CAST($colTot AS DOUBLE) / CAST(nt AS DOUBLE)) * " +
+        s"(CAST($o AS DOUBLE) - CAST($n AS DOUBLE) * CAST($colTot AS DOUBLE) / CAST(nt AS DOUBLE)) / " +
+        s"(CAST($n AS DOUBLE) * CAST($colTot AS DOUBLE) / CAST(nt AS DOUBLE)))"
+    val chi2 =
+      s"(${term("n0", "x0", "xt")} + ${term("n0", "(n0 - x0)", "(nt - xt)")} + " +
+        s"${term("n1", "x1", "xt")} + ${term("n1", "(n1 - x1)", "(nt - xt)")} + " +
+        s"${term("n2", "x2", "xt")} + ${term("n2", "(n2 - x2)", "(nt - xt)")})"
+    s"""WITH $eventsUs,
+       |u AS (SELECT user_id,
+       |        (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))::INT % 3) AS arm,
+       |        max(CASE WHEN event_type = 'purchase' AND value >= $ConvThreshold
+       |            THEN 1 ELSE 0 END) AS conv
+       |      FROM e GROUP BY 1, 2),
+       |g AS (SELECT
+       |        CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+       |        CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS x0,
+       |        CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |        CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS x1,
+       |        CAST(sum(CASE WHEN arm = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       |        CAST(sum(CASE WHEN arm = 2 THEN conv ELSE 0 END) AS BIGINT) AS x2
+       |      FROM u),
+       |m AS (SELECT *, n0 + n1 + n2 AS nt, x0 + x1 + x2 AS xt FROM g)
+       |SELECT n0, x0, n1, x1, n2, x2,
+       |  CASE WHEN n0 = 0 OR n1 = 0 OR n2 = 0 OR xt = 0 OR xt = nt THEN NULL
+       |       ELSE ${roundNSql(chi2, 6)} END AS chi2,
+       |  2 AS df,
+       |  CASE WHEN n0 = 0 OR n1 = 0 OR n2 = 0 OR xt = 0 OR xt = nt THEN NULL
+       |       ELSE $chi2 > 5.991465 END AS significant
+       |FROM m""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_events_abn", abn, Some(abnSql)),
     Q("q_events_abtest_cuped", cuped, Some(cupedSql)),
     Q("q_stats_bootstrap", bootstrap, Some(bootstrapSql)),
     Q("q_events_abtest", abtest, Some(abtestSql)),

@@ -44,6 +44,41 @@ class CorpusStatsSpec extends SparkSuite {
     assert(vocs.sliding(2).forall(p => p(0) <= p(1)))
   }
 
+  test("abn: one-arm-converts contingency is significant; uniform is not") {
+    def ev(id: Long, uid: Long, t: String, v: Double) =
+      (id, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), uid, t, v, "{}")
+    val probe = (1L to 400L).toDF("user_id")
+      .select(col("user_id"), (conv(substring(md5(col("user_id").cast("string")), 1, 2),
+        16, 10).cast("int") % 3).as("arm")).collect()
+    def armUsers(a: Int, k: Int) =
+      probe.filter(_.getAs[Int]("arm") == a).map(_.getLong(0)).take(k)
+    var id = 0L
+    def rows(users: Seq[Long], convert: Boolean) = users.flatMap { u =>
+      id += 1
+      val base = Seq(ev(id, u, "click", 1.0))
+      if (convert) { id += 1; base :+ ev(id, u, "purchase", 500.0) } else base
+    }
+    // arm 0 converts 100%, arms 1/2 never -> chi2 = N (max association)
+    val d1 = fixtureDir("events" ->
+      (rows(armUsers(0, 10), convert = true) ++ rows(armUsers(1, 10), convert = false)
+        ++ rows(armUsers(2, 10), convert = false))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val r1 = graft.operators.Inference.abn(spark, d1).collect()(0)
+    assert(r1.getAs[Double]("chi2") === 30.0) // chi2 = N for a pure split
+    assert(r1.getAs[Boolean]("significant"))
+    // every arm converts identically -> chi2 = 0, not significant
+    val d2 = fixtureDir("events" ->
+      (rows(armUsers(0, 4), convert = true) ++ rows(armUsers(1, 4), convert = true)
+        ++ rows(armUsers(2, 4), convert = true)
+        ++ rows(armUsers(0, 14).drop(4), convert = false)
+        ++ rows(armUsers(1, 14).drop(4), convert = false)
+        ++ rows(armUsers(2, 14).drop(4), convert = false))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val r2 = graft.operators.Inference.abn(spark, d2).collect()(0)
+    assert(r2.getAs[Double]("chi2") === 0.0) // identical rates in all arms
+    assert(!r2.getAs[Boolean]("significant"))
+  }
+
   test("srm: balanced split passes, degenerate all-one-arm split flags") {
     def ev(id: Long, uid: Long) =
       (id, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), uid, "click", 1.0, "{}")
