@@ -423,7 +423,43 @@ object Sampling {
       |FROM d JOIN t USING (lang)
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Exactly-k weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis '06, public): each doc draws the deterministic uniform
+    * u ∈ (0,1) from its md5 16-bit hash and is ranked by the A-ES key
+    * u^(1/w) — the global top-k under that key is a weight-proportional
+    * fixed-budget subset, the piece [[sampleWeighted]]'s per-row
+    * Bernoulli gate (random-size output) cannot give.
+    *
+    * Scale: the key is a narrow per-row expression and the top-k is
+    * ORDER BY + LIMIT, which Spark plans as TakeOrderedAndProject —
+    * per-partition bounded heaps + a k-row driver merge, never a global
+    * sort. Exactness: ordering by u^(1/w) ≡ ordering by ln(u)/w
+    * (monotone); the key quantizes to floor(ln(u)/w · 1e12) so the
+    * cross-engine libm-ulp hazard on ln is confined to a ±1 integer
+    * flip, which changes the selected SET only if another key lands in
+    * the same 1e-12 cell (tie-broken by doc_id; ~k·1e-12 probability). */
+  val AesK = 100
+
+  def sampleAes(spark: SparkSession, dir: String): DataFrame = {
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("double") + 1.0) / 65537.0
+    val keyMu = floor(log(u) / col("n_chars").cast("double") * 1e12).cast("long")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"), keyMu.as("key_mu"))
+      .orderBy(col("key_mu").desc, col("doc_id"))
+      .limit(AesK)
+  }
+
+  private val sampleAesSql =
+    s"""SELECT doc_id, source, n_chars,
+       |  CAST(floor(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT AS DOUBLE) + 1.0) / 65537.0)
+       |    / CAST(n_chars AS DOUBLE) * 1e12) AS BIGINT) AS key_mu
+       |FROM documents
+       |ORDER BY key_mu DESC, doc_id
+       |LIMIT $AesK""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q_sample_aes", sampleAes, Some(sampleAesSql)),
     Q("q_sample_balanced", sampleBalanced, Some(sampleBalancedSql)),
     Q("q_sample_neyman", sampleNeyman, Some(sampleNeymanSql)),
     Q("q_sample_curriculum", sampleCurriculum, Some(sampleCurriculumSql)),

@@ -44,6 +44,22 @@ class CorpusStatsSpec extends SparkSuite {
     assert(vocs.sliding(2).forall(p => p(0) <= p(1)))
   }
 
+  test("aes sample: weight-proportional, deterministic, exactly k") {
+    // 100 light docs (w=50) vs 100 heavy (w=2000, 40x): the top-100
+    // A-ES subset must be dominated by heavy docs
+    val rows = (1L to 100L).map(i => (i, "x", "en", "light", 50L)) ++
+      (101L to 200L).map(i => (i, "x", "en", "heavy", 2000L))
+    val d = fixtureDir("documents" -> rows
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = graft.operators.Sampling.sampleAes(spark, d).collect()
+    assert(out.length === graft.operators.Sampling.AesK)
+    val heavy = out.count(_.getAs[String]("source") == "heavy")
+    assert(heavy > 75, s"heavy docs in sample: $heavy") // E[heavy] ~ 95+
+    // rerun-stable: the subset is a pure function of the data
+    val again = graft.operators.Sampling.sampleAes(spark, d).collect()
+    assert(out.map(_.getLong(0)).toSet === again.map(_.getLong(0)).toSet)
+  }
+
   test("abn: one-arm-converts contingency is significant; uniform is not") {
     def ev(id: Long, uid: Long, t: String, v: Double) =
       (id, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), uid, t, v, "{}")
