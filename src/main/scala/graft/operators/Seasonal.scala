@@ -259,7 +259,55 @@ object Seasonal {
        |  END AS r
        |FROM g ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------- abandonment
+
+  /** Session-level cart abandonment per day: of the 30-minute-gap
+    * sessions that contain a click (the add-to-cart proxy in this
+    * event vocabulary), the share that closes WITHOUT a purchase in the
+    * same session. One session aggregate with two conditional flags —
+    * the q_events_session shuffle class, then a day-keyed rollup. */
+  def abandonment(spark: SparkSession, dir: String): DataFrame = {
+    val sess = Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(min(col("ts")).as("start_ts"),
+        max(when(col("event_type") === "click", 1L).otherwise(0L)).as("has_click"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("has_buy"))
+      .filter(col("has_click") === 1L)
+    sess.groupBy(to_date(col("start_ts")).as("day"))
+      .agg(count(lit(1)).as("n_click_sessions"),
+        sum(when(col("has_buy") === 0L, 1L).otherwise(0L)).as("n_abandoned"))
+      .select(col("day"), col("n_click_sessions"), col("n_abandoned"),
+        roundN(col("n_abandoned").cast("double") / col("n_click_sessions"), 6)
+          .as("abandonment_rate"))
+      .orderBy(col("day"))
+  }
+
+  private val abandonmentSql =
+    s"""WITH e AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type FROM events),
+      |x AS (
+      |  SELECT user_id, ts, event_type,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |y AS (
+      |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |                           ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM x),
+      |s AS (SELECT user_id, sid, min(ts) AS start_ts,
+      |        max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_click,
+      |        max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_buy
+      |      FROM y GROUP BY 1, 2)
+      |SELECT CAST(start_ts AS DATE) AS day,
+      |  count(*) AS n_click_sessions,
+      |  CAST(sum(CASE WHEN has_buy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_abandoned,
+      |  ${roundNSql(
+        "CAST(sum(CASE WHEN has_buy = 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6)} AS abandonment_rate
+      |FROM s WHERE has_click = 1
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q_events_abandonment", abandonment, Some(abandonmentSql)),
     Q("q_stats_decompose", decompose, Some(decomposeSql)),
     Q("q_stats_spearman", spearman, Some(spearmanSql)),
     Q("q_stats_xcorr", xcorr, Some(xcorrSql)),

@@ -83,6 +83,20 @@ class SeasonalSpec extends SparkSuite {
     assert(r.getAs[Double]("ci_hi") === 61.0)
   }
 
+  test("abandonment: click-session without purchase counts, view-only doesn't") {
+    val d = fixtureDir("events" -> Seq(
+      ev(1, 1, "2024-01-01 10:00:00", "click", 1.0),
+      ev(2, 1, "2024-01-01 10:05:00", "purchase", 9.0), // converted
+      ev(3, 2, "2024-01-01 11:00:00", "click", 1.0), // abandoned
+      ev(4, 3, "2024-01-01 12:00:00", "view", 1.0)) // not a click session
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val r = Seasonal.abandonment(spark, d).collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Long]("n_click_sessions") === 2L)
+    assert(r(0).getAs[Long]("n_abandoned") === 1L)
+    assert(r(0).getAs[Double]("abandonment_rate") === 0.5)
+  }
+
   test("entry/exit: session boundaries pick first and last by (ts, event_id)") {
     val d = fixtureDir("events" -> Seq(
       ev(1, 1, "2024-01-01 10:00:00", "view", 1.0),
