@@ -43,6 +43,49 @@ object Engagement {
       |SELECT longest AS streak_days, count(*) AS n_users
       |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Repurchase cadence: p50/p90 of the per-user gap between
+    * CONSECUTIVE purchases — the retention input behind "when should
+    * the win-back campaign fire". Per-user lag (the sessionization
+    * shuffle class) → exact gap SECONDS → type-1 quantiles over the
+    * DISTINCT-gap-seconds histogram (the q_events_funnel_latency
+    * whitelisted cumulative class — bounded by the time domain, never
+    * a user-sized sort). */
+  def interPurchase(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gaps = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(floor((unix_micros(col("ts")) - unix_micros(col("prev")))
+        .cast("double") / 1e6).cast("long").as("gap_s"))
+    val cum = gaps.groupBy(col("gap_s")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt"))
+        .over(Window.orderBy(col("gap_s"))))
+      .crossJoin(broadcast(gaps.agg(count(lit(1)).as("n"))))
+    cum.agg(
+      max(col("n")).as("n_gaps"),
+      min(when(col("cum") >= ceil(lit(0.5) * col("n")), col("gap_s"))).as("p50_s"),
+      min(when(col("cum") >= ceil(lit(0.9) * col("n")), col("gap_s"))).as("p90_s"))
+  }
+
+  private val interPurchaseSql =
+    """WITH e AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type FROM events),
+      |g AS (SELECT CAST(floor(CAST(epoch_us(ts) - epoch_us(lag(ts) OVER w) AS DOUBLE) / 1e6) AS BIGINT) AS gap_s
+      |      FROM e WHERE event_type = 'purchase'
+      |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |      QUALIFY lag(ts) OVER w IS NOT NULL),
+      |h AS (SELECT gap_s, count(*) AS cnt FROM g GROUP BY 1),
+      |c AS (SELECT gap_s, sum(cnt) OVER (ORDER BY gap_s) AS cum,
+      |        sum(cnt) OVER () AS n
+      |      FROM h)
+      |SELECT CAST(max(n) AS BIGINT) AS n_gaps,
+      |  min(CASE WHEN cum >= ceil(0.5 * n) THEN gap_s END) AS p50_s,
+      |  min(CASE WHEN cum >= ceil(0.9 * n) THEN gap_s END) AS p90_s
+      |FROM c""".stripMargin
+
   val queries: Seq[Q] = Seq(
-    Q("q_events_streaks", streaks, Some(streaksSql)))
+    Q("q_events_streaks", streaks, Some(streaksSql)),
+    Q("q_events_interpurchase", interPurchase, Some(interPurchaseSql)))
 }

@@ -769,8 +769,68 @@ object Inference {
        |FROM m""".stripMargin
   }
 
+  /** Continuous-metric MDE — the [[abtestPower]] companion for MEAN
+    * purchase value rather than conversion rate: with the observed arm
+    * sizes and the pooled per-purchase variance (exact Σcents/Σcents²,
+    * the [[welchOf]] sufficient statistics), the smallest true
+    * mean-difference in dollars detectable at α = 5% two-sided with 80%
+    * power: MDE = (z_{α/2}+z_β)·√(s²_pool·(1/n_c + 1/n_t)). One keyed
+    * aggregate + a single-row computation; degenerate arms → NULL. */
+  def powerContinuous(spark: SparkSession, dir: String): DataFrame = {
+    val cents = floor(col("value") * 100 + 0.5).cast("long")
+    val arms = Tables.events(spark, dir).filter(col("event_type") === "purchase")
+      .select(armCol(col("user_id")).as("arm"), cents.as("c"))
+      .groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"), sum(col("c") * col("c")).as("s2"))
+    val w = arms.agg(
+      max(when(col("arm") === 0, col("n"))).as("n_c"),
+      max(when(col("arm") === 0, col("s"))).as("s_c"),
+      max(when(col("arm") === 0, col("s2"))).as("s2_c"),
+      max(when(col("arm") === 1, col("n"))).as("n_t"),
+      max(when(col("arm") === 1, col("s"))).as("s_t"),
+      max(when(col("arm") === 1, col("s2"))).as("s2_t"))
+    // pooled variance: (SS_c + SS_t) / (n_c + n_t − 2), SS from exact sums
+    def ss(s: Column, s2: Column, n: Column) =
+      s2.cast("double") - s.cast("double") * s.cast("double") / n
+    val vPool = (ss(col("s_c"), col("s2_c"), col("n_c")) +
+      ss(col("s_t"), col("s2_t"), col("n_t"))) /
+      (col("n_c") + col("n_t") - lit(2))
+    val zsum = lit((Z975Micro + Z80Micro).toDouble / 1e6)
+    val mde = zsum * sqrt(vPool * (lit(1.0) / col("n_c") + lit(1.0) / col("n_t")))
+    w.select(col("n_c"), col("n_t"),
+      when(col("n_c") < 2L || col("n_t") < 2L, lit(null).cast("double"))
+        .otherwise(roundN(sqrt(vPool) / 100.0, 4)).as("sd_pooled"),
+      when(col("n_c") < 2L || col("n_t") < 2L, lit(null).cast("double"))
+        .otherwise(roundN(mde / 100.0, 4)).as("mde_dollars"))
+  }
+
+  private val powerContinuousSql = {
+    val zsum = s"(CAST(${Z975Micro + Z80Micro} AS DOUBLE) / 1e6)"
+    val vPool = "((CAST(s2_c AS DOUBLE) - CAST(s_c AS DOUBLE) * CAST(s_c AS DOUBLE) / n_c) + " +
+      "(CAST(s2_t AS DOUBLE) - CAST(s_t AS DOUBLE) * CAST(s_t AS DOUBLE) / n_t)) / (n_c + n_t - 2)"
+    s"""WITH $eventsUs,
+       |p AS (SELECT $armSql AS arm, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+       |      FROM e WHERE event_type = 'purchase'),
+       |a AS (SELECT arm, count(*) AS n, CAST(sum(c) AS BIGINT) AS s,
+       |        CAST(sum(c * c) AS BIGINT) AS s2 FROM p GROUP BY 1),
+       |w AS (SELECT max(CASE WHEN arm = 0 THEN n END) AS n_c,
+       |        max(CASE WHEN arm = 0 THEN s END) AS s_c,
+       |        max(CASE WHEN arm = 0 THEN s2 END) AS s2_c,
+       |        max(CASE WHEN arm = 1 THEN n END) AS n_t,
+       |        max(CASE WHEN arm = 1 THEN s END) AS s_t,
+       |        max(CASE WHEN arm = 1 THEN s2 END) AS s2_t FROM a)
+       |SELECT n_c, n_t,
+       |  CASE WHEN n_c < 2 OR n_t < 2 THEN NULL
+       |       ELSE ${roundNSql(s"sqrt($vPool) / 100.0", 4)} END AS sd_pooled,
+       |  CASE WHEN n_c < 2 OR n_t < 2 THEN NULL
+       |       ELSE ${roundNSql(
+        s"$zsum * sqrt($vPool * (1.0 / n_c + 1.0 / n_t)) / 100.0", 4)} END AS mde_dollars
+       |FROM w""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_events_abn", abn, Some(abnSql)),
+    Q("q_events_power_continuous", powerContinuous, Some(powerContinuousSql)),
     Q("q_events_abtest_cuped", cuped, Some(cupedSql)),
     Q("q_stats_bootstrap", bootstrap, Some(bootstrapSql)),
     Q("q_events_abtest", abtest, Some(abtestSql)),

@@ -22,6 +22,40 @@ class EngagementSpec extends SparkSuite {
     assert(out === Map(1L -> 2L, 3L -> 1L))
   }
 
+  test("interpurchase: gap quantiles from consecutive purchases only") {
+    def ev(id: Long, uid: Long, ts: String) =
+      (id, java.sql.Timestamp.valueOf(ts), uid, "purchase", 10.0, "{}")
+    // u1 purchases at +0s, +60s, +300s -> gaps {60, 240}; u2 once -> none
+    val d = fixtureDir("events" -> Seq(
+      ev(1, 1, "2024-01-01 10:00:00"), ev(2, 1, "2024-01-01 10:01:00"),
+      ev(3, 1, "2024-01-01 10:05:00"), ev(4, 2, "2024-01-01 10:00:00"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val r = graft.operators.Engagement.interPurchase(spark, d).collect()(0)
+    assert(r.getAs[Long]("n_gaps") === 2L)
+    assert(r.getAs[Long]("p50_s") === 60L)
+    assert(r.getAs[Long]("p90_s") === 240L)
+  }
+
+  test("power continuous: hand-computed pooled sd and MDE") {
+    val probe = (1L to 50L).toDF("user_id")
+      .select(col("user_id"), (conv(substring(md5(col("user_id").cast("string")), 1, 2),
+        16, 10).cast("int") % 2).as("arm")).collect()
+    val ctrl = probe.filter(_.getAs[Int]("arm") == 0).map(_.getLong(0)).take(2)
+    val trt = probe.filter(_.getAs[Int]("arm") == 1).map(_.getLong(0)).take(2)
+    def ev(id: Long, uid: Long, v: Double) =
+      (id, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), uid, "purchase", v, "{}")
+    // both arms {10, 20}: SS = 2·500² cents² each, vPool = 5e5,
+    // sd = 707.107 cents, MDE = 2.801585·707.107 cents = $19.8103
+    val d = fixtureDir("events" -> Seq(
+      ev(1, ctrl(0), 10.0), ev(2, ctrl(1), 20.0),
+      ev(3, trt(0), 10.0), ev(4, trt(1), 20.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val r = graft.operators.Inference.powerContinuous(spark, d).collect()(0)
+    assert(r.getAs[Long]("n_c") === 2L && r.getAs[Long]("n_t") === 2L)
+    assert(math.abs(r.getAs[Double]("sd_pooled") - 7.0711) < 1e-3)
+    assert(math.abs(r.getAs[Double]("mde_dollars") - 19.8103) < 1e-3)
+  }
+
   test("funnel steps: order matters, per-step conversion is exact") {
     def ev(id: Long, uid: Long, min: Int, t: String) =
       (id, java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00"), uid, t, 1.0, "{}")

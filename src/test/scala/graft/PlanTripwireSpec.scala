@@ -138,7 +138,11 @@ class PlanTripwireSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     // centered 7-day MA and rank windows run over the per-DAY series —
     // calendar-bounded (the q_events_cum_users class); the events-sized
     // pass is the per-day keyed aggregate upstream
-    "q_stats_decompose", "q_stats_spearman")
+    "q_stats_decompose", "q_stats_spearman",
+    // cumulative over DISTINCT purchase-gap SECONDS — bounded by the
+    // time domain (the q_events_funnel_latency class); user-sized work
+    // stays in the user-partitioned lag upstream
+    "q_events_interpurchase")
 
   private def globalWindows(name: String, df: DataFrame): Seq[String] = {
     val plan = df.queryExecution.executedPlan
