@@ -177,6 +177,77 @@ object Scans {
     * is unit-testable on constructed small groups (where type-1's
     * ceil(q·n) and other discrete conventions pick different elements —
     * e.g. n=2, q=0.75). Input: (l_returnflag, cents). */
+  /** Brown–Forsythe (median-centered Levene) test of variance
+    * homogeneity across the event types — the "may I pool variances"
+    * gate in front of the t-test family. z_ij = |cents − median_type|
+    * with the medians from the group-partitioned DISTINCT-cents
+    * histogram (the q_stats_mad machinery); W from the per-group
+    * (n, Σz, Σz²) sufficient statistics —
+    * W = ((N−k)/(k−1)) · SSB/SSW. Σz² rides DECIMAL(38,0) on the
+    * engine side (HUGEINT in the oracle) so the sum is exact far past
+    * the BIGINT budget; per-group Σz casts to DOUBLE before squaring
+    * (the q_stats_welch rule). Degenerate (SSW = 0 or k < 2) → NULL. */
+  def levene(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = floor(col("value") * 100 + 0.5).cast("long")
+    val vals = Tables.events(spark, dir)
+      .select(col("event_type"), cents.as("c")).persist()
+    val byT = Window.partitionBy(col("event_type"))
+    val med = vals.groupBy(col("event_type"), col("c"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(byT.orderBy(col("c"))))
+      .withColumn("n", sum(col("cnt")).over(byT))
+      .groupBy(col("event_type"))
+      .agg(min(when(col("cum") >= ceil(lit(0.5) * col("n")), col("c"))).as("med"))
+    val z = vals.join(broadcast(med), "event_type")
+      .select(col("event_type"), abs(col("c") - col("med")).as("z"))
+    val g = z.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"), sum(col("z")).as("sz"),
+      sum(col("z").cast("decimal(38,0)") * col("z").cast("decimal(38,0)")).as("sz2"))
+    val a = g.agg(
+      count(lit(1)).as("k"), sum(col("n")).as("nt"), sum(col("sz")).as("szt"),
+      sum(col("sz2").cast("double")).as("ssq"),
+      sum(col("sz").cast("double") * col("sz").cast("double") / col("n")).as("sbn"),
+      sum(col("sz2").cast("double") -
+        col("sz").cast("double") * col("sz").cast("double") / col("n")).as("ssw"))
+    val ssb = col("sbn") - col("szt").cast("double") * col("szt").cast("double") / col("nt")
+    a.select(col("k"), col("nt").as("n_total"),
+      when(col("k") < 2L || col("ssw") <= 0.0, lit(null).cast("double"))
+        .otherwise(roundN(
+          ((col("nt") - col("k")).cast("double") / (col("k") - lit(1L)).cast("double")) *
+            (ssb / col("ssw")), 6)).as("w"))
+  }
+
+  private val leveneSql =
+    s"""WITH e AS (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+       |           FROM events),
+       |h AS (SELECT event_type, c, count(*) AS cnt FROM e GROUP BY 1, 2),
+       |cu AS (SELECT event_type, c,
+       |         sum(cnt) OVER (PARTITION BY event_type ORDER BY c) AS cum,
+       |         sum(cnt) OVER (PARTITION BY event_type) AS n
+       |       FROM h),
+       |med AS (SELECT event_type,
+       |          min(CASE WHEN cum >= ceil(0.5 * n) THEN c END) AS med
+       |        FROM cu GROUP BY 1),
+       |z AS (SELECT e.event_type, abs(e.c - med.med) AS z
+       |      FROM e JOIN med USING (event_type)),
+       |g AS (SELECT event_type, count(*) AS n, CAST(sum(z) AS BIGINT) AS sz,
+       |        sum(z * z) AS sz2
+       |      FROM z GROUP BY 1),
+       |a AS (SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS nt,
+       |        CAST(sum(sz) AS BIGINT) AS szt,
+       |        sum(CAST(sz2 AS DOUBLE)) AS ssq,
+       |        sum(CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) / n) AS sbn,
+       |        sum(CAST(sz2 AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) / n) AS ssw
+       |      FROM g)
+       |SELECT k, nt AS n_total,
+       |  CASE WHEN k < 2 OR ssw <= 0.0 THEN NULL
+       |       ELSE ${roundNSql(
+        "(CAST(nt - k AS DOUBLE) / CAST(k - 1 AS DOUBLE)) * " +
+          "((sbn - CAST(szt AS DOUBLE) * CAST(szt AS DOUBLE) / nt) / ssw)", 6)}
+       |  END AS w
+       |FROM a""".stripMargin
+
   /** 95% z for the median CI ranks, quantized once. */
   private val MedianCiZ = 1.959964
 
@@ -835,6 +906,7 @@ object Scans {
     // bounded-groups convenience (round-3 "weak while unqualified" fix)
     Q("q_stats_quantiles", quantilesHist, Some(quantilesHistSql)),
     Q("q_stats_median_ci", medianCi, Some(medianCiSql)),
+    Q("q_stats_levene", levene, Some(leveneSql)),
     Q("q_stats_chi2", chi2Drift, Some(chi2Sql)),
     Q("q_stats_corr", corrStats, Some(corrSql)),
     Q("q_stats_histogram", histogram, Some(histogramSql)),

@@ -71,6 +71,26 @@ class SeasonalSpec extends SparkSuite {
     assert(out(0).forall(_ < 1.0)) // unshifted series are not identical
   }
 
+  test("levene: identical spreads give W = 0, unequal spreads W > 0") {
+    def mk(rows: Seq[(String, Double)]) = fixtureDir("events" ->
+      rows.zipWithIndex.map { case ((t, v), i) =>
+        (i.toLong, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, t, v, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    // two groups with the SAME |x − med| multiset -> SSB = 0 -> W = 0
+    val same = mk(Seq(("a", 10.0), ("a", 20.0), ("b", 10.0), ("b", 20.0)))
+    val r1 = graft.operators.Scans.levene(spark, same).collect()(0)
+    assert(r1.getAs[Long]("k") === 2L)
+    assert(r1.getAs[Double]("w") === 0.0)
+    // group c spans 100x wider than d -> W > 0
+    val diff = mk(Seq(("c", 0.0), ("c", 100.0), ("d", 49.0), ("d", 51.0)))
+    val r2 = graft.operators.Scans.levene(spark, diff).collect()(0)
+    assert(r2.getAs[Double]("w") > 0.5, s"w ${r2.getAs[Double]("w")}")
+    // one group only -> NULL
+    val one = mk(Seq(("a", 1.0), ("a", 2.0)))
+    val r3 = graft.operators.Scans.levene(spark, one).collect()(0)
+    assert(r3.isNullAt(r3.fieldIndex("w")))
+  }
+
   test("median ci: binomial order-statistic ranks on 1..100") {
     // n=100, z√n=19.59964: L=floor(40.2)=40, U=min(100, ceil(59.8)+1)=61
     val rows = (1 to 100).map(i => ev(i.toLong, 1L, "2024-01-01 10:00:00", "click", i.toDouble))
