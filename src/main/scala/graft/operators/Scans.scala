@@ -248,6 +248,52 @@ object Scans {
        |  END AS w
        |FROM a""".stripMargin
 
+  /** One-way ANOVA F across event types on event-value cents — the
+    * omnibus mean-difference test beside [[levene]]'s variance gate
+    * (run Levene first; if variances pool, this F is the k-group
+    * generalization of the t-test). Identical machinery: per-group
+    * (n, Σc, DECIMAL(38,0) Σc²), F = (SSB/(k−1)) / (SSW/(N−k)); the
+    * only float-term aggregate is over the k ≤ |types| group rows. */
+  def anova(spark: SparkSession, dir: String): DataFrame = {
+    val cents = floor(col("value") * 100 + 0.5).cast("long")
+    val g = Tables.events(spark, dir)
+      .select(col("event_type"), cents.as("c"))
+      .groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"), sum(col("c")).as("s"),
+        sum(col("c").cast("decimal(38,0)") * col("c").cast("decimal(38,0)")).as("s2"))
+    val a = g.agg(
+      count(lit(1)).as("k"), sum(col("n")).as("nt"), sum(col("s")).as("st"),
+      sum(col("s").cast("double") * col("s").cast("double") / col("n")).as("sbn"),
+      sum(col("s2").cast("double") -
+        col("s").cast("double") * col("s").cast("double") / col("n")).as("ssw"))
+    val ssb = col("sbn") - col("st").cast("double") * col("st").cast("double") / col("nt")
+    a.select(col("k"), col("nt").as("n_total"),
+      when(col("k") < 2L || col("ssw") <= 0.0 || col("nt") <= col("k"),
+        lit(null).cast("double"))
+        .otherwise(roundN(
+          (ssb / (col("k") - lit(1L)).cast("double")) /
+            (col("ssw") / (col("nt") - col("k")).cast("double")), 6)).as("f"))
+  }
+
+  private val anovaSql =
+    s"""WITH e AS (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+       |           FROM events),
+       |g AS (SELECT event_type, count(*) AS n, CAST(sum(c) AS BIGINT) AS s,
+       |        sum(c * c) AS s2
+       |      FROM e GROUP BY 1),
+       |a AS (SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS nt,
+       |        CAST(sum(s) AS BIGINT) AS st,
+       |        sum(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) AS sbn,
+       |        sum(CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) AS ssw
+       |      FROM g)
+       |SELECT k, nt AS n_total,
+       |  CASE WHEN k < 2 OR ssw <= 0.0 OR nt <= k THEN NULL
+       |       ELSE ${roundNSql(
+        "((sbn - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / nt) / CAST(k - 1 AS DOUBLE)) / " +
+          "(ssw / CAST(nt - k AS DOUBLE))", 6)}
+       |  END AS f
+       |FROM a""".stripMargin
+
   /** 95% z for the median CI ranks, quantized once. */
   private val MedianCiZ = 1.959964
 
@@ -907,6 +953,7 @@ object Scans {
     Q("q_stats_quantiles", quantilesHist, Some(quantilesHistSql)),
     Q("q_stats_median_ci", medianCi, Some(medianCiSql)),
     Q("q_stats_levene", levene, Some(leveneSql)),
+    Q("q_stats_anova", anova, Some(anovaSql)),
     Q("q_stats_chi2", chi2Drift, Some(chi2Sql)),
     Q("q_stats_corr", corrStats, Some(corrSql)),
     Q("q_stats_histogram", histogram, Some(histogramSql)),

@@ -91,6 +91,23 @@ class SeasonalSpec extends SparkSuite {
     assert(r3.isNullAt(r3.fieldIndex("w")))
   }
 
+  test("anova: identical means give F = 0, shifted means give the hand value") {
+    def mk(rows: Seq[(String, Double)]) = fixtureDir("events" ->
+      rows.zipWithIndex.map { case ((t, v), i) =>
+        (i.toLong, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, t, v, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    // equal group means -> SSB = 0 -> F = 0
+    val same = mk(Seq(("a", 10.0), ("a", 20.0), ("b", 10.0), ("b", 20.0)))
+    assert(graft.operators.Scans.anova(spark, same).collect()(0)
+      .getAs[Double]("f") === 0.0)
+    // a = {10, 20} (mean 15), b = {30, 40} (mean 35), grand mean 25:
+    // SSB = 2·10² + 2·10² = 400$², SSW = 4·5² = 100$²,
+    // F = (400/1)/(100/2) = 8
+    val shifted = mk(Seq(("a", 10.0), ("a", 20.0), ("b", 30.0), ("b", 40.0)))
+    assert(graft.operators.Scans.anova(spark, shifted).collect()(0)
+      .getAs[Double]("f") === 8.0)
+  }
+
   test("median ci: binomial order-statistic ranks on 1..100") {
     // n=100, z√n=19.59964: L=floor(40.2)=40, U=min(100, ceil(59.8)+1)=61
     val rows = (1 to 100).map(i => ev(i.toLong, 1L, "2024-01-01 10:00:00", "click", i.toDouble))
