@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Q
+import graft.functions.Rounding.{roundN, roundNSql}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -85,7 +86,56 @@ object Engagement {
       |  min(CASE WHEN cum >= ceil(0.9 * n) THEN gap_s END) AS p90_s
       |FROM c""".stripMargin
 
+  /** Retention by ACQUISITION CHANNEL: users cohorted by the event type
+    * of their very first event (ties broken by event_id), then counted
+    * in every later week they return — "which front door brings users
+    * who stay". Two user-keyed aggregates + one join (the
+    * q_events_retention shape with a channel axis); the matrix is
+    * (channels × weeks)-bounded on the wire. Weeks are anchor-based
+    * integer offsets (no engine week() semantics). */
+  def retentionByChannel(spark: SparkSession, dir: String): DataFrame = {
+    val wk = expr("datediff(CAST(ts AS DATE), DATE '2024-01-01') div 7")
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        wk.as("wk"))
+    val first = ev.groupBy(col("user_id")).agg(
+      min_by(col("event_type"), struct(col("ts"), col("event_id"))).as("channel"),
+      min(col("wk")).as("wk0"))
+    val active = ev.select(col("user_id"), col("wk")).distinct()
+    val cohorts = first.groupBy(col("channel")).agg(count(lit(1)).as("n_cohort"))
+    active.join(first, "user_id")
+      .groupBy(col("channel"), (col("wk") - col("wk0")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .join(broadcast(cohorts), "channel")
+      .select(col("channel"), col("week_offset"), col("n_active"),
+        roundN(col("n_active").cast("double") / col("n_cohort"), 6).as("retention"))
+      .orderBy(col("channel"), col("week_offset"))
+  }
+
+  private val retentionByChannelSql =
+    s"""WITH e AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type,
+       |             CAST(floor(CAST(date_diff('day', DATE '2024-01-01',
+       |               CAST(ts::TIMESTAMP AS DATE)) AS DOUBLE) / 7) AS BIGINT) AS wk
+       |           FROM events),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+       |        ORDER BY ts, event_id) AS rn FROM e),
+       |f AS (SELECT user_id,
+       |        max(CASE WHEN rn = 1 THEN event_type END) AS channel,
+       |        min(wk) AS wk0
+       |      FROM r GROUP BY 1),
+       |a AS (SELECT DISTINCT user_id, wk FROM e),
+       |co AS (SELECT channel, count(*) AS n_cohort FROM f GROUP BY 1),
+       |m AS (SELECT f.channel, a.wk - f.wk0 AS week_offset,
+       |        count(DISTINCT a.user_id) AS n_active
+       |      FROM a JOIN f USING (user_id)
+       |      GROUP BY 1, 2)
+       |SELECT m.channel, m.week_offset, m.n_active,
+       |  ${roundNSql("CAST(m.n_active AS DOUBLE) / co.n_cohort", 6)} AS retention
+       |FROM m JOIN co USING (channel)
+       |ORDER BY 1, 2""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q_events_streaks", streaks, Some(streaksSql)),
-    Q("q_events_interpurchase", interPurchase, Some(interPurchaseSql)))
+    Q("q_events_interpurchase", interPurchase, Some(interPurchaseSql)),
+    Q("q_events_retention_channel", retentionByChannel, Some(retentionByChannelSql)))
 }

@@ -56,6 +56,26 @@ class EngagementSpec extends SparkSuite {
     assert(math.abs(r.getAs[Double]("mde_dollars") - 19.8103) < 1e-3)
   }
 
+  test("retention by channel: first-event cohorting and week offsets") {
+    def ev(id: Long, uid: Long, day: Int, t: String) =
+      (id, java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:00:00"), uid, t, 1.0, "{}")
+    // u1 enters via view (day 1), returns week 1 (day 8); u2 enters via
+    // click (day 2), never returns; u3 enters via view (day 3), returns
+    // week 1 -> view cohort: n=2, w0 ret 1.0, w1 ret 1.0; click: w0 only
+    val d = fixtureDir("events" -> Seq(
+      ev(1, 1, 1, "view"), ev(2, 1, 8, "purchase"),
+      ev(3, 2, 2, "click"),
+      ev(4, 3, 3, "view"), ev(5, 3, 10, "click"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val out = graft.operators.Engagement.retentionByChannel(spark, d).collect()
+      .map(r => (r.getAs[String]("channel"), r.getAs[Long]("week_offset")) ->
+        (r.getAs[Long]("n_active"), r.getAs[Double]("retention"))).toMap
+    assert(out(("view", 0L)) === ((2L, 1.0)))
+    assert(out(("view", 1L)) === ((2L, 1.0)))
+    assert(out(("click", 0L)) === ((1L, 1.0)))
+    assert(!out.contains(("click", 1L)))
+  }
+
   test("funnel steps: order matters, per-step conversion is exact") {
     def ev(id: Long, uid: Long, min: Int, t: String) =
       (id, java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00"), uid, t, 1.0, "{}")
