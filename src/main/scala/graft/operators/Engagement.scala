@@ -94,7 +94,7 @@ object Engagement {
     * (channels × weeks)-bounded on the wire. Weeks are anchor-based
     * integer offsets (no engine week() semantics). */
   def retentionByChannel(spark: SparkSession, dir: String): DataFrame = {
-    val wk = expr("datediff(CAST(ts AS DATE), DATE '2024-01-01') div 7")
+    val wk = expr("CAST(floor(datediff(CAST(ts AS DATE), DATE '2024-01-01') / 7) AS BIGINT)")
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
         wk.as("wk"))

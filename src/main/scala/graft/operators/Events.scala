@@ -230,7 +230,7 @@ object Events {
     * user-keyed aggregates + one join: the retention matrix is
     * group-cardinality-sized, never user-sized, on the wire. */
   def retention(spark: SparkSession, dir: String): DataFrame = {
-    val wk = expr("datediff(CAST(ts AS DATE), DATE '2024-01-01') div 7")
+    val wk = expr("CAST(floor(datediff(CAST(ts AS DATE), DATE '2024-01-01') / 7) AS BIGINT)")
     val active = Tables.events(spark, dir)
       .select(col("user_id"), wk.as("wk")).distinct()
     val cohort = active.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))

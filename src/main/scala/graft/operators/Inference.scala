@@ -607,7 +607,7 @@ object Inference {
   def cupedOf(ev: DataFrame): DataFrame = {
     val cents = floor(col("value") * 100 + 0.5).cast("long")
     val us = unix_micros(col("ts"))
-    val mid = ev.agg(((min(us) + max(us)) / lit(2L)).cast("long").as("mid_us"))
+    val mid = ev.agg(floor((min(us) + max(us)) / lit(2L)).cast("long").as("mid_us"))
     val perUser = ev
       .crossJoin(broadcast(mid))
       .filter(col("event_type") === "purchase")
@@ -657,7 +657,7 @@ object Inference {
     val adjC = s"(CAST(y_c AS DOUBLE) / n_c - $theta * (CAST(x_c AS DOUBLE) / n_c - $mxAll))"
     val adjT = s"(CAST(y_t AS DOUBLE) / n_t - $theta * (CAST(x_t AS DOUBLE) / n_t - $mxAll))"
     s"""WITH $eventsUs,
-       |mid AS (SELECT CAST((min(epoch_us(ts)) + max(epoch_us(ts))) / 2 AS BIGINT) AS mid_us
+       |mid AS (SELECT CAST(floor((min(epoch_us(ts)) + max(epoch_us(ts))) / 2) AS BIGINT) AS mid_us
        |        FROM e),
        |u AS (SELECT user_id,
        |        CAST(sum(CASE WHEN epoch_us(ts) < mid_us

@@ -285,13 +285,13 @@ object Seasonal {
   private val abandonmentSql =
     s"""WITH e AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type FROM events),
       |x AS (
-      |  SELECT user_id, ts, event_type,
+      |  SELECT user_id, ts, event_id, event_type,
       |    CASE WHEN lag(ts) OVER w IS NULL
       |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
       |  FROM e
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |y AS (
-      |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |                           ROWS UNBOUNDED PRECEDING) AS sid
       |  FROM x),
       |s AS (SELECT user_id, sid, min(ts) AS start_ts,
