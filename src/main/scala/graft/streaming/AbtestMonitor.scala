@@ -22,7 +22,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * The published statistic reuses the batch arithmetic verbatim
   * (Inference.abtestFromFlags) over the per-user upsert store, so
   * streaming ≡ batch is an identity on the flag table, spec-pinned by
-  * replay + checkpoint restart. */
+  * replay + checkpoint restart.
+  *
+  * Deliberately NO idle-TTL knob (unlike the journey twins, [[Ttl]]):
+  * the monotone flag is the one stateful twin whose correctness DEPENDS
+  * on remembering every key forever. Evicting an idle converted user and
+  * later seeing any non-qualifying event of theirs would re-emit
+  * `conv = 0`, and the change-only upsert would OVERWRITE their 1 in the
+  * flag store — un-converting a converted user and silently biasing the
+  * published z statistic. The state is already minimal (one boolean per
+  * user, no cap knob needed); bounding the KEY count here means bounding
+  * the experiment's enrollment window upstream (filter the stream to the
+  * experiment's date range), not evicting state the statistic still
+  * reads. */
 object AbtestMonitor {
 
   final case class Ev(user_id: Long, conv: Int)

@@ -61,32 +61,51 @@ object AttributionStream {
 
   /** The stateful operator: re-emits the user's attributed purchases every
     * batch the user appears in. With `touchCap` set, kept touches are
-    * hard-bounded to the latest cap by (ts, event_id). */
+    * hard-bounded to the latest cap by (ts, event_id).
+    *
+    * With `idleTtl` set ([[Ttl]]): the user's touch AND purchase state is
+    * evicted once the watermark passes ttl beyond their last event.
+    * Eviction emits nothing — every purchase's attributed row is already
+    * in the upsert store, and eviction FREEZES those attributions: a
+    * touch arriving after eviction can no longer re-attribute the evicted
+    * purchases (it would have been beyond the watermark anyway). A
+    * reappearing user starts a fresh journey whose purchases attribute
+    * only within the new segment (spec-pinned in StreamTtlSpec). */
   def attributedPurchases(spark: SparkSession, events: org.apache.spark.sql.Dataset[Ev],
-      touchCap: Option[Int] = DefaultTouchCap): org.apache.spark.sql.Dataset[AttRow] = {
+      touchCap: Option[Int] = DefaultTouchCap,
+      idleTtl: Option[Ttl] = None): org.apache.spark.sql.Dataset[AttRow] = {
     import spark.implicits._
-    events
+    val src = idleTtl.fold(events)(t => Ttl.watermarked(events, t.lateness))
+    val conf = if (idleTtl.isDefined) GroupStateTimeout.EventTimeTimeout
+               else GroupStateTimeout.NoTimeout
+    src
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[AttState, AttRow](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[AttState, AttRow](OutputMode.Update, conf) {
         (uid: Long, batch: Iterator[Ev], state: GroupState[AttState]) =>
-          val prev = state.getOption.getOrElse(AttState(Nil, Nil))
-          var touches = prev.touches
-          var purchases = prev.purchases
-          batch.foreach { e =>
-            e.event_type match {
-              case "purchase" => purchases = (e.ts_us, e.event_id, e.cents) :: purchases
-              case "click" | "view" => touches = (e.ts_us, e.event_id, e.event_type) :: touches
-              case _ =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val prev = state.getOption.getOrElse(AttState(Nil, Nil))
+            var touches = prev.touches
+            var purchases = prev.purchases
+            var maxTsUs = Long.MinValue
+            batch.foreach { e =>
+              if (e.ts_us > maxTsUs) maxTsUs = e.ts_us
+              e.event_type match {
+                case "purchase" => purchases = (e.ts_us, e.event_id, e.cents) :: purchases
+                case "click" | "view" => touches = (e.ts_us, e.event_id, e.event_type) :: touches
+                case _ =>
+              }
             }
-          }
-          // last-k by (ts, event_id) is associative: capping the KEPT state
-          // converges under any arrival order while bounding it at O(cap)
-          val kept = touchCap.fold(touches)(c =>
-            touches.sortBy(t => (-t._1, -t._2)).take(c))
-          state.update(AttState(kept, purchases))
-          purchases.iterator.map { case (ts, id, cents) =>
-            AttRow(uid, id, channelOf(ts, kept), cents)
+            // last-k by (ts, event_id) is associative: capping the KEPT state
+            // converges under any arrival order while bounding it at O(cap)
+            val kept = touchCap.fold(touches)(c =>
+              touches.sortBy(t => (-t._1, -t._2)).take(c))
+            state.update(AttState(kept, purchases))
+            idleTtl.foreach(t =>
+              state.setTimeoutTimestamp(Ttl.deadline(state, maxTsUs / 1000, t.ttlMs)))
+            purchases.iterator.map { case (ts, id, cents) =>
+              AttRow(uid, id, channelOf(ts, kept), cents)
+            }
           }
       }
   }

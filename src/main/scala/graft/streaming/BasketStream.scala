@@ -65,19 +65,35 @@ object BasketStream {
     * every touch. Replace-upsert downstream makes re-emission idempotent.
     * With `basketCap` set, kept state is the cap best items by md5 rank;
     * displaced pairs are retracted with n=0 rows. */
+  /** With `idleTtlProcMs` set: the order's item set is evicted after that
+    * many milliseconds of PROCESSING time with no new items — the item
+    * changelog carries no event time (an `Item` is (okey, part)), so the
+    * idle clock here is wall-clock between triggers, not a watermark
+    * (unlike the [[Ttl]] event-time twins). An order is a naturally
+    * completing key — once placed, no new items arrive — so an idle TTL
+    * spanning the order-assembly window evicts only finished baskets,
+    * whose pair rows already sit in the store. A late item after
+    * eviction re-opens the order as a FRESH basket: its presence row is
+    * idempotent, but pairs between the late item and evicted items are
+    * not emitted (spec-pinned in StreamTtlSpec). */
   def orderPairs(spark: SparkSession, items: org.apache.spark.sql.Dataset[Item],
-      basketCap: Option[Int] = DefaultBasketCap): org.apache.spark.sql.Dataset[BasketRow] = {
+      basketCap: Option[Int] = DefaultBasketCap,
+      idleTtlProcMs: Option[Long] = None): org.apache.spark.sql.Dataset[BasketRow] = {
     import spark.implicits._
+    val conf = if (idleTtlProcMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+               else GroupStateTimeout.NoTimeout
     items
       .groupByKey(_.okey)
-      .flatMapGroupsWithState[Set[Long], BasketRow](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[Set[Long], BasketRow](OutputMode.Update, conf) {
         (okey: Long, batch: Iterator[Item], state: GroupState[Set[Long]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
           val old = state.getOption.getOrElse(Set.empty[Long])
           val merged = batch.foldLeft(old)((acc, it) => acc + it.part)
           val kept = basketCap.fold(merged)(c =>
             merged.toIndexedSeq.sortBy(p => (md5Hex(p.toString), p)).take(c).toSet)
           state.update(kept)
+          idleTtlProcMs.foreach(state.setTimeoutDuration)
           def pairsOf(s: Set[Long]): IndexedSeq[(Long, Long)] = {
             val sorted = s.toIndexedSeq.sorted
             for { i <- sorted.indices; j <- (i + 1) until sorted.size }
@@ -94,6 +110,7 @@ object BasketStream {
             cur.iterator.map { case (a, b) => BasketRow(okey, a, b, 1L) } ++
             vanished.toIndexedSeq.sorted.iterator
               .map { case (a, b) => BasketRow(okey, a, b, 0L) }
+          }
       }
   }
 

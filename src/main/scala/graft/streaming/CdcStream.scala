@@ -44,20 +44,41 @@ object CdcStream {
       cents.toDouble / 100.0, live = opcode != 2L)
   }
 
-  /** File-source changelog stream → running per-key champion updates. */
-  def latestWins(spark: SparkSession, srcDir: String): Dataset[KeyState] = {
+  /** File-source changelog stream → running per-key champion updates.
+    *
+    * With `idleTtlProcMs` set: a key's packed champion (one long) is
+    * evicted after that many ms of PROCESSING time with no new changes —
+    * the changelog carries no event time (`seq` is a logical order), so
+    * the idle clock is wall-clock between triggers. The eviction trade is
+    * SHARPER here than for the journey twins and therefore strictly
+    * opt-in: the champion is the latest-wins tiebreaker, so a change with
+    * a SMALLER seq than the evicted champion that arrives after eviction
+    * would wrongly win the reopened key. Safe when the upstream CDC
+    * feed's out-of-order horizon is bounded well inside the TTL (the
+    * usual log-shipping contract); the snapshot store itself keeps every
+    * key's last decoded row either way (StreamTtlSpec pins both the
+    * eviction and the documented regress case). */
+  def latestWins(spark: SparkSession, srcDir: String,
+      idleTtlProcMs: Option[Long] = None): Dataset[KeyState] = {
     import spark.implicits._
+    val conf = if (idleTtlProcMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+               else GroupStateTimeout.NoTimeout
     spark.readStream.schema(changeSchema).parquet(srcDir).as[Change]
       .groupByKey(_.key)
-      .mapGroupsWithState[Long, KeyState](GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[Long, KeyState](
+        org.apache.spark.sql.streaming.OutputMode.Update, conf) {
         (key: Long, batch: Iterator[Change], state: GroupState[Long]) =>
-          var best = state.getOption.getOrElse(Long.MinValue)
-          batch.foreach { c =>
-            val p = Cdc.pack(c.seq, c.op, c.cents)
-            if (p > best) best = p
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var best = state.getOption.getOrElse(Long.MinValue)
+            batch.foreach { c =>
+              val p = Cdc.pack(c.seq, c.op, c.cents)
+              if (p > best) best = p
+            }
+            state.update(best)
+            idleTtlProcMs.foreach(state.setTimeoutDuration)
+            Iterator.single(decode(key, best))
           }
-          state.update(best)
-          decode(key, best)
       }
   }
 

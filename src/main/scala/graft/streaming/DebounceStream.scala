@@ -54,26 +54,47 @@ object DebounceStream {
   }
 
   /** The stateful operator: refreshed burst rows per batch plus zero-row
-    * retractions for vanished burst starts. */
+    * retractions for vanished burst starts.
+    *
+    * With `idleTtl` set ([[Ttl]]): the key's event-time list is evicted
+    * once the watermark passes ttl beyond its last event. Eviction emits
+    * nothing — the burst store holds the key's final rows — and a
+    * reappearing key derives bursts from its new events only, so a gap
+    * spanning the eviction can no longer be BRIDGED by a late event
+    * (such an event would be beyond the watermark regardless). Pick
+    * ttl ≥ the debounce gap so no burst is ever split by eviction: a key
+    * evicted as idle has, by definition, a ≥ttl ≥gap event-time hole at
+    * the eviction point, which the exact twin would split at anyway
+    * (spec-pinned in StreamTtlSpec). */
   def bursts(spark: SparkSession, events: org.apache.spark.sql.Dataset[Ev],
-      timesCap: Option[Int] = DefaultTimesCap): org.apache.spark.sql.Dataset[Burst] = {
+      timesCap: Option[Int] = DefaultTimesCap,
+      idleTtl: Option[Ttl] = None): org.apache.spark.sql.Dataset[Burst] = {
     import spark.implicits._
-    events
+    val src = idleTtl.fold(events)(t => Ttl.watermarked(events, t.lateness))
+    val conf = if (idleTtl.isDefined) GroupStateTimeout.EventTimeTimeout
+               else GroupStateTimeout.NoTimeout
+    src
       .groupByKey(e => (e.user_id, e.event_type))
-      .flatMapGroupsWithState[KeyState, Burst](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[KeyState, Burst](OutputMode.Update, conf) {
         (key: (Long, String), batch: Iterator[Ev], state: GroupState[KeyState]) =>
-          val prev = state.getOption.getOrElse(KeyState(Nil, Nil))
-          val merged = batch.foldLeft(prev.times) { (acc, e) =>
-            (e.ts_us, e.event_id) :: acc
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val prev = state.getOption.getOrElse(KeyState(Nil, Nil))
+            var maxTsUs = Long.MinValue
+            val merged = batch.foldLeft(prev.times) { (acc, e) =>
+              if (e.ts_us > maxTsUs) maxTsUs = e.ts_us
+              (e.ts_us, e.event_id) :: acc
+            }
+            val kept = timesCap.fold(merged)(c => merged.sortBy(identity).take(c))
+            val bs = derive(kept)
+            val starts = bs.map(_._1).toSet
+            val vanished = prev.known.filterNot(starts.contains)
+            state.update(KeyState(kept, bs.map(_._1)))
+            idleTtl.foreach(t =>
+              state.setTimeoutTimestamp(Ttl.deadline(state, maxTsUs / 1000, t.ttlMs)))
+            bs.iterator.map { case (s, n, span) => Burst(key._1, key._2, s, n, span) } ++
+              vanished.iterator.map(s => Burst(key._1, key._2, s, 0L, 0L))
           }
-          val kept = timesCap.fold(merged)(c => merged.sortBy(identity).take(c))
-          val bs = derive(kept)
-          val starts = bs.map(_._1).toSet
-          val vanished = prev.known.filterNot(starts.contains)
-          state.update(KeyState(kept, bs.map(_._1)))
-          bs.iterator.map { case (s, n, span) => Burst(key._1, key._2, s, n, span) } ++
-            vanished.iterator.map(s => Burst(key._1, key._2, s, 0L, 0L))
       }
   }
 

@@ -12,8 +12,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Scale notes: state lives in the state store partitioned by user_id
   * (shuffle on the grouping key once, then incremental per-batch updates);
   * state size is O(distinct users), not O(events). A production deployment
-  * bounds it with a timeout (`GroupStateTimeout`) — kept NoTimeout here so
-  * replay tests are exactly comparable to batch.
+  * bounds the KEY count with an event-time idle TTL ([[Ttl]], the
+  * `idleTtl` knobs below) — NoTimeout stays the default so replay tests
+  * are exactly comparable to batch; the TTL trade is documented on [[Ttl]]
+  * and spec-pinned in StreamTtlSpec.
   */
 object Stateful {
 
@@ -34,6 +36,43 @@ object Stateful {
           val next = UserStat(uid, n, t)
           state.update(next)
           next
+      }
+  }
+
+  final case class TsEvent(user_id: Long, value: Double, ts_us: Long)
+
+  /** TTL form of [[runningUserStats]] for event-time-carrying streams
+    * ([[Ttl]] — the production key-count bound): an idle user's
+    * accumulator is evicted once the watermark passes ttl beyond their
+    * last event. Eviction re-emits the final stat row (idempotent for an
+    * upsert sink), and a reappearing user RESTARTS from zero — the
+    * "evicted key re-initializes as a fresh key" semantic, spec-pinned
+    * in StreamTtlSpec. */
+  def runningUserStatsTtl(spark: SparkSession, events: Dataset[TsEvent],
+      ttl: Ttl): Dataset[UserStat] = {
+    import spark.implicits._
+    Ttl.watermarked(events, ttl.lateness)
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserStat, UserStat](GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[TsEvent], state: GroupState[UserStat]) =>
+          if (state.hasTimedOut) {
+            val last = state.getOption.getOrElse(UserStat(uid, 0L, 0.0))
+            state.remove()
+            last
+          } else {
+            val prev = state.getOption.getOrElse(UserStat(uid, 0L, 0.0))
+            var n = prev.n_events
+            var t = prev.total_value
+            var maxTsUs = Long.MinValue
+            batch.foreach { e =>
+              n += 1; t += e.value
+              if (e.ts_us > maxTsUs) maxTsUs = e.ts_us
+            }
+            val next = UserStat(uid, n, t)
+            state.update(next)
+            state.setTimeoutTimestamp(Ttl.deadline(state, maxTsUs / 1000, ttl.ttlMs))
+            next
+          }
       }
   }
 
@@ -58,7 +97,13 @@ object Stateful {
     * production deployment bounds them with an event-time timeout
     * (finalize the funnel once the watermark passes, drop the sets) —
     * kept NoTimeout here so replay equivalence is exact. */
-  def funnelState(spark: SparkSession, events: Dataset[FunnelEvent]): Dataset[FunnelResult] = {
+  /** With `idleTtl` set ([[Ttl]]): the funnel is FINALIZED on eviction —
+    * the timeout re-emits the user's last derived result (idempotent for
+    * an upsert sink) and drops the candidate sets; a reappearing user
+    * re-initializes at stage 0 as a fresh journey (the verdict's example
+    * semantic, spec-pinned in StreamTtlSpec). */
+  def funnelState(spark: SparkSession, events: Dataset[FunnelEvent],
+      idleTtl: Option[Ttl] = None): Dataset[FunnelResult] = {
     import spark.implicits._
     def derive(uid: Long, s: FunnelState): FunnelResult = {
       val tClick = s.t_view.flatMap(v => s.clicks.filter(_ > v).minOption)
@@ -67,22 +112,35 @@ object Stateful {
         if (s.t_view.isEmpty) 0
         else 1 + tClick.size + tPurchase.size)
     }
-    events
+    val src = idleTtl.fold(events)(t => Ttl.watermarked(events, t.lateness))
+    val conf = if (idleTtl.isDefined) GroupStateTimeout.EventTimeTimeout
+               else GroupStateTimeout.NoTimeout
+    src
       .groupByKey(_.user_id)
-      .mapGroupsWithState[FunnelState, FunnelResult](GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[FunnelState, FunnelResult](conf) {
         (uid: Long, batch: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
-          var s = state.getOption.getOrElse(FunnelState(None, Nil, Nil))
-          batch.foreach { e =>
-            e.event_type match {
-              case "view" =>
-                if (s.t_view.forall(e.ts_us < _)) s = s.copy(t_view = Some(e.ts_us))
-              case "click" => s = s.copy(clicks = e.ts_us :: s.clicks)
-              case "purchase" => s = s.copy(purchases = e.ts_us :: s.purchases)
-              case _ =>
+          if (state.hasTimedOut) {
+            val last = state.getOption.getOrElse(FunnelState(None, Nil, Nil))
+            state.remove()
+            derive(uid, last)
+          } else {
+            var s = state.getOption.getOrElse(FunnelState(None, Nil, Nil))
+            var maxTsUs = Long.MinValue
+            batch.foreach { e =>
+              if (e.ts_us > maxTsUs) maxTsUs = e.ts_us
+              e.event_type match {
+                case "view" =>
+                  if (s.t_view.forall(e.ts_us < _)) s = s.copy(t_view = Some(e.ts_us))
+                case "click" => s = s.copy(clicks = e.ts_us :: s.clicks)
+                case "purchase" => s = s.copy(purchases = e.ts_us :: s.purchases)
+                case _ =>
+              }
             }
+            state.update(s)
+            idleTtl.foreach(t =>
+              state.setTimeoutTimestamp(Ttl.deadline(state, maxTsUs / 1000, t.ttlMs)))
+            derive(uid, s)
           }
-          state.update(s)
-          derive(uid, s)
       }
   }
 
@@ -108,7 +166,8 @@ object Stateful {
     * O(steps × cap) longs per user. */
   def funnelStepsState(
       spark: SparkSession, events: Dataset[FunnelEvent], steps: Seq[String],
-      cap: Int = StepCandidateCap): Dataset[StepsResult] = {
+      cap: Int = StepCandidateCap,
+      idleTtl: Option[Ttl] = None): Dataset[StepsResult] = {
     import spark.implicits._
     val stepIdx = steps.zipWithIndex.toMap
     def derive(uid: Long, s: Vector[List[Long]]): StepsResult = {
@@ -127,19 +186,36 @@ object Stateful {
       }
       StepsResult(uid, reached, tPrev)
     }
-    events
+    val src = idleTtl.fold(events)(t => Ttl.watermarked(events, t.lateness))
+    val conf = if (idleTtl.isDefined) GroupStateTimeout.EventTimeTimeout
+               else GroupStateTimeout.NoTimeout
+    src
       .groupByKey(_.user_id)
-      .mapGroupsWithState[Vector[List[Long]], StepsResult](GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[Vector[List[Long]], StepsResult](conf) {
         (uid: Long, batch: Iterator[FunnelEvent], state: GroupState[Vector[List[Long]]]) =>
-          var s = state.getOption.getOrElse(Vector.fill(steps.length)(List.empty[Long]))
-          batch.foreach { e =>
-            stepIdx.get(e.event_type).foreach { i =>
-              val merged = (e.ts_us :: s(i)).sorted.take(cap)
-              s = s.updated(i, merged)
+          if (state.hasTimedOut) {
+            // finalize on eviction: re-emit the last derived result and
+            // drop the candidate sets; a reappearing user re-chains from
+            // scratch (fresh journey)
+            val last = state.getOption.getOrElse(
+              Vector.fill(steps.length)(List.empty[Long]))
+            state.remove()
+            derive(uid, last)
+          } else {
+            var s = state.getOption.getOrElse(Vector.fill(steps.length)(List.empty[Long]))
+            var maxTsUs = Long.MinValue
+            batch.foreach { e =>
+              if (e.ts_us > maxTsUs) maxTsUs = e.ts_us
+              stepIdx.get(e.event_type).foreach { i =>
+                val merged = (e.ts_us :: s(i)).sorted.take(cap)
+                s = s.updated(i, merged)
+              }
             }
+            state.update(s)
+            idleTtl.foreach(t =>
+              state.setTimeoutTimestamp(Ttl.deadline(state, maxTsUs / 1000, t.ttlMs)))
+            derive(uid, s)
           }
-          state.update(s)
-          derive(uid, s)
       }
   }
 

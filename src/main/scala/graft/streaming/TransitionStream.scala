@@ -62,29 +62,49 @@ object TransitionStream {
   /** The stateful operator: emits the user's refreshed transition rows
     * (plus explicit zeros for vanished pairs) every batch it appears in.
     * With `journeyCap` set, per-user state is hard-bounded to the first
-    * cap events by (ts, event_id) — the batch JourneyCap semantics. */
+    * cap events by (ts, event_id) — the batch JourneyCap semantics.
+    *
+    * With `idleTtl` set (the production key-count bound, [[Ttl]]): the
+    * user's journey state is EVICTED once the watermark passes ttl beyond
+    * their last event. Eviction emits nothing — the count store already
+    * holds the journey's final rows — and a user who reappears
+    * re-initializes as a FRESH journey: their new segment's pairs
+    * overwrite the store rows they re-emit, while pairs only the evicted
+    * segment produced persist at their final counts (the published matrix
+    * then counts TTL-separated journey segments, not one lifetime
+    * journey — the documented trade, spec-pinned in StreamTtlSpec). */
   def userTransitions(spark: SparkSession, events: org.apache.spark.sql.Dataset[Ev],
-      journeyCap: Option[Int] = DefaultJourneyCap): org.apache.spark.sql.Dataset[UserTrans] = {
+      journeyCap: Option[Int] = DefaultJourneyCap,
+      idleTtl: Option[Ttl] = None): org.apache.spark.sql.Dataset[UserTrans] = {
     import spark.implicits._
-    events
+    val src = idleTtl.fold(events)(t => Ttl.watermarked(events, t.lateness))
+    val conf = if (idleTtl.isDefined) GroupStateTimeout.EventTimeTimeout
+               else GroupStateTimeout.NoTimeout
+    src
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[UserSeq, UserTrans](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[UserSeq, UserTrans](OutputMode.Update, conf) {
         (uid: Long, batch: Iterator[Ev], state: GroupState[UserSeq]) =>
-          val prev = state.getOption.getOrElse(UserSeq(Nil, Nil))
-          val evs = batch.foldLeft(prev.events) { (acc, e) =>
-            (e.ts_us, e.event_id, e.event_type) :: acc
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val prev = state.getOption.getOrElse(UserSeq(Nil, Nil))
+            var maxTsUs = Long.MinValue
+            val evs = batch.foldLeft(prev.events) { (acc, e) =>
+              if (e.ts_us > maxTsUs) maxTsUs = e.ts_us
+              (e.ts_us, e.event_id, e.event_type) :: acc
+            }
+            // first-k by (ts, event_id) is associative, so capping the KEPT
+            // state (not just the emission) stays batch-exact while bounding
+            // state at O(cap) per user
+            val kept = journeyCap.fold(evs)(c =>
+              evs.sortBy(e => (e._1, e._2)).take(c))
+            val counts = derive(kept)
+            val vanished = prev.known.filterNot(counts.contains)
+            state.update(UserSeq(kept, counts.keys.toList))
+            idleTtl.foreach(t =>
+              state.setTimeoutTimestamp(Ttl.deadline(state, maxTsUs / 1000, t.ttlMs)))
+            counts.iterator.map { case ((f, t), n) => UserTrans(uid, f, t, n) } ++
+              vanished.iterator.map { case (f, t) => UserTrans(uid, f, t, 0L) }
           }
-          // first-k by (ts, event_id) is associative, so capping the KEPT
-          // state (not just the emission) stays batch-exact while bounding
-          // state at O(cap) per user
-          val kept = journeyCap.fold(evs)(c =>
-            evs.sortBy(e => (e._1, e._2)).take(c))
-          val counts = derive(kept)
-          val vanished = prev.known.filterNot(counts.contains)
-          state.update(UserSeq(kept, counts.keys.toList))
-          counts.iterator.map { case ((f, t), n) => UserTrans(uid, f, t, n) } ++
-            vanished.iterator.map { case (f, t) => UserTrans(uid, f, t, 0L) }
       }
   }
 
