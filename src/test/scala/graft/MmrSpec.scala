@@ -26,6 +26,29 @@ class MmrSpec extends SparkSuite {
     assert(out.size === 3) // only 3 candidates exist
   }
 
+  test("mmr_multi: executor-side greedy equals the driver compat form; plan size is query-count independent") {
+    // same hand-built geometry, TWO queries (0 and 4) — the queries-table
+    // form must reproduce the driver greedy exactly
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.1f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.11f, 0.0f, 0.0f)),
+      (3L, Array(1.0f, -0.1f, 0.0f, 0.0f)),
+      (4L, Array(0.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    assert(canon(Retrieval.mmrMultiOf(spark, emb, Seq(0L, 4L))) ===
+      canon(Retrieval.mmrOf(spark, emb, Seq(0L, 4L))))
+
+    // the compat form unions one branch per query id; the multi form's
+    // leaf count must NOT grow with the query set
+    def leaves(qids: Seq[Long]) =
+      Retrieval.mmrMultiOf(spark, emb, qids).queryExecution.optimizedPlan
+        .collectLeaves().size
+    assert(leaves(Seq(0L, 4L)) === leaves(Seq(0L, 1L, 2L, 3L, 4L)))
+  }
+
   test("mmr on the corpus: picks are distinct, pick 1 is the top cosine") {
     val dir = SparkSpec.sf0001
     val rows = Retrieval.mmr(spark, dir).collect()
