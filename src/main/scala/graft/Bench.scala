@@ -123,8 +123,7 @@ object Bench {
     // measured candidate-pair count at EVERY point, harness SFs included.
     // Same degrade-don't-crash policy as the multi-scale pass.
     val lshScale = if (fast) "" else try {
-      val lshNames =
-        Seq("q_dedup_minhash_lsh", "q_dedup_minhash_lsh_pruned", "q_dedup_near_materialize")
+      val lshNames = BenchSets.lshDecade
       val lshQs = Registry.all.filter(q => lshNames.contains(q.name))
       def points(tag: String,
           gen: (org.apache.spark.sql.SparkSession, Long) => org.apache.spark.sql.DataFrame) =
@@ -201,9 +200,7 @@ object Bench {
     // sources/SyntheticEvents) and report alpha per query. Same
     // degrade-don't-crash policy as the other evidence passes.
     val eventsScale = if (fast) "" else try {
-      val names = Seq("q_kpi_category", "q_events_session", "q_join_range_events",
-        "q_events_attribution", "q_events_rfm", "q_events_mau",
-        "q_events_debounce", "q_events_cohort_ltv")
+      val names = BenchSets.eventsDecade
       val qs2 = Registry.all.filter(q => names.contains(q.name))
       val pts = Seq(600000L, 6000000L).map { n =>
         val d = s"/tmp/graft_synth_events_$n"
@@ -253,8 +250,7 @@ object Bench {
     // fixed-plane quadratic vs adaptive linear split is the family's
     // 100 TB story stated with data. Degrade-don't-crash like the others.
     val embedScale = if (fast) "" else try {
-      val names = Seq("q_sim_knn_lsh", "q_sim_knn_lsh_adaptive",
-        "q_dedup_embed_cos", "q_embed_hard_negatives")
+      val names = BenchSets.embedDecade
       val qs3 = Registry.all.filter(q => names.contains(q.name))
       val pts = Seq(5000L, 16000L, 50000L).map { n =>
         val d = s"/tmp/graft_synth_embed_$n"
@@ -307,9 +303,8 @@ object Bench {
       // lossless prefix set-similarity join (realistic sparse-prefix
       // regime). keyphrase needs stopword delimiters, which only the
       // harness-statistics v2 vocabulary contains — it gets the v2 decade.
-      val zipfNames = Seq("q_text_pmi", "q_text_batch_buckets", "q_text_zipf",
-        "q_dedup_setsim_prefix")
-      val v2Names = Seq("q_text_keyphrase")
+      val zipfNames = BenchSets.textZipfDecade
+      val v2Names = BenchSets.textV2Decade
       def mkPts(tag: String,
           gen: (org.apache.spark.sql.SparkSession, Long) => org.apache.spark.sql.DataFrame) =
         Seq(5000L, 16000L, 50000L).map { n =>
@@ -359,6 +354,55 @@ object Bench {
         ""
     }
 
+    // ---- Z-order file-skipping evidence (round-6 verdict #7): write the
+    // bench SF's lineitem once as a z-clustered layout and once
+    // range-sorted on orderkey only, then run the same 1%-selectivity
+    // (orderkey, partkey) box count against both and report the rows that
+    // SURVIVED parquet footer pruning plus wall time — the measured form
+    // of ZOrderSpec's assertion. Degrade-don't-crash like the others.
+    val layoutScale = if (fast) "" else try {
+      import org.apache.spark.sql.functions.{col, min, max}
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      val base = "/tmp/graft_synth_zorder"
+      val nFiles = 32
+      if (!new java.io.File(s"$base/z/_SUCCESS").exists()) {
+        graft.sources.ZOrder.write(li, s"$base/z", "l_orderkey", "l_partkey", nFiles)
+        li.repartitionByRange(nFiles, col("l_orderkey"))
+          .sortWithinPartitions(col("l_orderkey"))
+          .write.mode("overwrite").parquet(s"$base/x")
+      }
+      val mm = li.agg(min("l_orderkey"), max("l_orderkey"),
+        min("l_partkey"), max("l_partkey")).head()
+      val (loX, hiX) = (mm.getLong(0), mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 10)
+      val (loY, hiY) = (mm.getLong(2), mm.getLong(2) + (mm.getLong(3) - mm.getLong(2)) / 10)
+      val box = col("l_orderkey").between(loX, hiX) &&
+        col("l_partkey").between(loY, hiY)
+      def probe(dir: String): (Long, Double) = {
+        val df = spark.read.parquet(dir).filter(box)
+        val t = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          df.queryExecution.toRdd.count()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        val scanned = df.queryExecution.executedPlan.collectLeaves().collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            s.metrics("numOutputRows").value
+        }.sum
+        (scanned, t)
+      }
+      val total = li.count()
+      val (zRows, zT) = probe(s"$base/z")
+      val (xRows, xT) = probe(s"$base/x")
+      s""","layout_scale":{"rows":$total,"box_pred_selectivity":0.01,""" +
+        s""""z_rows_scanned":$zRows,"z_sec":$zT,""" +
+        s""""xsort_rows_scanned":$xRows,"xsort_sec":$xT}"""
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] layout scale pass failed: ${e.getMessage}")
+        ""
+    }
+
     // Fixed-work CPU calibration: a deterministic single-thread xorshift
     // spin whose wall-time scales with this VM's CPU-steal level. Readers
     // comparing BENCH_r{N}.json across rounds can divide query times by
@@ -383,8 +427,8 @@ object Bench {
     // line prints LAST, so a tail capture always keeps it.
     val scaleLine =
       if (multiScale.nonEmpty || lshScale.nonEmpty || eventsScale.nonEmpty ||
-          embedScale.nonEmpty || textScale.nonEmpty)
-        Some(s"""{"metric":"scale_evidence","sf":"$sfDir"$multiScale$lshScale$eventsScale$embedScale$textScale}""")
+          embedScale.nonEmpty || textScale.nonEmpty || layoutScale.nonEmpty)
+        Some(s"""{"metric":"scale_evidence","sf":"$sfDir"$multiScale$lshScale$eventsScale$embedScale$textScale$layoutScale}""")
       else None
     val totalLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"calib_spin_sec":$calib,"sf":"$sfDir"}"""

@@ -64,6 +64,42 @@ class ZOrderSpec extends SparkSuite {
     assert(a === b)
   }
 
+  /** Execute a filtered scan and return (scan-output rows, files read) —
+    * scan-output rows counts rows in row groups that SURVIVED parquet
+    * footer min/max pruning (the execution-level evidence the envelope
+    * audit can't give). */
+  private def scanMetrics(dir: String, pred: org.apache.spark.sql.Column): (Long, Long) = {
+    val df = spark.read.parquet(dir).filter(pred)
+    df.queryExecution.toRdd.count() // execute so metrics populate
+    val scans = df.queryExecution.executedPlan.collectLeaves().collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, "no FileSourceScanExec in plan")
+    (scans.map(_.metrics("numOutputRows").value).sum,
+      scans.map(_.metrics("numFiles").value).sum)
+  }
+
+  test("row-group skipping is real at EXECUTION: the z-layout scan reads a fraction of the rows (round-6 verdict #7)") {
+    val total = spark.read.parquet(zDir).count()
+    val mmX = spark.read.parquet(zDir).agg(min("l_orderkey"), max("l_orderkey")).head()
+    val mmY = spark.read.parquet(zDir).agg(min("l_partkey"), max("l_partkey")).head()
+    val (loX, hiX) = (mmX.getLong(0), mmX.getLong(0) + (mmX.getLong(1) - mmX.getLong(0)) / 10)
+    val (loY, hiY) = (mmY.getLong(0), mmY.getLong(0) + (mmY.getLong(1) - mmY.getLong(0)) / 10)
+    val box = col("l_orderkey").between(loX, hiX) && col("l_partkey").between(loY, hiY)
+
+    val (zRows, zFiles) = scanMetrics(zDir, box)
+    val (xRows, xFiles) = scanMetrics(xDir, col("l_partkey").between(loY, hiY))
+    info(s"scan rows surviving footer pruning: z-layout box=$zRows of $total ($zFiles files); " +
+      s"x-layout y-slab=$xRows of $total ($xFiles files)")
+    // the x-sorted layout is blind to partkey: footer pruning passes every
+    // row group, so the scan emits (about) the whole table
+    assert(xRows >= (total * 9) / 10, s"x-layout y-pred scan read $xRows of $total")
+    // the z-layout's bounded boxes let footer pruning drop most row
+    // groups for the 1%-selectivity box predicate
+    assert(zRows <= total / 2, s"z-layout box scan read $zRows of $total")
+    assert(zRows < xRows)
+  }
+
   test("z-order prunes on BOTH dimensions; x-sort prunes only on x") {
     val (loX, hiX) = { // ~10% slab of orderkey
       val mm = spark.read.parquet(zDir).agg(min("l_orderkey"), max("l_orderkey")).head()
