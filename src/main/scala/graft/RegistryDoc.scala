@@ -74,7 +74,7 @@ object RegistryDoc {
     "graft.operators.CorpusStats" -> "Heaps-law growth fit, corpus overlap, datacard stats — one corpus pass with conditional first-occurrence columns.",
     "graft.operators.Packing" -> "Sequence packing/chunking/batch assembly — hash-byte sharding bounds window partitions.",
     "graft.operators.Sketches" -> "KMV (+ set ops, temporal rollup), CMS, HLL, Misra-Gries — partial-sketch persistence, weekly-from-daily merge proven ≡ direct.",
-    "graft.operators.Layout" -> "Z-order layout audit and file-skipping probes — bucket envelope stats; the writer half (clustered write + measured footer pruning) lives in sources/ZOrder + ZOrderSpec.",
+    "graft.operators.Layout" -> "Z-order and Hilbert-curve layout audits with file-skipping probes — bucket envelope stats, both curves oracle-checked; the writer halves (clustered writes + measured footer pruning) live in sources/ZOrder + sources/Hilbert with scan-metric specs.",
     "graft.operators.Multimodal" -> "Real ImageIO/WAV-PCM16/GIF decoders over binary columns, aHash near-dup, frame extraction — narrow per-row decode, dedup reuses exact machinery.",
     "graft.operators.Mining" -> "RAKE adjacency, PMI/LLR collocations, JL projection, drift detection — vocab-partitioned stats, persisted token projections.",
     "graft.operators.SetSim" -> "Lossless exact set-similarity join (PPJoin prefix filter): rarest-first token order, doc-partitioned prefix windows, integer size filter before verify.",

@@ -111,7 +111,80 @@ object Layout {
        |FROM z GROUP BY 1""".stripMargin
   }
 
+  /** Hilbert-curve layout audit — the same (o_custkey, order day) audit as
+    * [[zorderAudit]] but clustered along the Hilbert curve
+    * ([[graft.sources.Hilbert.hilbertIndex]]): every curve step is
+    * grid-adjacent, so equal-size index ranges have tighter 2-D envelopes
+    * than Morton ranges (no Z "seams") — the Delta/Iceberg post-Z-order
+    * upgrade, here with the full bucket table oracle-checked. Plan shape
+    * identical to the z audit: 1-row broadcast bounds, narrow index
+    * projection (one HOF loop per row, expression size level-independent),
+    * one map-side-combinable groupBy. */
+  def hilbertAudit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Hilbert
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("x"),
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("y"))
+    val bounds = o.agg(
+      min(col("x")).as("xmin"), max(col("x")).as("xmax"),
+      min(col("y")).as("ymin"), max(col("y")).as("ymax"))
+    val normed = o.crossJoin(broadcast(bounds))
+      .withColumn("nx", expr(s"((x - xmin) * ${Hilbert.GridN}) div (xmax - xmin + 1)"))
+      .withColumn("ny", expr(s"((y - ymin) * ${Hilbert.GridN}) div (ymax - ymin + 1)"))
+      .withColumn("h", Hilbert.hilbertIndex(col("nx"), col("ny")))
+    normed
+      .groupBy(shiftright(col("h"), BucketShift).as("hbucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("cust_min"), max(col("x")).as("cust_max"),
+        min(col("y")).as("day_min"), max(col("y")).as("day_max"))
+      .withColumn("probe_hit",
+        (!(col("cust_max") < ProbeCustLo || col("cust_min") > ProbeCustHi ||
+          col("day_max") < ProbeDayLo || col("day_min") > ProbeDayHi)).cast("int"))
+  }
+
+  /** DuckDB twin of the Hilbert index as an unrolled CTE ladder — one
+    * step per bit level, same rotate-and-accumulate arithmetic as the
+    * engine's HOF. (list_reduce would be the natural form, but DuckDB
+    * 1.0 mis-evaluates CASE branches inside struct-returning lambdas —
+    * the ladder is branch-per-column, which it handles correctly.) */
+  private val hilbertAuditSql = {
+    val n = graft.sources.Hilbert.GridN
+    val steps = (1 to graft.sources.Hilbert.OrderBits).map { i =>
+      val s = n >> i
+      val prev = if (i == 1) "h0" else s"h${i - 1}"
+      s"""h$i AS (SELECT x, y,
+         |  CASE WHEN ((hy // $s) % 2) = 0
+         |       THEN CASE WHEN ((hx // $s) % 2) = 1 THEN ${n - 1} - hy ELSE hy END
+         |       ELSE hx END AS hx,
+         |  CASE WHEN ((hy // $s) % 2) = 0
+         |       THEN CASE WHEN ((hx // $s) % 2) = 1 THEN ${n - 1} - hx ELSE hx END
+         |       ELSE hy END AS hy,
+         |  hd + $s * $s * xor(3 * ((hx // $s) % 2), (hy // $s) % 2) AS hd
+         |FROM $prev)""".stripMargin
+    }.mkString(",\n")
+    val last = s"h${graft.sources.Hilbert.OrderBits}"
+    s"""WITH o AS (SELECT o_custkey AS x,
+       |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))::BIGINT AS y
+       |  FROM orders),
+       |b AS (SELECT min(x) AS xmin, max(x) AS xmax, min(y) AS ymin, max(y) AS ymax FROM o),
+       |h0 AS (SELECT x, y,
+       |    ((x - xmin) * $n) // (xmax - xmin + 1) AS hx,
+       |    ((y - ymin) * $n) // (ymax - ymin + 1) AS hy,
+       |    0::BIGINT AS hd
+       |  FROM o, b),
+       |$steps
+       |SELECT hd >> $BucketShift AS hbucket, count(*) AS n,
+       |  min(x) AS cust_min, max(x) AS cust_max,
+       |  min(y) AS day_min, max(y) AS day_max,
+       |  CASE WHEN max(x) < $ProbeCustLo OR min(x) > $ProbeCustHi
+       |         OR max(y) < $ProbeDayLo OR min(y) > $ProbeDayHi
+       |       THEN 0 ELSE 1 END AS probe_hit
+       |FROM $last GROUP BY 1""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_layout_zorder", zorderAudit, Some(zorderAuditSql)),
+    Q("q_layout_hilbert", hilbertAudit, Some(hilbertAuditSql)),
   )
 }
