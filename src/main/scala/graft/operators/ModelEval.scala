@@ -202,8 +202,99 @@ object ModelEval {
        |  END AS avg_precision
        |FROM a""".stripMargin
 
+  // -------------------------------------------------------- cross-validation
+
+  /** Number of CV folds; fold = first md5 byte of doc_id mod Folds — the
+    * repo's deterministic, reshard-stable hash-assignment pattern. */
+  val CvFolds = 3
+
+  /** K-fold cross-validated AUC of the quality classifier — the model
+    * SELECTION metric: train-set AUC (q_train_auc) flatters an overfit
+    * model, held-out AUC is what a pipeline trusts before adopting the
+    * scores as sampling weights. Each fold trains the full exact GD
+    * trajectory on the other folds and scores ONLY its held-out third;
+    * output is one row per fold plus a fold = -1 summary row whose auc
+    * is the fixed-order mean of the (rounded) fold AUCs.
+    *
+    * Scale: K× the training cost (each fold is T grand aggregates over
+    * the cached feature frame — no shuffle, no join), plus K bounded-
+    * histogram AUC walks (the whitelisted ≤ 1e6+1-row window class). The
+    * model stays 4 driver doubles per fold. */
+  def crossVal(spark: SparkSession, dir: String): DataFrame = {
+    val foldCol = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("int"),
+      lit(CvFolds))
+    val f = TrainClassifier.features(spark, dir)
+      .withColumn("fold", foldCol).cache()
+    val perFold = (0 until CvFolds).map { k =>
+      val (ws, _, _, _) = TrainClassifier.fit(f.filter(col("fold") =!= k))
+      val p = TrainClassifier.sigma(TrainClassifier.margin(ws))
+      val sc = f.filter(col("fold") === k)
+        .select(floor(p * lit(Micro) + lit(0.5)).cast("long").as("mu"), col("y"))
+      aucOf(sc)
+    }
+    val foldRows = perFold.zipWithIndex.map { case (a, k) =>
+      a.select(lit(k).as("fold"), col("n_pos"), col("n_neg"), col("auc"))
+    }.reduce(_ unionByName _)
+    // summary: fixed-order mean of the ROUNDED fold AUCs (1-row
+    // broadcast crossJoins — the exempt single-row shape)
+    val Seq(a0, a1, a2) = perFold.zipWithIndex.map { case (a, k) =>
+      a.select(col("n_pos").as(s"p$k"), col("n_neg").as(s"g$k"),
+        col("auc").as(s"a$k"))
+    }
+    val mean = a0.crossJoin(broadcast(a1)).crossJoin(broadcast(a2))
+      .select(lit(-1).as("fold"),
+        (col("p0") + col("p1") + col("p2")).as("n_pos"),
+        (col("g0") + col("g1") + col("g2")).as("n_neg"),
+        roundN((col("a0") + col("a1") + col("a2")) / lit(3.0), 6).as("auc"))
+    foldRows.unionByName(mean).orderBy(col("fold"))
+  }
+
+  private val crossValSql: String = {
+    def foldChain(k: Int): String = {
+      val p = s"f${k}_"
+      val m = "(w.b + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3)"
+      s"""tr$k AS (SELECT * FROM ff WHERE fold != $k),
+         |${TrainClassifier.trainCtesSqlFrom(p, s"tr$k")},
+         |sc$k AS (SELECT CAST(floor((0.5 + 0.5 * ($m / (1.0 + abs($m)))) * $MicroSql + 0.5) AS BIGINT) AS mu,
+         |           f.y AS y
+         |         FROM ff f CROSS JOIN ${p}w${TrainClassifier.Iterations} w
+         |         WHERE f.fold = $k),
+         |h$k AS (SELECT mu,
+         |        sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS n1,
+         |        sum(CASE WHEN y = 0.0 THEN 1 ELSE 0 END) AS n0
+         |      FROM sc$k GROUP BY mu),
+         |cu$k AS (SELECT n1, n0,
+         |         coalesce(sum(n0) OVER (ORDER BY mu
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+         |       FROM h$k),
+         |a$k AS (SELECT CAST(sum(n1) AS BIGINT) AS n_pos,
+         |        CAST(sum(n0) AS BIGINT) AS n_neg,
+         |        CASE WHEN sum(n1) = 0 OR sum(n0) = 0 THEN NULL
+         |             ELSE ${roundNSql(
+                      "CAST(sum(n1 * (2 * cb + n0)) AS DOUBLE) / (2.0 * sum(n1) * sum(n0))", 6)}
+         |        END AS auc
+         |      FROM cu$k)""".stripMargin
+    }
+    s"""WITH ${TrainClassifier.featureSqlShared},
+       |ff AS MATERIALIZED (SELECT *,
+       |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT % ${CvFolds}) AS fold
+       |  FROM f),
+       |${(0 until CvFolds).map(foldChain).mkString(",\n")}
+       |SELECT fold, n_pos, n_neg, auc FROM (
+       |  SELECT 0 AS fold, n_pos, n_neg, auc FROM a0
+       |  UNION ALL SELECT 1, n_pos, n_neg, auc FROM a1
+       |  UNION ALL SELECT 2, n_pos, n_neg, auc FROM a2
+       |  UNION ALL SELECT -1, a0.n_pos + a1.n_pos + a2.n_pos,
+       |    a0.n_neg + a1.n_neg + a2.n_neg,
+       |    ${roundNSql("(a0.auc + a1.auc + a2.auc) / 3.0", 6)}
+       |  FROM a0, a1, a2)
+       |ORDER BY fold""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_train_auc", auc, Some(aucSql)),
     Q("q_train_confusion", confusion, Some(confusionSql)),
-    Q("q_train_prauc", averagePrecision, Some(averagePrecisionSql)))
+    Q("q_train_prauc", averagePrecision, Some(averagePrecisionSql)),
+    Q("q_train_cv", crossVal, Some(crossValSql)))
 }

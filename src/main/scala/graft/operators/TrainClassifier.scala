@@ -142,24 +142,45 @@ object TrainClassifier {
       .toDF("param", "value")
   }
 
-  private def iterSql(t: Int): String = {
+  private def iterSql(t: Int, p: String = "", src: String = "f"): String = {
     val cwCase = "(CASE WHEN f.y = 1.0 THEN c.cw1 ELSE c.cw0 END)"
-    val prev = if (t == 1) "w0" else s"w${t - 1}"
+    val prev = if (t == 1) s"${p}w0" else s"${p}w${t - 1}"
     val m = s"(w.b + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3)"
     val sg = s"(0.5 + 0.5 * ($m / (1.0 + abs($m))))"
     val d = s"(($sg - f.y) * $cwCase)"
     def ms(g: String) = s"sum(CAST(floor($g * $MicroSql + 0.5) AS BIGINT))"
-    s"""g$t AS (SELECT ${ms(d)} AS gb, ${ms(s"($d * f.x1)")} AS g1,
+    s"""${p}g$t AS (SELECT ${ms(d)} AS gb, ${ms(s"($d * f.x1)")} AS g1,
        |  ${ms(s"($d * f.x2)")} AS g2, ${ms(s"($d * f.x3)")} AS g3,
        |  max(c.n) AS n, max(w.b) AS pb, max(w.w1) AS p1,
        |  max(w.w2) AS p2, max(w.w3) AS p3
-       |  FROM f CROSS JOIN $prev w CROSS JOIN cw c),
-       |w$t AS (SELECT pb - $Lr * (CAST(gb AS DOUBLE) / $MicroSql / n) AS b,
+       |  FROM $src f CROSS JOIN $prev w CROSS JOIN ${p}cw c),
+       |${p}w$t AS (SELECT pb - $Lr * (CAST(gb AS DOUBLE) / $MicroSql / n) AS b,
        |  p1 - $Lr * (CAST(g1 AS DOUBLE) / $MicroSql / n) AS w1,
        |  p2 - $Lr * (CAST(g2 AS DOUBLE) / $MicroSql / n) AS w2,
        |  p3 - $Lr * (CAST(g3 AS DOUBLE) / $MicroSql / n) AS w3
-       |  FROM g$t)""".stripMargin
+       |  FROM ${p}g$t)""".stripMargin
   }
+
+  /** The feature CTE chain (defines `f` with doc_id) for oracles that
+    * need to re-slice features before training — the CV query. */
+  private[operators] def featureSqlShared: String = featureSql
+
+  /** Fold-scoped training chain: the same unrolled GD ladder reading its
+    * features from `src` (an already-defined CTE), every CTE name
+    * prefixed with `p` so several folds coexist in one oracle query.
+    * Ends at `${p}w$Iterations`. */
+  private[operators] def trainCtesSqlFrom(p: String, src: String): String =
+    s"""${p}cnt AS (SELECT count(*) AS n,
+       |          sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS n1 FROM $src),
+       |${p}cw AS (SELECT n, n1,
+       |         CASE WHEN n1 = 0 OR n1 = n THEN CAST(1.0 AS DOUBLE)
+       |              ELSE CAST(n AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE)) END AS cw1,
+       |         CASE WHEN n1 = 0 OR n1 = n THEN CAST(1.0 AS DOUBLE)
+       |              ELSE CAST(n AS DOUBLE) / (2.0 * CAST(n - n1 AS DOUBLE)) END AS cw0
+       |       FROM ${p}cnt),
+       |${p}w0 AS (SELECT CAST(0.0 AS DOUBLE) AS b, CAST(0.0 AS DOUBLE) AS w1,
+       |              CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3),
+       |${(1 to Iterations).map(iterSql(_, p, src)).mkString(",\n")}""".stripMargin
 
   /** The shared WITH-chain: features → class weights → unrolled GD
     * iterations, ending at w$Iterations. Reused by the calibration
@@ -176,7 +197,7 @@ object TrainClassifier {
        |       FROM cnt),
        |w0 AS (SELECT CAST(0.0 AS DOUBLE) AS b, CAST(0.0 AS DOUBLE) AS w1,
        |              CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3),
-       |${(1 to Iterations).map(iterSql).mkString(",\n")}""".stripMargin
+       |${(1 to Iterations).map(t => iterSql(t)).mkString(",\n")}""".stripMargin
 
   private val trainSql: String = {
     val wd = s"w$Iterations"

@@ -60,4 +60,27 @@ class ModelEvalSpec extends SparkSuite {
       (a.getAs[Long]("n_pos") + a.getAs[Long]("n_neg"))
     assert(ap > base, s"ap $ap <= base rate $base")
   }
+
+  test("cross-validation: folds partition the corpus; held-out AUC beats chance; summary is the fold mean") {
+    val rows = ModelEval.crossVal(spark, dir).collect()
+    assert(rows.map(_.getAs[Int]("fold")).toSeq === Seq(-1, 0, 1, 2))
+    val folds = rows.filter(_.getAs[Int]("fold") >= 0)
+    val mean = rows.find(_.getAs[Int]("fold") == -1).get
+    // fold test sets partition the corpus: counts sum to the full-corpus
+    // scored population (the summary row carries the sums)
+    val a = ModelEval.auc(spark, dir).collect()(0)
+    assert(mean.getAs[Long]("n_pos") === a.getAs[Long]("n_pos"))
+    assert(mean.getAs[Long]("n_neg") === a.getAs[Long]("n_neg"))
+    assert(folds.map(_.getAs[Long]("n_pos")).sum === a.getAs[Long]("n_pos"))
+    // every held-out fold AUC beats chance on the separable weak label
+    folds.foreach { r =>
+      val auc = r.getAs[Double]("auc")
+      assert(auc > 0.5 && auc <= 1.0, s"fold ${r.getAs[Int]("fold")} auc $auc")
+    }
+    // summary auc = fixed-order mean of the rounded fold aucs
+    val aucs = folds.map(_.getAs[Double]("auc"))
+    val expect = // roundN's formula on the fixed-order sum
+      math.floor(((aucs(0) + aucs(1) + aucs(2)) / 3.0) * 1e6 + 0.5) / 1e6
+    assert(mean.getAs[Double]("auc") === expect)
+  }
 }

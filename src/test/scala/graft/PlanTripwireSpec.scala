@@ -130,7 +130,8 @@ class PlanTripwireSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     // rank walks over the DISTINCT micro-quantized-score histogram —
     // bounded by the quantization domain (≤ 1e6+1 rows) by construction;
     // the corpus-sized pass is the score hash-aggregate upstream
-    "q_train_auc", "q_train_prauc",
+    // (q_train_cv runs one such walk per held-out fold, same bound)
+    "q_train_auc", "q_train_prauc", "q_train_cv",
     // cross-day carry is a cumulative sum over the per-DAY net series —
     // calendar-bounded (the q_events_cum_users class); the events-sized
     // sweep runs in the day-partitioned window upstream
