@@ -828,8 +828,145 @@ object Inference {
        |FROM w""".stripMargin
   }
 
+  // ---------------------------------------------------------------- bh-fdr
+
+  /** Benjamini-Hochberg FDR level, as nano-units of p (q = 0.05). */
+  val FdrQNano = 50000000L
+
+  /** Multiple-testing control for the metric dashboard: one Welch z-test
+    * per EVENT TYPE (does the treatment arm change how often users fire
+    * that event?), then the Benjamini-Hochberg step-up at FDR q = 0.05
+    * decides which metrics survive — the guard every real experimentation
+    * platform puts between "5 metrics moved" and "ship it" (Benjamini &
+    * Hochberg 1995).
+    *
+    * Exactness: per-user counts are exact integers (users missing a type
+    * contribute 0 — their zero adds nothing to Σx/Σx², so only the arm
+    * DENOMINATOR needs the separate all-users aggregate); z is a fixed
+    * double expression over those integers. The normal tail probability
+    * uses the Zelen-Severo polynomial (A&S 26.2.17) written
+    * token-identically in both engines, and p is quantized to integer
+    * NANO-units before the BH comparison — `p_nano·m ≤ k·q·1e9` is then
+    * pure BIGINT arithmetic, so the reject set can never differ by a
+    * float ulp. Degenerate tests (an arm under 2 users or zero pooled
+    * variance) carry NULL p and sort after every real p (pinned NULLS
+    * LAST both engines), never rejected.
+    *
+    * Scale shape: user-sized work is two keyed aggregates (per-user-type
+    * counts, distinct arm sizes); everything after is one row per EVENT
+    * TYPE — an instrumentation enum, bounded by the product's schema, not
+    * by data volume. The rank window over that enum-sized table is the
+    * whitelisted bounded-input shape; the step-up cutoff is a 1-row grand
+    * aggregate broadcast back. */
+  def bhFdr(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val armN = ev.select(col("user_id")).distinct()
+      .select(armCol(col("user_id")).as("arm"))
+      .groupBy(col("arm")).agg(count(lit(1)).as("n"))
+      .agg(
+        max(when(col("arm") === 0, col("n"))).as("n_c"),
+        max(when(col("arm") === 1, col("n"))).as("n_t"))
+    val perType = ev
+      .groupBy(col("user_id"), col("event_type")).agg(count(lit(1)).as("x"))
+      .select(col("event_type"), armCol(col("user_id")).as("arm"), col("x"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col("arm") === 0, col("x")).otherwise(0L)).as("sx_c"),
+        sum(when(col("arm") === 0, col("x") * col("x")).otherwise(0L)).as("sxx_c"),
+        sum(when(col("arm") === 1, col("x")).otherwise(0L)).as("sx_t"),
+        sum(when(col("arm") === 1, col("x") * col("x")).otherwise(0L)).as("sxx_t"))
+      .crossJoin(broadcast(armN))
+    val mC = col("sx_c").cast("double") / col("n_c")
+    val mT = col("sx_t").cast("double") / col("n_t")
+    def v(s: Column, s2: Column, n: Column) =
+      (s2.cast("double") - s.cast("double") * s.cast("double") / n) / (n - lit(1))
+    val se2 = v(col("sx_c"), col("sxx_c"), col("n_c")) / col("n_c") +
+      v(col("sx_t"), col("sxx_t"), col("n_t")) / col("n_t")
+    val z = (mT - mC) / sqrt(se2)
+    val zed = perType.select(col("event_type"), col("n_c"), col("n_t"),
+      roundN(mC, 6).as("mean_c"), roundN(mT, 6).as("mean_t"),
+      when(col("n_c") < 2L || col("n_t") < 2L || se2 <= 0.0,
+        lit(null).cast("double")).otherwise(z).as("zf"))
+    // two-sided normal p via Zelen-Severo (A&S 26.2.17), nano-quantized.
+    // Token-identical formula in the oracle; exp's ≤1-ulp cross-engine
+    // slack is absorbed by the 1e-9 grid (the quantized-ln precedent).
+    val az = abs(col("zf"))
+    val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+    val phi = lit(0.3989422804014327) * exp(lit(-0.5) * az * az)
+    val poly = t * (lit(0.319381530) + t * (lit(-0.356563782) +
+      t * (lit(1.781477937) + t * (lit(-1.821255978) + t * lit(1.330274429)))))
+    val pNano = floor(lit(2.0) * phi * poly * lit(1e9) + lit(0.5)).cast("long")
+    // Both windows run over the enum-sized test table (one row per event
+    // type), so the step-up cutoff is a second pass over the SAME tiny
+    // window input — no re-scan of events, no cache, plan stays
+    // tripwire-inspectable.
+    val g = Window.partitionBy()
+    zed
+      .withColumn("p_nano", when(col("zf").isNull, lit(null).cast("long")).otherwise(pNano))
+      .withColumn("m", count(lit(1)).over(g))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("p_nano").asc_nulls_last, col("event_type"))))
+      .withColumn("k_max", max(
+        when(col("p_nano") * col("m") <= col("rk") * lit(FdrQNano), col("rk"))).over(g))
+      .select(col("event_type"), col("n_c"), col("n_t"),
+        col("mean_c"), col("mean_t"),
+        roundN(col("zf"), 4).as("z"),
+        (col("p_nano").cast("double") / 1e9).as("p"),
+        col("rk").cast("long").as("rk"), col("m"),
+        (col("rk") <= coalesce(col("k_max"), lit(0))).as("rejected"))
+      .orderBy(col("rk"))
+  }
+
+  private val bhFdrSql = {
+    val az = "abs(zf)"
+    val t = s"(1.0 / (1.0 + 0.2316419 * $az))"
+    val phi = s"(0.3989422804014327 * exp(-0.5 * $az * $az))"
+    val poly = s"($t * (0.319381530 + $t * (-0.356563782 + " +
+      s"$t * (1.781477937 + $t * (-1.821255978 + $t * 1.330274429)))))"
+    val vC = "((CAST(sxx_c AS DOUBLE) - CAST(sx_c AS DOUBLE) * CAST(sx_c AS DOUBLE) / n_c) / (n_c - 1))"
+    val vT = "((CAST(sxx_t AS DOUBLE) - CAST(sx_t AS DOUBLE) * CAST(sx_t AS DOUBLE) / n_t) / (n_t - 1))"
+    val se2 = s"($vC / n_c + $vT / n_t)"
+    s"""WITH $eventsUs,
+       |an AS (SELECT
+       |         max(CASE WHEN arm = 0 THEN n END) AS n_c,
+       |         max(CASE WHEN arm = 1 THEN n END) AS n_t
+       |       FROM (SELECT $armSql AS arm, count(*) AS n
+       |             FROM (SELECT DISTINCT user_id FROM e) GROUP BY 1)),
+       |ux AS (SELECT user_id, event_type, count(*) AS x FROM e GROUP BY 1, 2),
+       |pt AS (SELECT event_type,
+       |         CAST(sum(CASE WHEN $armSql = 0 THEN x ELSE 0 END) AS BIGINT) AS sx_c,
+       |         CAST(sum(CASE WHEN $armSql = 0 THEN x * x ELSE 0 END) AS BIGINT) AS sxx_c,
+       |         CAST(sum(CASE WHEN $armSql = 1 THEN x ELSE 0 END) AS BIGINT) AS sx_t,
+       |         CAST(sum(CASE WHEN $armSql = 1 THEN x * x ELSE 0 END) AS BIGINT) AS sxx_t
+       |       FROM ux GROUP BY 1),
+       |zt AS (SELECT event_type, n_c, n_t,
+       |         ${roundNSql("CAST(sx_c AS DOUBLE) / n_c", 6)} AS mean_c,
+       |         ${roundNSql("CAST(sx_t AS DOUBLE) / n_t", 6)} AS mean_t,
+       |         CASE WHEN n_c < 2 OR n_t < 2 OR $se2 <= 0.0 THEN NULL
+       |              ELSE (CAST(sx_t AS DOUBLE) / n_t - CAST(sx_c AS DOUBLE) / n_c) / sqrt($se2)
+       |         END AS zf
+       |       FROM pt CROSS JOIN an),
+       |pv AS (SELECT *, CASE WHEN zf IS NULL THEN NULL
+       |         ELSE CAST(floor(2.0 * $phi * $poly * 1e9 + 0.5) AS BIGINT) END AS p_nano
+       |       FROM zt),
+       |rk AS (SELECT *, count(*) OVER () AS m,
+       |         row_number() OVER (ORDER BY p_nano ASC NULLS LAST, event_type) AS rk
+       |       FROM pv),
+       |km AS (SELECT *,
+       |         max(CASE WHEN p_nano * m <= rk * $FdrQNano THEN rk END) OVER () AS k_max
+       |       FROM rk)
+       |SELECT event_type, n_c, n_t, mean_c, mean_t,
+       |  ${roundNSql("zf", 4)} AS z,
+       |  CAST(p_nano AS DOUBLE) / 1e9 AS p,
+       |  CAST(rk AS BIGINT) AS rk, CAST(m AS BIGINT) AS m,
+       |  rk <= coalesce(k_max, 0) AS rejected
+       |FROM km
+       |ORDER BY rk""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_events_abn", abn, Some(abnSql)),
+    Q("q_stats_bh_fdr", bhFdr, Some(bhFdrSql)),
     Q("q_events_power_continuous", powerContinuous, Some(powerContinuousSql)),
     Q("q_events_abtest_cuped", cuped, Some(cupedSql)),
     Q("q_stats_bootstrap", bootstrap, Some(bootstrapSql)),

@@ -194,6 +194,66 @@ class InferenceSpec extends SparkSuite {
 
   // --------------------------------------------------------------- benford
 
+  // ---------------------------------------------------------------- bh-fdr
+
+  test("bh-fdr: real effect rejected, degenerate metric sorts last unrejected") {
+    // the engine's md5 arm, recomputed here so the fixture can plant a
+    // true per-arm effect
+    def arm(u: Long): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+      (d(0) & 0xff) % 2
+    }
+    var id = 0L
+    val rows = (1L to 40L).flatMap { u =>
+      // strong planted effect + (u % 3) within-arm variance so the Welch
+      // denominator is nonzero
+      val clicks = (if (arm(u) == 1) 12 else 2) + (u % 3).toInt
+      val es = Seq.fill(clicks)("click") ++ Seq("view") // view: zero variance
+      es.map { t => id += 1; (id, "2024-01-05 10:00:00", u, t, 5.0) }
+    }
+    val d = fixtureDir("events" -> eventsDf(rows: _*))
+    val out = Inference.bhFdr(spark, d).collect()
+    assert(out.map(_.getAs[Long]("m")).distinct.toSeq === Seq(2))
+    assert(out.map(_.getAs[Long]("rk")).toSeq === Seq(1L, 2L))
+    val click = out.find(_.getAs[String]("event_type") == "click").get
+    val view = out.find(_.getAs[String]("event_type") == "view").get
+    // the planted 2-vs-12 effect is overwhelmingly significant
+    assert(click.getAs[Long]("rk") === 1L)
+    assert(click.getAs[Boolean]("rejected"))
+    assert(click.getAs[Double]("p") < 1e-6)
+    assert(click.getAs[Double]("mean_t") > click.getAs[Double]("mean_c"))
+    // zero-variance metric: NULL z/p, ranked after every real p, never rejected
+    assert(view.isNullAt(view.fieldIndex("z")))
+    assert(view.isNullAt(view.fieldIndex("p")))
+    assert(view.getAs[Long]("rk") === 2L)
+    assert(!view.getAs[Boolean]("rejected"))
+  }
+
+  test("bh-fdr: harness data — ranks complete, p monotone, reject set is the BH prefix") {
+    val out = Inference.bhFdr(spark, SparkSpec.sf0001).collect().sortBy(_.getAs[Long]("rk"))
+    assert(out.nonEmpty)
+    val m = out.head.getAs[Long]("m")
+    assert(out.map(_.getAs[Long]("rk")).toSeq === (1L to m).toSeq)
+    // p monotone non-decreasing over rank, all in (0, 1]
+    val ps = out.flatMap(r =>
+      if (r.isNullAt(r.fieldIndex("p"))) None else Some(r.getAs[Double]("p")))
+    assert(ps.toSeq === ps.sorted.toSeq)
+    assert(ps.forall(p => p > 0 && p <= 1.0))
+    // BH self-consistency: rejected ⇔ rank ≤ max{k : p(k) ≤ k·q/m},
+    // recomputed independently from the returned p-values
+    val kmax = out.flatMap { r =>
+      if (r.isNullAt(r.fieldIndex("p"))) None
+      else if (r.getAs[Double]("p") <= r.getAs[Long]("rk") * 0.05 / m)
+        Some(r.getAs[Long]("rk"))
+      else None
+    }.sorted.lastOption.getOrElse(0L)
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("rejected") === (r.getAs[Long]("rk") <= kmax),
+        s"${r.getAs[String]("event_type")}")
+    }
+  }
+
   test("benford: shares sum to 1, digits complete, chi2 non-negative") {
     val li = (1 to 90).map(i =>
       (i.toLong, 1L, 1L, 1, 1.0, i * 111.0, 0.0, 0.0, "N", "O",

@@ -143,7 +143,12 @@ class PlanTripwireSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     // cumulative over DISTINCT purchase-gap SECONDS — bounded by the
     // time domain (the q_events_funnel_latency class); user-sized work
     // stays in the user-partitioned lag upstream
-    "q_events_interpurchase")
+    "q_events_interpurchase",
+    // BH rank runs over the per-EVENT-TYPE test table — one row per
+    // distinct event type, an instrumentation enum bounded by the
+    // product's schema, not data volume; user-sized work is the two
+    // keyed aggregates upstream
+    "q_stats_bh_fdr")
 
   private def globalWindows(name: String, df: DataFrame): Seq[String] = {
     val plan = df.queryExecution.executedPlan
