@@ -1087,6 +1087,105 @@ object Events {
        |UNION ALL
        |SELECT 'none', CAST(n_purchases AS BIGINT), revenue FROM none_p WHERE n_purchases > 0""".stripMargin
 
+  // ------------------------------------------------------- attribution-decay
+
+  /** Time-decay half-life: a touch half the lookback old carries half
+    * the weight of a touch at purchase time (2^(-Δ/half_life)). */
+  val DecayHalfLifeUs: Long = TouchLookbackUs
+
+  /** Time-decay multi-touch attribution — the third member of the
+    * attribution family (last-touch `q_events_attribution`, equal-split
+    * `q_events_attribution_linear`): each purchase's revenue is split
+    * across its 7-day-lookback touches proportionally to
+    * 2^(-Δ/half_life), so recent touches earn more credit.
+    *
+    * Exactness: the weight is the ONE transcendental step and it feeds a
+    * sum, so it is quantized to integer MICRO-units first
+    * (floor(2^(-Δ/hl)·1e6 + 0.5), token-identical in both engines — the
+    * lm_score recipe); Δ < lookback = half-life keeps every quantized
+    * weight in [500000, 1000000], never 0. Shares are then pure BIGINT:
+    * cents·w div Σw per touch, with the LATEST touch (ts, event_id desc)
+    * carrying the rounding remainder — the linear rule — so channel
+    * revenue reconstructs total purchase revenue to the cent.
+    *
+    * Scale shape: identical to linear — user-keyed equi-join with the
+    * range predicate on top, per-purchase fan-out bounded by the lookback
+    * window, all windows partitioned by (user, purchase), map-side
+    * combinable channel rollup. */
+  def attributionDecay(spark: SparkSession, dir: String): DataFrame =
+    attributionDecayOf(Tables.events(spark, dir))
+
+  def attributionDecayOf(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = floor(col("value") * 100 + 0.5).cast("long")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("p_us"),
+        col("event_id").as("p_id"), cents.as("cents"))
+    val t = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+        col("event_id").as("t_id"), col("event_type").as("channel"))
+    val joined = p.join(t,
+      Seq("user_id")).where(
+        col("t_us") <= col("p_us") && col("t_us") > col("p_us") - TouchLookbackUs)
+    val wMicro = floor(
+      pow(lit(2.0),
+        -(col("p_us") - col("t_us")).cast("double") / lit(DecayHalfLifeUs.toDouble))
+        * 1e6 + 0.5).cast("long")
+    val w = Window.partitionBy(col("user_id"), col("p_id"))
+    val rankW = Window.partitionBy(col("user_id"), col("p_id"))
+      .orderBy(col("t_us").desc, col("t_id").desc)
+    val shares = joined
+      .withColumn("w_micro", wMicro)
+      .withColumn("sw", sum(col("w_micro")).over(w))
+      .withColumn("base", expr("(cents * w_micro) div sw"))
+      .withColumn("r", row_number().over(rankW))
+      .withColumn("share",
+        col("base") + when(col("r") === 1,
+          col("cents") - sum(col("base")).over(w)).otherwise(0L))
+    val touched = shares.groupBy(col("channel"))
+      .agg(countDistinct(col("user_id"), col("p_id")).as("n_purchases"),
+        (sum(col("share")) / 100.0).as("revenue"))
+    val none = p.join(shares.select(col("user_id"), col("p_id")).distinct(),
+        Seq("user_id", "p_id"), "left_anti")
+      .agg(count(lit(1)).as("n_purchases"), (sum(col("cents")) / 100.0).as("revenue"))
+      .select(lit("none").as("channel"), col("n_purchases"), col("revenue"))
+      .where(col("n_purchases") > 0)
+    touched.unionByName(none)
+  }
+
+  private val attributionDecaySql =
+    s"""WITH $eventsUs,
+       |p AS (SELECT user_id, epoch_us(ts) AS p_us, event_id AS p_id,
+       |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+       |      FROM e WHERE event_type = 'purchase'),
+       |t AS (SELECT user_id, epoch_us(ts) AS t_us, event_id AS t_id,
+       |        event_type AS channel
+       |      FROM e WHERE event_type IN ('click', 'view')),
+       |j AS (SELECT p.*, t.t_us, t.t_id, t.channel,
+       |        CAST(floor(power(2.0, -CAST(p.p_us - t.t_us AS DOUBLE)
+       |          / ${DecayHalfLifeUs}.0) * 1e6 + 0.5) AS BIGINT) AS w_micro
+       |      FROM p JOIN t USING (user_id)
+       |      WHERE t.t_us <= p.p_us AND t.t_us > p.p_us - $TouchLookbackUs),
+       |s0 AS (SELECT channel, user_id, p_id, cents, t_us, t_id,
+       |         CAST((cents * w_micro) // sum(w_micro)
+       |           OVER (PARTITION BY user_id, p_id) AS BIGINT) AS base
+       |       FROM j),
+       |s AS (SELECT channel, user_id, p_id,
+       |        base + CASE WHEN row_number() OVER (PARTITION BY user_id, p_id
+       |                                            ORDER BY t_us DESC, t_id DESC) = 1
+       |               THEN cents - sum(base) OVER (PARTITION BY user_id, p_id)
+       |               ELSE 0 END AS share
+       |      FROM s0),
+       |touched AS (SELECT channel, count(DISTINCT (user_id, p_id)) AS n_purchases,
+       |              sum(share) / 100.0 AS revenue
+       |            FROM s GROUP BY 1),
+       |none_p AS (SELECT count(*) AS n_purchases, sum(cents) / 100.0 AS revenue
+       |           FROM p WHERE NOT EXISTS (SELECT 1 FROM s
+       |             WHERE s.user_id = p.user_id AND s.p_id = p.p_id))
+       |SELECT channel, CAST(n_purchases AS BIGINT) AS n_purchases, revenue FROM touched
+       |UNION ALL
+       |SELECT 'none', CAST(n_purchases AS BIGINT), revenue FROM none_p WHERE n_purchases > 0""".stripMargin
+
   // -------------------------------------------------------------- lifecycle
 
   /** Weekly growth accounting — the new/retained/resurrected/churned
@@ -1323,6 +1422,7 @@ object Events {
     Q("q_events_lifecycle", lifecycle, Some(lifecycleSql)),
     Q("q_events_paths", paths, Some(pathsSql)),
     Q("q_events_attribution_linear", attributionLinear, Some(attributionLinearSql)),
+    Q("q_events_attribution_decay", attributionDecay, Some(attributionDecaySql)),
     Q("q_events_cohort_ltv", cohortLtv, Some(cohortLtvSql)),
     Q("q_events_funnel_latency", funnelLatency, Some(funnelLatencySql)),
     Q("q_events_debounce", debounce, Some(debounceSql)),
