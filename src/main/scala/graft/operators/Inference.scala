@@ -964,7 +964,151 @@ object Inference {
        |ORDER BY rk""".stripMargin
   }
 
+  // ----------------------------------------------------------------- msprt
+
+  /** Mixture variance τ of the mSPRT normal mixture (Johari, Koomen,
+    * Pekelis & Walsh 2017, "Peeking at A/B tests"). τ sets the sample
+    * size the test has power at (V ≈ p(1-p)·2/n ≲ τ): 0.01 ≈ tens of
+    * users per arm — sized to the harness experiment, and harmless under
+    * the null (θ̂ ≈ 0 ⇒ Λ < 1 ⇒ p clamps at 1). */
+  val SprtTau = 0.01
+
+  /** Always-valid significance level α = 0.05, in nano-units of p. */
+  val SprtAlphaNano = 50000000L
+
+  /** Always-valid sequential test (mSPRT) over the big-ticket conversion
+    * rate — what the experiment dashboard should show on EVERY day of the
+    * test so that stopping the moment it turns significant is still a
+    * valid α = 0.05 decision (the "peeking problem" guard; fixed-horizon
+    * z-tests like q_events_abtest are only valid at one pre-committed
+    * look). Per observed event day d: cumulative users and converters per
+    * arm (a user enters on their first event day, converts on their first
+    * qualifying purchase day), the rate-difference estimate θ̂ with
+    * variance V, the mixture-SPRT log likelihood ratio
+    * ln Λ = ½·ln(V/(V+τ)) + θ̂²τ/(2V(V+τ)), and the always-valid p —
+    * the running MINIMUM of min(1, 1/Λ) over days so far.
+    *
+    * Exactness: every count is an exact integer (cumulative BIGINT sums
+    * of per-day deltas); θ̂/V/lnΛ are fixed expression trees over those
+    * integers, token-identical in both engines; 1/Λ is quantized to
+    * integer NANO-units of p BEFORE the running min, so the significance
+    * sequence is pure BIGINT comparison — the reject day can never differ
+    * by a float ulp (the q_stats_bh_fdr precedent; exp/ln's ≤1-ulp
+    * cross-engine slack is absorbed by the 1e-9 grid). Days where an arm
+    * is empty or V degenerates carry NULL lnΛ/p and are skipped by the
+    * running min (min ignores NULLs in both engines), never significant.
+    *
+    * Scale shape: user-sized work is two keyed aggregates (first activity
+    * day, first conversion day per user); everything after lives on the
+    * per-DAY series — calendar-bounded, the q_events_cum_users window
+    * class (tripwire-whitelisted). */
+  def sprt(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val day = to_date(col("ts"))
+    val newUsers = ev.groupBy(col("user_id")).agg(min(day).as("day"))
+      .select(col("day"), armCol(col("user_id")).as("arm"))
+      .groupBy(col("day")).agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("du_c"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("du_t"))
+    val newConvs = ev
+      .filter(col("event_type") === "purchase" && col("value") >= ConvThreshold)
+      .groupBy(col("user_id")).agg(min(day).as("day"))
+      .select(col("day"), armCol(col("user_id")).as("arm"))
+      .groupBy(col("day")).agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("dx_c"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("dx_t"))
+    val wd = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = ev.select(day.as("day")).distinct()
+      .join(newUsers, Seq("day"), "left")
+      .join(newConvs, Seq("day"), "left")
+      .select(col("day"),
+        sum(coalesce(col("du_c"), lit(0L))).over(wd).as("n_c"),
+        sum(coalesce(col("du_t"), lit(0L))).over(wd).as("n_t"),
+        sum(coalesce(col("dx_c"), lit(0L))).over(wd).as("x_c"),
+        sum(coalesce(col("dx_t"), lit(0L))).over(wd).as("x_t"))
+    val theta = col("x_t").cast("double") / col("n_t") -
+      col("x_c").cast("double") / col("n_c")
+    val pool = (col("x_c") + col("x_t")).cast("double") / (col("n_c") + col("n_t"))
+    val vEx = pool * (lit(1.0) - pool) * (lit(1.0) / col("n_c") + lit(1.0) / col("n_t"))
+    val staged = cum
+      .withColumn("theta_f", theta)
+      .withColumn("v_f",
+        when(col("n_c") === 0L || col("n_t") === 0L, lit(null).cast("double"))
+          .otherwise(vEx))
+    val llr = lit(0.5) * log(col("v_f") / (col("v_f") + lit(SprtTau))) +
+      col("theta_f") * col("theta_f") * lit(SprtTau) /
+        (lit(2.0) * col("v_f") * (col("v_f") + lit(SprtTau)))
+    val pNano = floor(least(lit(1.0), exp(-col("llr_f"))) * 1e9 + 0.5).cast("long")
+    staged
+      .withColumn("llr_f",
+        when(col("v_f").isNull || col("v_f") <= 0.0, lit(null).cast("double"))
+          .otherwise(llr))
+      .withColumn("p_nano", when(col("llr_f").isNull, lit(null).cast("long"))
+        .otherwise(pNano))
+      .withColumn("p_run", min(col("p_nano")).over(wd))
+      .select(col("day"), col("n_c"), col("n_t"), col("x_c"), col("x_t"),
+        when(col("n_c") === 0L || col("n_t") === 0L, lit(null).cast("double"))
+          .otherwise(roundN(col("theta_f"), 6)).as("theta"),
+        roundN(col("llr_f"), 6).as("llr"),
+        (col("p_run").cast("double") / 1e9).as("p_av"),
+        coalesce(col("p_run") <= lit(SprtAlphaNano), lit(false)).as("significant"))
+      .orderBy(col("day"))
+  }
+
+  private val sprtSql = {
+    val v = "v_f"
+    val llr = s"(0.5 * ln($v / ($v + $SprtTau)) + " +
+      s"theta_f * theta_f * $SprtTau / (2.0 * $v * ($v + $SprtTau)))"
+    s"""WITH $eventsUs,
+       |nu AS (SELECT day,
+       |         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS du_c,
+       |         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS du_t
+       |       FROM (SELECT min(CAST(ts AS DATE)) AS day, $armSql AS arm
+       |             FROM e GROUP BY user_id) GROUP BY 1),
+       |nx AS (SELECT day,
+       |         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS dx_c,
+       |         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS dx_t
+       |       FROM (SELECT min(CAST(ts AS DATE)) AS day, $armSql AS arm
+       |             FROM e WHERE event_type = 'purchase' AND value >= $ConvThreshold
+       |             GROUP BY user_id) GROUP BY 1),
+       |spine AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM e),
+       |cum AS (SELECT s.day,
+       |          CAST(sum(coalesce(du_c, 0)) OVER w AS BIGINT) AS n_c,
+       |          CAST(sum(coalesce(du_t, 0)) OVER w AS BIGINT) AS n_t,
+       |          CAST(sum(coalesce(dx_c, 0)) OVER w AS BIGINT) AS x_c,
+       |          CAST(sum(coalesce(dx_t, 0)) OVER w AS BIGINT) AS x_t
+       |        FROM spine s LEFT JOIN nu USING (day) LEFT JOIN nx USING (day)
+       |        WINDOW w AS (ORDER BY s.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |staged AS (SELECT day, n_c, n_t, x_c, x_t,
+       |             CAST(x_t AS DOUBLE) / n_t - CAST(x_c AS DOUBLE) / n_c AS theta_f,
+       |             CASE WHEN n_c = 0 OR n_t = 0 THEN NULL
+       |                  ELSE CAST(x_c + x_t AS DOUBLE) / (n_c + n_t)
+       |                       * (1.0 - CAST(x_c + x_t AS DOUBLE) / (n_c + n_t))
+       |                       * (1.0 / n_c + 1.0 / n_t) END AS v_f
+       |           FROM cum),
+       |lf AS (SELECT *, CASE WHEN v_f IS NULL OR v_f <= 0.0 THEN NULL
+       |                      ELSE $llr END AS llr_f
+       |       FROM staged),
+       |pn AS (SELECT *, CASE WHEN llr_f IS NULL THEN NULL
+       |         ELSE CAST(floor(least(1.0, exp(-llr_f)) * 1e9 + 0.5) AS BIGINT)
+       |         END AS p_nano
+       |       FROM lf),
+       |pr AS (SELECT *, min(p_nano) OVER (ORDER BY day
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_run
+       |       FROM pn)
+       |SELECT day, n_c, n_t, x_c, x_t,
+       |  CASE WHEN n_c = 0 OR n_t = 0 THEN NULL
+       |       ELSE ${roundNSql("theta_f", 6)} END AS theta,
+       |  ${roundNSql("llr_f", 6)} AS llr,
+       |  CAST(p_run AS DOUBLE) / 1e9 AS p_av,
+       |  coalesce(p_run <= $SprtAlphaNano, false) AS significant
+       |FROM pr
+       |ORDER BY day""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_stats_sprt", sprt, Some(sprtSql)),
     Q("q_events_abn", abn, Some(abnSql)),
     Q("q_stats_bh_fdr", bhFdr, Some(bhFdrSql)),
     Q("q_events_power_continuous", powerContinuous, Some(powerContinuousSql)),

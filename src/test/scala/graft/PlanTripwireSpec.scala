@@ -144,6 +144,10 @@ class PlanTripwireSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     // time domain (the q_events_funnel_latency class); user-sized work
     // stays in the user-partitioned lag upstream
     "q_events_interpurchase",
+    // cumulative counts and the running always-valid-p minimum walk the
+    // per-DAY series — calendar-bounded (the q_events_cum_users class);
+    // user-sized work is the two keyed first-day aggregates upstream
+    "q_stats_sprt",
     // BH rank runs over the per-EVENT-TYPE test table — one row per
     // distinct event type, an instrumentation enum bounded by the
     // product's schema, not data volume; user-sized work is the two

@@ -33,6 +33,59 @@ class Round7OpsSpec extends SparkSuite {
     assert(rows("click")._2 > rows("view")._2)
   }
 
+  test("msprt: planted effect turns significant, day-1 degenerate row is NULL-safe") {
+    // the engine's md5 arm, recomputed so the fixture can plant an effect
+    def arm(u: Long): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+      (d(0) & 0xff) % 2
+    }
+    var id = 0L
+    def e(ts: String, u: Long, t: String, v: Double) = { id += 1; ev(id, ts, u, t, v) }
+    val rows =
+      (1L to 40L).map(u => e("2024-01-01 10:00:00", u, "view", 0)) ++
+        (1L to 40L).filter(arm(_) == 1)
+          .map(u => e("2024-01-02 10:00:00", u, "purchase", 500.0)) ++
+        Seq(e("2024-01-03 10:00:00", 1L, "view", 0))
+    val d = fixtureDir("events" -> eventsDf(rows: _*))
+    val out = graft.operators.Inference.sprt(spark, d).collect()
+    assert(out.length === 3)
+    val d1 = out(0); val d2 = out(1); val d3 = out(2)
+    // day 1: both arms enrolled, zero conversions -> V = 0 -> NULL llr/p
+    assert(d1.getAs[Long]("n_c") + d1.getAs[Long]("n_t") === 40L)
+    assert(d1.getAs[Long]("x_c") === 0L && d1.getAs[Long]("x_t") === 0L)
+    assert(d1.isNullAt(d1.fieldIndex("llr")))
+    assert(d1.isNullAt(d1.fieldIndex("p_av")))
+    assert(!d1.getAs[Boolean]("significant"))
+    // day 2: every treatment user converted, zero control -> significant
+    assert(d2.getAs[Long]("x_t") === d2.getAs[Long]("n_t"))
+    assert(d2.getAs[Long]("x_c") === 0L)
+    assert(d2.getAs[Boolean]("significant"))
+    assert(d2.getAs[Double]("p_av") < 0.05)
+    assert(d2.getAs[Double]("theta") === 1.0)
+    // day 3: always-valid p is a running min -> still significant, p no larger
+    assert(d3.getAs[Boolean]("significant"))
+    assert(d3.getAs[Double]("p_av") <= d2.getAs[Double]("p_av"))
+  }
+
+  test("msprt: harness data — cumulative counts monotone, p_av is a running min") {
+    val out = graft.operators.Inference.sprt(spark, SparkSpec.sf0001).collect()
+    assert(out.nonEmpty)
+    def mono(xs: Seq[Long]) = xs.zip(xs.tail).forall { case (a, b) => a <= b }
+    assert(mono(out.map(_.getAs[Long]("n_c")).toSeq))
+    assert(mono(out.map(_.getAs[Long]("n_t")).toSeq))
+    assert(mono(out.map(_.getAs[Long]("x_c")).toSeq))
+    assert(mono(out.map(_.getAs[Long]("x_t")).toSeq))
+    out.foreach { r =>
+      assert(r.getAs[Long]("x_c") <= r.getAs[Long]("n_c"))
+      assert(r.getAs[Long]("x_t") <= r.getAs[Long]("n_t"))
+    }
+    val ps = out.flatMap(r =>
+      if (r.isNullAt(r.fieldIndex("p_av"))) None else Some(r.getAs[Double]("p_av")))
+    assert(ps.zip(ps.tail).forall { case (a, b) => b <= a }, "p_av must never rise")
+    assert(ps.forall(p => p >= 0 && p <= 1.0))
+  }
+
   test("decay attribution: harness data conserves revenue to the cent") {
     val out = graft.operators.Events.attributionDecay(spark, SparkSpec.sf0001).collect()
     assert(out.nonEmpty)
