@@ -306,7 +306,126 @@ object Seasonal {
       |FROM s WHERE has_click = 1
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- holt
+
+  /** Forecast horizon of the Holt extrapolation, in days. */
+  val HoltHorizon = 7
+
+  /** Holt linear-trend (double exponential smoothing) forecast of daily
+    * purchase revenue — the model-based step up from the lag-7/lag-1
+    * baselines `q_events_forecast_naive` backtests: per calendar day
+    * (zero-filled between min and max purchase day, so absence = zero
+    * revenue, not a skipped step), the recursions
+    * l_t = α·y_t + (1−α)(l_{t−1}+b_{t−1}) and
+    * b_t = β(l_t−l_{t−1}) + (1−β)·b_{t−1} with α = β = 0.5, initialized
+    * l_1 = y_1, b_1 = y_2−y_1; `fitted` is the one-step-ahead forecast
+    * l_{t−1}+b_{t−1} (NULL at t = 1), and 7 `forecast` rows extrapolate
+    * l_T + h·b_T past the horizon. Needs ≥ 2 observed days, else empty.
+    *
+    * Exactness: y is exact integer cents; α = β = 0.5 makes every float
+    * step a double add/multiply by an exact binary fraction — NO
+    * transcendentals anywhere, so the recursion is bit-identical
+    * cross-engine by IEEE 754 alone (the oracle replays it as a
+    * recursive CTE); roundN(4) only at display.
+    *
+    * Scale shape: the corpus collapses to the per-day cents series in
+    * one keyed aggregate; the zero-fill spine explodes from a 1-row
+    * bounds aggregate; the recursion itself runs as ONE `aggregate` HOF
+    * over the collected calendar-bounded series (≤ years of days — the
+    * q_stats_bootstrap single-row class), so no driver loop, no
+    * per-step job, and state never touches user-sized data. */
+  def holt(spark: SparkSession, dir: String): DataFrame = {
+    val cents = floor(col("value") * 100 + 0.5).cast("long")
+    val daily = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day")).agg(sum(cents).as("c"))
+    val bounds = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val full = bounds
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("c"), lit(0L)).as("y"))
+    val arr = full.agg(
+      sort_array(collect_list(struct(col("day"), col("y")))).as("s"),
+      max(col("day")).as("d1"))
+      .where(size(col("s")) >= 2)
+    val rec = arr.select(col("d1"), expr(
+      """aggregate(
+        |  slice(s, 2, greatest(size(s) - 1, 0)),
+        |  named_struct(
+        |    'l', CAST(s[0].y AS DOUBLE),
+        |    'b', CAST(s[1].y AS DOUBLE) - CAST(s[0].y AS DOUBLE),
+        |    'out', array(named_struct(
+        |      'day', s[0].day, 'y', s[0].y,
+        |      'level', CAST(s[0].y AS DOUBLE),
+        |      'trend', CAST(s[1].y AS DOUBLE) - CAST(s[0].y AS DOUBLE),
+        |      'fitted', CAST(NULL AS DOUBLE)))),
+        |  (acc, e) -> named_struct(
+        |    'l', 0.5 * CAST(e.y AS DOUBLE) + 0.5 * (acc.l + acc.b),
+        |    'b', 0.5 * ((0.5 * CAST(e.y AS DOUBLE) + 0.5 * (acc.l + acc.b)) - acc.l)
+        |         + 0.5 * acc.b,
+        |    'out', array_append(acc.out, named_struct(
+        |      'day', e.day, 'y', e.y,
+        |      'level', 0.5 * CAST(e.y AS DOUBLE) + 0.5 * (acc.l + acc.b),
+        |      'trend', 0.5 * ((0.5 * CAST(e.y AS DOUBLE) + 0.5 * (acc.l + acc.b)) - acc.l)
+        |               + 0.5 * acc.b,
+        |      'fitted', acc.l + acc.b))))""".stripMargin).as("r"))
+    rec.select(explode(expr(
+      s"""concat(r.out, transform(sequence(1, $HoltHorizon), h -> named_struct(
+         |  'day', date_add(d1, h),
+         |  'y', CAST(NULL AS BIGINT),
+         |  'level', CAST(NULL AS DOUBLE),
+         |  'trend', CAST(NULL AS DOUBLE),
+         |  'fitted', r.l + h * r.b)))""".stripMargin)).as("e"))
+      .select(col("e.day").as("day"), col("e.y").as("y"),
+        roundN(col("e.level"), 4).as("level"),
+        roundN(col("e.trend"), 4).as("trend"),
+        roundN(col("e.fitted"), 4).as("fitted"),
+        when(col("e.y").isNull, lit("forecast")).otherwise(lit("fit")).as("kind"))
+      .orderBy(col("day"))
+  }
+
+  private val holtSql =
+    s"""WITH RECURSIVE
+       |d AS (SELECT ts::TIMESTAMP::DATE AS day,
+       |        CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+       |      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       |bo AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
+       |spine AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+       |          FROM bo),
+       |f AS (SELECT row_number() OVER (ORDER BY s.day) AS i, s.day,
+       |        coalesce(d.c, 0) AS y
+       |      FROM spine s LEFT JOIN d USING (day)),
+       |nn AS (SELECT count(*) AS n FROM f),
+       |rec AS (
+       |  SELECT 1 AS i, f1.day, f1.y,
+       |    CAST(f1.y AS DOUBLE) AS l,
+       |    CAST(f2.y AS DOUBLE) - CAST(f1.y AS DOUBLE) AS b,
+       |    CAST(NULL AS DOUBLE) AS fitted
+       |  FROM f f1 JOIN f f2 ON f1.i = 1 AND f2.i = 2
+       |  UNION ALL
+       |  SELECT fx.i, fx.day, fx.y,
+       |    0.5 * CAST(fx.y AS DOUBLE) + 0.5 * (r.l + r.b) AS l,
+       |    0.5 * ((0.5 * CAST(fx.y AS DOUBLE) + 0.5 * (r.l + r.b)) - r.l)
+       |      + 0.5 * r.b AS b,
+       |    r.l + r.b AS fitted
+       |  FROM rec r JOIN f fx ON fx.i = r.i + 1),
+       |fin AS (SELECT r.l, r.b FROM rec r, nn WHERE r.i = nn.n),
+       |fc AS (SELECT (SELECT d1 FROM bo) + CAST(h AS INTEGER) AS day,
+       |         CAST(NULL AS BIGINT) AS y,
+       |         CAST(NULL AS DOUBLE) AS level, CAST(NULL AS DOUBLE) AS trend,
+       |         fin.l + h * fin.b AS fitted
+       |       FROM fin, (SELECT unnest(range(1, ${HoltHorizon + 1})) AS h))
+       |SELECT day, y, ${roundNSql("l", 4)} AS level, ${roundNSql("b", 4)} AS trend,
+       |  ${roundNSql("fitted", 4)} AS fitted,
+       |  CASE WHEN y IS NULL THEN 'forecast' ELSE 'fit' END AS kind
+       |FROM rec
+       |UNION ALL
+       |SELECT day, y, level, trend, ${roundNSql("fitted", 4)}, 'forecast'
+       |FROM fc
+       |ORDER BY day""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q_stats_holt", holt, Some(holtSql)),
     Q("q_events_abandonment", abandonment, Some(abandonmentSql)),
     Q("q_stats_decompose", decompose, Some(decomposeSql)),
     Q("q_stats_spearman", spearman, Some(spearmanSql)),

@@ -86,6 +86,45 @@ class Round7OpsSpec extends SparkSuite {
     assert(ps.forall(p => p >= 0 && p <= 1.0))
   }
 
+  test("holt: a perfect line is tracked exactly and extrapolated exactly") {
+    // y = 100, 200, 300 cents: l1=100, b1=100; every fitted = actual;
+    // forecasts continue the line at 100c/day
+    val d = fixtureDir("events" -> eventsDf(
+      ev(1, "2024-01-01 10:00:00", 1, "purchase", 1.00),
+      ev(2, "2024-01-02 10:00:00", 1, "purchase", 2.00),
+      ev(3, "2024-01-03 10:00:00", 1, "purchase", 3.00)))
+    val out = graft.operators.Seasonal.holt(spark, d).collect()
+    assert(out.length === 3 + graft.operators.Seasonal.HoltHorizon)
+    val fit = out.filter(_.getAs[String]("kind") == "fit")
+    assert(fit.map(_.getAs[Long]("y")).toSeq === Seq(100L, 200L, 300L))
+    assert(fit.head.isNullAt(fit.head.fieldIndex("fitted"))) // t=1 has no 1-step form
+    assert(fit(1).getAs[Double]("fitted") === 200.0)
+    assert(fit(2).getAs[Double]("fitted") === 300.0)
+    assert(fit(2).getAs[Double]("level") === 300.0)
+    assert(fit(2).getAs[Double]("trend") === 100.0)
+    val fc = out.filter(_.getAs[String]("kind") == "forecast")
+    assert(fc.map(_.getAs[Double]("fitted")).toSeq ===
+      (1 to 7).map(h => 300.0 + 100.0 * h))
+    assert(fc.forall(r => r.isNullAt(r.fieldIndex("y"))))
+  }
+
+  test("holt: calendar gaps zero-fill and the harness forecast is a straight line") {
+    // purchases on day 1 and day 3 -> day 2 must appear as y = 0
+    val d = fixtureDir("events" -> eventsDf(
+      ev(1, "2024-01-01 10:00:00", 1, "purchase", 1.00),
+      ev(2, "2024-01-03 10:00:00", 1, "purchase", 3.00)))
+    val fit = graft.operators.Seasonal.holt(spark, d).collect()
+      .filter(_.getAs[String]("kind") == "fit")
+    assert(fit.map(_.getAs[Long]("y")).toSeq === Seq(100L, 0L, 300L))
+    // harness: forecast rows extrapolate linearly (constant successive diff = b_T)
+    val out = graft.operators.Seasonal.holt(spark, SparkSpec.sf0001).collect()
+    val fc = out.filter(_.getAs[String]("kind") == "forecast")
+      .map(_.getAs[Double]("fitted"))
+    assert(fc.length === 7)
+    val diffs = fc.zip(fc.tail).map { case (a, b) => b - a }
+    assert(diffs.forall(dd => math.abs(dd - diffs.head) < 1e-3))
+  }
+
   test("decay attribution: harness data conserves revenue to the cent") {
     val out = graft.operators.Events.attributionDecay(spark, SparkSpec.sf0001).collect()
     assert(out.nonEmpty)
