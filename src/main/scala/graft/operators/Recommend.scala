@@ -163,7 +163,132 @@ object Recommend {
        |FROM g""".stripMargin
   }
 
+  // ------------------------------------------------------------------ ope
+
+  /** Size of the logging policy's action set — 8 divides 256, so one md5
+    * byte mod 8 is EXACTLY uniform: propensity is exactly 1/8. */
+  val OpeSlots = 8
+
+  /** Off-policy evaluation of a recommendation policy from logged bandit
+    * feedback — the estimator a recsys team runs before an online A/B
+    * (Horvitz-Thompson IPS and its self-normalized SNIPS variant; see
+    * Swaminathan & Joachims 2015). The logged randomized policy is
+    * simulated deterministically: for each order, the "shown" part is the
+    * md5(orderkey)-chosen slot among the global top-8 most-purchased
+    * parts (one md5 byte mod 8 — exactly uniform because 8 | 256, so the
+    * propensity is exactly 1/8); reward = the order actually contains
+    * that part. The TARGET policy is context-dependent: recommend the
+    * most-purchased part within the order's customer NATION (ties to the
+    * lower part key). Per nation: logged reward rate, the IPS estimate
+    * 8·Σ(r·match)/n of the target policy's value, and SNIPS
+    * Σ(r·match)/Σmatch (NULL where the target action was never logged —
+    * reported, not guessed).
+    *
+    * Exactness: everything is exact BIGINT counts until the three final
+    * divisions (roundN display). Scale shape: popularity tables are keyed
+    * aggregates; the global top-8 rides a LIMIT-8 bounded heap (its rank
+    * window runs over 8 rows — the q_text_zipf tripwire class) and is
+    * broadcast; per-nation argmax is a nation-partitioned rank over the
+    * (nation × part) aggregate; everything else is equi-joins on order
+    * keys. */
+  def ope(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val pop = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+    val top8 = pop.orderBy(col("cnt").desc, col("l_partkey")).limit(OpeSlots)
+      .withColumn("slot",
+        row_number().over(Window.orderBy(col("cnt").desc, col("l_partkey"))) - 1)
+      .select(col("slot"), col("l_partkey").as("logged_part"))
+    val slot = conv(substring(md5(col("o_orderkey").cast("string")), 1, 2), 16, 10)
+      .cast("int") % OpeSlots
+    val logged = o.select(col("o_orderkey"), col("o_custkey"), slot.as("slot"))
+      .join(broadcast(top8), Seq("slot"))
+    val contains = li.select(col("l_orderkey"), col("l_partkey")).distinct()
+    val withReward = logged.join(contains,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_partkey") === col("logged_part"), "left_outer")
+      .select(col("o_orderkey"), col("o_custkey"), col("logged_part"),
+        when(col("l_partkey").isNotNull, 1L).otherwise(0L).as("reward"))
+    val natPop = li.join(o.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(c.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"), col("l_partkey")).agg(count(lit(1)).as("cnt"))
+    val tgt = natPop
+      .withColumn("rk", row_number().over(Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("cnt").desc, col("l_partkey"))))
+      .filter(col("rk") === 1)
+      .select(col("c_nationkey"), col("l_partkey").as("tgt_part"))
+    withReward
+      .join(c.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(tgt), Seq("c_nationkey"))
+      .join(broadcast(n.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("reward")).as("n_reward"),
+        sum(when(col("logged_part") === col("tgt_part"), 1L).otherwise(0L))
+          .as("n_match"),
+        sum(when(col("logged_part") === col("tgt_part"), col("reward"))
+          .otherwise(0L)).as("n_reward_match"))
+      .select(col("nation"), col("n_orders"), col("n_reward"), col("n_match"),
+        col("n_reward_match"),
+        roundN(col("n_reward").cast("double") / col("n_orders"), 6)
+          .as("logged_rate"),
+        roundN(lit(OpeSlots.toDouble) * col("n_reward_match") / col("n_orders"), 6)
+          .as("ips"),
+        when(col("n_match") === 0L, lit(null).cast("double"))
+          .otherwise(roundN(col("n_reward_match").cast("double") / col("n_match"), 6))
+          .as("snips"))
+      .orderBy(col("nation"))
+  }
+
+  private val opeSql =
+    s"""WITH pop AS (SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY 1),
+       |t8 AS (SELECT l_partkey AS logged_part,
+       |         row_number() OVER (ORDER BY cnt DESC, l_partkey) - 1 AS slot
+       |       FROM (SELECT * FROM pop ORDER BY cnt DESC, l_partkey LIMIT $OpeSlots)),
+       |lg AS (SELECT o_orderkey, o_custkey, t8.logged_part
+       |       FROM orders JOIN t8 ON t8.slot =
+       |         (('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2))::INT % $OpeSlots)),
+       |cont AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |rw AS (SELECT lg.o_orderkey, lg.o_custkey, lg.logged_part,
+       |         CASE WHEN cont.l_partkey IS NOT NULL THEN 1 ELSE 0 END AS reward
+       |       FROM lg LEFT JOIN cont ON cont.l_orderkey = lg.o_orderkey
+       |         AND cont.l_partkey = lg.logged_part),
+       |np AS (SELECT c_nationkey, l_partkey, count(*) AS cnt
+       |       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |         JOIN customer ON o_custkey = c_custkey
+       |       GROUP BY 1, 2),
+       |tgt AS (SELECT c_nationkey, l_partkey AS tgt_part FROM np
+       |        QUALIFY row_number() OVER (PARTITION BY c_nationkey
+       |          ORDER BY cnt DESC, l_partkey) = 1),
+       |agg AS (SELECT n_name AS nation,
+       |          count(*) AS n_orders,
+       |          CAST(sum(reward) AS BIGINT) AS n_reward,
+       |          CAST(sum(CASE WHEN logged_part = tgt_part THEN 1 ELSE 0 END) AS BIGINT)
+       |            AS n_match,
+       |          CAST(sum(CASE WHEN logged_part = tgt_part THEN reward ELSE 0 END) AS BIGINT)
+       |            AS n_reward_match
+       |        FROM rw JOIN customer ON o_custkey = c_custkey
+       |          JOIN tgt USING (c_nationkey)
+       |          JOIN nation ON c_nationkey = n_nationkey
+       |        GROUP BY 1)
+       |SELECT nation, n_orders, n_reward, n_match, n_reward_match,
+       |  ${roundNSql("CAST(n_reward AS DOUBLE) / n_orders", 6)} AS logged_rate,
+       |  ${roundNSql(s"CAST($OpeSlots AS DOUBLE) * n_reward_match / n_orders", 6)} AS ips,
+       |  CASE WHEN n_match = 0 THEN NULL
+       |       ELSE ${roundNSql("CAST(n_reward_match AS DOUBLE) / n_match", 6)} END AS snips
+       |FROM agg
+       |ORDER BY nation""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q_rec_ope", ope, Some(opeSql)),
     Q("q_rec_item_sim", itemSim, Some(itemSimSql)),
     Q("q_events_did", did, Some(didSql)))
 }

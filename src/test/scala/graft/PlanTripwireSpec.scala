@@ -144,6 +144,10 @@ class PlanTripwireSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     // time domain (the q_events_funnel_latency class); user-sized work
     // stays in the user-partitioned lag upstream
     "q_events_interpurchase",
+    // logging-policy slot rank runs over the LIMIT-8 bounded-heap top-8
+    // popularity table — 8 rows by construction (the q_text_zipf class);
+    // corpus-sized work is the keyed popularity aggregates upstream
+    "q_rec_ope",
     // cumulative counts and the running always-valid-p minimum walk the
     // per-DAY series — calendar-bounded (the q_events_cum_users class);
     // user-sized work is the two keyed first-day aggregates upstream

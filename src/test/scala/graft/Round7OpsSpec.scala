@@ -125,6 +125,63 @@ class Round7OpsSpec extends SparkSuite {
     assert(diffs.forall(dd => math.abs(dd - diffs.head) < 1e-3))
   }
 
+  test("ope: all-rewards fixture — slot math, target argmax, IPS/SNIPS forms") {
+    // every order contains parts 1..8 (the only parts): top-8 by
+    // (cnt DESC, partkey) is parts 1..8 with slot i -> part i+1; every
+    // nation's target = part 1 (tie -> lowest key); reward = 1 always.
+    def slot(ok: Long): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(ok.toString.getBytes("UTF-8"))
+      (d(0) & 0xff) % graft.operators.Recommend.OpeSlots
+    }
+    val nOrders = 20L
+    val d = fixtureDir(
+      "nation" -> Seq((1L, "ALPHA"), (2L, "BETA")).toDF("n_nationkey", "n_name"),
+      "customer" -> Seq((1L, 1L), (2L, 2L)).toDF("c_custkey", "c_nationkey"),
+      "orders" -> (1L to nOrders).map(ok => (ok, 1L + ok % 2))
+        .toDF("o_orderkey", "o_custkey"),
+      "lineitem" -> (for (ok <- 1L to nOrders; p <- 1L to 8L) yield (ok, p))
+        .toDF("l_orderkey", "l_partkey"))
+    val out = graft.operators.Recommend.ope(spark, d).collect()
+      .map(r => r.getAs[String]("nation") -> r).toMap
+    assert(out.keySet === Set("ALPHA", "BETA"))
+    for ((natKey, name) <- Seq(1L -> "ALPHA", 2L -> "BETA")) {
+      val orders = (1L to nOrders).filter(ok => 1L + ok % 2 == natKey)
+      val expMatch = orders.count(slot(_) == 0).toLong
+      val r = out(name)
+      assert(r.getAs[Long]("n_orders") === orders.length.toLong)
+      assert(r.getAs[Long]("n_reward") === orders.length.toLong) // reward always 1
+      assert(r.getAs[Long]("n_match") === expMatch)
+      assert(r.getAs[Long]("n_reward_match") === expMatch)
+      assert(r.getAs[Double]("logged_rate") === 1.0)
+      // IPS = 8 * match / n; SNIPS = 1 when any match
+      assert(math.abs(r.getAs[Double]("ips") -
+        8.0 * expMatch / orders.length) < 1e-9)
+      if (expMatch > 0) assert(r.getAs[Double]("snips") === 1.0)
+      else assert(r.isNullAt(r.fieldIndex("snips")))
+    }
+  }
+
+  test("ope: harness invariants — counts nest, ips bounded, orders partition") {
+    val out = graft.operators.Recommend.ope(spark, SparkSpec.sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_orders")
+      val rw = r.getAs[Long]("n_reward")
+      val m = r.getAs[Long]("n_match")
+      val rm = r.getAs[Long]("n_reward_match")
+      assert(rw <= n && m <= n && rm <= math.min(rw, m))
+      assert(r.getAs[Double]("ips") >= 0.0 && r.getAs[Double]("ips") <= 8.0)
+      if (m == 0) assert(r.isNullAt(r.fieldIndex("snips")))
+      else {
+        val s = r.getAs[Double]("snips")
+        assert(s >= 0.0 && s <= 1.0)
+      }
+    }
+    val total = graft.sources.Tables.orders(spark, SparkSpec.sf0001).count()
+    assert(out.map(_.getAs[Long]("n_orders")).sum === total)
+  }
+
   test("decay attribution: harness data conserves revenue to the cent") {
     val out = graft.operators.Events.attributionDecay(spark, SparkSpec.sf0001).collect()
     assert(out.nonEmpty)
