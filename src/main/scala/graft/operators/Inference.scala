@@ -1107,8 +1107,106 @@ object Inference {
        |ORDER BY day""".stripMargin
   }
 
+  // ---------------------------------------------------------------- uplift
+
+  /** Uplift by targeting quintile with the Qini curve — the causal read
+    * of an experiment a growth team uses to decide WHO to target: users
+    * are scored by pre-period activity (event count before the
+    * floor-pinned corpus midpoint, the CUPED covariate convention),
+    * cut into score quintiles (bucket 1 = highest score, the users a
+    * model would target first), and each quintile reports the
+    * treatment-vs-control conversion uplift plus the cumulative Qini
+    * statistic Q(k) = X_t(k) − X_c(k)·N_t(k)/N_c(k) (Radcliffe 2007) —
+    * positive where targeting the top-k quintiles beats not targeting.
+    *
+    * Exactness: scores and conversions are exact integers; quintile
+    * assignment reuses the rfm cutpoint machinery (bit-for-bit ntile
+    * tie-splitting on (score DESC, user_id), no unpartitioned
+    * user-sized window); uplift and Qini are fixed-form divisions of
+    * exact cumulative BIGINTs, NULL-guarded where an arm is empty.
+    *
+    * Scale shape: one keyed per-user aggregate (map-side combinable)
+    * against the broadcast 1-row midpoint; quintile boundaries resolve
+    * through the domain-bounded score histogram; the cumulative window
+    * runs over the 5 quintile rows — bounded by construction
+    * (tripwire-whitelisted). */
+  def uplift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val us = unix_micros(col("ts"))
+    val mid = ev.agg(floor((min(us) + max(us)) / lit(2L)).cast("long").as("mid_us"))
+    val perUser = ev.crossJoin(broadcast(mid))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(us < col("mid_us"), 1L).otherwise(0L)).as("score"),
+        max(when(us >= col("mid_us") && col("event_type") === "purchase" &&
+          col("value") >= ConvThreshold, 1L).otherwise(0L)).as("conv"))
+      .select(col("user_id"), armCol(col("user_id")).as("arm"),
+        col("score"), col("conv"))
+      .localCheckpoint() // cutpoint jobs + final read reuse one pass
+    val n = perUser.count()
+    val scored = Events.ntileByCutpoints(perUser, -col("score"), n, "bucket")
+    val w5 = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored.groupBy(col("bucket"))
+      .agg(
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("x_t"),
+        sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("x_c"))
+      .withColumn("cum_nt", sum(col("n_t")).over(w5))
+      .withColumn("cum_nc", sum(col("n_c")).over(w5))
+      .withColumn("cum_xt", sum(col("x_t")).over(w5))
+      .withColumn("cum_xc", sum(col("x_c")).over(w5))
+      .select(col("bucket").cast("long").as("bucket"),
+        col("n_t"), col("n_c"), col("x_t"), col("x_c"),
+        when(col("n_t") === 0L || col("n_c") === 0L, lit(null).cast("double"))
+          .otherwise(roundN(col("x_t").cast("double") / col("n_t") -
+            col("x_c").cast("double") / col("n_c"), 6)).as("uplift"),
+        when(col("cum_nc") === 0L, lit(null).cast("double"))
+          .otherwise(roundN(col("cum_xt").cast("double") -
+            col("cum_xc").cast("double") * col("cum_nt") / col("cum_nc"), 4))
+          .as("qini"))
+      .orderBy(col("bucket"))
+  }
+
+  private val upliftSql =
+    s"""WITH $eventsUs,
+       |m AS (SELECT CAST(floor((min(epoch_us(ts)) + max(epoch_us(ts))) / 2) AS BIGINT)
+       |        AS mid_us FROM e),
+       |u AS (SELECT user_id, $armSql AS arm,
+       |        CAST(sum(CASE WHEN epoch_us(ts) < mid_us THEN 1 ELSE 0 END) AS BIGINT)
+       |          AS score,
+       |        CAST(max(CASE WHEN epoch_us(ts) >= mid_us AND event_type = 'purchase'
+       |          AND value >= $ConvThreshold THEN 1 ELSE 0 END) AS BIGINT) AS conv
+       |      FROM e, m GROUP BY user_id),
+       |b AS (SELECT *, ntile(5) OVER (ORDER BY score DESC, user_id) AS bucket FROM u),
+       |g AS (SELECT bucket,
+       |        CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+       |        CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+       |        CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS x_t,
+       |        CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS x_c
+       |      FROM b GROUP BY 1),
+       |c AS (SELECT *,
+       |        CAST(sum(n_t) OVER w AS BIGINT) AS cum_nt,
+       |        CAST(sum(n_c) OVER w AS BIGINT) AS cum_nc,
+       |        CAST(sum(x_t) OVER w AS BIGINT) AS cum_xt,
+       |        CAST(sum(x_c) OVER w AS BIGINT) AS cum_xc
+       |      FROM g
+       |      WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT CAST(bucket AS BIGINT) AS bucket, n_t, n_c, x_t, x_c,
+       |  CASE WHEN n_t = 0 OR n_c = 0 THEN NULL
+       |       ELSE ${roundNSql("CAST(x_t AS DOUBLE) / n_t - CAST(x_c AS DOUBLE) / n_c", 6)}
+       |  END AS uplift,
+       |  CASE WHEN cum_nc = 0 THEN NULL
+       |       ELSE ${roundNSql(
+                 "CAST(cum_xt AS DOUBLE) - CAST(cum_xc AS DOUBLE) * cum_nt / cum_nc", 4)}
+       |  END AS qini
+       |FROM c
+       |ORDER BY bucket""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q_stats_sprt", sprt, Some(sprtSql)),
+    Q("q_events_uplift", uplift, Some(upliftSql)),
     Q("q_events_abn", abn, Some(abnSql)),
     Q("q_stats_bh_fdr", bhFdr, Some(bhFdrSql)),
     Q("q_events_power_continuous", powerContinuous, Some(powerContinuousSql)),

@@ -144,6 +144,10 @@ class PlanTripwireSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     // time domain (the q_events_funnel_latency class); user-sized work
     // stays in the user-partitioned lag upstream
     "q_events_interpurchase",
+    // Qini cumulative window runs over the 5 quintile rows — bounded by
+    // construction; user-sized work is the keyed per-user aggregate and
+    // the rfm cutpoint machinery (no user-sized window)
+    "q_events_uplift",
     // logging-policy slot rank runs over the LIMIT-8 bounded-heap top-8
     // popularity table — 8 rows by construction (the q_text_zipf class);
     // corpus-sized work is the keyed popularity aggregates upstream

@@ -182,6 +182,59 @@ class Round7OpsSpec extends SparkSuite {
     assert(out.map(_.getAs[Long]("n_orders")).sum === total)
   }
 
+  test("uplift: planted top-quintile effect — buckets, uplift, and qini match the hand model") {
+    def md5mod(u: Long, m: Int): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+      (d(0) & 0xff) % m
+    }
+    // user u: u pre-midpoint views (score = u, all distinct) on Jan 1;
+    // treated users with u > 32 convert post-midpoint on Jan 10
+    var id = 0L
+    def e(ts: String, u: Long, t: String, v: Double) = { id += 1; ev(id, ts, u, t, v) }
+    val rows = (1L to 40L).flatMap { u =>
+      (1 to u.toInt).map(i => e(f"2024-01-01 ${10 + i / 60}%02d:${i % 60}%02d:00", u, "view", 0)) ++
+        (if (md5mod(u, 2) == 1 && u > 32)
+          Seq(e("2024-01-10 10:00:00", u, "purchase", 500.0)) else Nil)
+    }
+    val d = fixtureDir("events" -> eventsDf(rows: _*))
+    val out = graft.operators.Inference.uplift(spark, d).collect()
+      .map(r => r.getAs[Long]("bucket") -> r).toMap
+    assert(out.keySet === (1L to 5L).toSet)
+    // expected model: rank of u = 41-u, bucket = ceil(rank/8)
+    def bucketOf(u: Long): Long = math.ceil((41.0 - u) / 8.0).toLong
+    var cxt = 0L; var cnt = 0L; var cnc = 0L
+    (1L to 5L).foreach { b =>
+      val us = (1L to 40L).filter(bucketOf(_) == b)
+      val nT = us.count(md5mod(_, 2) == 1).toLong
+      val nC = us.length - nT
+      val xT = us.count(u => md5mod(u, 2) == 1 && u > 32).toLong
+      val r = out(b)
+      assert(r.getAs[Long]("n_t") === nT, s"bucket $b n_t")
+      assert(r.getAs[Long]("n_c") === nC, s"bucket $b n_c")
+      assert(r.getAs[Long]("x_t") === xT, s"bucket $b x_t")
+      assert(r.getAs[Long]("x_c") === 0L)
+      if (nT > 0 && nC > 0)
+        assert(math.abs(r.getAs[Double]("uplift") - xT.toDouble / nT) < 1e-6)
+      cxt += xT; cnt += nT; cnc += nC
+      if (cnc > 0)
+        assert(math.abs(r.getAs[Double]("qini") - cxt.toDouble) < 1e-4,
+          s"bucket $b qini (x_c = 0 so qini = cum x_t)")
+    }
+  }
+
+  test("uplift: harness buckets partition the user population") {
+    val out = graft.operators.Inference.uplift(spark, SparkSpec.sf0001).collect()
+    assert(out.map(_.getAs[Long]("bucket")).toSeq === (1L to 5L).toSeq)
+    val users = graft.sources.Tables.events(spark, SparkSpec.sf0001)
+      .select("user_id").distinct().count()
+    assert(out.map(r => r.getAs[Long]("n_t") + r.getAs[Long]("n_c")).sum === users)
+    out.foreach { r =>
+      assert(r.getAs[Long]("x_t") <= r.getAs[Long]("n_t"))
+      assert(r.getAs[Long]("x_c") <= r.getAs[Long]("n_c"))
+    }
+  }
+
   test("decay attribution: harness data conserves revenue to the cent") {
     val out = graft.operators.Events.attributionDecay(spark, SparkSpec.sf0001).collect()
     assert(out.nonEmpty)
