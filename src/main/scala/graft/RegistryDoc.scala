@@ -69,14 +69,14 @@ object RegistryDoc {
     "graft.operators.FeatureEng" -> "Winsorized means, LOO target encoding, feature hashing, scaling — single-pass keyed aggregates joined back broadcast.",
     "graft.operators.Concurrency" -> "Daily peak concurrency via two-level decomposed running counts (per-day windows + carry), sessionized interval sweep.",
     "graft.operators.Seasonal" -> "Additive seasonal decomposition, session abandonment, interpurchase gaps — day-series-bounded post-aggregate work.",
-    "graft.operators.Recommend" -> "Item-item basket cosine CF with per-item top-k — distinct-pair shuffles with bounded per-order fanout.",
+    "graft.operators.Recommend" -> "Item-item basket cosine CF with per-item top-k, and off-policy evaluation (IPS/SNIPS + doubly-robust with an exact micro-unit reward model) over a deterministic uniform logging policy — distinct-pair shuffles with bounded per-order fanout; OPE adds only keyed aggregates and broadcast joins.",
     "graft.operators.Engagement" -> "Retention cohorts (incl. by acquisition channel), streaks, stickiness — two user-keyed aggregates + a (cohort x week)-bounded matrix.",
     "graft.operators.CorpusStats" -> "Heaps-law growth fit, corpus overlap, datacard stats — one corpus pass with conditional first-occurrence columns.",
     "graft.operators.Packing" -> "Sequence packing/chunking/batch assembly — hash-byte sharding bounds window partitions.",
     "graft.operators.Sketches" -> "KMV (+ set ops, temporal rollup), CMS, HLL, Misra-Gries — partial-sketch persistence, weekly-from-daily merge proven ≡ direct.",
     "graft.operators.Layout" -> "Z-order and Hilbert-curve layout audits with file-skipping probes — bucket envelope stats, both curves oracle-checked; the writer halves (clustered writes + measured footer pruning) live in sources/ZOrder + sources/Hilbert with scan-metric specs.",
     "graft.operators.Multimodal" -> "Real ImageIO/WAV-PCM16/GIF decoders over binary columns, aHash near-dup, frame extraction — narrow per-row decode, dedup reuses exact machinery.",
-    "graft.operators.Mining" -> "RAKE adjacency, PMI/LLR collocations, JL projection, drift detection — vocab-partitioned stats, persisted token projections.",
+    "graft.operators.Mining" -> "TextRank keyword graphs (per-doc damped PageRank over co-occurrence edges), RAKE adjacency, PMI/LLR collocations, JL projection, drift detection — vocab-partitioned stats, persisted token projections.",
     "graft.operators.SetSim" -> "Lossless exact set-similarity join (PPJoin prefix filter): rarest-first token order, doc-partitioned prefix windows, integer size filter before verify.",
     "graft.operators.Curation" -> "Dataset diffing (48-byte signature join), readability, DP release counts (deterministic 60-bit md5 Laplace), RAKE keyphrases (persisted narrow token chain).",
     "graft.operators.Trend" -> "Trend/changepoint/Theil-Sen statistics — day-series-bounded after one keyed aggregate.",

@@ -567,7 +567,124 @@ object Mining {
        |ORDER BY g2 DESC, bigram LIMIT $LlrTopK""".stripMargin
   }
 
+  // -------------------------------------------------------------- textrank
+
+  /** TextRank PageRank iterations / damping (85/100) / keywords kept per
+    * doc / pico-unit rank scale. */
+  val TrIters = 10
+  val TrTopK = 3
+  val TrPico = 1000000000000L
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004, word-graph
+    * half): per document, words are nodes, adjacent-token co-occurrence
+    * (window 2, self-loops dropped) gives symmetric weighted edges, and
+    * [[TrIters]] damped PageRank iterations rank the words; the top
+    * [[TrTopK]] per doc (score desc, word asc) are the keywords. The
+    * graph-centrality complement of frequency-based RAKE
+    * (`q_text_keyphrase`): a word that BRIDGES many co-occurrence
+    * contexts outranks one that merely repeats inside a single phrase.
+    *
+    * Exactness: edge weights and degree sums are exact BIGINT counts,
+    * and the ranks themselves live in integer PICO-units: every
+    * iteration is pure BIGINT arithmetic — per-edge contribution
+    * (r·w) div W, damped update (15·1e12) div (100n) + (85·Σ) div 100 —
+    * so summation order can never drift the result by even an ulp (the
+    * GD-trajectory recipe; a roundN(12)-per-round float variant was
+    * observed to cross a rounding boundary on 1/1500 rows). The
+    * per-edge flooring leaks < 1e-12 of mass per edge — orderings and
+    * the unit-mass invariant hold to ~1e-9. The oracle unrolls the
+    * identical integer recurrence as MATERIALIZED CTEs.
+    *
+    * Scale shape: everything is keyed by (doc_id, word) — per-doc
+    * vocabulary-bounded, never corpus-global. Each round is one
+    * equi-join + map-side-combinable sum (the Graph.pageRank cost
+    * model), localCheckpoint-truncated; isolated words (no adjacent
+    * distinct neighbor) have no edges and drop out — a one-distinct-word
+    * doc yields no keywords (pinned). The final top-k is a
+    * doc-partitioned rank window. */
+  def textrank(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.normText(col("text")).as("norm"))
+      .select(col("doc_id"), posexplode(split(col("norm"), " ")).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+    val nxt = lead(col("w"), 1).over(
+      Window.partitionBy(col("doc_id")).orderBy(col("pos")))
+    val adj = toks.withColumn("nw", nxt)
+      .filter(col("nw").isNotNull && col("nw") =!= col("w"))
+    val edges = adj.select(col("doc_id"), col("w").as("src"), col("nw").as("dst"))
+      .unionByName(adj.select(col("doc_id"), col("nw").as("src"), col("w").as("dst")))
+      .groupBy(col("doc_id"), col("src"), col("dst"))
+      .agg(count(lit(1)).as("wgt"))
+      .localCheckpoint()
+    val wout = edges.groupBy(col("doc_id"), col("src"))
+      .agg(sum(col("wgt")).as("wsum")).localCheckpoint()
+    val nd = wout.groupBy(col("doc_id")).agg(count(lit(1)).as("n")).localCheckpoint()
+    var ranks = wout.join(nd, Seq("doc_id"))
+      .select(col("doc_id"), col("src").as("word"),
+        expr(s"${TrPico}L div n").as("r_mu"))
+      .localCheckpoint()
+    for (_ <- 1 to TrIters) {
+      ranks = edges
+        .join(ranks.withColumnRenamed("word", "src"), Seq("doc_id", "src"))
+        .join(wout, Seq("doc_id", "src"))
+        .groupBy(col("doc_id"), col("dst").as("word"))
+        .agg(sum(expr("(r_mu * wgt) div wsum")).as("s"))
+        .join(nd, Seq("doc_id"))
+        .select(col("doc_id"), col("word"),
+          expr(s"(15 * ${TrPico}L) div (100 * n) + (85 * s) div 100").as("r_mu"))
+        .localCheckpoint()
+    }
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("r_mu").desc, col("word"))
+    ranks.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TrTopK)
+      .select(col("doc_id"), col("rk").cast("long").as("rk"), col("word"),
+        (col("r_mu").cast("double") / 1e12).as("rank"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  private val textrankSql = {
+    val rounds = (1 to TrIters).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT e.doc_id, e.dst AS word,
+         |    CAST((15 * $TrPico) // (100 * nd.n)
+         |      + (85 * CAST(sum((r${i - 1}.r_mu * e.wgt) // wo.wsum) AS BIGINT)) // 100
+         |      AS BIGINT) AS r_mu
+         |  FROM e JOIN r${i - 1} ON e.doc_id = r${i - 1}.doc_id AND e.src = r${i - 1}.word
+         |         JOIN wo ON e.doc_id = wo.doc_id AND e.src = wo.src
+         |         JOIN nd ON e.doc_id = nd.doc_id
+         |  GROUP BY e.doc_id, e.dst, nd.n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t0 AS (SELECT doc_id, ${TextAnalysis.normSql} AS norm FROM documents),
+       |t1 AS (SELECT doc_id, i AS pos, string_split(norm, ' ')[i] AS w
+       |       FROM t0, LATERAL (SELECT unnest(range(1, len(string_split(norm, ' ')) + 1)) AS i) u),
+       |t AS (SELECT * FROM t1 WHERE w != ''),
+       |a AS (SELECT doc_id, w,
+       |        lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS nw
+       |      FROM t),
+       |ad AS (SELECT * FROM a WHERE nw IS NOT NULL AND nw != w),
+       |e AS (SELECT doc_id, src, dst, CAST(count(*) AS BIGINT) AS wgt FROM (
+       |        SELECT doc_id, w AS src, nw AS dst FROM ad
+       |        UNION ALL SELECT doc_id, nw, w FROM ad)
+       |      GROUP BY 1, 2, 3),
+       |wo AS (SELECT doc_id, src, CAST(sum(wgt) AS BIGINT) AS wsum FROM e GROUP BY 1, 2),
+       |nd AS (SELECT doc_id, count(*) AS n FROM wo GROUP BY 1),
+       |r0 AS MATERIALIZED (SELECT wo.doc_id, wo.src AS word,
+       |      CAST($TrPico // nd.n AS BIGINT) AS r_mu
+       |      FROM wo JOIN nd ON wo.doc_id = nd.doc_id),
+       |$rounds
+       |SELECT doc_id, CAST(rk AS BIGINT) AS rk, word,
+       |  CAST(r_mu AS DOUBLE) / 1e12 AS rank
+       |FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY r_mu DESC, word) AS rk
+       |  FROM r$TrIters)
+       |WHERE rk <= $TrTopK
+       |ORDER BY doc_id, rk""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_text_textrank", textrank, Some(textrankSql)),
     Q("q_text_llr", llrCollocations, Some(llrCollocationsSql)),
     Q("q_text_feature_hash", featureHash, Some(featureHashSql)),
     Q("q_embed_rp_distortion", rpDistortion, Some(rpDistortionSql)),

@@ -33,13 +33,20 @@ object Recommend {
   /** Item-item cosine similarity from basket co-occurrence:
     * cos(a,b) = co(a,b) / √(n_a·n_b), top-[[RecTopK]] neighbors per
     * item (ties break on neighbor id). */
-  def itemSim(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Distinct (order, part) projection shared by the CF queries. */
+  private def liDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+
+  /** Top-[[RecTopK]] cosine neighbors per item, with the raw
+    * co-occurrence count kept for downstream exact corrections:
+    * (item, neighbor, co, cos_mu). Shared by [[itemSim]] and
+    * [[holdout]]. */
+  private def simTop(spark: SparkSession, dir: String): DataFrame = {
     // NOT persisted: the projection scan is cheaper than a persist
     // barrier (A/B'd at sf0.1: 1.9-2.6 s either way, host-noise-bound;
     // the distinct shuffle re-runs but is the same exchange AQE reuses)
-    val li = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val li = liDistinct(spark, dir)
     val deg = li.groupBy(col("p")).agg(count(lit(1)).as("n"))
     val pairs = li.as("a").join(li.as("b"), "o")
       .filter(col("a.p") < col("b.p"))
@@ -54,17 +61,22 @@ object Recommend {
         floor(col("co").cast("double") /
           sqrt((col("n_i") * col("n_j")).cast("double")) * 1e6 + 0.5)
           .cast("long").as("cos_mu"))
-    val top = graft.plans.TopK.topK(scored, Seq("item"),
+    graft.plans.TopK.topK(scored, Seq("item"),
       Seq(("cos_mu", true), ("neighbor", false)), RecTopK)
+  }
+
+  def itemSim(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("item"))
       .orderBy(col("cos_mu").desc, col("neighbor"))
-    top.select(col("item"), col("neighbor"), col("co"),
+    simTop(spark, dir).select(col("item"), col("neighbor"), col("co"),
       roundN(col("cos_mu").cast("double") / 1e6, 6).as("cosine"),
       row_number().over(w).as("rank"))
   }
 
-  private val itemSimSql =
-    s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+  /** Shared oracle CTE block mirroring [[simTop]]'s pair scoring. */
+  private val simCtesSql =
+    s"""li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
        |deg AS (SELECT p, count(*) AS n FROM li GROUP BY 1),
        |pr AS (SELECT a.p AS pa, b.p AS pb, count(*) AS co
        |       FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
@@ -76,7 +88,10 @@ object Recommend {
        |           sqrt(CAST(di.n * dj.n AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS cos_mu
        |       FROM sym s
        |       JOIN deg di ON di.p = s.item
-       |       JOIN deg dj ON dj.p = s.neighbor)
+       |       JOIN deg dj ON dj.p = s.neighbor)""".stripMargin
+
+  private val itemSimSql =
+    s"""WITH $simCtesSql
        |SELECT item, neighbor, co,
        |  ${roundNSql("CAST(cos_mu AS DOUBLE) / 1e6", 6)} AS cosine,
        |  CAST(row_number() OVER (PARTITION BY item
@@ -191,7 +206,10 @@ object Recommend {
     * broadcast; per-nation argmax is a nation-partitioned rank over the
     * (nation × part) aggregate; everything else is equi-joins on order
     * keys. */
-  def ope(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-order logged-feedback frame shared by [[ope]] and [[opeDr]]:
+    * (o_orderkey, c_nationkey, nation name, logged_part, reward,
+    * tgt_part) — the plumbing documented on [[ope]]. */
+  private def opeFrame(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val li = Tables.lineitem(spark, dir)
     val o = Tables.orders(spark, dir)
@@ -228,6 +246,10 @@ object Recommend {
       .join(broadcast(tgt), Seq("c_nationkey"))
       .join(broadcast(n.select(col("n_nationkey"), col("n_name"))),
         col("c_nationkey") === col("n_nationkey"))
+  }
+
+  def ope(spark: SparkSession, dir: String): DataFrame = {
+    opeFrame(spark, dir)
       .groupBy(col("n_name").as("nation"))
       .agg(
         count(lit(1)).as("n_orders"),
@@ -248,8 +270,9 @@ object Recommend {
       .orderBy(col("nation"))
   }
 
-  private val opeSql =
-    s"""WITH pop AS (SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY 1),
+  /** Shared oracle CTE block mirroring [[opeFrame]]. */
+  private val opeCtesSql =
+    s"""pop AS (SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY 1),
        |t8 AS (SELECT l_partkey AS logged_part,
        |         row_number() OVER (ORDER BY cnt DESC, l_partkey) - 1 AS slot
        |       FROM (SELECT * FROM pop ORDER BY cnt DESC, l_partkey LIMIT $OpeSlots)),
@@ -267,7 +290,10 @@ object Recommend {
        |       GROUP BY 1, 2),
        |tgt AS (SELECT c_nationkey, l_partkey AS tgt_part FROM np
        |        QUALIFY row_number() OVER (PARTITION BY c_nationkey
-       |          ORDER BY cnt DESC, l_partkey) = 1),
+       |          ORDER BY cnt DESC, l_partkey) = 1)""".stripMargin
+
+  private val opeSql =
+    s"""WITH $opeCtesSql,
        |agg AS (SELECT n_name AS nation,
        |          count(*) AS n_orders,
        |          CAST(sum(reward) AS BIGINT) AS n_reward,
@@ -287,8 +313,225 @@ object Recommend {
        |FROM agg
        |ORDER BY nation""".stripMargin
 
+  // --------------------------------------------------------------- ope-dr
+
+  /** Doubly-robust off-policy estimator (Dudík, Langford & Li 2011) —
+    * the variance-reduced upgrade of [[ope]]'s IPS: per logged order,
+    * DR = q̂(x, π(x)) + K·1{a = π(x)}·(r − q̂(x, a)), where the reward
+    * model q̂(nation, part) is the exact containment rate of the part
+    * among the nation's orders. The direct-method (DM) column is the
+    * model-only estimate Σq̂(x, π(x))/n; DR corrects DM with the
+    * importance-weighted residual on matched actions, so it is unbiased
+    * whenever EITHER the model or the propensity is right.
+    *
+    * Exactness: q̂ is quantized ONCE to integer micro-units
+    * ((count·1e6) div n_nation — pure BIGINT), so every per-order DR
+    * term and all sums are exact BIGINT arithmetic; the final /1e6
+    * divisions are fixed-form (roundN display). Scale: adds two keyed
+    * aggregates (per-nation order counts, per-(nation, part) containment
+    * counts) and two broadcast-sized equi-joins on top of [[opeFrame]];
+    * nothing beyond the [[ope]] shuffle classes. */
+  def opeDr(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    val oNat = o.select(col("o_orderkey"), col("o_custkey"))
+      .join(c.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+    val nNat = oNat.groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_nat"))
+    val qhat = li.select(col("l_orderkey"), col("l_partkey")).distinct()
+      .join(oNat.select(col("o_orderkey"), col("c_nationkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("c_nationkey"), col("l_partkey"))
+      .agg(count(lit(1)).as("ccnt"))
+      .join(broadcast(nNat), Seq("c_nationkey"))
+      .select(col("c_nationkey"), col("l_partkey"),
+        expr("(ccnt * 1000000) div n_nat").as("q_mu"))
+    opeFrame(spark, dir)
+      .join(qhat.select(col("c_nationkey"), col("l_partkey").as("logged_part"),
+        col("q_mu").as("q_log_mu")), Seq("c_nationkey", "logged_part"), "left_outer")
+      .join(qhat.select(col("c_nationkey"), col("l_partkey").as("tgt_part"),
+        col("q_mu").as("q_tgt_mu")), Seq("c_nationkey", "tgt_part"), "left_outer")
+      .select(col("n_name"), col("reward"),
+        col("logged_part") === col("tgt_part"), coalesce(col("q_log_mu"), lit(0L)),
+        coalesce(col("q_tgt_mu"), lit(0L)))
+      .toDF("n_name", "reward", "is_match", "q_log_mu", "q_tgt_mu")
+      .groupBy(col("n_name").as("nation"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("q_tgt_mu")).as("dm_mu"),
+        sum(col("q_tgt_mu") + when(col("is_match"),
+          lit(OpeSlots.toLong) * (col("reward") * 1000000L - col("q_log_mu")))
+          .otherwise(0L)).as("dr_mu"),
+        sum(when(col("is_match"), col("reward")).otherwise(0L))
+          .as("n_reward_match"))
+      .select(col("nation"), col("n_orders"),
+        roundN(col("dm_mu").cast("double") / col("n_orders") / 1e6, 6).as("dm"),
+        roundN(lit(OpeSlots.toDouble) * col("n_reward_match") / col("n_orders"), 6)
+          .as("ips"),
+        roundN(col("dr_mu").cast("double") / col("n_orders") / 1e6, 6).as("dr"))
+      .orderBy(col("nation"))
+  }
+
+  private val opeDrSql =
+    s"""WITH $opeCtesSql,
+       |onat AS (SELECT o_orderkey, o_custkey, c_nationkey
+       |         FROM orders JOIN customer ON o_custkey = c_custkey),
+       |nnat AS (SELECT c_nationkey, count(*) AS n_nat FROM onat GROUP BY 1),
+       |qh AS (SELECT q.c_nationkey, q.l_partkey,
+       |         CAST((q.ccnt * 1000000) // nnat.n_nat AS BIGINT) AS q_mu
+       |       FROM (SELECT onat.c_nationkey, cont.l_partkey, count(*) AS ccnt
+       |             FROM cont JOIN onat ON cont.l_orderkey = onat.o_orderkey
+       |             GROUP BY 1, 2) q
+       |       JOIN nnat ON q.c_nationkey = nnat.c_nationkey),
+       |pf AS (SELECT rw.reward, tgt.tgt_part, rw.logged_part,
+       |         customer.c_nationkey, n_name,
+       |         coalesce(ql.q_mu, 0) AS q_log_mu, coalesce(qt.q_mu, 0) AS q_tgt_mu
+       |       FROM rw JOIN customer ON rw.o_custkey = c_custkey
+       |         JOIN tgt USING (c_nationkey)
+       |         JOIN nation ON c_nationkey = n_nationkey
+       |         LEFT JOIN qh ql ON ql.c_nationkey = customer.c_nationkey
+       |           AND ql.l_partkey = rw.logged_part
+       |         LEFT JOIN qh qt ON qt.c_nationkey = customer.c_nationkey
+       |           AND qt.l_partkey = tgt.tgt_part),
+       |agg AS (SELECT n_name AS nation, count(*) AS n_orders,
+       |          CAST(sum(q_tgt_mu) AS BIGINT) AS dm_mu,
+       |          CAST(sum(q_tgt_mu + CASE WHEN logged_part = tgt_part
+       |            THEN $OpeSlots * (reward * 1000000 - q_log_mu) ELSE 0 END) AS BIGINT)
+       |            AS dr_mu,
+       |          CAST(sum(CASE WHEN logged_part = tgt_part THEN reward ELSE 0 END)
+       |            AS BIGINT) AS n_reward_match
+       |        FROM pf GROUP BY 1)
+       |SELECT nation, n_orders,
+       |  ${roundNSql("CAST(dm_mu AS DOUBLE) / n_orders / 1e6", 6)} AS dm,
+       |  ${roundNSql(s"CAST($OpeSlots AS DOUBLE) * n_reward_match / n_orders", 6)} AS ips,
+       |  ${roundNSql("CAST(dr_mu AS DOUBLE) / n_orders / 1e6", 6)} AS dr
+       |FROM agg
+       |ORDER BY nation""".stripMargin
+
+  // -------------------------------------------------------------- holdout
+
+  /** Recommendations kept per evaluated order. */
+  val HoldoutK = 3
+
+  /** Leave-one-out holdout evaluation of the item-item CF recommender —
+    * the offline accuracy read (HR@k / MRR@k) a recsys team checks
+    * before trusting [[itemSim]]'s neighbors: for every order with ≥ 2
+    * distinct parts, hold out one item (max part key, deterministic),
+    * recommend from the REST of the basket (candidates = union of each
+    * remaining item's top-[[RecTopK]] neighbors, minus items already in
+    * the basket), and score the held-out item's rank.
+    *
+    * Honesty: the co-occurrence statistics are corrected EXACTLY for the
+    * evaluated order (leave-one-order-out: co −= 1 where the candidate
+    * pair co-occurs only via this order's held-out item, both degrees
+    * −= their membership), so the held-out item never scores on evidence
+    * that includes itself — the quantized cosine recomputes from the
+    * corrected BIGINTs with the [[simTop]] token form. Candidates whose
+    * corrected evidence vanishes (score 0) drop out. Reciprocal ranks
+    * are exact integers (1e6 div rank) so MRR never depends on float
+    * summation order.
+    *
+    * Scale shape: per-order fanout is (basket size)·[[RecTopK]] —
+    * bounded; ranking is an order-partitioned window; the two summary
+    * aggregates are 1-row broadcasts. */
+  def holdout(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = liDistinct(spark, dir)
+    val deg = li.groupBy(col("p")).agg(count(lit(1)).as("n"))
+    val eval = li.groupBy(col("o"))
+      .agg(count(lit(1)).as("n_items"), max(col("p")).as("ho"))
+      .filter(col("n_items") >= 2)
+    val basket = li.join(eval.select(col("o"), col("ho")), Seq("o"))
+      .filter(col("p") =!= col("ho"))
+    val cand = basket
+      .join(simTop(spark, dir).select(col("item").as("p"),
+        col("neighbor").as("c"), col("co")), Seq("p"))
+      .join(basket.select(col("o"), col("p").as("c")), Seq("o", "c"), "left_anti")
+    val isHo = when(col("c") === col("ho"), 1L).otherwise(0L)
+    val scored = cand
+      .join(deg.select(col("p"), col("n").as("n_a")), Seq("p"))
+      .join(deg.select(col("p").as("c"), col("n").as("n_c")), Seq("c"))
+      .select(col("o"), col("c"), isHo.as("is_ho"),
+        (col("co") - isHo).as("co_adj"), (col("n_a") - 1L).as("na_adj"),
+        (col("n_c") - isHo).as("nc_adj"))
+      .select(col("o"), col("c"), col("is_ho"),
+        when(col("co_adj") <= 0L || col("na_adj") <= 0L || col("nc_adj") <= 0L,
+          0L).otherwise(
+          floor(col("co_adj").cast("double") /
+            sqrt((col("na_adj") * col("nc_adj")).cast("double")) * 1e6 + 0.5)
+            .cast("long")).as("score_mu"))
+    val ranked = scored.groupBy(col("o"), col("c"))
+      .agg(max(col("score_mu")).as("s"), max(col("is_ho")).as("is_ho"))
+      .filter(col("s") > 0L)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("o")).orderBy(col("s").desc, col("c"))))
+      .filter(col("rk") <= HoldoutK)
+    val h = ranked.filter(col("is_ho") === 1L).agg(
+      coalesce(sum(when(col("rk") === 1, 1L)), lit(0L)).as("hits1"),
+      count(lit(1)).as("hits3"),
+      coalesce(sum(expr("1000000 div rk").cast("long")), lit(0L)).as("mrr_mu"))
+    eval.agg(count(lit(1)).as("n_eval")).crossJoin(broadcast(h))
+      .select(col("n_eval"), col("hits1"), col("hits3"),
+        when(col("n_eval") === 0L, lit(null).cast("double"))
+          .otherwise(roundN(col("hits1").cast("double") / col("n_eval"), 6)).as("hr1"),
+        when(col("n_eval") === 0L, lit(null).cast("double"))
+          .otherwise(roundN(col("hits3").cast("double") / col("n_eval"), 6)).as("hr3"),
+        when(col("n_eval") === 0L, lit(null).cast("double"))
+          .otherwise(roundN(col("mrr_mu").cast("double") / col("n_eval") / 1e6, 6))
+          .as("mrr"))
+  }
+
+  private val holdoutSql =
+    s"""WITH $simCtesSql,
+       |tk AS (SELECT item, neighbor, co FROM sc
+       |       QUALIFY row_number() OVER (PARTITION BY item
+       |         ORDER BY cos_mu DESC, neighbor) <= $RecTopK),
+       |ev AS (SELECT o, count(*) AS n_items, max(p) AS ho FROM li GROUP BY 1
+       |       HAVING count(*) >= 2),
+       |bk AS (SELECT li.o, li.p, ev.ho FROM li JOIN ev ON li.o = ev.o
+       |       WHERE li.p != ev.ho),
+       |c0 AS (SELECT bk.o, bk.ho, bk.p, tk.neighbor AS c, tk.co
+       |       FROM bk JOIN tk ON tk.item = bk.p),
+       |c1 AS (SELECT * FROM c0 WHERE NOT EXISTS (
+       |         SELECT 1 FROM bk b2 WHERE b2.o = c0.o AND b2.p = c0.c)),
+       |cs AS (SELECT c1.o, c1.c,
+       |         CASE WHEN c1.c = c1.ho THEN 1 ELSE 0 END AS is_ho,
+       |         c1.co - (CASE WHEN c1.c = c1.ho THEN 1 ELSE 0 END) AS co_adj,
+       |         da.n - 1 AS na_adj,
+       |         dc.n - (CASE WHEN c1.c = c1.ho THEN 1 ELSE 0 END) AS nc_adj
+       |       FROM c1 JOIN deg da ON da.p = c1.p JOIN deg dc ON dc.p = c1.c),
+       |cm AS (SELECT o, c, is_ho,
+       |         CASE WHEN co_adj <= 0 OR na_adj <= 0 OR nc_adj <= 0 THEN 0
+       |              ELSE CAST(floor(CAST(co_adj AS DOUBLE) /
+       |                sqrt(CAST(na_adj * nc_adj AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+       |         END AS score_mu
+       |       FROM cs),
+       |pc AS (SELECT o, c, max(score_mu) AS s, max(is_ho) AS is_ho
+       |       FROM cm GROUP BY 1, 2),
+       |rkd AS (SELECT *, row_number() OVER (PARTITION BY o
+       |          ORDER BY s DESC, c) AS rk
+       |        FROM pc WHERE s > 0
+       |        QUALIFY rk <= $HoldoutK),
+       |h AS (SELECT
+       |        CAST(coalesce(sum(CASE WHEN rk = 1 THEN 1 END), 0) AS BIGINT) AS hits1,
+       |        CAST(count(*) AS BIGINT) AS hits3,
+       |        CAST(coalesce(sum(1000000 // rk), 0) AS BIGINT) AS mrr_mu
+       |      FROM rkd WHERE is_ho = 1),
+       |ne AS (SELECT count(*) AS n_eval FROM ev)
+       |SELECT n_eval, hits1, hits3,
+       |  CASE WHEN n_eval = 0 THEN NULL
+       |       ELSE ${roundNSql("CAST(hits1 AS DOUBLE) / n_eval", 6)} END AS hr1,
+       |  CASE WHEN n_eval = 0 THEN NULL
+       |       ELSE ${roundNSql("CAST(hits3 AS DOUBLE) / n_eval", 6)} END AS hr3,
+       |  CASE WHEN n_eval = 0 THEN NULL
+       |       ELSE ${roundNSql("CAST(mrr_mu AS DOUBLE) / n_eval / 1e6", 6)} END AS mrr
+       |FROM ne CROSS JOIN h""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q_rec_ope", ope, Some(opeSql)),
+    Q("q_rec_ope_dr", opeDr, Some(opeDrSql)),
+    Q("q_rec_holdout", holdout, Some(holdoutSql)),
     Q("q_rec_item_sim", itemSim, Some(itemSimSql)),
     Q("q_events_did", did, Some(didSql)))
 }

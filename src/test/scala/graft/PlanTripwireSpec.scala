@@ -151,7 +151,7 @@ class PlanTripwireSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     // logging-policy slot rank runs over the LIMIT-8 bounded-heap top-8
     // popularity table — 8 rows by construction (the q_text_zipf class);
     // corpus-sized work is the keyed popularity aggregates upstream
-    "q_rec_ope",
+    "q_rec_ope", "q_rec_ope_dr",
     // cumulative counts and the running always-valid-p minimum walk the
     // per-DAY series — calendar-bounded (the q_events_cum_users class);
     // user-sized work is the two keyed first-day aggregates upstream

@@ -235,6 +235,97 @@ class Round7OpsSpec extends SparkSuite {
     }
   }
 
+  test("ope-dr: perfect reward model makes DM = DR = 1 on the all-rewards fixture") {
+    // same fixture as the ope test: every order contains every candidate
+    // part, so qhat = 1 exactly (q_mu = 1e6), reward = 1, and the DR
+    // residual vanishes -> dm = dr = 1.0 regardless of match pattern
+    val nOrders = 20L
+    val d = fixtureDir(
+      "nation" -> Seq((1L, "ALPHA"), (2L, "BETA")).toDF("n_nationkey", "n_name"),
+      "customer" -> Seq((1L, 1L), (2L, 2L)).toDF("c_custkey", "c_nationkey"),
+      "orders" -> (1L to nOrders).map(ok => (ok, 1L + ok % 2))
+        .toDF("o_orderkey", "o_custkey"),
+      "lineitem" -> (for (ok <- 1L to nOrders; p <- 1L to 8L) yield (ok, p))
+        .toDF("l_orderkey", "l_partkey"))
+    val out = graft.operators.Recommend.opeDr(spark, d).collect()
+    assert(out.map(_.getAs[String]("nation")).toSeq === Seq("ALPHA", "BETA"))
+    out.foreach { r =>
+      assert(r.getAs[Double]("dm") === 1.0)
+      assert(r.getAs[Double]("dr") === 1.0)
+      assert(r.getAs[Double]("ips") >= 0.0 && r.getAs[Double]("ips") <= 8.0)
+    }
+  }
+
+  test("ope-dr: harness sanity — dm in [0,1], orders partition, dr finite") {
+    val out = graft.operators.Recommend.opeDr(spark, SparkSpec.sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val dm = r.getAs[Double]("dm")
+      assert(dm >= 0.0 && dm <= 1.0)
+      assert(!r.getAs[Double]("dr").isNaN)
+      assert(!r.getAs[Double]("ips").isNaN)
+    }
+    val total = graft.sources.Tables.orders(spark, SparkSpec.sf0001).count()
+    assert(out.map(_.getAs[Long]("n_orders")).sum === total)
+  }
+
+  test("textrank: hub word wins, mass conserved, single-word doc yields nothing") {
+    val d = fixtureDir("documents" -> Seq(
+      (1L, "a b a b a c", "en", "s", 11L),
+      (2L, "x x x", "en", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = graft.operators.Mining.textrank(spark, d).collect()
+    // doc 2 has one distinct word -> no edges -> no keywords (pinned)
+    assert(!out.exists(_.getAs[Long]("doc_id") == 2L))
+    val d1 = out.filter(_.getAs[Long]("doc_id") == 1L)
+    assert(d1.map(r => r.getAs[Long]("rk") -> r.getAs[String]("word")).toSeq ===
+      Seq(1L -> "a", 2L -> "b", 3L -> "c")) // a bridges b and c
+    val scores = d1.map(_.getAs[Double]("rank"))
+    assert(scores.zip(scores.tail).forall { case (x, y) => x >= y })
+    // damped PageRank over a symmetric weighted graph preserves unit mass
+    assert(math.abs(scores.sum - 1.0) < 1e-6)
+  }
+
+  test("textrank: harness docs — ranks contiguous, scores descending per doc") {
+    val out = graft.operators.Mining.textrank(spark, SparkSpec.sf0001).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("rk"))
+      assert(sorted.map(_.getAs[Long]("rk")).toSeq === (1L to sorted.length).toSeq)
+      val s = sorted.map(_.getAs[Double]("rank"))
+      assert(s.zip(s.tail).forall { case (x, y) => x >= y })
+      assert(sorted.length <= graft.operators.Mining.TrTopK)
+    }
+  }
+
+  test("holdout: leave-one-order-out kills self-evidence; hand-computed HR/MRR") {
+    // o1={1,2}, o2={1,2}, o3={1,2,3}. Held-out = max part.
+    // o1/o2 recover part 2 at rank 1 (corrected cos = 1.0); o3's held-out
+    // part 3 co-occurs ONLY via o3 itself, so its corrected evidence is
+    // zero -> a miss. HR@1 = HR@3 = MRR = 2/3.
+    val d = fixtureDir("lineitem" ->
+      Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 1L), (3L, 2L), (3L, 3L))
+        .toDF("l_orderkey", "l_partkey"))
+    val r = graft.operators.Recommend.holdout(spark, d).collect().head
+    assert(r.getAs[Long]("n_eval") === 3L)
+    assert(r.getAs[Long]("hits1") === 2L)
+    assert(r.getAs[Long]("hits3") === 2L)
+    assert(r.getAs[Double]("hr1") === 0.666667)
+    assert(r.getAs[Double]("hr3") === 0.666667)
+    assert(r.getAs[Double]("mrr") === 0.666667)
+  }
+
+  test("holdout: harness sanity — hit counts nest and rates bound each other") {
+    val r = graft.operators.Recommend.holdout(spark, SparkSpec.sf0001).collect().head
+    val n = r.getAs[Long]("n_eval")
+    assert(n > 0)
+    assert(r.getAs[Long]("hits1") <= r.getAs[Long]("hits3"))
+    assert(r.getAs[Long]("hits3") <= n)
+    assert(r.getAs[Double]("hr1") <= r.getAs[Double]("hr3"))
+    assert(r.getAs[Double]("mrr") >= r.getAs[Double]("hr1") - 1e-9)
+    assert(r.getAs[Double]("mrr") <= r.getAs[Double]("hr3") + 1e-9)
+  }
+
   test("decay attribution: harness data conserves revenue to the cent") {
     val out = graft.operators.Events.attributionDecay(spark, SparkSpec.sf0001).collect()
     assert(out.nonEmpty)
