@@ -161,6 +161,74 @@ object Events {
        |FROM v LEFT JOIN c ON v.user_id = c.user_id
        |       LEFT JOIN p ON v.user_id = p.user_id""".stripMargin
 
+  /** Funnel conversion rates with Wilson 95% score intervals — the
+    * uncertainty read the plain funnel lacks: a 40%-conversion step over
+    * 10 users and over 10,000 users print the same rate but very
+    * different intervals, and the Wilson form (unlike the Wald ±z√(pq/n))
+    * stays inside [0,1] and behaves at x = 0 / x = n. One row per step
+    * transition (view→click, click→purchase, view→purchase end-to-end).
+    *
+    * Exactness: stage counts are exact BIGINTs from ONE grand aggregate
+    * over the funnel stage table (the 3 rows emit via explode — never a
+    * union of selects re-running the aggregate); the Wilson center/half
+    * are fixed double expression trees over those integers,
+    * token-identical in both engines (all SQL literals forced to DOUBLE
+    * so DuckDB can't route through DECIMAL arithmetic), one sqrt each,
+    * roundN display. Empty-step guard: n = 0 → NULL rate/bounds. */
+  def funnelCi(spark: SparkSession, dir: String): DataFrame = {
+    val agg = funnel(spark, dir).agg(
+      count(lit(1)).as("s1"),
+      sum(when(col("stage_reached") >= 2, 1L).otherwise(0L)).as("s2"),
+      sum(when(col("stage_reached") >= 3, 1L).otherwise(0L)).as("s3"))
+    val rows = agg.select(explode(expr(
+      """array(
+        |  named_struct('step', 'click_to_purchase', 'n', s2, 'x', s3),
+        |  named_struct('step', 'view_to_click', 'n', s1, 'x', s2),
+        |  named_struct('step', 'view_to_purchase', 'n', s1, 'x', s3))""".stripMargin))
+      .as("r"))
+      .select(col("r.step").as("step"), col("r.n").as("n"), col("r.x").as("x"))
+    val p = col("x").cast("double") / col("n")
+    val z = lit(1.96)
+    val z2 = z * z
+    val denom = lit(1.0) + z2 / col("n")
+    val center = (p + z2 / (lit(2.0) * col("n"))) / denom
+    val half = z * sqrt(p * (lit(1.0) - p) / col("n") +
+      z2 / (lit(4.0) * col("n") * col("n"))) / denom
+    rows.select(col("step"), col("n"), col("x"),
+      when(col("n") === 0L, lit(null).cast("double"))
+        .otherwise(roundN(p, 6)).as("rate"),
+      when(col("n") === 0L, lit(null).cast("double"))
+        .otherwise(roundN(center - half, 6)).as("lo"),
+      when(col("n") === 0L, lit(null).cast("double"))
+        .otherwise(roundN(center + half, 6)).as("hi"))
+      .orderBy(col("step"))
+  }
+
+  private val funnelCiSql = {
+    val z = "CAST(1.96 AS DOUBLE)"
+    val p = "(CAST(x AS DOUBLE) / n)"
+    val denom = s"(1.0 + $z * $z / n)"
+    val center = s"(($p + $z * $z / (2.0 * n)) / $denom)"
+    val half = s"($z * sqrt($p * (1.0 - $p) / n + " +
+      s"$z * $z / (4.0 * n * n)) / $denom)"
+    s"""WITH f AS ($funnelSql),
+       |a AS (SELECT CAST(count(*) AS BIGINT) AS s1,
+       |        CAST(sum(CASE WHEN stage_reached >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+       |        CAST(sum(CASE WHEN stage_reached >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS s3
+       |      FROM f),
+       |r AS (SELECT 'click_to_purchase' AS step, s2 AS n, s3 AS x FROM a
+       |      UNION ALL SELECT 'view_to_click', s1, s2 FROM a
+       |      UNION ALL SELECT 'view_to_purchase', s1, s3 FROM a)
+       |SELECT step, n, x,
+       |  CASE WHEN n = 0 THEN NULL ELSE ${roundNSql(p, 6)} END AS rate,
+       |  CASE WHEN n = 0 THEN NULL
+       |       ELSE ${roundNSql(s"$center - $half", 6)} END AS lo,
+       |  CASE WHEN n = 0 THEN NULL
+       |       ELSE ${roundNSql(s"$center + $half", 6)} END AS hi
+       |FROM r
+       |ORDER BY step""".stripMargin
+  }
+
   /** The configurable funnel's step sequence — a CONFIG, not a schema:
     * production funnels arrive as an ordered list, so the operator takes
     * one ([[funnelStepsOf]]) and this 4-step instance (one step longer
@@ -1423,6 +1491,7 @@ object Events {
     Q("q_events_paths", paths, Some(pathsSql)),
     Q("q_events_attribution_linear", attributionLinear, Some(attributionLinearSql)),
     Q("q_events_attribution_decay", attributionDecay, Some(attributionDecaySql)),
+    Q("q_events_funnel_ci", funnelCi, Some(funnelCiSql)),
     Q("q_events_cohort_ltv", cohortLtv, Some(cohortLtvSql)),
     Q("q_events_funnel_latency", funnelLatency, Some(funnelLatencySql)),
     Q("q_events_debounce", debounce, Some(debounceSql)),

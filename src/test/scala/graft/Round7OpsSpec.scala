@@ -326,6 +326,37 @@ class Round7OpsSpec extends SparkSuite {
     assert(r.getAs[Double]("mrr") <= r.getAs[Double]("hr3") + 1e-9)
   }
 
+  test("funnel-ci: hand-checked Wilson interval and step nesting") {
+    // 4 users view; 2 click after; 1 purchases after the click
+    val d = fixtureDir("events" -> eventsDf(
+      ev(1, "2024-01-01 10:00:00", 1, "view", 0),
+      ev(2, "2024-01-01 10:01:00", 1, "click", 0),
+      ev(3, "2024-01-01 10:02:00", 1, "purchase", 50.0),
+      ev(4, "2024-01-01 10:00:00", 2, "view", 0),
+      ev(5, "2024-01-01 10:01:00", 2, "click", 0),
+      ev(6, "2024-01-01 10:00:00", 3, "view", 0),
+      ev(7, "2024-01-01 10:00:00", 4, "view", 0)))
+    val out = graft.operators.Events.funnelCi(spark, d).collect()
+      .map(r => r.getAs[String]("step") -> r).toMap
+    val vc = out("view_to_click")
+    assert(vc.getAs[Long]("n") === 4L && vc.getAs[Long]("x") === 2L)
+    assert(vc.getAs[Double]("rate") === 0.5)
+    // Wilson 95% for x=2, n=4: center 0.5, half = 1.96*sqrt(1/16+z2/64)/(1+z2/4)
+    val z2 = 1.96 * 1.96
+    val half = 1.96 * math.sqrt(0.25 / 4 + z2 / 64.0) / (1 + z2 / 4)
+    assert(math.abs(vc.getAs[Double]("lo") - (0.5 - half)) < 1e-5)
+    assert(math.abs(vc.getAs[Double]("hi") - (0.5 + half)) < 1e-5)
+    val cp = out("click_to_purchase")
+    assert(cp.getAs[Long]("n") === 2L && cp.getAs[Long]("x") === 1L)
+    val vp = out("view_to_purchase")
+    assert(vp.getAs[Long]("n") === 4L && vp.getAs[Long]("x") === 1L)
+    out.values.foreach { r =>
+      assert(r.getAs[Double]("lo") >= 0.0 && r.getAs[Double]("hi") <= 1.0)
+      assert(r.getAs[Double]("lo") <= r.getAs[Double]("rate"))
+      assert(r.getAs[Double]("rate") <= r.getAs[Double]("hi"))
+    }
+  }
+
   test("decay attribution: harness data conserves revenue to the cent") {
     val out = graft.operators.Events.attributionDecay(spark, SparkSpec.sf0001).collect()
     assert(out.nonEmpty)
