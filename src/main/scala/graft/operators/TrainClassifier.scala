@@ -270,7 +270,152 @@ object TrainClassifier {
        |FROM b""".stripMargin
   }
 
+  // ----------------------------------------------------------- quantile GD
+
+  /** Pinball-loss quantile level, base step size, iteration count. The
+    * Robbins-Monro 1/√t decay is what lets a SUBgradient method settle:
+    * pinball gradients don't shrink near the optimum, so a fixed step
+    * oscillates forever (measured: coverage bouncing 0.3-1.0), while
+    * lr₀/√t lands coverage at 0.906 ≈ τ on the harness corpus. Each
+    * iteration's step is computed ONCE in Scala and embedded as the same
+    * double literal in both engines. */
+  val QTau = 0.9
+  val QrLr = 0.1
+  val QrIterations = 24
+
+  private def qrStep(t: Int): Double = QrLr / math.sqrt(t.toDouble)
+
+  /** Same text features, continuous target: document length in
+    * kilo-chars. */
+  private def qrFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val w = col("w")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        TextAnalysis.normText(col("text")).as("norm"))
+      .select(col("doc_id"), col("n_chars"), col("norm"),
+        split(col("norm"), " ").as("w"))
+      .select(col("doc_id"), size(w).as("nt"),
+        size(filter(w, t => t.isInCollection(stopwords))).as("ns"),
+        length(regexp_replace(col("norm"), " ", "")).as("nwc"), col("n_chars"))
+      .select(col("doc_id"),
+        (col("nt").cast("double") / lit(100.0)).as("x1"),
+        (col("ns") / col("nt").cast("double")).as("x2"),
+        ((col("nwc") / col("nt").cast("double")) / lit(10.0)).as("x3"),
+        (col("n_chars").cast("double") / lit(1000.0)).as("y"))
+  }
+
+  private val qrFeatureSql =
+    s"""f0 AS (SELECT doc_id, n_chars, string_split($normSql, ' ') AS w,
+       |         length(replace($normSql, ' ', '')) AS nwc FROM documents),
+       |f1 AS (SELECT doc_id, n_chars, len(w) AS nt,
+       |         len(list_filter(w, t -> list_contains($stopSqlList, t))) AS ns,
+       |         nwc FROM f0),
+       |f AS (SELECT doc_id, CAST(nt AS DOUBLE) / 100.0 AS x1,
+       |        ns / CAST(nt AS DOUBLE) AS x2,
+       |        (nwc / CAST(nt AS DOUBLE)) / 10.0 AS x3,
+       |        CAST(n_chars AS DOUBLE) / 1000.0 AS y
+       |      FROM f1)""".stripMargin
+
+  /** Quantile (pinball-loss) regression of document length on the
+    * quality features — the P90-predictor counterpart of the
+    * classification trainer: batch subgradient descent on
+    * ρ_τ(y − ŷ) = (y − ŷ)·(τ − 1{y < ŷ}), τ = 0.9, with the subgradient
+    * at the kink pinned to the 1{·} = 0 branch (ties count as
+    * under-prediction). Reports the learned plane, the empirical
+    * COVERAGE P(y ≤ ŷ) — which GD drives toward τ — and the mean
+    * pinball loss.
+    *
+    * Exactness: the [[fit]] contract verbatim — per-row subgradient and
+    * loss contributions round to integer micro-units before the grand
+    * aggregates (order-free BIGINT sums); weight updates are fixed
+    * double sequences on exact inputs; NO transcendental anywhere (the
+    * pinball subgradient is pure comparison + affine), so the whole
+    * trajectory is bit-identical cross-engine and the oracle unrolls it
+    * as chained CTEs. Scale: the model is 4 doubles; each iteration is
+    * one narrow scan + 1-row aggregate — T+2 scan-speed jobs, no
+    * shuffle, no window, no join. */
+  def quantileRegression(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val f = qrFeatures(spark, dir).cache()
+    val n = f.count()
+    val ws = Array(0.0, 0.0, 0.0, 0.0)
+    for (t <- 1 to QrIterations) {
+      val ind = when(margin(ws) > col("y"), lit(1.0)).otherwise(lit(0.0))
+      val d = ind - lit(QTau)
+      val r = f.agg(
+        microSum(d).as("gb"), microSum(d * col("x1")).as("g1"),
+        microSum(d * col("x2")).as("g2"), microSum(d * col("x3")).as("g3"))
+        .collect()(0)
+      for (j <- 0 to 3) {
+        val g = r.getAs[Long](Seq("gb", "g1", "g2", "g3")(j))
+        ws(j) = ws(j) - qrStep(t) * (g.toDouble / 1000000.0 / n)
+      }
+    }
+    val pred = margin(ws)
+    val indF = when(pred > col("y"), lit(1.0)).otherwise(lit(0.0))
+    val pin = (col("y") - pred) * (lit(QTau) - indF)
+    val er = f.agg(
+      sum(when(col("y") <= pred, 1L).otherwise(0L)).as("cov"),
+      sum(floor(pin * lit(1000000.0) + lit(0.5)).cast("long")).as("pin_mu"))
+      .collect()(0)
+    f.unpersist()
+    Seq(
+      "bias" -> ws(0), "w_ntokens" -> ws(1), "w_stop_ratio" -> ws(2),
+      "w_avg_len" -> ws(3),
+      "coverage" -> er.getAs[Long]("cov").toDouble / n,
+      "avg_pinball" -> er.getAs[Long]("pin_mu").toDouble / 1000000.0 / n)
+      .toDF("param", "value")
+  }
+
+  private def qrIterSql(t: Int): String = {
+    val prev = if (t == 1) "qw0" else s"qw${t - 1}"
+    val m = s"(w.b + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3)"
+    // CAST everything to DOUBLE: DuckDB's DECIMAL would make 1.0 - 0.9
+    // exactly 0.1 while Spark's doubles give 0.09999999999999998
+    val d = s"((CASE WHEN $m > f.y THEN CAST(1.0 AS DOUBLE)" +
+      s" ELSE CAST(0.0 AS DOUBLE) END) - CAST($QTau AS DOUBLE))"
+    def ms(g: String) = s"sum(CAST(floor($g * $MicroSql + 0.5) AS BIGINT))"
+    val lr = qrStep(t)
+    s"""qg$t AS MATERIALIZED (SELECT ${ms(d)} AS gb, ${ms(s"($d * f.x1)")} AS g1,
+       |  ${ms(s"($d * f.x2)")} AS g2, ${ms(s"($d * f.x3)")} AS g3,
+       |  max(c.n) AS n, max(w.b) AS pb, max(w.w1) AS p1,
+       |  max(w.w2) AS p2, max(w.w3) AS p3
+       |  FROM f CROSS JOIN $prev w CROSS JOIN qcnt c),
+       |qw$t AS MATERIALIZED (SELECT
+       |  pb - $lr * (CAST(gb AS DOUBLE) / $MicroSql / n) AS b,
+       |  p1 - $lr * (CAST(g1 AS DOUBLE) / $MicroSql / n) AS w1,
+       |  p2 - $lr * (CAST(g2 AS DOUBLE) / $MicroSql / n) AS w2,
+       |  p3 - $lr * (CAST(g3 AS DOUBLE) / $MicroSql / n) AS w3
+       |  FROM qg$t)""".stripMargin
+  }
+
+  private val quantileSql: String = {
+    val wd = s"qw$QrIterations"
+    val m = s"(w.b + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3)"
+    val ind = s"(CASE WHEN $m > f.y THEN CAST(1.0 AS DOUBLE)" +
+      s" ELSE CAST(0.0 AS DOUBLE) END)"
+    val pin = s"((f.y - $m) * (CAST($QTau AS DOUBLE) - $ind))"
+    s"""WITH $qrFeatureSql,
+       |qcnt AS (SELECT count(*) AS n FROM f),
+       |qw0 AS (SELECT CAST(0.0 AS DOUBLE) AS b, CAST(0.0 AS DOUBLE) AS w1,
+       |              CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3),
+       |${(1 to QrIterations).map(qrIterSql).mkString(",\n")},
+       |ev AS (SELECT
+       |         CAST(sum(CASE WHEN f.y <= $m THEN 1 ELSE 0 END) AS BIGINT) AS cov,
+       |         CAST(sum(CAST(floor($pin * $MicroSql + 0.5) AS BIGINT)) AS BIGINT)
+       |           AS pin_mu,
+       |         max(c.n) AS n
+       |       FROM f CROSS JOIN $wd w CROSS JOIN qcnt c)
+       |SELECT 'bias' AS param, b AS value FROM $wd
+       |UNION ALL SELECT 'w_ntokens', w1 FROM $wd
+       |UNION ALL SELECT 'w_stop_ratio', w2 FROM $wd
+       |UNION ALL SELECT 'w_avg_len', w3 FROM $wd
+       |UNION ALL SELECT 'coverage', CAST(cov AS DOUBLE) / n FROM ev
+       |UNION ALL SELECT 'avg_pinball', CAST(pin_mu AS DOUBLE) / $MicroSql / n FROM ev""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_train_quality_clf", trainQualityClassifier, Some(trainSql)),
+    Q("q_train_quantile", quantileRegression, Some(quantileSql)),
     Q("q_train_calibration", calibration, Some(calibrationSql)))
 }

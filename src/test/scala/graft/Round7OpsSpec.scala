@@ -357,6 +357,21 @@ class Round7OpsSpec extends SparkSuite {
     }
   }
 
+  test("quantile regression: coverage lands near tau, pinball positive, plane finite") {
+    val out = graft.operators.TrainClassifier.quantileRegression(spark, SparkSpec.sf0001)
+      .collect().map(r => r.getAs[String]("param") -> r.getAs[Double]("value")).toMap
+    assert(out.keySet === Set("bias", "w_ntokens", "w_stop_ratio", "w_avg_len",
+      "coverage", "avg_pinball"))
+    // the 1/sqrt(t) schedule settles the subgradient walk at P(y <= yhat) ~ tau
+    assert(out("coverage") >= 0.85 && out("coverage") <= 0.95, out("coverage"))
+    assert(out("avg_pinball") > 0.0)
+    Seq("bias", "w_ntokens", "w_stop_ratio", "w_avg_len").foreach { k =>
+      assert(!out(k).isNaN && !out(k).isInfinite)
+    }
+    // length weight must be positive: longer docs predict longer docs
+    assert(out("w_ntokens") > 0.0)
+  }
+
   test("decay attribution: harness data conserves revenue to the cent") {
     val out = graft.operators.Events.attributionDecay(spark, SparkSpec.sf0001).collect()
     assert(out.nonEmpty)
