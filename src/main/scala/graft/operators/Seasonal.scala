@@ -424,8 +424,175 @@ object Seasonal {
        |FROM fc
        |ORDER BY day""".stripMargin
 
+  // --------------------------------------------------------- holt-winters
+
+  /** Holt-Winters additive triple exponential smoothing of daily purchase
+    * revenue, weekly season (period 7) — the seasonal upgrade of
+    * [[holt]]: l_t = α(y_t − s_{t−7}) + (1−α)(l+b),
+    * b_t = β(l_t − l) + (1−β)b, s_t = γ(y_t − l_t) + (1−γ)s_{t−7},
+    * α = β = γ = 0.5. Seed: l = first-week mean (the one division,
+    * fixed-order sum), b = 0, s_k = y_k − l over week one; fit rows start
+    * at day 8 (`fitted` = l+b+s_{t−7}); 7 forecast rows extrapolate
+    * l_T + h·b_T + s_slot. The seasonal SLOT is the spine position mod 7
+    * — pure integer arithmetic on the contiguous zero-filled calendar,
+    * never an engine weekday function (DuckDB's dayofweek is 0-based
+    * Sunday, Spark's 1-based — the documented cross-engine trap). Needs
+    * ≥ 8 observed calendar days, else empty.
+    *
+    * Exactness: same contract as [[holt]] — every float step is add/mul
+    * with the exact binary fraction ½ over exact-cents doubles (plus the
+    * single seed division), so the recursion is bit-identical
+    * cross-engine; the oracle replays it as a recursive CTE carrying the
+    * 7 seasonal slots as explicit columns. Scale: identical to holt —
+    * one keyed aggregate, 1-row bounds explode, ONE aggregate-HOF pass
+    * over the collected calendar-bounded series. */
+  def holtWinters(spark: SparkSession, dir: String): DataFrame = {
+    val cents = floor(col("value") * 100 + 0.5).cast("long")
+    val daily = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day")).agg(sum(cents).as("c"))
+    val bounds = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val full = bounds
+      .select(col("d0"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("day"), "left")
+      .select((datediff(col("day"), col("d0")) + 1).as("i"), col("day"),
+        coalesce(col("c"), lit(0L)).as("y"))
+    val arr = full.agg(
+      sort_array(collect_list(struct(col("i"), col("day"), col("y")))).as("s"),
+      max(col("day")).as("d1"))
+      .where(size(col("s")) >= 8)
+    // seed: l = mean(week 1) in array order; s[k] = y_{k+1} - l; b = 0
+    val rec = arr.select(col("d1"), size(col("s")).as("n"), expr(
+      """aggregate(
+        |  slice(s, 8, greatest(size(s) - 7, 0)),
+        |  named_struct(
+        |    'l', aggregate(slice(s, 1, 7), CAST(0.0 AS DOUBLE),
+        |           (a, e) -> a + CAST(e.y AS DOUBLE)) / 7.0,
+        |    'b', CAST(0.0 AS DOUBLE),
+        |    'sv', transform(slice(s, 1, 7), e -> CAST(e.y AS DOUBLE)
+        |            - aggregate(slice(s, 1, 7), CAST(0.0 AS DOUBLE),
+        |                (a, e2) -> a + CAST(e2.y AS DOUBLE)) / 7.0),
+        |    'out', CAST(array() AS ARRAY<STRUCT<day: DATE, y: BIGINT,
+        |      level: DOUBLE, trend: DOUBLE, seasonal: DOUBLE, fitted: DOUBLE>>)),
+        |  (acc, e) -> named_struct(
+        |    'l', 0.5 * (CAST(e.y AS DOUBLE) - element_at(acc.sv, CAST((e.i - 1) % 7 AS INT) + 1))
+        |         + 0.5 * (acc.l + acc.b),
+        |    'b', 0.5 * ((0.5 * (CAST(e.y AS DOUBLE) - element_at(acc.sv, CAST((e.i - 1) % 7 AS INT) + 1))
+        |         + 0.5 * (acc.l + acc.b)) - acc.l) + 0.5 * acc.b,
+        |    'sv', transform(acc.sv, (v, ix) -> CASE WHEN ix = CAST((e.i - 1) % 7 AS INT)
+        |      THEN 0.5 * (CAST(e.y AS DOUBLE)
+        |             - (0.5 * (CAST(e.y AS DOUBLE) - element_at(acc.sv, CAST((e.i - 1) % 7 AS INT) + 1))
+        |                + 0.5 * (acc.l + acc.b)))
+        |           + 0.5 * v
+        |      ELSE v END),
+        |    'out', array_append(acc.out, named_struct(
+        |      'day', e.day, 'y', e.y,
+        |      'level', 0.5 * (CAST(e.y AS DOUBLE) - element_at(acc.sv, CAST((e.i - 1) % 7 AS INT) + 1))
+        |               + 0.5 * (acc.l + acc.b),
+        |      'trend', 0.5 * ((0.5 * (CAST(e.y AS DOUBLE) - element_at(acc.sv, CAST((e.i - 1) % 7 AS INT) + 1))
+        |               + 0.5 * (acc.l + acc.b)) - acc.l) + 0.5 * acc.b,
+        |      'seasonal', 0.5 * (CAST(e.y AS DOUBLE)
+        |             - (0.5 * (CAST(e.y AS DOUBLE) - element_at(acc.sv, CAST((e.i - 1) % 7 AS INT) + 1))
+        |                + 0.5 * (acc.l + acc.b)))
+        |           + 0.5 * element_at(acc.sv, CAST((e.i - 1) % 7 AS INT) + 1),
+        |      'fitted', acc.l + acc.b + element_at(acc.sv, CAST((e.i - 1) % 7 AS INT) + 1)))))""".stripMargin)
+      .as("r"))
+    rec.select(explode(expr(
+      s"""concat(r.out, transform(sequence(1, $HoltHorizon), h -> named_struct(
+         |  'day', date_add(d1, h),
+         |  'y', CAST(NULL AS BIGINT),
+         |  'level', CAST(NULL AS DOUBLE),
+         |  'trend', CAST(NULL AS DOUBLE),
+         |  'seasonal', CAST(NULL AS DOUBLE),
+         |  'fitted', r.l + h * r.b
+         |    + element_at(r.sv, CAST((n + h - 1) % 7 AS INT) + 1))))""".stripMargin))
+      .as("e"))
+      .select(col("e.day").as("day"), col("e.y").as("y"),
+        roundN(col("e.level"), 4).as("level"),
+        roundN(col("e.trend"), 4).as("trend"),
+        roundN(col("e.seasonal"), 4).as("seasonal"),
+        roundN(col("e.fitted"), 4).as("fitted"),
+        when(col("e.y").isNull, lit("forecast")).otherwise(lit("fit")).as("kind"))
+      .orderBy(col("day"))
+  }
+
+  private val holtWintersSql = {
+    def sPrev(src: String, k: String) =
+      s"(CASE $k WHEN 0 THEN $src.s0 WHEN 1 THEN $src.s1 WHEN 2 THEN $src.s2" +
+        s" WHEN 3 THEN $src.s3 WHEN 4 THEN $src.s4 WHEN 5 THEN $src.s5" +
+        s" ELSE $src.s6 END)"
+    val k = "((fx.i - 1) % 7)"
+    val sp = sPrev("r", k)
+    val lNew = s"(0.5 * (CAST(fx.y AS DOUBLE) - $sp) + 0.5 * (r.l + r.b))"
+    val sNew = s"(0.5 * (CAST(fx.y AS DOUBLE) - $lNew) + 0.5 * $sp)"
+    def sCol(j: Int) = s"CASE WHEN $k = $j THEN $sNew ELSE r.s$j END AS s$j"
+    s"""WITH RECURSIVE
+       |d AS (SELECT ts::TIMESTAMP::DATE AS day,
+       |        CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+       |      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       |bo AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
+       |spine AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+       |          FROM bo),
+       |f AS (SELECT row_number() OVER (ORDER BY s.day) AS i, s.day,
+       |        coalesce(d.c, 0) AS y
+       |      FROM spine s LEFT JOIN d USING (day)),
+       |nn AS (SELECT count(*) AS n FROM f),
+       |wk AS (SELECT
+       |        CAST(max(CASE WHEN i = 1 THEN y END) AS DOUBLE)
+       |         + max(CASE WHEN i = 2 THEN y END)
+       |         + max(CASE WHEN i = 3 THEN y END)
+       |         + max(CASE WHEN i = 4 THEN y END)
+       |         + max(CASE WHEN i = 5 THEN y END)
+       |         + max(CASE WHEN i = 6 THEN y END)
+       |         + max(CASE WHEN i = 7 THEN y END) AS w_sum,
+       |        max(CASE WHEN i = 1 THEN y END) AS y1,
+       |        max(CASE WHEN i = 2 THEN y END) AS y2,
+       |        max(CASE WHEN i = 3 THEN y END) AS y3,
+       |        max(CASE WHEN i = 4 THEN y END) AS y4,
+       |        max(CASE WHEN i = 5 THEN y END) AS y5,
+       |        max(CASE WHEN i = 6 THEN y END) AS y6,
+       |        max(CASE WHEN i = 7 THEN y END) AS y7
+       |      FROM f WHERE i <= 7),
+       |rec AS (
+       |  SELECT 7 AS i, CAST(NULL AS DATE) AS day, CAST(NULL AS BIGINT) AS y,
+       |    w_sum / 7.0 AS l, CAST(0.0 AS DOUBLE) AS b,
+       |    CAST(y1 AS DOUBLE) - w_sum / 7.0 AS s0,
+       |    CAST(y2 AS DOUBLE) - w_sum / 7.0 AS s1,
+       |    CAST(y3 AS DOUBLE) - w_sum / 7.0 AS s2,
+       |    CAST(y4 AS DOUBLE) - w_sum / 7.0 AS s3,
+       |    CAST(y5 AS DOUBLE) - w_sum / 7.0 AS s4,
+       |    CAST(y6 AS DOUBLE) - w_sum / 7.0 AS s5,
+       |    CAST(y7 AS DOUBLE) - w_sum / 7.0 AS s6,
+       |    CAST(NULL AS DOUBLE) AS seasonal, CAST(NULL AS DOUBLE) AS fitted
+       |  FROM wk, nn WHERE nn.n >= 8
+       |  UNION ALL
+       |  SELECT fx.i, fx.day, fx.y,
+       |    $lNew AS l,
+       |    0.5 * ($lNew - r.l) + 0.5 * r.b AS b,
+       |    ${(0 to 6).map(sCol).mkString(",\n    ")},
+       |    $sNew AS seasonal,
+       |    r.l + r.b + $sp AS fitted
+       |  FROM rec r JOIN f fx ON fx.i = r.i + 1),
+       |fin AS (SELECT r.* FROM rec r, nn WHERE r.i = nn.n),
+       |fc AS (SELECT (SELECT d1 FROM bo) + CAST(h AS INTEGER) AS day,
+       |         CAST(NULL AS BIGINT) AS y,
+       |         CAST(NULL AS DOUBLE) AS level, CAST(NULL AS DOUBLE) AS trend,
+       |         CAST(NULL AS DOUBLE) AS seasonal,
+       |         fin.l + h * fin.b + ${sPrev("fin", "((nn.n + h - 1) % 7)")} AS fitted
+       |       FROM fin, nn, (SELECT unnest(range(1, ${HoltHorizon + 1})) AS h))
+       |SELECT day, y, ${roundNSql("l", 4)} AS level, ${roundNSql("b", 4)} AS trend,
+       |  ${roundNSql("seasonal", 4)} AS seasonal, ${roundNSql("fitted", 4)} AS fitted,
+       |  CASE WHEN y IS NULL THEN 'forecast' ELSE 'fit' END AS kind
+       |FROM rec WHERE i >= 8
+       |UNION ALL
+       |SELECT day, y, level, trend, seasonal, ${roundNSql("fitted", 4)}, 'forecast'
+       |FROM fc
+       |ORDER BY day""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_stats_holt", holt, Some(holtSql)),
+    Q("q_stats_holt_winters", holtWinters, Some(holtWintersSql)),
     Q("q_events_abandonment", abandonment, Some(abandonmentSql)),
     Q("q_stats_decompose", decompose, Some(decomposeSql)),
     Q("q_stats_spearman", spearman, Some(spearmanSql)),

@@ -372,6 +372,43 @@ class Round7OpsSpec extends SparkSuite {
     assert(out("w_ntokens") > 0.0)
   }
 
+  test("holt-winters: a perfectly weekly-periodic series is fit and extrapolated exactly") {
+    // 3 weeks of the exact pattern 1..7 dollars: seed l = mean = 4.00,
+    // b = 0, s_k = y_k - l; every fit day then reproduces y exactly and
+    // the state never moves; forecasts continue the pattern
+    var id = 0L
+    val rows = (0 until 21).map { d =>
+      id += 1
+      ev(id, f"2024-01-${d + 1}%02d 10:00:00", 1, "purchase", (d % 7 + 1).toDouble)
+    }
+    val d = fixtureDir("events" -> eventsDf(rows: _*))
+    val out = graft.operators.Seasonal.holtWinters(spark, d).collect()
+    val fit = out.filter(_.getAs[String]("kind") == "fit")
+    assert(fit.length === 14) // days 8..21
+    fit.foreach { r =>
+      assert(r.getAs[Double]("fitted") === r.getAs[Long]("y").toDouble,
+        s"day ${r.getAs[java.sql.Date]("day")}")
+      assert(r.getAs[Double]("level") === 400.0)
+      assert(r.getAs[Double]("trend") === 0.0)
+    }
+    val fc = out.filter(_.getAs[String]("kind") == "forecast")
+    // day 22 is slot (22-1)%7 = 0 -> pattern value 100, then 200, ...
+    assert(fc.map(_.getAs[Double]("fitted")).toSeq ===
+      (0 until 7).map(h => 100.0 * (h + 1)))
+  }
+
+  test("holt-winters: harness shape — 7 forecasts, fit rows cover days 8..T") {
+    val out = graft.operators.Seasonal.holtWinters(spark, SparkSpec.sf0001).collect()
+    val fit = out.filter(_.getAs[String]("kind") == "fit")
+    val fc = out.filter(_.getAs[String]("kind") == "forecast")
+    assert(fc.length === 7)
+    assert(fit.nonEmpty)
+    assert(fit.forall(!_.isNullAt(out.head.fieldIndex("fitted"))))
+    // the whole output is day-ordered and contiguous across the horizon
+    val days = out.map(_.getAs[java.sql.Date]("day").toLocalDate)
+    assert(days.zip(days.tail).forall { case (a, b) => b.isAfter(a) })
+  }
+
   test("decay attribution: harness data conserves revenue to the cent") {
     val out = graft.operators.Events.attributionDecay(spark, SparkSpec.sf0001).collect()
     assert(out.nonEmpty)
