@@ -617,22 +617,33 @@ object Mining {
       .agg(count(lit(1)).as("wgt"))
       .localCheckpoint()
     val wout = edges.groupBy(col("doc_id"), col("src"))
-      .agg(sum(col("wgt")).as("wsum")).localCheckpoint()
-    val nd = wout.groupBy(col("doc_id")).agg(count(lit(1)).as("n")).localCheckpoint()
-    var ranks = wout.join(nd, Seq("doc_id"))
+      .agg(sum(col("wgt")).as("wsum"))
+    // loop-invariant joins hoisted OUT of the rounds (measured 9.6 s →
+    // with per-round wout + nd joins at sf0.1): edges carry their source
+    // out-weight once, and the per-doc damping base (15·1e12) div (100n)
+    // lands on the node table once, so each round is ONE equi-join + one
+    // map-side-combinable sum + one small per-doc join.
+    val edgesW = edges.join(wout, Seq("doc_id", "src")).localCheckpoint()
+    val bases = wout.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .select(col("doc_id"), col("n"),
+        expr(s"(15 * ${TrPico}L) div (100 * n) as base_mu"))
+      .localCheckpoint()
+    var ranks = wout
+      .join(bases, Seq("doc_id"))
       .select(col("doc_id"), col("src").as("word"),
         expr(s"${TrPico}L div n").as("r_mu"))
       .localCheckpoint()
-    for (_ <- 1 to TrIters) {
-      ranks = edges
+    for (t <- 1 to TrIters) {
+      ranks = edgesW
         .join(ranks.withColumnRenamed("word", "src"), Seq("doc_id", "src"))
-        .join(wout, Seq("doc_id", "src"))
         .groupBy(col("doc_id"), col("dst").as("word"))
         .agg(sum(expr("(r_mu * wgt) div wsum")).as("s"))
-        .join(nd, Seq("doc_id"))
+        .join(bases, Seq("doc_id"))
         .select(col("doc_id"), col("word"),
-          expr(s"(15 * ${TrPico}L) div (100 * n) + (85 * s) div 100").as("r_mu"))
-        .localCheckpoint()
+          expr("base_mu + (85 * s) div 100").as("r_mu"))
+      // materialize every 3rd round: enough to keep the plan shallow,
+      // 3× fewer barrier jobs than per-round checkpoints
+      if (t % 3 == 0 || t == TrIters) ranks = ranks.localCheckpoint()
     }
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("r_mu").desc, col("word"))
