@@ -339,6 +339,13 @@ object Seasonal {
     val daily = Tables.events(spark, dir)
       .filter(col("event_type") === "purchase")
       .groupBy(to_date(col("ts")).as("day")).agg(sum(cents).as("c"))
+    holtFromDaily(daily)
+  }
+
+  /** [[holt]] from an already-aggregated (day, c) cents table — the form
+    * the streaming forecast monitor recomputes from its bounded day
+    * store after every micro-batch (the Trend.ewmaFromDaily pattern). */
+  def holtFromDaily(daily: DataFrame): DataFrame = {
     val bounds = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
     val full = bounds
       .select(explode(sequence(col("d0"), col("d1"))).as("day"))
