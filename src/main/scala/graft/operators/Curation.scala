@@ -366,7 +366,81 @@ object Curation {
       |      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
       |SELECT doc_id, op FROM j WHERE op IS NOT NULL ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------- dp-quantile
+
+  /** DP median of per-user purchase spend via the EXPONENTIAL mechanism
+    * (McSherry & Talwar 2007) — the right tool where Laplace noise on a
+    * count doesn't apply because the output is a VALUE from the data
+    * domain: candidates are the distinct per-user spend totals, utility
+    * u(v) = −|rank(v) − ⌈n/2⌉| (sensitivity 1 per added/removed user),
+    * and the draw from P(v) ∝ exp(ε·u/2) runs as the Gumbel-max trick
+    * with md5-derived uniforms — pick argmax(ε·u/2 + g_v),
+    * g_v = −ln(−ln u_v) — so the release is deterministic and
+    * bit-identical cross-engine: both ln steps quantize to integer
+    * millionths (the laplaceNoise recipe), u(v) is an exact integer, and
+    * ε·u/2 with ε = 1 is an exact half-integer; ties (measure-zero under
+    * md5) break to the smaller value through a max-score equi-join +
+    * min, never an engine-specific arg_max.
+    *
+    * Scale shape: one keyed per-user aggregate; candidates live on the
+    * DISTINCT spend-cents histogram (money-domain-bounded — the
+    * q_events_gini window class, whitelisted); the argmax is a 1-row
+    * grand aggregate broadcast back. */
+  def dpQuantile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = floor(col("value") * 100 + 0.5).cast("long")
+    val spend = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(sum(cents).as("v"))
+    val hist = spend.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", sum(col("cnt")).over(Window.orderBy(col("v"))))
+    val n1 = broadcast(spend.agg(count(lit(1)).as("n")))
+    val h = conv(substring(md5(col("v").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val u = h.cast("double") / lit(1152921504606846976.0) // 2^60, exact
+    val qln1 = floor(log(u) * 1e6 + 0.5) / 1e6
+    val g = -(floor(log(-qln1) * 1e6 + 0.5) / 1e6)
+    val t = expr("(n + 1) div 2")
+    val util = -abs(col("rank") - col("t"))
+    val scored = hist.crossJoin(n1)
+      .withColumn("t", t)
+      .withColumn("score", lit(DpEpsilon) * util / lit(2.0) + g)
+    val best = broadcast(scored.agg(max(col("score")).as("ms")))
+    val pick = scored.crossJoin(best).filter(col("score") === col("ms"))
+      .agg(min(col("v")).as("dp_v"), max(col("t")).as("t"), max(col("n")).as("n"))
+    val trueMed = broadcast(
+      scored.filter(col("rank") >= col("t")).agg(min(col("v")).as("true_v")))
+    pick.crossJoin(trueMed)
+      .select(col("n"),
+        (col("true_v") / 100.0).as("true_median"),
+        (col("dp_v") / 100.0).as("dp_median"),
+        lit(DpEpsilon).as("epsilon"))
+  }
+
+  private val dpQuantileSql =
+    s"""WITH sp AS (SELECT user_id,
+       |        CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+       |      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       |hist AS (SELECT v, count(*) AS cnt FROM sp GROUP BY 1),
+       |hr AS (SELECT v, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS rank FROM hist),
+       |nn AS (SELECT count(*) AS n FROM sp),
+       |sc AS (SELECT v, rank, n, (n + 1) // 2 AS t,
+       |         $DpEpsilon * -abs(rank - (n + 1) // 2) / 2.0
+       |           + -(floor(ln(-(floor(ln(
+       |               ('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 15))::BIGINT
+       |                 / 1152921504606846976.0) * 1e6 + 0.5) / 1e6)) * 1e6 + 0.5) / 1e6)
+       |           AS score
+       |       FROM hr CROSS JOIN nn),
+       |best AS (SELECT max(score) AS ms FROM sc),
+       |pick AS (SELECT min(v) AS dp_v, max(t) AS t, max(n) AS n
+       |         FROM sc CROSS JOIN best WHERE score = ms),
+       |tm AS (SELECT min(v) AS true_v FROM sc WHERE rank >= t)
+       |SELECT n, true_v / 100.0 AS true_median, dp_v / 100.0 AS dp_median,
+       |  CAST($DpEpsilon AS DOUBLE) AS epsilon
+       |FROM pick CROSS JOIN tm""".stripMargin
+
   def queries: Seq[Q] = Seq(
+    Q("q_privacy_dp_quantile", dpQuantile, Some(dpQuantileSql)),
     Q("q_cdc_derive", cdcDerive, Some(cdcDeriveSql)),
     Q("q_dataset_diff", datasetDiff, Some(datasetDiffSql)),
     Q("q_text_readability", readability, Some(readabilitySql)),

@@ -148,6 +148,10 @@ class PlanTripwireSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     // construction; user-sized work is the keyed per-user aggregate and
     // the rfm cutpoint machinery (no user-sized window)
     "q_events_uplift",
+    // exponential-mechanism candidates walk the DISTINCT per-user
+    // spend-cents histogram — money-domain-bounded (the q_events_gini
+    // class); user-sized work is the keyed spend aggregate upstream
+    "q_privacy_dp_quantile",
     // logging-policy slot rank runs over the LIMIT-8 bounded-heap top-8
     // popularity table — 8 rows by construction (the q_text_zipf class);
     // corpus-sized work is the keyed popularity aggregates upstream

@@ -409,6 +409,45 @@ class Round7OpsSpec extends SparkSuite {
     assert(days.zip(days.tail).forall { case (a, b) => b.isAfter(a) })
   }
 
+  test("dp-quantile: engine pick equals the hand-replicated Gumbel-max model") {
+    // three users spending 1.00 / 2.00 / 3.00 -> candidates v in cents
+    // {100, 200, 300}, ranks {1,2,3}, t = 2, utilities {-1, 0, -1}
+    val d = fixtureDir("events" -> eventsDf(
+      ev(1, "2024-01-01 10:00:00", 1, "purchase", 1.00),
+      ev(2, "2024-01-01 10:00:00", 2, "purchase", 2.00),
+      ev(3, "2024-01-01 10:00:00", 3, "purchase", 3.00)))
+    def gumbel(v: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(v.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val u = java.lang.Long.parseLong(hex, 16).toDouble / 1152921504606846976.0
+      val qln1 = math.floor(math.log(u) * 1e6 + 0.5) / 1e6
+      -(math.floor(math.log(-qln1) * 1e6 + 0.5) / 1e6)
+    }
+    val score = Map(100L -> (-0.5 + gumbel(100L)), 200L -> (0.0 + gumbel(200L)),
+      300L -> (-0.5 + gumbel(300L)))
+    val expected = score.toSeq.sortBy { case (v, s) => (-s, v) }.head._1 / 100.0
+    val r = graft.operators.Curation.dpQuantile(spark, d).collect().head
+    assert(r.getAs[Long]("n") === 3L)
+    assert(r.getAs[Double]("true_median") === 2.0)
+    assert(r.getAs[Double]("dp_median") === expected)
+    assert(r.getAs[Double]("epsilon") === 1.0)
+  }
+
+  test("dp-quantile: release is a DOMAIN value and is deterministic") {
+    val out1 = graft.operators.Curation.dpQuantile(spark, SparkSpec.sf0001).collect().head
+    val out2 = graft.operators.Curation.dpQuantile(spark, SparkSpec.sf0001).collect().head
+    assert(out1.getAs[Double]("dp_median") === out2.getAs[Double]("dp_median"))
+    // the exponential mechanism releases an actual per-user spend total —
+    // the property Laplace-on-a-count can't give
+    val spends = graft.sources.Tables.events(spark, SparkSpec.sf0001)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg((sum(floor(col("value") * 100 + 0.5).cast("long")) / 100.0).as("s"))
+      .select("s").collect().map(_.getAs[Double]("s")).toSet
+    assert(spends.contains(out1.getAs[Double]("dp_median")))
+  }
+
   test("decay attribution: harness data conserves revenue to the cent") {
     val out = graft.operators.Events.attributionDecay(spark, SparkSpec.sf0001).collect()
     assert(out.nonEmpty)
