@@ -437,7 +437,158 @@ object Retrieval {
        |  ${roundNSql("CAST(n_hit AS DOUBLE) / n_exact", 6)} AS recall
        |FROM g ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------ interleave
+
+  /** Team-draft rounds (interleaved list length = 2 × rounds) and the
+    * click-model cut: clicks land on the RRF-fused top-K. K must be
+    * SMALLER than the interleaved list (fused top-10 covers every pick of
+    * both teams at harness scale — measured all-ties degenerate), and the
+    * fused top-3 differentiates the teams at every SF. */
+  val InterleaveRounds = 5
+  val InterleaveRelK = 3
+
+  /** Team-draft interleaving (Radlinski, Kurup & Joachims CIKM'08) of the
+    * sparse BM25 ranking vs the dense cosine ranking, per query — the
+    * online-comparison primitive ranking teams use instead of A/B splits:
+    * each round a coin decides which ranker picks first, each ranker
+    * contributes its best not-yet-picked document, and clicks on the
+    * interleaved list credit the contributing team. Clicks are simulated
+    * by the RRF-fused top-10 — the fusion treats both signals
+    * symmetrically, so the click model favors neither team by
+    * construction. The coin is md5(query_id|round) parity — deterministic
+    * and unbiased across rounds.
+    *
+    * Exactness: team lists and the relevance set are rank lists already
+    * pinned by the bm25/dense/rrf machinery; the draft itself is pure
+    * integer/array logic (filter + contains over ≤ 10-element arrays), so
+    * the whole simulation is engine-independent; the oracle replays it as
+    * a recursive CTE carrying the used-list per query.
+    *
+    * Scale shape: candidate generation is exactly the RRF-multi plan; the
+    * draft runs as ONE aggregate-HOF over the per-query rank arrays —
+    * queries × (2·rounds) array steps, driver holds nothing. */
+  def interleave(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sparse = TextAnalysis.bm25Multi(spark, dir)
+      .select(col("query_id"), col("doc_id"), col("rank").as("rank_sparse"))
+    val dense = denseRanks(spark, dir, RrfQueryVecs)
+    val fused = rrfOf(sparse,
+      dense.select(col("query_id"), col("doc_id"), col("rank_dense")))
+    val wR = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    val rel = fused.withColumn("rk", row_number().over(wR))
+      .filter(col("rk") <= InterleaveRelK)
+      .groupBy(col("query_id"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("rel"))
+    def ranked(df: DataFrame, rankCol: String, out: String) =
+      df.groupBy(col("query_id")).agg(transform(
+        sort_array(collect_list(struct(col(rankCol).as("r"), col("doc_id").as("d")))),
+        x => x.getField("d")).as(out))
+    val base = ranked(sparse, "rank_sparse", "a")
+      .join(ranked(dense, "rank_dense", "b"), Seq("query_id"))
+      .join(rel, Seq("query_id"))
+    draftOf(base)
+  }
+
+  /** The team-draft fold over a (query_id, a, b, rel) frame — exposed so
+    * the spec can drive it with hand-built rankings. */
+  private[graft] def draftOf(base: DataFrame): DataFrame = {
+    // the draft, as one fold over rounds; every piece re-derives from the
+    // round number r and the accumulated used-list (cheap ≤10-element
+    // array ops, recomputed rather than staged — HOF lambdas can't bind
+    // intermediates)
+    val coin = "(CAST(conv(substring(md5(concat(CAST(query_id AS STRING), '|', " +
+      "CAST(r AS STRING))), 1, 2), 16, 10) AS INT) % 2)"
+    val first = s"IF($coin = 0, a, b)"
+    val second = s"IF($coin = 0, b, a)"
+    // get(, 0), not [0]: an exhausted team's filter yields an EMPTY array
+    // and [0] throws INVALID_ARRAY_INDEX; get() returns NULL = "no pick"
+    val p1 = s"get(filter($first, x -> NOT array_contains(acc.used, x)), 0)"
+    val used1 = s"IF($p1 IS NULL, acc.used, array_append(acc.used, $p1))"
+    val p2 = s"get(filter($second, x -> NOT array_contains($used1, x)), 0)"
+    val used2 = s"IF($p2 IS NULL, $used1, array_append($used1, $p2))"
+    def hit(p: String) =
+      s"IF($p IS NOT NULL AND array_contains(rel, $p), 1L, 0L)"
+    val draft =
+      s"""aggregate(
+         |  sequence(1, $InterleaveRounds),
+         |  named_struct('used', slice(a, 1, 0), 'ca', 0L, 'cb', 0L),
+         |  (acc, r) -> named_struct(
+         |    'used', $used2,
+         |    'ca', acc.ca + IF($coin = 0, ${hit(p1)}, ${hit(p2)}),
+         |    'cb', acc.cb + IF($coin = 0, ${hit(p2)}, ${hit(p1)})))""".stripMargin
+    base.select(col("query_id"), expr(draft).as("d"))
+      .select(col("query_id"), col("d.ca").as("clicks_sparse"),
+        col("d.cb").as("clicks_dense"))
+      .withColumn("winner",
+        when(col("clicks_sparse") > col("clicks_dense"), lit("sparse"))
+          .when(col("clicks_dense") > col("clicks_sparse"), lit("dense"))
+          .otherwise(lit("tie")))
+      .orderBy(col("query_id"))
+  }
+
+  private val interleaveSql = {
+    val nrm = "sqrt(list_sum(list_transform(range(1, len(embedding) + 1), " +
+      "i -> (embedding::DOUBLE[])[i] * (embedding::DOUBLE[])[i])))"
+    val dotQc = "list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i]))"
+    val qids = RrfQueryVecs.mkString(", ")
+    val coin = "((('0x' || substr(md5(CAST(rec.query_id AS VARCHAR) || '|' || " +
+      "CAST(rec.r + 1 AS VARCHAR)), 1, 2))::INT) % 2)"
+    val first = s"(CASE WHEN $coin = 0 THEN qa.a ELSE qa.b END)"
+    val second = s"(CASE WHEN $coin = 0 THEN qa.b ELSE qa.a END)"
+    val p1 = s"list_filter($first, x -> NOT list_contains(rec.used, x))[1]"
+    val used1 = s"(CASE WHEN $p1 IS NULL THEN rec.used" +
+      s" ELSE list_append(rec.used, $p1) END)"
+    val p2 = s"list_filter($second, x -> NOT list_contains($used1, x))[1]"
+    val used2 = s"(CASE WHEN $p2 IS NULL THEN $used1" +
+      s" ELSE list_append($used1, $p2) END)"
+    def hit(p: String) =
+      s"(CASE WHEN $p IS NOT NULL AND list_contains(qa.rel, $p) THEN 1 ELSE 0 END)"
+    s"""WITH RECURSIVE
+       |v AS (SELECT vec_id, embedding::DOUBLE[] AS v, $nrm AS nrm FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v, nrm FROM v WHERE vec_id IN ($qids)),
+       |dsc AS (SELECT q.query_id, c.vec_id, $dotQc / (q.nrm * c.nrm) AS cos
+       |        FROM v c CROSS JOIN q WHERE c.vec_id != q.query_id),
+       |dense AS (SELECT query_id, vec_id AS doc_id,
+       |            CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank_dense
+       |          FROM dsc QUALIFY rank_dense <= $DenseTopK),
+       |sparse AS (SELECT query_id, doc_id, rank AS rank_sparse
+       |           FROM (${TextAnalysis.bm25MultiSql}) b),
+       |fused AS (SELECT query_id, doc_id,
+       |            coalesce(1.0::DOUBLE / ($RrfK + rank_sparse), 0.0) +
+       |            coalesce(1.0::DOUBLE / ($RrfK + rank_dense), 0.0) AS rrf
+       |          FROM sparse FULL JOIN dense USING (query_id, doc_id)),
+       |rel AS (SELECT query_id, list_sort(list(doc_id)) AS rel FROM (
+       |          SELECT query_id, doc_id FROM fused
+       |          QUALIFY row_number() OVER (PARTITION BY query_id
+       |            ORDER BY rrf DESC, doc_id) <= $InterleaveRelK)
+       |        GROUP BY 1),
+       |qa AS (SELECT s.query_id, s.a, d.b, r.rel
+       |       FROM (SELECT query_id, list(doc_id ORDER BY rank_sparse) AS a
+       |             FROM sparse GROUP BY 1) s
+       |       JOIN (SELECT query_id, list(doc_id ORDER BY rank_dense) AS b
+       |             FROM dense GROUP BY 1) d ON s.query_id = d.query_id
+       |       JOIN rel r ON s.query_id = r.query_id),
+       |rec AS (
+       |  SELECT query_id, 0 AS r, CAST([] AS BIGINT[]) AS used,
+       |    CAST(0 AS BIGINT) AS ca, CAST(0 AS BIGINT) AS cb
+       |  FROM qa
+       |  UNION ALL
+       |  SELECT rec.query_id, rec.r + 1,
+       |    $used2,
+       |    rec.ca + (CASE WHEN $coin = 0 THEN ${hit(p1)} ELSE ${hit(p2)} END),
+       |    rec.cb + (CASE WHEN $coin = 0 THEN ${hit(p2)} ELSE ${hit(p1)} END)
+       |  FROM rec JOIN qa ON rec.query_id = qa.query_id
+       |  WHERE rec.r < $InterleaveRounds)
+       |SELECT query_id, ca AS clicks_sparse, cb AS clicks_dense,
+       |  CASE WHEN ca > cb THEN 'sparse' WHEN cb > ca THEN 'dense'
+       |       ELSE 'tie' END AS winner
+       |FROM rec WHERE r = $InterleaveRounds
+       |ORDER BY query_id""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_retrieval_interleave", interleave, Some(interleaveSql)),
     Q("q_retrieval_rrf", rrfFusion, Some(rrfSql)),
     Q("q_retrieval_rrf_multi", rrfFusionMulti, Some(rrfMultiSql)),
     Q("q_retrieval_mmr", mmr, Some(mmrSql)),

@@ -448,6 +448,70 @@ class Round7OpsSpec extends SparkSuite {
     assert(spends.contains(out1.getAs[Double]("dp_median")))
   }
 
+  test("interleave: draft matches a hand model of team-draft with md5 coins") {
+    import spark.implicits._
+    // ranker A prefers 1..10 in order, B prefers 11..20; rel = {1, 11, 2}
+    val a = (1L to 10L).toArray
+    val b = (11L to 20L).toArray
+    val rel = Array(1L, 2L, 11L)
+    val base = Seq((7L, a, b, rel.sorted)).toDF("query_id", "a", "b", "rel")
+    val r = graft.operators.Retrieval.draftOf(base).collect().head
+    // hand model (lists disjoint, so picks are just each team's prefix)
+    def coin(q: Long, round: Int): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$q|$round".getBytes("UTF-8"))
+      (d(0) & 0xff) % 2
+    }
+    var (ia, ib, ca, cb) = (0, 0, 0L, 0L)
+    for (round <- 1 to graft.operators.Retrieval.InterleaveRounds) {
+      def pickA(): Unit = { if (rel.contains(a(ia))) ca += 1; ia += 1 }
+      def pickB(): Unit = { if (rel.contains(b(ib))) cb += 1; ib += 1 }
+      if (coin(7L, round) == 0) { pickA(); pickB() } else { pickB(); pickA() }
+    }
+    assert(r.getAs[Long]("clicks_sparse") === ca)
+    assert(r.getAs[Long]("clicks_dense") === cb)
+    // disjoint prefixes of length 5: A sees {1,2}, B sees {11} regardless
+    // of coin order, so the hand model must have found exactly these
+    assert(ca === 2L && cb === 1L)
+    assert(r.getAs[String]("winner") === "sparse")
+  }
+
+  test("interleave: overlapping rankings — the second picker skips a used doc") {
+    import spark.implicits._
+    // both rankers agree on doc 1 first; whoever picks second must take
+    // its next candidate instead. rel = everything, so clicks count picks.
+    val base = Seq((3L, Array(1L, 2L, 3L, 4L, 5L), Array(1L, 6L, 7L, 8L, 9L),
+      Array(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L)))
+      .toDF("query_id", "a", "b", "rel")
+    val r = graft.operators.Retrieval.draftOf(base).collect().head
+    // 9 distinct docs for 10 pick slots: the round-1 first picker takes
+    // the shared doc 1 and ends with 5 picks; the other team exhausts its
+    // list (NULL pick, no phantom click) and ends with 4 — every pick is
+    // relevant, so clicks = picks and the round-1 coin decides the winner
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest("3|1".getBytes("UTF-8"))
+    val aFirst = (d(0) & 0xff) % 2 == 0
+    val (ca, cb) = (r.getAs[Long]("clicks_sparse"), r.getAs[Long]("clicks_dense"))
+    if (aFirst) { assert(ca === 5L && cb === 4L); assert(r.getAs[String]("winner") === "sparse") }
+    else { assert(ca === 4L && cb === 5L); assert(r.getAs[String]("winner") === "dense") }
+  }
+
+  test("interleave: harness — counts bounded by rounds, winner consistent, deterministic") {
+    val out1 = graft.operators.Retrieval.interleave(spark, SparkSpec.sf0001).collect()
+    val out2 = graft.operators.Retrieval.interleave(spark, SparkSpec.sf0001).collect()
+    assert(out1.map(_.toString).toSeq === out2.map(_.toString).toSeq)
+    assert(out1.nonEmpty)
+    out1.foreach { r =>
+      val (ca, cb) = (r.getAs[Long]("clicks_sparse"), r.getAs[Long]("clicks_dense"))
+      assert(ca >= 0 && ca <= graft.operators.Retrieval.InterleaveRounds)
+      assert(cb >= 0 && cb <= graft.operators.Retrieval.InterleaveRounds)
+      val w = r.getAs[String]("winner")
+      if (ca > cb) assert(w === "sparse")
+      else if (cb > ca) assert(w === "dense")
+      else assert(w === "tie")
+    }
+  }
+
   test("decay attribution: harness data conserves revenue to the cent") {
     val out = graft.operators.Events.attributionDecay(spark, SparkSpec.sf0001).collect()
     assert(out.nonEmpty)
