@@ -1204,8 +1204,103 @@ object Inference {
        |FROM c
        |ORDER BY bucket""".stripMargin
 
+  // -------------------------------------------------------------- jackknife
+
+  /** Leave-one-day-out (bucket) jackknife SE for the revenue-per-
+    * active-user-day RATIO — how experimentation platforms get honest
+    * uncertainty for ratio metrics, where the naive binomial SE is wrong
+    * because numerator and denominator are correlated (Quenouille/Tukey;
+    * day-buckets keep the replicate count calendar-bounded). Per day d:
+    * x_d = purchase cents, n_d = distinct active users; the full ratio
+    * R = X/N, replicates R₍d₎ = (X−x_d)/(N−n_d), and
+    * se² = (D−1)/D · Σ(R₍d₎ − R̄)².
+    *
+    * Exactness: x/n/X/N are exact BIGINTs; each replicate quantizes ONCE
+    * to integer micro-units and the sum-of-squares runs on CENTERED
+    * integer deviations (dev = Rµ₍d₎ − Rµ, so Σdev² stays far from the
+    * BIGINT edge instead of Σ(Rµ²) ~ 1e22), using the shift-invariant
+    * identity Σ(R₍d₎−R̄)² = Σdev² − (Σdev)²/D. Days whose leave-out
+    * denominator would hit zero are excluded and D counts only valid
+    * replicates (needs ≥ 2, else NULL se).
+    *
+    * Scale shape: one keyed per-day aggregate (the corpus pass), then
+    * everything lives on the calendar-bounded day table; the final stats
+    * are one grand aggregate against the broadcast 1-row totals. */
+  def jackknife(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val cents = floor(col("value") * 100 + 0.5).cast("long")
+    val byDay = ev.groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        coalesce(sum(when(col("event_type") === "purchase", cents)), lit(0L))
+          .as("x"),
+        count_distinct(col("user_id")).as("n"))
+    val tot = broadcast(byDay.agg(sum(col("x")).as("xx"), sum(col("n")).as("nn")))
+    val withR = byDay.crossJoin(tot)
+      .withColumn("valid", col("nn") - col("n") > 0L)
+      .withColumn("r_mu", when(col("valid"),
+        floor((col("xx") - col("x")).cast("double") / (col("nn") - col("n"))
+          * 1e6 + 0.5).cast("long")))
+      .withColumn("rfull_mu",
+        floor(col("xx").cast("double") / col("nn") * 1e6 + 0.5).cast("long"))
+      .withColumn("dev", col("r_mu") - col("rfull_mu"))
+    val agg = withR.agg(
+      sum(when(col("valid"), 1L).otherwise(0L)).as("d_eff"),
+      coalesce(sum(when(col("valid"), col("dev"))), lit(0L)).as("sd"),
+      coalesce(sum(when(col("valid"), col("dev") * col("dev"))), lit(0L)).as("sd2"),
+      max(col("xx")).as("xx"), max(col("nn")).as("nn"))
+    val r = col("xx").cast("double") / col("nn")
+    val ssd = (col("sd2").cast("double") -
+      col("sd").cast("double") * col("sd") / col("d_eff")) / 1e12
+    val se = sqrt((col("d_eff") - lit(1.0)) / col("d_eff") * ssd)
+    agg.select(
+      col("d_eff").as("d"),
+      roundN(r, 6).as("ratio"),
+      when(col("d_eff") < 2L, lit(null).cast("double"))
+        .otherwise(roundN(se, 6)).as("se_jack"),
+      when(col("d_eff") < 2L, lit(null).cast("double"))
+        .otherwise(roundN(r - lit(1.96) * se, 6)).as("ci_lo"),
+      when(col("d_eff") < 2L, lit(null).cast("double"))
+        .otherwise(roundN(r + lit(1.96) * se, 6)).as("ci_hi"))
+  }
+
+  private val jackknifeSql = {
+    val r = "(CAST(xx AS DOUBLE) / nn)"
+    val ssd = "((CAST(sd2 AS DOUBLE) - CAST(sd AS DOUBLE) * sd / d_eff) / 1e12)"
+    // CAST first: DuckDB would otherwise route (d_eff - 1.0) / d_eff
+    // through DECIMAL division
+    val se = s"sqrt((CAST(d_eff AS DOUBLE) - 1.0) / d_eff * $ssd)"
+    s"""WITH $eventsUs,
+       |bd AS (SELECT CAST(ts AS DATE) AS day,
+       |         CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+       |           THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END), 0) AS BIGINT) AS x,
+       |         count(DISTINCT user_id) AS n
+       |       FROM e GROUP BY 1),
+       |tt AS (SELECT CAST(sum(x) AS BIGINT) AS xx, CAST(sum(n) AS BIGINT) AS nn FROM bd),
+       |wr AS (SELECT x, n, xx, nn, (nn - n > 0) AS valid,
+       |         CASE WHEN nn - n > 0 THEN CAST(floor(
+       |           CAST(xx - x AS DOUBLE) / (nn - n) * 1e6 + 0.5) AS BIGINT) END AS r_mu,
+       |         CAST(floor(CAST(xx AS DOUBLE) / nn * 1e6 + 0.5) AS BIGINT) AS rfull_mu
+       |       FROM bd CROSS JOIN tt),
+       |ag AS (SELECT
+       |         CAST(sum(CASE WHEN valid THEN 1 ELSE 0 END) AS BIGINT) AS d_eff,
+       |         CAST(coalesce(sum(CASE WHEN valid THEN r_mu - rfull_mu END), 0) AS BIGINT) AS sd,
+       |         CAST(coalesce(sum(CASE WHEN valid
+       |           THEN (r_mu - rfull_mu) * (r_mu - rfull_mu) END), 0) AS BIGINT) AS sd2,
+       |         max(xx) AS xx, max(nn) AS nn
+       |       FROM wr)
+       |SELECT d_eff AS d,
+       |  ${roundNSql(r, 6)} AS ratio,
+       |  CASE WHEN d_eff < 2 THEN NULL ELSE ${roundNSql(se, 6)} END AS se_jack,
+       |  CASE WHEN d_eff < 2 THEN NULL
+       |       ELSE ${roundNSql(s"$r - 1.96 * $se", 6)} END AS ci_lo,
+       |  CASE WHEN d_eff < 2 THEN NULL
+       |       ELSE ${roundNSql(s"$r + 1.96 * $se", 6)} END AS ci_hi
+       |FROM ag""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_stats_sprt", sprt, Some(sprtSql)),
+    Q("q_stats_jackknife", jackknife, Some(jackknifeSql)),
     Q("q_events_uplift", uplift, Some(upliftSql)),
     Q("q_events_abn", abn, Some(abnSql)),
     Q("q_stats_bh_fdr", bhFdr, Some(bhFdrSql)),

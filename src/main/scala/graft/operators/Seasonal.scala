@@ -597,8 +597,154 @@ object Seasonal {
        |ORDER BY day""".stripMargin
   }
 
+  // --------------------------------------------------------------- granger
+
+  /** Granger causality (lag-1) of daily VIEW volume onto daily purchase
+    * REVENUE: does yesterday's traffic help predict today's revenue
+    * beyond yesterday's revenue? Restricted model
+    * rev_t ~ 1 + rev_{t−1}; full model adds views_{t−1}; the F statistic
+    * ((RSS_r − RSS_f)/1) / (RSS_f/(T−3)) is the Granger test (Granger
+    * 1969). β and RSS come from the closed normal-equation forms
+    * (Cramer 3×3 / 2×2; RSS = Syy − β'X'y), so no iteration anywhere.
+    *
+    * Exactness: inputs are quantized to whole DOLLARS (cents div 100)
+    * and raw counts, so every sufficient statistic (Σy, Σx², Σxy, …) is
+    * an exact BIGINT — order-free — with an enforced overflow budget
+    * (the Gram pattern: values must stay under ~3e9 HALF-SCALED so
+    * squares×days fit; assert_true in both engines). The determinant /
+    * β / RSS / F arithmetic is ONE fixed double tree over those exact
+    * integers, token-identical cross-engine; degenerate fits (T < 4 or
+    * a singular design) yield NULL F.
+    *
+    * Scale shape: one keyed per-day aggregate, a day−1 calendar
+    * equi-join (the forecastBacktest pattern — a gap means "no lag", the
+    * row drops), and a single grand aggregate of integer products. */
+  def granger(spark: SparkSession, dir: String): DataFrame = {
+    val cents = floor(col("value") * 100 + 0.5).cast("long")
+    val byDay = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        coalesce(sum(when(col("event_type") === "purchase", cents)), lit(0L))
+          .as("rc"),
+        count(when(col("event_type") === "view", 1)).as("views"))
+      .select(col("day"), expr("rc div 100").as("rev"), col("views"))
+    // overflow budget: dollars and view counts must keep Σx² in BIGINT
+    val guarded = byDay.select(col("day"),
+      when(col("rev") < 3000000000L && col("views") < 3000000000L, col("rev"))
+        .otherwise(raise_error(lit("granger: input exceeds the Σx² BIGINT budget")))
+        .as("rev"),
+      col("views"))
+    val lag = guarded.select(date_add(col("day"), 1).as("day"),
+      col("rev").as("rev_l"), col("views").as("views_l"))
+    val j = guarded.join(lag, Seq("day"))
+    val agg = j.agg(
+      count(lit(1)).as("t"),
+      sum(col("rev")).as("sy"),
+      sum(col("rev_l")).as("s1"),
+      sum(col("views_l")).as("s2"),
+      sum(col("rev_l") * col("rev_l")).as("s11"),
+      sum(col("views_l") * col("views_l")).as("s22"),
+      sum(col("rev_l") * col("views_l")).as("s12"),
+      sum(col("rev") * col("rev")).as("syy"),
+      sum(col("rev") * col("rev_l")).as("s1y"),
+      sum(col("rev") * col("views_l")).as("s2y"))
+    def d(c: String) = col(c).cast("double")
+    // restricted: [t, s1; s1, s11] b = [sy, s1y]
+    val detR = d("t") * d("s11") - d("s1") * d("s1")
+    val b0r = (d("sy") * d("s11") - d("s1") * d("s1y")) / detR
+    val b1r = (d("t") * d("s1y") - d("s1") * d("sy")) / detR
+    val rssR = d("syy") - (b0r * d("sy") + b1r * d("s1y"))
+    // full: 3x3 Cramer on [t, s1, s2; s1, s11, s12; s2, s12, s22]
+    val detF = d("t") * (d("s11") * d("s22") - d("s12") * d("s12")) -
+      d("s1") * (d("s1") * d("s22") - d("s12") * d("s2")) +
+      d("s2") * (d("s1") * d("s12") - d("s11") * d("s2"))
+    val det0 = d("sy") * (d("s11") * d("s22") - d("s12") * d("s12")) -
+      d("s1") * (d("s1y") * d("s22") - d("s12") * d("s2y")) +
+      d("s2") * (d("s1y") * d("s12") - d("s11") * d("s2y"))
+    val det1 = d("t") * (d("s1y") * d("s22") - d("s12") * d("s2y")) -
+      d("sy") * (d("s1") * d("s22") - d("s12") * d("s2")) +
+      d("s2") * (d("s1") * d("s2y") - d("s1y") * d("s2"))
+    val det2 = d("t") * (d("s11") * d("s2y") - d("s1y") * d("s12")) -
+      d("s1") * (d("s1") * d("s2y") - d("s1y") * d("s2")) +
+      d("sy") * (d("s1") * d("s12") - d("s11") * d("s2"))
+    val b0f = det0 / detF
+    val b1f = det1 / detF
+    val b2f = det2 / detF
+    val rssF = d("syy") - (b0f * d("sy") + b1f * d("s1y") + b2f * d("s2y"))
+    val fStat = (rssR - rssF) * (d("t") - lit(3.0)) / rssF
+    val degenerate = col("t") < 4L || detF === 0.0 || detR === 0.0 || rssF <= 0.0
+    agg.select(col("t"),
+      when(degenerate, lit(null).cast("double"))
+        .otherwise(roundN(b2f, 6)).as("beta_views"),
+      when(degenerate, lit(null).cast("double"))
+        .otherwise(roundN(rssR, 4)).as("rss_restricted"),
+      when(degenerate, lit(null).cast("double"))
+        .otherwise(roundN(rssF, 4)).as("rss_full"),
+      when(degenerate, lit(null).cast("double"))
+        .otherwise(roundN(fStat, 6)).as("f_stat"))
+  }
+
+  private val grangerSql = {
+    def dd(c: String) = s"CAST($c AS DOUBLE)"
+    val detR = s"(${dd("t")} * s11 - ${dd("s1")} * s1)"
+    val b0r = s"((${dd("sy")} * s11 - ${dd("s1")} * s1y) / $detR)"
+    val b1r = s"((${dd("t")} * s1y - ${dd("s1")} * sy) / $detR)"
+    val rssR = s"(${dd("syy")} - ($b0r * sy + $b1r * s1y))"
+    val detF = s"""(${dd("t")} * (${dd("s11")} * s22 - ${dd("s12")} * s12) -
+       | ${dd("s1")} * (${dd("s1")} * s22 - ${dd("s12")} * s2) +
+       | ${dd("s2")} * (${dd("s1")} * s12 - ${dd("s11")} * s2))""".stripMargin
+      .replaceAll("\n\\s*\\|", "")
+    val det0 = s"""(${dd("sy")} * (${dd("s11")} * s22 - ${dd("s12")} * s12) -
+       | ${dd("s1")} * (${dd("s1y")} * s22 - ${dd("s12")} * s2y) +
+       | ${dd("s2")} * (${dd("s1y")} * s12 - ${dd("s11")} * s2y))""".stripMargin
+      .replaceAll("\n\\s*\\|", "")
+    val det1 = s"""(${dd("t")} * (${dd("s1y")} * s22 - ${dd("s12")} * s2y) -
+       | ${dd("sy")} * (${dd("s1")} * s22 - ${dd("s12")} * s2) +
+       | ${dd("s2")} * (${dd("s1")} * s2y - ${dd("s1y")} * s2))""".stripMargin
+      .replaceAll("\n\\s*\\|", "")
+    val det2 = s"""(${dd("t")} * (${dd("s11")} * s2y - ${dd("s1y")} * s12) -
+       | ${dd("s1")} * (${dd("s1")} * s2y - ${dd("s1y")} * s2) +
+       | ${dd("sy")} * (${dd("s1")} * s12 - ${dd("s11")} * s2))""".stripMargin
+      .replaceAll("\n\\s*\\|", "")
+    val b0f = s"($det0 / $detF)"
+    val b1f = s"($det1 / $detF)"
+    val b2f = s"($det2 / $detF)"
+    val rssF = s"(${dd("syy")} - ($b0f * sy + $b1f * s1y + $b2f * s2y))"
+    val fStat = s"(($rssR - $rssF) * (${dd("t")} - 3.0) / $rssF)"
+    val degen = s"(t < 4 OR $detF = 0.0 OR $detR = 0.0 OR $rssF <= 0.0)"
+    s"""WITH d0 AS (SELECT ts::TIMESTAMP::DATE AS day,
+       |        CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+       |          THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END), 0) AS BIGINT) // 100
+       |          AS rev,
+       |        CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS views
+       |      FROM events GROUP BY 1),
+       |d1 AS (SELECT day, CASE WHEN rev < 3000000000 AND views < 3000000000 THEN rev
+       |         ELSE CAST(error('granger: input exceeds the budget') AS BIGINT)
+       |       END AS rev, views FROM d0),
+       |j AS (SELECT a.rev, b.rev AS rev_l, b.views AS views_l
+       |      FROM d1 a JOIN d1 b ON b.day + 1 = a.day),
+       |ag AS (SELECT count(*) AS t,
+       |         CAST(sum(rev) AS BIGINT) AS sy,
+       |         CAST(sum(rev_l) AS BIGINT) AS s1,
+       |         CAST(sum(views_l) AS BIGINT) AS s2,
+       |         CAST(sum(rev_l * rev_l) AS BIGINT) AS s11,
+       |         CAST(sum(views_l * views_l) AS BIGINT) AS s22,
+       |         CAST(sum(rev_l * views_l) AS BIGINT) AS s12,
+       |         CAST(sum(rev * rev) AS BIGINT) AS syy,
+       |         CAST(sum(rev * rev_l) AS BIGINT) AS s1y,
+       |         CAST(sum(rev * views_l) AS BIGINT) AS s2y
+       |       FROM j)
+       |SELECT t,
+       |  CASE WHEN $degen THEN NULL ELSE ${roundNSql(b2f, 6)} END AS beta_views,
+       |  CASE WHEN $degen THEN NULL ELSE ${roundNSql(rssR, 4)} END AS rss_restricted,
+       |  CASE WHEN $degen THEN NULL ELSE ${roundNSql(rssF, 4)} END AS rss_full,
+       |  CASE WHEN $degen THEN NULL ELSE ${roundNSql(fStat, 6)} END AS f_stat
+       |FROM ag""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_stats_holt", holt, Some(holtSql)),
+    Q("q_stats_granger", granger, Some(grangerSql)),
     Q("q_stats_holt_winters", holtWinters, Some(holtWintersSql)),
     Q("q_events_abandonment", abandonment, Some(abandonmentSql)),
     Q("q_stats_decompose", decompose, Some(decomposeSql)),

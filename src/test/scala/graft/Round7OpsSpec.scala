@@ -512,6 +512,75 @@ class Round7OpsSpec extends SparkSuite {
     }
   }
 
+  test("jackknife: hand-computed replicates, centered-integer variance, CI brackets") {
+    // day1: user 1, 100c purchase; day2: users {1,2}, 200c; day3: user 3 view only
+    val d = fixtureDir("events" -> eventsDf(
+      ev(1, "2024-01-01 10:00:00", 1, "purchase", 1.00),
+      ev(2, "2024-01-02 10:00:00", 1, "purchase", 2.00),
+      ev(3, "2024-01-02 11:00:00", 2, "view", 0),
+      ev(4, "2024-01-03 10:00:00", 3, "view", 0)))
+    val r = graft.operators.Inference.jackknife(spark, d).collect().head
+    // X = 300, N = 4, R = 75 cents/user-day
+    assert(r.getAs[Long]("d") === 3L)
+    assert(r.getAs[Double]("ratio") === 75.0)
+    // replicate model in exact integers, as the engine computes it
+    val reps = Seq((100L, 1L), (200L, 2L), (0L, 1L))
+    val rfullMu = math.floor(300.0 / 4 * 1e6 + 0.5).toLong
+    val devs = reps.map { case (x, n) =>
+      math.floor((300.0 - x) / (4 - n) * 1e6 + 0.5).toLong - rfullMu
+    }
+    val dEff = 3.0
+    val ssd = (devs.map(v => v * v).sum.toDouble -
+      devs.sum.toDouble * devs.sum / dEff) / 1e12
+    val se = math.sqrt((dEff - 1.0) / dEff * ssd)
+    assert(math.abs(r.getAs[Double]("se_jack") - se) < 1e-6)
+    assert(r.getAs[Double]("ci_lo") < 75.0 && 75.0 < r.getAs[Double]("ci_hi"))
+  }
+
+  test("jackknife: harness — day count matches, CI brackets the ratio") {
+    val r = graft.operators.Inference.jackknife(spark, SparkSpec.sf0001).collect().head
+    val days = graft.sources.Tables.events(spark, SparkSpec.sf0001)
+      .select(to_date(col("ts"))).distinct().count()
+    assert(r.getAs[Long]("d") === days)
+    assert(r.getAs[Double]("se_jack") > 0.0)
+    assert(r.getAs[Double]("ci_lo") < r.getAs[Double]("ratio"))
+    assert(r.getAs[Double]("ratio") < r.getAs[Double]("ci_hi"))
+  }
+
+  test("granger: planted lag-1 causality is detected, coefficient recovered") {
+    // views jump around pseudo-randomly; revenue = 10 * yesterday's views
+    // (+ tiny parity noise) -> the restricted rev~rev_lag model is poor,
+    // the full model is near-perfect -> large F and beta_views ~ 10
+    val views = Array(5, 17, 3, 29, 11, 23, 7, 19, 2, 31, 13, 28)
+    var id = 0L
+    def e(day: Int, t: String, v: Double) = {
+      id += 1; ev(id, f"2024-01-$day%02d 10:00:00", id % 7, t, v)
+    }
+    val rows = (1 to 12).flatMap { t =>
+      val vw = (1 to views(t - 1)).map(_ => e(t, "view", 0))
+      val rev = if (t >= 2) Seq(e(t, "purchase", (10 * views(t - 2) + t % 2).toDouble))
+      else Seq(e(t, "purchase", 100.0))
+      vw ++ rev
+    }
+    val d = fixtureDir("events" -> eventsDf(rows: _*))
+    val r = graft.operators.Seasonal.granger(spark, d).collect().head
+    assert(r.getAs[Long]("t") === 11L)
+    assert(r.getAs[Double]("beta_views") > 9.5 && r.getAs[Double]("beta_views") < 10.5)
+    assert(r.getAs[Double]("f_stat") > 50.0)
+    assert(r.getAs[Double]("rss_full") < r.getAs[Double]("rss_restricted"))
+  }
+
+  test("granger: harness — lagged day count, F non-negative where defined") {
+    val r = graft.operators.Seasonal.granger(spark, SparkSpec.sf0001).collect().head
+    val days = graft.sources.Tables.events(spark, SparkSpec.sf0001)
+      .select(to_date(col("ts"))).distinct().count()
+    assert(r.getAs[Long]("t") <= days - 1) // calendar gaps can only shrink it
+    if (!r.isNullAt(r.fieldIndex("f_stat"))) {
+      assert(r.getAs[Double]("f_stat") >= 0.0)
+      assert(r.getAs[Double]("rss_full") <= r.getAs[Double]("rss_restricted") + 1e-6)
+    }
+  }
+
   test("decay attribution: harness data conserves revenue to the cent") {
     val out = graft.operators.Events.attributionDecay(spark, SparkSpec.sf0001).collect()
     assert(out.nonEmpty)
