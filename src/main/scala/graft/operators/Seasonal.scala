@@ -458,6 +458,12 @@ object Seasonal {
     val daily = Tables.events(spark, dir)
       .filter(col("event_type") === "purchase")
       .groupBy(to_date(col("ts")).as("day")).agg(sum(cents).as("c"))
+    holtWintersFromDaily(daily)
+  }
+
+  /** [[holtWinters]] from an already-aggregated (day, c) cents table —
+    * the streaming ForecastMonitor's replay form (see holtFromDaily). */
+  def holtWintersFromDaily(daily: DataFrame): DataFrame = {
     val bounds = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
     val full = bounds
       .select(col("d0"), explode(sequence(col("d0"), col("d1"))).as("day"))

@@ -24,7 +24,8 @@ import org.apache.spark.sql.streaming.StreamingQuery
 object ForecastMonitor {
 
   /** Start the monitor: day totals in `stateDir`_days, the Holt
-    * fit+forecast table published at `stateDir`_holt. */
+    * fit+forecast table published at `stateDir`_holt and the
+    * Holt-Winters one at `stateDir`_hw. */
   def monitor(spark: SparkSession, srcDir: String, stateDir: String,
       checkpointDir: String, maxFilesPerTrigger: Int = 1,
       schema: Option[org.apache.spark.sql.types.StructType] = None): StreamingQuery = {
@@ -51,6 +52,9 @@ object ForecastMonitor {
         val tmp = stateDir + "_holt.tmp"
         Seasonal.holtFromDaily(days).write.mode("overwrite").parquet(tmp)
         UpsertSink.swapInto(tmp, stateDir + "_holt")
+        val tmpHw = stateDir + "_hw.tmp"
+        Seasonal.holtWintersFromDaily(days).write.mode("overwrite").parquet(tmpHw)
+        UpsertSink.swapInto(tmpHw, stateDir + "_hw")
       }
       .start()
   }

@@ -29,6 +29,8 @@ class ForecastMonitorSpec extends SparkSuite {
     q.stop()
     assert(canon(spark.read.parquet(stateDir + "_holt")) ===
       canon(Seasonal.holt(spark, dir)))
+    assert(canon(spark.read.parquet(stateDir + "_hw")) ===
+      canon(Seasonal.holtWinters(spark, dir)))
   }
 
   test("restart from checkpoint: a late backfilled half reshapes the whole fit") {
@@ -52,5 +54,7 @@ class ForecastMonitorSpec extends SparkSuite {
     q2.stop()
     assert(canon(spark.read.parquet(stateDir + "_holt")) ===
       canon(Seasonal.holt(spark, dir)))
+    assert(canon(spark.read.parquet(stateDir + "_hw")) ===
+      canon(Seasonal.holtWinters(spark, dir)))
   }
 }
