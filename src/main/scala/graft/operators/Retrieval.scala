@@ -587,7 +587,118 @@ object Retrieval {
        |ORDER BY query_id""".stripMargin
   }
 
+  // ------------------------------------------------------------------- prf
+
+  /** Pseudo-relevance feedback: docs fed back / expansion terms added. */
+  val PrfFbDocs = 3
+  val PrfExpTerms = 2
+
+  /** RM3-style pseudo-relevance-feedback query expansion (Lavrenko &
+    * Croft 2001; Abdul-Jaleel et al., the RM3 TREC form) — the standard
+    * lexical-recall fix in IR stacks: run BM25, take each query's top
+    * [[PrfFbDocs]] docs as pseudo-relevant, score candidate expansion
+    * terms by Σ_d tf(t,d)/|d| over the feedback docs (stopwords and the
+    * original query terms excluded), add the top [[PrfExpTerms]] terms,
+    * and re-run BM25 with the expanded query. Output: the expanded
+    * ranking with each doc's original rank alongside (NULL = the
+    * expansion surfaced a doc the original query missed — the recall
+    * win PRF exists for).
+    *
+    * Exactness: term weights quantize per (doc, term) to integer
+    * micro-units before the order-free sum; expansion pick ties break on
+    * term; both BM25 passes are the established bm25Of micro-unit
+    * contract. Scale shape: two bm25Of passes (term-filter-first,
+    * broadcast stats, bounded-heap top-k) plus a feedback join bounded
+    * by queries × [[PrfFbDocs]] docs; expansion ranking is a
+    * query-partitioned window over the feedback docs' vocabulary. */
+  def prf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark2 = spark; import spark2.implicits._
+    val queries = TextAnalysis.bm25QuerySet
+      .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val words = TextAnalysis.wordsOf(spark, dir)
+    val base = TextAnalysis.bm25Of(words, queries)
+    val fb = base.filter(col("rank") <= PrfFbDocs)
+      .select(col("query_id"), col("doc_id"))
+    val dl = words.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val exp = fb.join(words, Seq("doc_id"))
+      .groupBy(col("query_id"), col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .join(dl, Seq("doc_id"))
+      .groupBy(col("query_id"), col("term"))
+      .agg(sum(floor(col("tf").cast("double") / col("dl") * 1e6 + 0.5)
+        .cast("long")).as("w_mu"))
+      .filter(!col("term").isInCollection(TextAnalysis.stopwords))
+      .join(queries, Seq("query_id", "term"), "left_anti")
+      .withColumn("rk", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("w_mu").desc, col("term"))))
+      .filter(col("rk") <= PrfExpTerms)
+      .select(col("query_id"), col("term"))
+    val rerun = TextAnalysis.bm25Of(words, queries.unionByName(exp))
+    rerun
+      .join(base.select(col("query_id"), col("doc_id"),
+        col("rank").as("rank_orig")), Seq("query_id", "doc_id"), "left_outer")
+      .select(col("query_id"), col("doc_id"), col("bm25"),
+        col("rank").as("rank_exp"), col("rank_orig"))
+      .orderBy(col("query_id"), col("rank_exp"))
+  }
+
+  private val prfSql = {
+    import TextAnalysis.{Bm25B, Bm25K1, Bm25TopK, normSql}
+    val k1p1 = Bm25K1 + 1.0
+    val oneMinusB = 1.0 - Bm25B
+    val qvals = TextAnalysis.bm25QuerySet
+      .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
+      .mkString(", ")
+    val stop = TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
+    // one BM25 pass against the query CTE `qn`, emitting `${p}rank`
+    def pass(p: String, qn: String) =
+      s"""${p}tf AS (SELECT doc_id, term, count(*) AS tf FROM wn
+         |       WHERE term IN (SELECT DISTINCT term FROM $qn) GROUP BY 1, 2),
+         |${p}df AS (SELECT term, count(*) AS df FROM ${p}tf GROUP BY 1),
+         |${p}sc AS (SELECT t.doc_id, t.term,
+         |         CAST(floor(ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+         |           * (tf * $k1p1 / (tf + $Bm25K1 * ($oneMinusB + $Bm25B * dl / avgdl)))
+         |           * 1e6 + 0.5) AS BIGINT) AS s_micro
+         |       FROM ${p}tf t JOIN ${p}df USING (term) JOIN dl USING (doc_id)
+         |         CROSS JOIN stats),
+         |${p}per AS (SELECT CAST(q.query_id AS BIGINT) AS query_id, s.doc_id,
+         |          sum(s_micro) / 1e6 AS bm25
+         |        FROM ${p}sc s JOIN $qn q USING (term) GROUP BY 1, 2),
+         |${p}rank AS (SELECT query_id, doc_id, bm25,
+         |          CAST(row_number() OVER (PARTITION BY query_id
+         |            ORDER BY bm25 DESC, doc_id) AS INT) AS rank
+         |        FROM ${p}per QUALIFY rank <= $Bm25TopK)""".stripMargin
+    s"""WITH q(query_id, term) AS (VALUES $qvals),
+       |w AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS term FROM documents),
+       |wn AS (SELECT doc_id, term FROM w WHERE term != ''),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM wn GROUP BY 1),
+       |stats AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+       |${pass("b", "q")},
+       |fb AS (SELECT query_id, doc_id FROM brank WHERE rank <= $PrfFbDocs),
+       |tfd AS (SELECT fb.query_id, wn.doc_id, wn.term, count(*) AS tf
+       |        FROM fb JOIN wn ON wn.doc_id = fb.doc_id GROUP BY 1, 2, 3),
+       |tw AS (SELECT query_id, term,
+       |         CAST(sum(CAST(floor(CAST(tf AS DOUBLE) / dl * 1e6 + 0.5) AS BIGINT))
+       |           AS BIGINT) AS w_mu
+       |       FROM tfd JOIN dl USING (doc_id)
+       |       WHERE term NOT IN ($stop) GROUP BY 1, 2),
+       |twx AS (SELECT * FROM tw WHERE NOT EXISTS (
+       |          SELECT 1 FROM q WHERE q.query_id = tw.query_id AND q.term = tw.term)),
+       |ex AS (SELECT query_id, term FROM twx
+       |       QUALIFY row_number() OVER (PARTITION BY query_id
+       |         ORDER BY w_mu DESC, term) <= $PrfExpTerms),
+       |q2 AS (SELECT query_id, term FROM q
+       |       UNION ALL SELECT query_id, term FROM ex),
+       |${pass("x", "q2")}
+       |SELECT x.query_id, x.doc_id, x.bm25, x.rank AS rank_exp, b.rank AS rank_orig
+       |FROM xrank x LEFT JOIN brank b USING (query_id, doc_id)
+       |ORDER BY x.query_id, rank_exp""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_retrieval_prf", prf, Some(prfSql)),
     Q("q_retrieval_interleave", interleave, Some(interleaveSql)),
     Q("q_retrieval_rrf", rrfFusion, Some(rrfSql)),
     Q("q_retrieval_rrf_multi", rrfFusionMulti, Some(rrfMultiSql)),

@@ -581,6 +581,42 @@ class Round7OpsSpec extends SparkSuite {
     }
   }
 
+  test("prf: expansion surfaces a doc the original query could not reach") {
+    // query 1 = (join, merge, sort). Its feedback docs all co-occur with
+    // 'spark'; doc 4 contains ONLY 'spark' -> reachable solely through
+    // the expanded query, with NULL rank_orig
+    val docs = Seq(
+      (1L, "join merge sort spark", "en", "s", 21L),
+      (2L, "join merge spark spark", "en", "s", 22L),
+      (3L, "join spark", "en", "s", 10L),
+      (4L, "spark spark spark spark", "en", "s", 23L),
+      (5L, "window group filter scan", "en", "s", 24L),
+      (6L, "hash vector stream", "en", "s", 17L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val d = fixtureDir("documents" -> docs)
+    val out = graft.operators.Retrieval.prf(spark, d).collect()
+    val q1 = out.filter(_.getAs[Long]("query_id") == 1L)
+    assert(q1.nonEmpty)
+    val d4 = q1.find(_.getAs[Long]("doc_id") == 4L)
+    assert(d4.isDefined, "expansion must surface the spark-only doc")
+    assert(d4.get.isNullAt(d4.get.fieldIndex("rank_orig")))
+    // original hits stay present and keep non-null original ranks
+    val d1 = q1.find(_.getAs[Long]("doc_id") == 1L).get
+    assert(!d1.isNullAt(d1.fieldIndex("rank_orig")))
+  }
+
+  test("prf: harness — per-query ranks contiguous, expansion keeps original hits") {
+    val out = graft.operators.Retrieval.prf(spark, SparkSpec.sf0001).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
+      val rks = rows.map(_.getAs[Int]("rank_exp")).sorted.toSeq
+      assert(rks === (1 to rks.length).toSeq)
+      assert(rks.length <= graft.operators.TextAnalysis.Bm25TopK)
+      // the expanded ranking still contains docs from the original top list
+      assert(rows.exists(!_.isNullAt(rows.head.fieldIndex("rank_orig"))))
+    }
+  }
+
   test("decay attribution: harness data conserves revenue to the cent") {
     val out = graft.operators.Events.attributionDecay(spark, SparkSpec.sf0001).collect()
     assert(out.nonEmpty)
