@@ -118,7 +118,11 @@ object KMeans {
 
   /** The same trajectory unrolled in SQL: long-form (cid, i, x) centroids,
     * distances by list index, identical integer rounding. */
-  private val kmeansSql = {
+  /** The Lloyd trajectory as a reusable WITH-chain body ending at `fin`
+    * (vec_id, packed) and `c2` (final centroids) — shared by the kmeans
+    * oracle and the cluster-cards oracle so both label the IDENTICAL
+    * clustering. */
+  private[operators] val kmeansCtesSql = {
     def dist(c: String) =
       s"SELECT v.vec_id, c.cid, sum((v.t[c.i]-c.x)*(v.t[c.i]-c.x)) AS dist FROM v, $c c GROUP BY 1, 2"
     def step(d: String, cPrev: String, a: String, n: String, c: String) =
@@ -132,7 +136,7 @@ object KMeans {
          |    GROUP BY 1, 2)
          |  UNION ALL
          |  SELECT p.cid, p.i, p.x FROM $cPrev p WHERE p.cid NOT IN (SELECT cid FROM $n))""".stripMargin
-    s"""WITH v AS (
+    s"""v AS (
        |  SELECT vec_id,
        |    list_transform(embedding,
        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS t
@@ -147,15 +151,105 @@ object KMeans {
        |d2 AS (${dist("c1")}),
        |${step("d2", "c1", "a2", "n2", "c2")},
        |d3 AS (${dist("c2")}),
-       |fin AS (SELECT vec_id, min(dist*64+cid) AS packed FROM d3 GROUP BY 1),
+       |fin AS (SELECT vec_id, min(dist*64+cid) AS packed FROM d3 GROUP BY 1)""".stripMargin
+  }
+
+  private val kmeansSql =
+    s"""WITH $kmeansCtesSql,
        |csum AS (SELECT cid, CAST(sum(x) AS BIGINT) AS centroid_sum FROM c2 GROUP BY 1)
        |SELECT CAST(packed % 64 AS INTEGER) AS cid, count(*) AS n_members,
        |  CAST(sum(packed // 64) AS BIGINT) AS inertia, csum.centroid_sum
        |FROM fin JOIN csum ON CAST(packed % 64 AS INTEGER) = csum.cid
        |GROUP BY 1, csum.centroid_sum
        |ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- cards
+
+  /** Distinctive terms kept per cluster / minimum in-cluster frequency. */
+  val CardTopK = 3
+  val CardMinTf = 5
+
+  /** Cluster cards — the human-readable labels a curation pipeline
+    * attaches to embedding clusters: per k-means cluster, the
+    * [[CardTopK]] most DISTINCTIVE words of its member documents
+    * (doc_id = vec_id id space) by term lift
+    * (share-in-cluster / share-in-corpus), minimum [[CardMinTf]]
+    * in-cluster occurrences so rare terms can't dominate.
+    *
+    * Exactness: the clustering is the exact registered Lloyd trajectory
+    * ([[lloyd]] — the oracle replays it via the shared CTE chain); lift
+    * stages to integers in two bounded steps, share_mu = (tf·1e6) div N
+    * per side then (a_mu·1e6) div b_mu — each product ≤ 1e12, no BIGINT
+    * edge at any corpus size, fully order-free. Ties break on term.
+    *
+    * Scale shape: assignment is the narrow packed-argmin scan; term
+    * stats are two keyed aggregates; ranking is a cluster-partitioned
+    * window over the (cluster × vocab) table — vocabulary-bounded. */
+  def clusterCards(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), ticks.as("t"))
+      .persist()
+    val cents = try lloyd(v) finally v.unpersist()
+    val asg = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), ticks.as("t"))
+      .select(col("vec_id"), pmod(packedAssign(cents), lit(64L)).cast("int").as("cid"))
+    val words = TextAnalysis.wordsOf(spark, dir)
+    val inCluster = words.join(asg, words("doc_id") === asg("vec_id"))
+      .groupBy(col("cid"), col("term")).agg(count(lit(1)).as("tf_c"))
+    val nC = inCluster.groupBy(col("cid")).agg(sum(col("tf_c")).as("n_c"))
+    val tot = words.groupBy(col("term")).agg(count(lit(1)).as("tf_tot"))
+    val nTot = broadcast(tot.agg(sum(col("tf_tot")).as("n_tot")))
+    inCluster
+      .join(nC, Seq("cid"))
+      .join(tot, Seq("term"))
+      .crossJoin(nTot)
+      .filter(col("tf_c") >= CardMinTf)
+      .withColumn("a_mu", expr("(tf_c * 1000000) div n_c"))
+      .withColumn("b_mu", expr("(tf_tot * 1000000) div n_tot"))
+      .filter(col("b_mu") > 0L)
+      .withColumn("lift_mu", expr("(a_mu * 1000000) div b_mu"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("cid"))
+        .orderBy(col("lift_mu").desc, col("term"))))
+      .filter(col("rk") <= CardTopK)
+      .select(col("cid"), col("rk").cast("long").as("rk"), col("term"),
+        col("tf_c"),
+        graft.functions.Rounding.roundN(
+          col("lift_mu").cast("double") / 1e6, 6).as("lift"))
+      .orderBy(col("cid"), col("rk"))
   }
 
+  private val clusterCardsSql = {
+    import TextAnalysis.normSql
+    s"""WITH $kmeansCtesSql,
+       |asg AS (SELECT vec_id, CAST(packed % 64 AS INTEGER) AS cid FROM fin),
+       |w AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS term FROM documents),
+       |wn AS (SELECT doc_id, term FROM w WHERE term != ''),
+       |ic AS (SELECT cid, term, count(*) AS tf_c
+       |       FROM wn JOIN asg ON wn.doc_id = asg.vec_id GROUP BY 1, 2),
+       |ncl AS (SELECT cid, CAST(sum(tf_c) AS BIGINT) AS n_c FROM ic GROUP BY 1),
+       |tot AS (SELECT term, count(*) AS tf_tot FROM wn GROUP BY 1),
+       |ntot AS (SELECT CAST(sum(tf_tot) AS BIGINT) AS n_tot FROM tot),
+       |sc AS (SELECT ic.cid, ic.term, ic.tf_c,
+       |         CAST((ic.tf_c * 1000000) // ncl.n_c AS BIGINT) AS a_mu,
+       |         CAST((tot.tf_tot * 1000000) // ntot.n_tot AS BIGINT) AS b_mu
+       |       FROM ic JOIN ncl USING (cid) JOIN tot USING (term) CROSS JOIN ntot
+       |       WHERE ic.tf_c >= $CardMinTf),
+       |lf AS (SELECT cid, term, tf_c,
+       |         CAST((a_mu * 1000000) // b_mu AS BIGINT) AS lift_mu
+       |       FROM sc WHERE b_mu > 0)
+       |SELECT cid, CAST(rk AS BIGINT) AS rk, term, tf_c,
+       |  ${roundNSqlRef("CAST(lift_mu AS DOUBLE) / 1e6", 6)} AS lift
+       |FROM (SELECT *, row_number() OVER (PARTITION BY cid
+       |        ORDER BY lift_mu DESC, term) AS rk FROM lf)
+       |WHERE rk <= $CardTopK
+       |ORDER BY cid, rk""".stripMargin
+  }
+
+  private def roundNSqlRef(e: String, n: Int): String =
+    graft.functions.Rounding.roundNSql(e, n)
+
   val queries: Seq[Q] = Seq(
-    Q("q_embed_kmeans", kmeans, Some(kmeansSql), bench = true))
+    Q("q_embed_kmeans", kmeans, Some(kmeansSql), bench = true),
+    Q("q_embed_cluster_cards", clusterCards, Some(clusterCardsSql)))
 }

@@ -617,6 +617,24 @@ class Round7OpsSpec extends SparkSuite {
     }
   }
 
+  test("cluster cards: rank structure, support floor, lift ordering per cluster") {
+    val out = graft.operators.KMeans.clusterCards(spark, SparkSpec.sf0001).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getAs[Int]("cid")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("rk"))
+      assert(sorted.map(_.getAs[Long]("rk")).toSeq === (1L to sorted.length).toSeq)
+      assert(sorted.length <= graft.operators.KMeans.CardTopK)
+      assert(sorted.forall(_.getAs[Long]("tf_c") >= graft.operators.KMeans.CardMinTf))
+      val lifts = sorted.map(_.getAs[Double]("lift"))
+      assert(lifts.forall(_ > 0.0))
+      assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b })
+    }
+    // the label clusters are the kmeans clusters: cids must be a subset
+    val kcids = graft.operators.KMeans.kmeans(spark, SparkSpec.sf0001)
+      .collect().map(_.getAs[Int]("cid")).toSet
+    assert(out.map(_.getAs[Int]("cid")).toSet.subsetOf(kcids))
+  }
+
   test("decay attribution: harness data conserves revenue to the cent") {
     val out = graft.operators.Events.attributionDecay(spark, SparkSpec.sf0001).collect()
     assert(out.nonEmpty)
