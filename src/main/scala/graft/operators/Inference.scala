@@ -1298,8 +1298,117 @@ object Inference {
        |FROM ag""".stripMargin
   }
 
+  // ------------------------------------------------------------------ psm
+
+  /** Stratified (propensity-bucket) average treatment effect on
+    * post-period spend — the observational-causal counterpart of the
+    * plain arm difference: users are stratified into quintiles of the
+    * pre-midpoint activity score (the CUPED covariate / uplift score),
+    * the treatment-control spend difference is taken WITHIN each stratum,
+    * and the pooled ATE weights strata by size (Rosenbaum & Rubin 1983 —
+    * subclassification on the propensity surrogate; under the md5 arms
+    * the assignment is genuinely random, so this doubles as an A/A-style
+    * check that stratification does not manufacture an effect).
+    *
+    * Exactness: spend is exact post-period cents; per-stratum diff
+    * quantizes ONCE to micro-cents, and the pooled ATE is
+    * Σ n_s·diff_µs / N — an integer weighted sum with a single final
+    * division, so no float accumulation order anywhere. Strata with an
+    * empty arm carry NULL diff and are excluded from the pooled sum
+    * (their n_s drops from the numerator AND denominator — documented).
+    * Output: one row per stratum plus the stratum = -1 pooled row.
+    *
+    * Scale shape: one keyed per-user aggregate; quintile boundaries via
+    * the rfm cutpoint machinery (no user-sized window); everything after
+    * lives on the 5-row stratum table (localCheckpointed; the pooled row
+    * derives from it without recomputing the corpus pass). */
+  def psm(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val us = unix_micros(col("ts"))
+    val cents = floor(col("value") * 100 + 0.5).cast("long")
+    val mid = ev.agg(floor((min(us) + max(us)) / lit(2L)).cast("long").as("mid_us"))
+    val perUser = ev.crossJoin(broadcast(mid))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(us < col("mid_us"), 1L).otherwise(0L)).as("score"),
+        coalesce(sum(when(us >= col("mid_us") &&
+          col("event_type") === "purchase", cents)), lit(0L)).as("y"))
+      .select(col("user_id"), armCol(col("user_id")).as("arm"),
+        col("score"), col("y"))
+      .localCheckpoint()
+    val n = perUser.count()
+    val strata = Events.ntileByCutpoints(perUser, col("score"), n, "stratum")
+      .groupBy(col("stratum"))
+      .agg(
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("y_t"),
+        sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("y_c"))
+      .withColumn("diff_mu",
+        when(col("n_t") === 0L || col("n_c") === 0L, lit(null).cast("long"))
+          .otherwise(floor((col("y_t").cast("double") / col("n_t") -
+            col("y_c").cast("double") / col("n_c")) * 1e6 + 0.5).cast("long")))
+      .localCheckpoint()
+    val pooled = strata.agg(
+      sum(when(col("diff_mu").isNotNull, (col("n_t") + col("n_c")) * col("diff_mu")))
+        .as("num"),
+      sum(when(col("diff_mu").isNotNull, col("n_t") + col("n_c"))).as("den"),
+      sum(col("n_t")).as("n_t"), sum(col("n_c")).as("n_c"))
+      .select(lit(-1).cast("int").as("stratum"), col("n_t"), col("n_c"),
+        when(col("den").isNull || col("den") === 0L, lit(null).cast("double"))
+          .otherwise(roundN(col("num").cast("double") / col("den") / 1e6 / 100.0, 6))
+          .as("diff_dollars"))
+    strata
+      .select(col("stratum"), col("n_t"), col("n_c"),
+        roundN(col("diff_mu").cast("double") / 1e6 / 100.0, 6).as("diff_dollars"))
+      .unionByName(pooled)
+      .orderBy(col("stratum"))
+  }
+
+  private val psmSql =
+    s"""WITH $eventsUs,
+       |m AS (SELECT CAST(floor((min(epoch_us(ts)) + max(epoch_us(ts))) / 2) AS BIGINT)
+       |        AS mid_us FROM e),
+       |u AS (SELECT user_id, $armSql AS arm,
+       |        CAST(sum(CASE WHEN epoch_us(ts) < mid_us THEN 1 ELSE 0 END) AS BIGINT)
+       |          AS score,
+       |        CAST(coalesce(sum(CASE WHEN epoch_us(ts) >= mid_us
+       |          AND event_type = 'purchase'
+       |          THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END), 0) AS BIGINT) AS y
+       |      FROM e, m GROUP BY user_id),
+       |b AS (SELECT *, ntile(5) OVER (ORDER BY score, user_id) AS stratum FROM u),
+       |g AS (SELECT stratum,
+       |        CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+       |        CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+       |        CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS y_t,
+       |        CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS y_c
+       |      FROM b GROUP BY 1),
+       |gd AS (SELECT *,
+       |         CASE WHEN n_t = 0 OR n_c = 0 THEN NULL
+       |              ELSE CAST(floor((CAST(y_t AS DOUBLE) / n_t
+       |                - CAST(y_c AS DOUBLE) / n_c) * 1e6 + 0.5) AS BIGINT)
+       |         END AS diff_mu
+       |       FROM g),
+       |po AS (SELECT CAST(-1 AS INTEGER) AS stratum,
+       |         CAST(sum(n_t) AS BIGINT) AS n_t, CAST(sum(n_c) AS BIGINT) AS n_c,
+       |         CASE WHEN coalesce(sum(CASE WHEN diff_mu IS NOT NULL
+       |                THEN n_t + n_c END), 0) = 0 THEN NULL
+       |              ELSE ${roundNSql(
+                 "CAST(sum(CASE WHEN diff_mu IS NOT NULL THEN (n_t + n_c) * diff_mu END) AS DOUBLE) " +
+                   "/ sum(CASE WHEN diff_mu IS NOT NULL THEN n_t + n_c END) / 1e6 / 100.0",
+                 6)}
+       |         END AS diff_dollars
+       |       FROM gd)
+       |SELECT CAST(stratum AS INTEGER) AS stratum, n_t, n_c,
+       |  ${roundNSql("CAST(diff_mu AS DOUBLE) / 1e6 / 100.0", 6)} AS diff_dollars
+       |FROM gd
+       |UNION ALL
+       |SELECT stratum, n_t, n_c, diff_dollars FROM po
+       |ORDER BY stratum""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q_stats_sprt", sprt, Some(sprtSql)),
+    Q("q_events_psm", psm, Some(psmSql)),
     Q("q_stats_jackknife", jackknife, Some(jackknifeSql)),
     Q("q_events_uplift", uplift, Some(upliftSql)),
     Q("q_events_abn", abn, Some(abnSql)),

@@ -635,6 +635,51 @@ class Round7OpsSpec extends SparkSuite {
     assert(out.map(_.getAs[Int]("cid")).toSet.subsetOf(kcids))
   }
 
+  test("psm: a uniform planted effect survives stratification unchanged") {
+    def md5mod(u: Long, m: Int): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+      (d(0) & 0xff) % m
+    }
+    // score ladder (u pre-views), post spend: treated 500, control 100 ->
+    // every two-arm stratum must show diff = 400.0 and so must the pooled ATE
+    var id = 0L
+    def e(ts: String, u: Long, t: String, v: Double) = { id += 1; ev(id, ts, u, t, v) }
+    val rows = (1L to 40L).flatMap { u =>
+      (1 to u.toInt).map(i =>
+        e(f"2024-01-01 ${10 + i / 60}%02d:${i % 60}%02d:00", u, "view", 0)) :+
+        e("2024-01-10 10:00:00", u, "purchase",
+          if (md5mod(u, 2) == 1) 500.0 else 100.0)
+    }
+    val d = fixtureDir("events" -> eventsDf(rows: _*))
+    val out = graft.operators.Inference.psm(spark, d).collect()
+    assert(out.map(_.getAs[Int]("stratum")).toSeq === Seq(-1, 1, 2, 3, 4, 5))
+    out.foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("diff_dollars")))
+        assert(r.getAs[Double]("diff_dollars") === 400.0,
+          s"stratum ${r.getAs[Int]("stratum")}")
+    }
+    val pooled = out.find(_.getAs[Int]("stratum") == -1).get
+    assert(pooled.getAs[Double]("diff_dollars") === 400.0)
+    assert(pooled.getAs[Long]("n_t") + pooled.getAs[Long]("n_c") === 40L)
+  }
+
+  test("psm: harness — pooled row aggregates, pooled ATE inside stratum range") {
+    val out = graft.operators.Inference.psm(spark, SparkSpec.sf0001).collect()
+    val strata = out.filter(_.getAs[Int]("stratum") > 0)
+    val pooled = out.find(_.getAs[Int]("stratum") == -1).get
+    assert(strata.length === 5)
+    assert(strata.map(r => r.getAs[Long]("n_t") + r.getAs[Long]("n_c")).sum ===
+      pooled.getAs[Long]("n_t") + pooled.getAs[Long]("n_c"))
+    val diffs = strata.flatMap(r =>
+      if (r.isNullAt(r.fieldIndex("diff_dollars"))) None
+      else Some(r.getAs[Double]("diff_dollars")))
+    if (diffs.nonEmpty && !pooled.isNullAt(pooled.fieldIndex("diff_dollars"))) {
+      val p = pooled.getAs[Double]("diff_dollars")
+      assert(p >= diffs.min - 1e-6 && p <= diffs.max + 1e-6)
+    }
+  }
+
   test("decay attribution: harness data conserves revenue to the cent") {
     val out = graft.operators.Events.attributionDecay(spark, SparkSpec.sf0001).collect()
     assert(out.nonEmpty)
