@@ -249,7 +249,190 @@ object KMeans {
   private def roundNSqlRef(e: String, n: Int): String =
     graft.functions.Rounding.roundNSql(e, n)
 
+  // ------------------------------------------------ clustering quality
+
+  /** Exact squared tick distance to one literal centroid (narrow per-row
+    * HOF over the 64-element vector — no shuffle, no join). */
+  private def sqDistTo(c: Array[Long]): Column =
+    aggregate(
+      zip_with(col("t"), typedLit(c.toSeq), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, z) => acc + z)
+
+  /** Simplified silhouette (Hruschka et al. — the centroid-distance form
+    * every large-scale evaluator uses, because the classic silhouette's
+    * mean pairwise distance is O(n²)): per point, a = distance to its own
+    * centroid, b = distance to the nearest OTHER centroid,
+    * s = (b − a) / max(a, b); reported as the per-cluster mean plus the
+    * cid = -1 corpus row. The clustering is the exact registered Lloyd
+    * trajectory ([[lloyd]] — the oracle replays it through the shared CTE
+    * chain, whose `d3` table already holds every point-centroid distance).
+    *
+    * Exactness: squared distances are exact BIGINTs; sqrt / subtract /
+    * divide is ONE fixed double tree on identical integers in both
+    * engines, quantized to micro-units before the order-free integer
+    * mean. A point equidistant-at-zero from two centroids scores 0.
+    *
+    * Scale shape: one narrow per-row scan computes all k distances inside
+    * a bounded HOF (k×Dim literals ride in the plan); one k-row hash
+    * aggregate; the corpus row derives from the localCheckpointed k-row
+    * table. No window, no join, no second corpus pass. */
+  def silhouette(spark: SparkSession, dir: String): DataFrame = {
+    val v0 = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), ticks.as("t")).persist()
+    val cents = try lloyd(v0) finally v0.unpersist()
+    val dCols = cents.indices.map(j => sqDistTo(cents(j)).as(s"d$j"))
+    val dd = Tables.embeddings(spark, dir).select(ticks.as("t"))
+      .select(dCols: _*)
+    val packed = least(cents.indices.map(j =>
+      col(s"d$j") * lit(64L) + lit(j.toLong)): _*)
+    val withOwn = dd.select(
+      (packed.as("packed") +: cents.indices.map(j => col(s"d$j"))): _*)
+    val own = pmod(col("packed"), lit(64L)).cast("int")
+    val a2 = expr("packed div 64")
+    val b2 = least(cents.indices.map(j => when(own =!= j, col(s"d$j"))): _*)
+    val s = withOwn.select(
+      own.as("cid"),
+      when(greatest(a2, b2) === 0L, lit(0L))
+        .otherwise(floor((sqrt(b2) - sqrt(a2)) / sqrt(greatest(a2, b2))
+          * lit(1e6) + lit(0.5)).cast("long"))
+        .as("s_mu"))
+    val g = s.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"), sum(col("s_mu")).as("ssum"))
+      .localCheckpoint()
+    val overall = g
+      .agg(sum(col("n_members")).as("n_members"), sum(col("ssum")).as("ssum"))
+      .select(lit(-1).cast("int").as("cid"), col("n_members"),
+        graft.functions.Rounding.roundN(
+          col("ssum").cast("double") / col("n_members") / 1e6, 6).as("mean_sil"))
+    g.select(col("cid"), col("n_members"),
+        graft.functions.Rounding.roundN(
+          col("ssum").cast("double") / col("n_members") / 1e6, 6).as("mean_sil"))
+      .unionByName(overall)
+      .orderBy(col("cid"))
+  }
+
+  private val silhouetteSql =
+    s"""WITH $kmeansCtesSql,
+       |own AS (SELECT vec_id, CAST(packed % 64 AS INTEGER) AS cid,
+       |          CAST(packed // 64 AS BIGINT) AS a2 FROM fin),
+       |ob AS (SELECT o.vec_id, CAST(min(d.dist) AS BIGINT) AS b2
+       |       FROM own o JOIN d3 d ON d.vec_id = o.vec_id AND d.cid != o.cid
+       |       GROUP BY 1),
+       |s AS (SELECT o.cid,
+       |        CASE WHEN greatest(a2, b2) = 0 THEN 0
+       |             ELSE CAST(floor((sqrt(b2) - sqrt(a2)) / sqrt(greatest(a2, b2))
+       |                    * 1e6 + 0.5) AS BIGINT)
+       |        END AS s_mu
+       |      FROM own o JOIN ob USING (vec_id)),
+       |g AS (SELECT cid, count(*) AS n_members, CAST(sum(s_mu) AS BIGINT) AS ssum
+       |      FROM s GROUP BY 1)
+       |SELECT cid, n_members,
+       |  ${roundNSqlRef("CAST(ssum AS DOUBLE) / n_members / 1e6", 6)} AS mean_sil
+       |FROM g
+       |UNION ALL
+       |SELECT CAST(-1 AS INTEGER) AS cid, CAST(sum(n_members) AS BIGINT) AS n_members,
+       |  ${roundNSqlRef("CAST(sum(ssum) AS DOUBLE) / sum(n_members) / 1e6", 6)} AS mean_sil
+       |FROM g
+       |ORDER BY cid""".stripMargin
+
+  /** Davies-Bouldin index over the same Lloyd clustering: per cluster,
+    * S_i = mean member-to-centroid distance, R_i = max over other
+    * clusters of (S_i + S_j) / ‖c_i − c_j‖, and the cid = -1 row is the
+    * index itself — the mean of the R_i (lower = better-separated).
+    *
+    * Exactness: member distances quantize to micro-ticks before the
+    * order-free integer mean; S_i re-floors through one double division
+    * on exact integers; centroid separations are exact BIGINT squared
+    * sums (driver-side on the k×Dim literals — the oracle recomputes
+    * them from the shared `c2` CTE); every ratio is a fixed double tree,
+    * maxed (order-free) then micro-quantized before the k-row mean.
+    * Coincident centroids (separation 0) are excluded from R_i's max and
+    * a cluster with no valid pair carries NULL (dropped from the index
+    * mean) — documented, like the psm empty-arm rule.
+    *
+    * Scale shape: assignment is the narrow packed-argmin scan; one k-row
+    * aggregate; all pair work runs on the k²-row literal table. */
+  def daviesBouldin(spark: SparkSession, dir: String): DataFrame = {
+    val v0 = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), ticks.as("t")).persist()
+    val cents = try lloyd(v0) finally v0.unpersist()
+    val own = Tables.embeddings(spark, dir).select(ticks.as("t"))
+      .select(packedAssign(cents).as("packed"))
+      .select(pmod(col("packed"), lit(64L)).cast("int").as("cid"),
+        floor(sqrt(expr("packed div 64")) * lit(1e6) + lit(0.5))
+          .cast("long").as("a_us"))
+    val g = own.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"),
+        floor(sum(col("a_us")).cast("double") / count(lit(1)) + lit(0.5))
+          .cast("long").as("s_mu"))
+      .localCheckpoint()
+    val pairRows = for {
+      i <- cents.indices; j <- cents.indices if i != j
+    } yield (i, j,
+      cents(i).zip(cents(j)).map { case (a, b) => val d = a - b; d * d }.sum)
+    val pairsDf = spark.createDataFrame(pairRows).toDF("ci", "cj", "m2")
+    val r = pairsDf.filter(col("m2") > 0L)
+      .join(g.select(col("cid").as("ci"), col("s_mu").as("si")), Seq("ci"))
+      .join(g.select(col("cid").as("cj"), col("s_mu").as("sj")), Seq("cj"))
+      .groupBy(col("ci"))
+      .agg(max((col("si") + col("sj")).cast("double") / lit(1e6) / sqrt(col("m2")))
+        .as("rmax"))
+      .select(col("ci").as("cid"),
+        floor(col("rmax") * lit(1e6) + lit(0.5)).cast("long").as("r_mu"))
+    val q = g.join(r, Seq("cid"), "left")
+      .select(col("cid"), col("n_members"), col("s_mu"), col("r_mu"))
+      .localCheckpoint()
+    val overall = q
+      .agg(sum(col("n_members")).as("n_members"),
+        sum(col("r_mu")).as("rs"), count(col("r_mu")).as("rc"))
+      .select(lit(-1).cast("int").as("cid"), col("n_members"),
+        lit(null).cast("double").as("s_intra"),
+        when(col("rc") === 0L, lit(null).cast("double"))
+          .otherwise(graft.functions.Rounding.roundN(
+            col("rs").cast("double") / col("rc") / 1e6, 6)).as("db"))
+    q.select(col("cid"), col("n_members"),
+        graft.functions.Rounding.roundN(
+          col("s_mu").cast("double") / 1e6, 6).as("s_intra"),
+        graft.functions.Rounding.roundN(
+          col("r_mu").cast("double") / 1e6, 6).as("db"))
+      .unionByName(overall)
+      .orderBy(col("cid"))
+  }
+
+  private val daviesBouldinSql =
+    s"""WITH $kmeansCtesSql,
+       |own AS (SELECT CAST(packed % 64 AS INTEGER) AS cid,
+       |          CAST(floor(sqrt(packed // 64) * 1e6 + 0.5) AS BIGINT) AS a_us
+       |        FROM fin),
+       |g AS (SELECT cid, count(*) AS n_members,
+       |        CAST(floor(CAST(sum(a_us) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS s_mu
+       |      FROM own GROUP BY 1),
+       |m AS (SELECT a.cid AS ci, b.cid AS cj,
+       |        CAST(sum((a.x - b.x) * (a.x - b.x)) AS BIGINT) AS m2
+       |      FROM c2 a JOIN c2 b ON a.i = b.i AND a.cid != b.cid GROUP BY 1, 2),
+       |r AS (SELECT m.ci AS cid,
+       |        CAST(floor(max(CAST(gi.s_mu + gj.s_mu AS DOUBLE) / 1e6 / sqrt(m.m2))
+       |          * 1e6 + 0.5) AS BIGINT) AS r_mu
+       |      FROM m JOIN g gi ON gi.cid = m.ci JOIN g gj ON gj.cid = m.cj
+       |      WHERE m.m2 > 0 GROUP BY 1),
+       |q AS (SELECT g.cid, g.n_members, g.s_mu, r.r_mu
+       |      FROM g LEFT JOIN r ON r.cid = g.cid)
+       |SELECT cid, n_members,
+       |  ${roundNSqlRef("CAST(s_mu AS DOUBLE) / 1e6", 6)} AS s_intra,
+       |  ${roundNSqlRef("CAST(r_mu AS DOUBLE) / 1e6", 6)} AS db
+       |FROM q
+       |UNION ALL
+       |SELECT CAST(-1 AS INTEGER) AS cid, CAST(sum(n_members) AS BIGINT) AS n_members,
+       |  CAST(NULL AS DOUBLE) AS s_intra,
+       |  CASE WHEN count(r_mu) = 0 THEN NULL
+       |       ELSE ${roundNSqlRef("CAST(sum(r_mu) AS DOUBLE) / count(r_mu) / 1e6", 6)}
+       |  END AS db
+       |FROM q
+       |ORDER BY cid""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q_embed_kmeans", kmeans, Some(kmeansSql), bench = true),
-    Q("q_embed_cluster_cards", clusterCards, Some(clusterCardsSql)))
+    Q("q_embed_cluster_cards", clusterCards, Some(clusterCardsSql)),
+    Q("q_embed_silhouette", silhouette, Some(silhouetteSql)),
+    Q("q_embed_davies_bouldin", daviesBouldin, Some(daviesBouldinSql)))
 }
