@@ -487,8 +487,178 @@ object Trend {
        |FROM r""".stripMargin
   }
 
+  // ----------------------------------------------------------- changepoint
+
+  /** Single-changepoint detection on daily purchase revenue — the first
+    * split of binary segmentation (Scott-Knott / CUSUM's offline
+    * counterpart): the day boundary τ that maximizes the between-segment
+    * sum-of-squares reduction
+    * gain(k) = (N·S_k − k·T)² / (N·k·(N−k)) (in cents², reported in
+    * dollars²), over the zero-filled min→max calendar (absence = zero
+    * revenue, the holt spine). Reports the last day of the left segment,
+    * both segment means, and the gain; ties take the earliest day.
+    *
+    * Exactness: S_k, T, N are exact BIGINTs; dnum = N·S_k − k·T stays
+    * exact (≤ days × total-cents, ~1e15 at decades of days); the square
+    * and division are a fixed double tree on identical integers, so both
+    * engines rank identical gain doubles; the argmax runs max → equality
+    * filter → min-day (the cusum broadcast pattern — no rank window).
+    *
+    * Scale shape: one corpus-collapsing day aggregate; the prefix window
+    * walks the calendar-bounded day series (the q_stats_cusum whitelist
+    * class); the argmax is two 1-row broadcasts. */
+  def changepoint(spark: SparkSession, dir: String): DataFrame =
+    changepointFromDaily(dailyCents(Tables.events(spark, dir)))
+
+  private[graft] def changepointFromDaily(daily0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = daily0.localCheckpoint()
+    val bounds = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val full = bounds
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("c"), lit(0L)).as("y"))
+      .localCheckpoint()
+    val win = Window.orderBy(col("day"))
+    val cum = full
+      .withColumn("k", row_number().over(win).cast("long"))
+      .withColumn("s", sum(col("y")).over(win))
+      .crossJoin(broadcast(full.agg(count(lit(1)).as("n"), sum(col("y")).as("t"))))
+      .filter(col("k") < col("n"))
+      .withColumn("dnum", (col("n") * col("s") - col("k") * col("t")).cast("double"))
+      // the k < n filter already excludes den = 0; the when() guard keeps
+      // the division ANSI-safe under any predicate/projection reordering
+      .withColumn("den", (col("n") * col("k") * (col("n") - col("k"))).cast("double"))
+      .withColumn("gain", when(col("den") > 0, col("dnum") * col("dnum") / col("den")))
+    val peak = cum.agg(max(col("gain")).as("peak_gain"))
+    val peakDay = cum.crossJoin(broadcast(peak))
+      .filter(col("gain") === col("peak_gain"))
+      .agg(min(col("day")).as("peak_day"))
+    cum.crossJoin(broadcast(peakDay))
+      .filter(col("day") === col("peak_day"))
+      .select(col("day").as("split_day"), col("n").as("n_days"),
+        roundN(col("s").cast("double") / col("k") / 100.0, 4).as("mean_before"),
+        when(col("n") > col("k"), roundN(
+          (col("t") - col("s")).cast("double") / (col("n") - col("k")) / 100.0, 4))
+          .as("mean_after"),
+        roundN(col("gain") / lit(1e4), 4).as("gain"))
+  }
+
+  private val changepointSql =
+    s"""WITH e AS (SELECT ts::TIMESTAMP AS ts, event_type, value FROM events),
+       |d AS (SELECT CAST(ts AS DATE) AS day,
+       |        CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+       |      FROM e WHERE event_type = 'purchase' GROUP BY 1),
+       |bo AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
+       |spine AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+       |          FROM bo),
+       |f AS (SELECT s.day, coalesce(d.c, 0) AS y FROM spine s LEFT JOIN d USING (day)),
+       |tot AS (SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS t FROM f),
+       |c AS (SELECT day, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS k,
+       |        CAST(sum(y) OVER (ORDER BY day) AS BIGINT) AS s FROM f),
+       |g AS (SELECT day, k, s, n, t, CAST(n * s - k * t AS DOUBLE) AS dnum
+       |      FROM c CROSS JOIN tot WHERE k < n),
+       |g2 AS (SELECT *, dnum * dnum / CAST(n * k * (n - k) AS DOUBLE) AS gain FROM g),
+       |pk AS (SELECT max(gain) AS peak_gain FROM g2),
+       |pd AS (SELECT min(day) AS peak_day FROM g2 CROSS JOIN pk
+       |       WHERE gain = peak_gain)
+       |SELECT day AS split_day, CAST(n AS BIGINT) AS n_days,
+       |  ${roundNSql("CAST(s AS DOUBLE) / k / 100.0", 4)} AS mean_before,
+       |  ${roundNSql("CAST(t - s AS DOUBLE) / (n - k) / 100.0", 4)} AS mean_after,
+       |  ${roundNSql("gain / 1e4", 4)} AS gain
+       |FROM g2 CROSS JOIN pd WHERE day = peak_day""".stripMargin
+
+  // --------------------------------------------------------------- kendall
+
+  /** Kendall tau-b rank correlation between daily traffic (event count)
+    * and daily purchase revenue — the tie-robust companion of
+    * `q_stats_spearman` (tau-b's variance is well-behaved under the
+    * heavy count ties a zero-inflated series produces). All day pairs
+    * are classified concordant / discordant / tied; tau-b =
+    * (C − D) / √((n₀−n₁)(n₀−n₂)) with the standard tie corrections.
+    *
+    * Exactness: counts and cents are exact; every pair class is an
+    * integer aggregate; the only doubles are one sqrt of an exact BIGINT
+    * product and one division. Degenerate (all-tied) series yield NULL.
+    *
+    * Scale shape: the corpus collapses to the per-day series first; the
+    * pair classification is a day×day broadcast nested-loop join —
+    * calendar-bounded at (years·365)² pairs by construction (the
+    * tripwire-whitelisted bounded-BNLJ class; a decade is ~6.6M tiny
+    * rows), nothing corpus-sized ever joins. */
+  def kendall(spark: SparkSession, dir: String): DataFrame = {
+    val cents = floor(col("value") * 100 + 0.5).cast("long")
+    val d = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"),
+        sum(when(col("event_type") === "purchase", cents).otherwise(0L)).as("y"))
+      .localCheckpoint()
+    val nDays = d.agg(count(lit(1)).as("n_days"))
+    val pr = d.alias("a")
+      .join(broadcast(d.alias("b")), col("a.day") < col("b.day"))
+      .select(col("a.x").as("xa"), col("b.x").as("xb"),
+        col("a.y").as("ya"), col("b.y").as("yb"))
+    val ag = pr.agg(
+      coalesce(sum(when((col("xb") > col("xa") && col("yb") > col("ya")) ||
+        (col("xb") < col("xa") && col("yb") < col("ya")), 1L).otherwise(0L)), lit(0L))
+        .as("concordant"),
+      coalesce(sum(when((col("xb") > col("xa") && col("yb") < col("ya")) ||
+        (col("xb") < col("xa") && col("yb") > col("ya")), 1L).otherwise(0L)), lit(0L))
+        .as("discordant"),
+      coalesce(sum(when(col("xb") === col("xa") && col("yb") =!= col("ya"), 1L)
+        .otherwise(0L)), lit(0L)).as("ties_x"),
+      coalesce(sum(when(col("yb") === col("ya") && col("xb") =!= col("xa"), 1L)
+        .otherwise(0L)), lit(0L)).as("ties_y"),
+      coalesce(sum(when(col("xb") === col("xa") && col("yb") === col("ya"), 1L)
+        .otherwise(0L)), lit(0L)).as("ties_xy"),
+      count(lit(1)).as("n_pairs"))
+    val tx = col("n_pairs") - col("ties_x") - col("ties_xy")
+    val ty = col("n_pairs") - col("ties_y") - col("ties_xy")
+    ag.crossJoin(broadcast(nDays))
+      .select(col("n_days"), col("n_pairs"), col("concordant"), col("discordant"),
+        col("ties_x"), col("ties_y"),
+        when(tx === 0L || ty === 0L, lit(null).cast("double"))
+          .otherwise(roundN((col("concordant") - col("discordant")).cast("double")
+            / sqrt((tx * ty).cast("double")), 6)).as("tau_b"))
+  }
+
+  private val kendallSql = {
+    val tx = "(n_pairs - ties_x - ties_xy)"
+    val ty = "(n_pairs - ties_y - ties_xy)"
+    s"""WITH e AS (SELECT ts::TIMESTAMP AS ts, event_type, value FROM events),
+       |d AS (SELECT CAST(ts AS DATE) AS day, count(*) AS x,
+       |        CAST(sum(CASE WHEN event_type = 'purchase'
+       |          THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+       |      FROM e GROUP BY 1),
+       |nd AS (SELECT count(*) AS n_days FROM d),
+       |p AS (SELECT a.x AS xa, b.x AS xb, a.y AS ya, b.y AS yb
+       |      FROM d a JOIN d b ON a.day < b.day),
+       |ag AS (SELECT
+       |         CAST(coalesce(sum(CASE WHEN (xb > xa AND yb > ya)
+       |           OR (xb < xa AND yb < ya) THEN 1 ELSE 0 END), 0) AS BIGINT) AS concordant,
+       |         CAST(coalesce(sum(CASE WHEN (xb > xa AND yb < ya)
+       |           OR (xb < xa AND yb > ya) THEN 1 ELSE 0 END), 0) AS BIGINT) AS discordant,
+       |         CAST(coalesce(sum(CASE WHEN xb = xa AND yb != ya THEN 1 ELSE 0 END), 0)
+       |           AS BIGINT) AS ties_x,
+       |         CAST(coalesce(sum(CASE WHEN yb = ya AND xb != xa THEN 1 ELSE 0 END), 0)
+       |           AS BIGINT) AS ties_y,
+       |         CAST(coalesce(sum(CASE WHEN xb = xa AND yb = ya THEN 1 ELSE 0 END), 0)
+       |           AS BIGINT) AS ties_xy,
+       |         count(*) AS n_pairs
+       |       FROM p)
+       |SELECT n_days, n_pairs, concordant, discordant, ties_x, ties_y,
+       |  CASE WHEN $tx = 0 OR $ty = 0 THEN NULL
+       |       ELSE ${roundNSql(
+                 s"CAST(concordant - discordant AS DOUBLE) / sqrt(CAST($tx * $ty AS DOUBLE))",
+                 6)}
+       |  END AS tau_b
+       |FROM ag CROSS JOIN nd""".stripMargin
+  }
+
   def queries: Seq[Q] = Seq(
     Q("q_stats_runs", runsTest, Some(runsTestSql)),
+    Q("q_stats_changepoint", changepoint, Some(changepointSql)),
+    Q("q_stats_kendall", kendall, Some(kendallSql)),
     Q("q_stats_trend_theilsen", theilSen, Some(theilSenSql)),
     Q("q_stats_autocorr", autocorr, Some(autocorrSql)),
     Q("q_stats_cusum", cusum, Some(cusumSql)),

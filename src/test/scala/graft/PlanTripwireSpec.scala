@@ -41,9 +41,12 @@ class PlanTripwireSpec extends SparkSuite with AdaptiveSparkPlanHelper {
                         // every truncation width is the metric's
                         // definition; the truncated-ANN tier it qualifies
                         // is the thing that runs at scale
-    "q_privacy_tcloseness" // domain grid = distinct cents × QI groups;
-                           // the broadcast build is the QI-group table,
-                           // schema-bounded at ≤ nations × segments rows
+    "q_privacy_tcloseness", // domain grid = distinct cents × QI groups;
+                            // the broadcast build is the QI-group table,
+                            // schema-bounded at ≤ nations × segments rows
+    "q_stats_kendall" // day×day pair classification — calendar-bounded at
+                      // (years·365)² tiny rows by construction; the
+                      // corpus-sized pass is the per-day aggregate upstream
   )
 
   /** Build side is a grand aggregate — guaranteed single row. */
@@ -115,6 +118,10 @@ class PlanTripwireSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     // cumulative deviation walks the DAY series (calendar-bounded, the
     // q_events_cum_users class); the corpus-sized pass is the per-day agg
     "q_stats_cusum",
+    // prefix sums walk the zero-filled DAY series (the q_stats_cusum
+    // class); the argmax is the cusum two-broadcast pattern, no rank
+    // window; the corpus-sized pass is the per-day aggregate
+    "q_stats_changepoint",
     // rank window over the LIMIT-PathTopK bounded-heap result — 20 rows
     // by construction (the q_text_zipf class); sessionization windows
     // upstream are user-partitioned

@@ -144,4 +144,98 @@ class TrendSamplingSpec extends SparkSuite {
     assert(out.length === 1)
     assert(out.head.getAs[Long]("n_capped") === Curation.DpUserCap.toLong)
   }
+
+  private def eventsDfV(rows: (Long, String, String, Double)*) = {
+    // (event_id, ts, event_type, value) — single user
+    rows.map { case (id, ts, t, v) =>
+      (id, java.sql.Timestamp.valueOf(ts), 1L, t, v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  test("changepoint: planted step found exactly, gain hand-checked") {
+    // $1/day for 10 days then $5/day for 10 days -> split at day 10
+    var id = 0L
+    val rows = (1 to 20).map { d =>
+      id += 1
+      (id, f"2024-01-$d%02d 12:00:00", "purchase", if (d <= 10) 1.0 else 5.0)
+    }
+    val out = Trend.changepoint(spark, fixtureDir("events" -> eventsDfV(rows: _*)))
+      .collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[java.sql.Date]("split_day").toString === "2024-01-10")
+    assert(r.getAs[Long]("n_days") === 20L)
+    assert(r.getAs[Double]("mean_before") === 1.0)
+    assert(r.getAs[Double]("mean_after") === 5.0)
+    // N=20 T=6000 S=1000: dnum = 20*1000-10*6000 = -40000;
+    // gain = 40000^2 / (20*10*10) = 800000 cents^2 = 80 dollars^2
+    assert(r.getAs[Double]("gain") === 80.0)
+  }
+
+  test("changepoint: missing calendar days enter as zero revenue") {
+    // revenue only on days 1 and 20; the zero-fill spine must create 20
+    // candidate days, and the best split isolates the single high day
+    val out = Trend.changepoint(spark, fixtureDir("events" -> eventsDfV(
+      (1L, "2024-01-01 10:00:00", "purchase", 1.0),
+      (2L, "2024-01-20 10:00:00", "purchase", 99.0)))).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_days") === 20L)
+    assert(r.getAs[java.sql.Date]("split_day").toString === "2024-01-19")
+    assert(r.getAs[Double]("mean_after") === 99.0)
+  }
+
+  test("kendall: pair classes and tau-b match a driver-side hand model") {
+    // daily (x=count, y=cents): (1,100) (2,200) (3,150) (3,300)
+    val d = fixtureDir("events" -> eventsDfV(
+      (1L, "2024-01-01 10:00:00", "purchase", 1.0),
+      (2L, "2024-01-02 10:00:00", "purchase", 2.0),
+      (3L, "2024-01-02 11:00:00", "view", 0.0),
+      (4L, "2024-01-03 10:00:00", "purchase", 1.5),
+      (5L, "2024-01-03 11:00:00", "view", 0.0),
+      (6L, "2024-01-03 12:00:00", "view", 0.0),
+      (7L, "2024-01-04 10:00:00", "purchase", 3.0),
+      (8L, "2024-01-04 11:00:00", "view", 0.0),
+      (9L, "2024-01-04 12:00:00", "view", 0.0)))
+    val series = Seq((1L, 100L), (2L, 200L), (3L, 150L), (3L, 300L))
+    val pairs = for {
+      i <- series.indices; j <- series.indices if i < j
+    } yield (series(i), series(j))
+    def cls(p: ((Long, Long), (Long, Long))): String = {
+      val ((xa, ya), (xb, yb)) = p
+      if (xa == xb && ya == yb) "txy"
+      else if (xa == xb) "tx"
+      else if (ya == yb) "ty"
+      else if ((xb > xa) == (yb > ya)) "c" else "d"
+    }
+    val byCls = pairs.groupBy(cls).view.mapValues(_.length.toLong).toMap
+      .withDefaultValue(0L)
+    val (c, dd, tx, ty, txy) =
+      (byCls("c"), byCls("d"), byCls("tx"), byCls("ty"), byCls("txy"))
+    val n0 = pairs.length.toLong
+    val tauB = math.floor((c - dd).toDouble /
+      math.sqrt(((n0 - tx - txy) * (n0 - ty - txy)).toDouble) * 1e6 + 0.5) / 1e6
+    val r = Trend.kendall(spark, d).collect().head
+    assert(r.getAs[Long]("n_days") === 4L)
+    assert(r.getAs[Long]("n_pairs") === n0)
+    assert(r.getAs[Long]("concordant") === c)
+    assert(r.getAs[Long]("discordant") === dd)
+    assert(r.getAs[Long]("ties_x") === tx)
+    assert(r.getAs[Long]("ties_y") === ty)
+    assert(r.getAs[Double]("tau_b") === tauB)
+  }
+
+  test("kendall: strictly monotone series scores tau_b = 1") {
+    var id = 0L
+    val rows = (1 to 5).flatMap { d =>
+      (1 to d).map { k =>
+        id += 1
+        (id, f"2024-01-$d%02d 10:$k%02d:00", "purchase", d.toDouble)
+      }
+    }
+    val r = Trend.kendall(spark, fixtureDir("events" -> eventsDfV(rows: _*)))
+      .collect().head
+    assert(r.getAs[Double]("tau_b") === 1.0)
+    assert(r.getAs[Long]("discordant") === 0L)
+  }
 }
