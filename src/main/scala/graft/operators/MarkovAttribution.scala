@@ -181,6 +181,139 @@ object MarkovAttribution {
        |FROM d CROSS JOIN s
        |ORDER BY d.channel""".stripMargin
 
+  // ---------------------------------------------------------------- shapley
+
+  /** Shapley-value channel attribution (Shapley 1953 applied to conversion
+    * credit, the Zhao et al. 2018 marketing formulation) — the
+    * coalition-game alternative to [[removalEffect]]: the characteristic
+    * function v(S) is the observed conversion RATE of users whose
+    * pre-conversion touched-channel set is exactly S (v = 0 for
+    * unobserved coalitions and for ∅, the standard convention), and a
+    * channel's credit is its Shapley value
+    * φ_c = Σ_{S ⊆ C∖{c}} |S|!·(k−|S|−1)!/k! · (v(S∪{c}) − v(S)).
+    * Unlike removal effect (which models journeys as a Markov chain and
+    * asks "what if the channel vanished"), Shapley needs no transition
+    * model and axiomatically satisfies efficiency:
+    * Σ_c φ_c = v(full coalition).
+    *
+    * Journey definition: a user's channel set is their DISTINCT
+    * non-purchase event types strictly before their first purchase
+    * (converters) or over the whole stream (non-converters); users who
+    * convert with no prior touch carry coalition ∅ and receive no
+    * attribution.
+    *
+    * Exactness: v quantizes to micro-units via (conv·1e6) div n; margins,
+    * factorial weights (k ≤ |event-type domain|, so k! fits BIGINT
+    * comfortably) and φ_scaled = Σ |S|!·(k−|S|−1)!·margin_µ are exact
+    * integer arithmetic; the single division φ_scaled / k! / 1e6 is one
+    * fixed double tree.
+    *
+    * Scale shape: the corpus collapses in TWO keyed aggregates (first
+    * purchase per user, then distinct touches → bitmask per user);
+    * everything after lives on the ≤ 2^k coalition table — the subset
+    * lattice joins are 2^k × k bounded nested-loop fanouts (whitelisted;
+    * k is the event-type domain, a schema constant), never corpus-sized.
+    * The channel bit-index window runs over ≤ k rows (whitelisted, same
+    * bound). */
+  def shapley(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+    val fp = ev.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "purchase", col("ts"))).as("fp"))
+    val touches = ev.select(col("user_id"), col("ts"), col("event_type"))
+      .filter(col("event_type") =!= "purchase")
+      .join(fp, Seq("user_id"))
+      .filter(col("fp").isNull || col("ts") < col("fp"))
+      .select(col("user_id"), col("event_type")).distinct()
+    val chan = touches.select(col("event_type")).distinct()
+      .withColumn("b",
+        (row_number().over(Window.orderBy(col("event_type"))) - 1).cast("int"))
+      .localCheckpoint()
+    val um = touches.join(broadcast(chan), Seq("event_type"))
+      .groupBy(col("user_id"))
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), b)")).as("mask"))
+      .join(fp, Seq("user_id"))
+      .select(col("mask"), col("fp").isNotNull.cast("long").as("is_conv"))
+    val coal = um.groupBy(col("mask"))
+      .agg(count(lit(1)).as("n"), sum(col("is_conv")).as("conv"))
+      .withColumn("v_mu", expr("(conv * 1000000) div n"))
+      .localCheckpoint()
+    val kk = chan.agg(count(lit(1)).cast("int").as("k"))
+    val masks = kk
+      .select(col("k"),
+        explode(expr("sequence(CAST(0 AS BIGINT), shiftleft(CAST(1 AS BIGINT), k) - 1)"))
+          .as("m"))
+    val vall = masks.join(coal.select(col("mask").as("m"), col("v_mu")), Seq("m"), "left")
+      .select(col("k"), col("m"), coalesce(col("v_mu"), lit(0L)).as("v_mu"))
+      .localCheckpoint()
+    val margins = vall.alias("v0")
+      .join(broadcast(chan), expr("(v0.m & shiftleft(CAST(1 AS BIGINT), b)) = 0"))
+      .join(vall.select(col("m").as("m1"), col("v_mu").as("v1")).alias("up"),
+        expr("up.m1 = (v0.m | shiftleft(CAST(1 AS BIGINT), b))"))
+      .select(col("event_type"), col("v0.k").as("k"),
+        (factorial(bit_count(col("v0.m"))) *
+          factorial(col("v0.k") - bit_count(col("v0.m")) - 1) *
+          (col("v1") - col("v0.v_mu"))).as("term"))
+    val exposed = coal.crossJoin(broadcast(chan))
+      .filter(expr("(mask & shiftleft(CAST(1 AS BIGINT), b)) != 0"))
+      .groupBy(col("event_type")).agg(sum(col("n")).as("exposed_users"))
+    margins.groupBy(col("event_type"), col("k"))
+      .agg(sum(col("term")).as("phi_scaled"))
+      .join(exposed, Seq("event_type"), "left")
+      .select(col("event_type").as("channel"),
+        coalesce(col("exposed_users"), lit(0L)).as("exposed_users"),
+        roundN(col("phi_scaled").cast("double") / factorial(col("k")) / 1e6, 6)
+          .as("phi"))
+      .orderBy(col("channel"))
+  }
+
+  private val shapleySql =
+    s"""WITH e AS (SELECT ts::TIMESTAMP AS ts, user_id, event_type FROM events),
+       |fp AS (SELECT user_id,
+       |         min(CASE WHEN event_type = 'purchase' THEN ts END) AS fp
+       |       FROM e GROUP BY 1),
+       |touches AS (SELECT DISTINCT e.user_id, e.event_type
+       |            FROM e JOIN fp USING (user_id)
+       |            WHERE e.event_type != 'purchase'
+       |              AND (fp.fp IS NULL OR e.ts < fp.fp)),
+       |chan AS (SELECT event_type,
+       |           CAST(row_number() OVER (ORDER BY event_type) - 1 AS INTEGER) AS b
+       |         FROM (SELECT DISTINCT event_type FROM touches)),
+       |um AS (SELECT t.user_id,
+       |         CAST(sum(1::BIGINT << b) AS BIGINT) AS mask
+       |       FROM touches t JOIN chan USING (event_type) GROUP BY 1),
+       |uc AS (SELECT um.mask,
+       |         CASE WHEN fp.fp IS NOT NULL THEN 1 ELSE 0 END AS is_conv
+       |       FROM um JOIN fp USING (user_id)),
+       |coal AS (SELECT mask, count(*) AS n, CAST(sum(is_conv) AS BIGINT) AS conv,
+       |           CAST((sum(is_conv) * 1000000) // count(*) AS BIGINT) AS v_mu
+       |         FROM uc GROUP BY 1),
+       |kk AS (SELECT CAST(count(*) AS INTEGER) AS k FROM chan),
+       |masks AS (SELECT k, unnest(range(0, 1::BIGINT << k)) AS m FROM kk),
+       |vall AS (SELECT masks.k, masks.m,
+       |           CAST(coalesce(coal.v_mu, 0) AS BIGINT) AS v_mu
+       |         FROM masks LEFT JOIN coal ON coal.mask = masks.m),
+       |margins AS (SELECT chan.event_type, v0.k,
+       |              CAST(factorial(bit_count(v0.m)) AS BIGINT)
+       |                * CAST(factorial(v0.k - bit_count(v0.m) - 1) AS BIGINT)
+       |                * (v1.v_mu - v0.v_mu) AS term
+       |            FROM vall v0
+       |            JOIN chan ON (v0.m & (1::BIGINT << b)) = 0
+       |            JOIN vall v1 ON v1.m = (v0.m | (1::BIGINT << b))),
+       |exposed AS (SELECT chan.event_type,
+       |              CAST(sum(coal.n) AS BIGINT) AS exposed_users
+       |            FROM coal JOIN chan ON (coal.mask & (1::BIGINT << b)) != 0
+       |            GROUP BY 1),
+       |phi AS (SELECT event_type, k, CAST(sum(term) AS BIGINT) AS phi_scaled
+       |        FROM margins GROUP BY 1, 2)
+       |SELECT phi.event_type AS channel,
+       |  CAST(coalesce(exposed.exposed_users, 0) AS BIGINT) AS exposed_users,
+       |  ${roundNSql(
+             "CAST(phi_scaled AS DOUBLE) / CAST(factorial(k) AS BIGINT) / 1e6", 6)} AS phi
+       |FROM phi LEFT JOIN exposed USING (event_type)
+       |ORDER BY channel""".stripMargin
+
   val queries: Seq[Q] = Seq(
-    Q("q_events_attribution_markov", removalEffect, Some(removalEffectSql)))
+    Q("q_events_attribution_markov", removalEffect, Some(removalEffectSql)),
+    Q("q_events_attribution_shapley", shapley, Some(shapleySql)))
 }

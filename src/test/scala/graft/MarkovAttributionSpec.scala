@@ -66,4 +66,53 @@ class MarkovAttributionSpec extends SparkSuite {
     assert(r.isNullAt(r.fieldIndex("removal_effect")))
     assert(r.isNullAt(r.fieldIndex("share")))
   }
+
+  private def runShapley(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]) = {
+    val d = fixtureDir("events" -> rows
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    MarkovAttribution.shapley(spark, d).collect()
+      .map(r => r.getAs[String]("channel") -> r).toMap
+  }
+
+  test("shapley: two-channel coalition game solved by hand") {
+    // exact sets: {click}: n=2 conv=1 (v=0.5); {view}: n=1 conv=1 (v=1);
+    // {click,view}: n=1 conv=1 (v=1); u5 converts with no touch -> coalition
+    // empty, excluded. Hand Shapley (k=2):
+    //   phi_click = 1/2*(v{c}-0) + 1/2*(v{c,v}-v{v}) = 0.25
+    //   phi_view  = 1/2*(v{v}-0) + 1/2*(v{c,v}-v{c}) = 0.75
+    val out = runShapley(Seq(
+      ev(1, 1, "2024-01-01 10:00:00", "click"),
+      ev(2, 1, "2024-01-01 10:01:00", "purchase"),
+      ev(3, 2, "2024-01-01 10:00:00", "click"),
+      ev(4, 3, "2024-01-01 10:00:00", "view"),
+      ev(5, 3, "2024-01-01 10:01:00", "purchase"),
+      ev(6, 4, "2024-01-01 10:00:00", "click"),
+      ev(7, 4, "2024-01-01 10:01:00", "view"),
+      ev(8, 4, "2024-01-01 10:02:00", "purchase"),
+      ev(9, 5, "2024-01-01 10:00:00", "purchase")))
+    assert(out.keySet === Set("click", "view"))
+    assert(out("click").getAs[Double]("phi") === 0.25)
+    assert(out("view").getAs[Double]("phi") === 0.75)
+    assert(out("click").getAs[Long]("exposed_users") === 3L)
+    assert(out("view").getAs[Long]("exposed_users") === 2L)
+  }
+
+  test("shapley: post-purchase touches are excluded from the coalition") {
+    // u1 touches view only AFTER converting -> coalition {click} only
+    val out = runShapley(Seq(
+      ev(1, 1, "2024-01-01 10:00:00", "click"),
+      ev(2, 1, "2024-01-01 10:01:00", "purchase"),
+      ev(3, 1, "2024-01-01 10:02:00", "view")))
+    assert(out.keySet === Set("click"))
+    assert(out("click").getAs[Double]("phi") === 1.0)
+  }
+
+  test("shapley: efficiency — credits sum to v(full coalition) on harness data") {
+    val out = MarkovAttribution.shapley(spark, SparkSpec.sf0001).collect()
+    assert(out.length === 4) // click, error, signup, view
+    val total = out.map(_.getAs[Double]("phi")).sum
+    // v is a conversion rate in [0,1]; efficiency: sum of credits = v(C)
+    assert(total >= 0.0 && total <= 1.0, s"sum(phi) = $total")
+    out.foreach(r => assert(math.abs(r.getAs[Double]("phi")) <= 1.0))
+  }
 }

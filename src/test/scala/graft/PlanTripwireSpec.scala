@@ -44,9 +44,14 @@ class PlanTripwireSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     "q_privacy_tcloseness", // domain grid = distinct cents × QI groups;
                             // the broadcast build is the QI-group table,
                             // schema-bounded at ≤ nations × segments rows
-    "q_stats_kendall" // day×day pair classification — calendar-bounded at
-                      // (years·365)² tiny rows by construction; the
-                      // corpus-sized pass is the per-day aggregate upstream
+    "q_stats_kendall", // day×day pair classification — calendar-bounded at
+                       // (years·365)² tiny rows by construction; the
+                       // corpus-sized pass is the per-day aggregate upstream
+    "q_events_attribution_shapley" // subset-lattice joins over the 2^k
+                                   // coalition table × k channels — k is the
+                                   // event-type domain (a schema constant);
+                                   // the corpus collapses in two keyed
+                                   // aggregates upstream
   )
 
   /** Build side is a grand aggregate — guaranteed single row. */
