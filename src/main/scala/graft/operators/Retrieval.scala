@@ -697,7 +697,121 @@ object Retrieval {
        |ORDER BY x.query_id, rank_exp""".stripMargin
   }
 
+  // ------------------------------------------------------------- dirichlet
+
+  /** Dirichlet smoothing mass (Zhai-Lafferty 2001). Standard systems use
+    * µ ≈ 2000 for news-length documents; the synthetic corpus' short docs
+    * pin µ = 50 so the document model isn't fully swamped by the prior. */
+  val QlMu = 50L
+
+  /** Query-likelihood retrieval with Dirichlet smoothing (Zhai-Lafferty
+    * 2001) — the language-modeling alternative to BM25 over the same
+    * queries table: score(q,d) = Σ_{t∈q} log((tf + µ·P(t|C)) / (|d| + µ)),
+    * decomposed into the sparse form
+    * Σ_{t: tf>0} log(1 + tf·C/(µ·cf_t)) + Σ_t log(µ·cf_t/C) − |q|·log(|d|+µ)
+    * so only matching (doc, term) pairs are ever materialized. Candidate
+    * set is docs with ≥1 query-term hit (the standard inverted-index
+    * convention — a no-hit doc's score is query-constant minus the length
+    * penalty and is not ranked); query terms absent from the corpus drop
+    * (their smoothed probability is undefined at cf = 0).
+    *
+    * Exactness: every log term micro-quantizes per (doc, term) / per term
+    * / per doc BEFORE integer summation (the bm25Of s_micro contract);
+    * tf·C and µ·cf are exact BIGINT products inside one double division
+    * per log. score_µ = hits_µ + qconst_µ − |q|·len_µ is exact integer
+    * arithmetic; the final /1e6 is the only float step.
+    *
+    * Scale shape: identical to [[TextAnalysis.bm25Of]] — term-filter-first
+    * pruning before any shuffle, broadcast cf/stats, one corpus-keyed
+    * join on doc_id, native bounded-heap per-query top-k, rank window
+    * partitioned by query_id. */
+  def qlDirichlet(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark; import spark2.implicits._
+    val queries = TextAnalysis.bm25QuerySet
+      .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    qlOf(TextAnalysis.wordsOf(spark, dir), queries)
+  }
+
+  private[operators] def qlOf(words: DataFrame, queries: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dl = words.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val ctot = broadcast(words.agg(count(lit(1)).as("c_tot")))
+    val cf = broadcast(
+      words.join(broadcast(queries.select(col("term")).distinct()), Seq("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("cf")))
+    // per-query constant: nq in-corpus terms, Σ log(µ·cf/C) micro-units
+    val qg = broadcast(queries.join(cf, Seq("term")).crossJoin(ctot)
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("nq"),
+        sum(floor(log((lit(QlMu) * col("cf")).cast("double") / col("c_tot"))
+          * 1e6 + 0.5).cast("long")).as("qc_mu")))
+    val tf = words.join(broadcast(queries.select(col("term")).distinct()), Seq("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val hits = tf.join(cf, Seq("term")).crossJoin(ctot)
+      .select(col("doc_id"), col("term"),
+        floor(log(lit(1.0) + (col("tf") * col("c_tot")).cast("double")
+          / (lit(QlMu) * col("cf"))) * 1e6 + 0.5).cast("long").as("h_mu"))
+      .join(broadcast(queries), Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("h_mu")).as("hits_mu"), count(lit(1)).as("n_terms_hit"))
+    val scored = hits
+      .join(dl, Seq("doc_id"))
+      .join(qg, Seq("query_id"))
+      .select(col("query_id"), col("doc_id"), col("n_terms_hit"),
+        ((col("hits_mu") + col("qc_mu") -
+          col("nq") * floor(log((col("dl") + lit(QlMu)).cast("double"))
+            * 1e6 + 0.5).cast("long")) / 1e6).as("ql"))
+    graft.plans.TopK.topK(scored, Seq("query_id"),
+      Seq(("ql", true), ("doc_id", false)), TextAnalysis.Bm25TopK)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("ql").desc, col("doc_id"))).cast("int"))
+      .select(col("query_id"), col("doc_id"), col("ql"), col("n_terms_hit"),
+        col("rank"))
+  }
+
+  private val qlSql = {
+    import TextAnalysis.{Bm25TopK, normSql}
+    val qvals = TextAnalysis.bm25QuerySet
+      .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
+      .mkString(", ")
+    s"""WITH q(query_id, term) AS (VALUES $qvals),
+       |w AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS term FROM documents),
+       |wn AS (SELECT doc_id, term FROM w WHERE term != ''),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM wn GROUP BY 1),
+       |ctot AS (SELECT count(*) AS c_tot FROM wn),
+       |cf AS (SELECT term, count(*) AS cf FROM wn
+       |       WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1),
+       |qg AS (SELECT CAST(q.query_id AS BIGINT) AS query_id,
+       |         count(*) AS nq,
+       |         CAST(sum(CAST(floor(ln(CAST($QlMu * cf AS DOUBLE) / c_tot)
+       |           * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS qc_mu
+       |       FROM q JOIN cf USING (term) CROSS JOIN ctot GROUP BY 1),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM wn
+       |       WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1, 2),
+       |h AS (SELECT tf.doc_id, tf.term,
+       |        CAST(floor(ln(1.0 + CAST(tf * c_tot AS DOUBLE) / ($QlMu * cf))
+       |          * 1e6 + 0.5) AS BIGINT) AS h_mu
+       |      FROM tf JOIN cf USING (term) CROSS JOIN ctot),
+       |per AS (SELECT CAST(q.query_id AS BIGINT) AS query_id, h.doc_id,
+       |          CAST(sum(h_mu) AS BIGINT) AS hits_mu, count(*) AS n_terms_hit
+       |        FROM h JOIN q USING (term) GROUP BY 1, 2),
+       |sc AS (SELECT per.query_id, per.doc_id,
+       |         (hits_mu + qc_mu
+       |           - nq * CAST(floor(ln(CAST(dl + $QlMu AS DOUBLE)) * 1e6 + 0.5)
+       |               AS BIGINT)) / 1e6 AS ql,
+       |         n_terms_hit
+       |       FROM per JOIN dl USING (doc_id) JOIN qg USING (query_id))
+       |SELECT query_id, doc_id, ql, n_terms_hit,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY ql DESC, doc_id) AS INT)
+       |    AS rank
+       |FROM sc
+       |QUALIFY rank <= $Bm25TopK""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_retrieval_ql", qlDirichlet, Some(qlSql)),
     Q("q_retrieval_prf", prf, Some(prfSql)),
     Q("q_retrieval_interleave", interleave, Some(interleaveSql)),
     Q("q_retrieval_rrf", rrfFusion, Some(rrfSql)),

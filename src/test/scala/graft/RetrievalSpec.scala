@@ -59,4 +59,59 @@ class RetrievalSpec extends SparkSuite {
     val b = Retrieval.rrfFusion(spark, d).collect().map(_.toString).sorted.toSeq
     assert(a === b)
   }
+
+  test("dirichlet QL matches a driver-side hand model of the decomposition") {
+    // corpus: C=11 tokens; cf(hash)=3, cf(vector)=1, cf(stream)=3;
+    // query 0 = (hash, vector, stream); queries 1/2 have no in-corpus
+    // terms and must be absent entirely
+    val docWords = Map(
+      1L -> Seq("hash", "hash", "vector"),
+      2L -> Seq("hash", "stream", "stream", "stream"),
+      3L -> Seq("other", "words", "only", "here"))
+    val qdocs = docWords.toSeq.map { case (id, ws) =>
+      (id, ws.mkString(" "), "en", "s", ws.mkString(" ").length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val mu = Retrieval.QlMu
+    val c = docWords.values.map(_.length).sum
+    val qterms = TextAnalysis.bm25QuerySet.head._2
+    val cf = qterms.map(t => t -> docWords.values.map(_.count(_ == t)).sum)
+      .filter(_._2 > 0).toMap
+    val qcMu = cf.values.map(v =>
+      math.floor(math.log((mu * v).toDouble / c) * 1e6 + 0.5).toLong).sum
+    val want = docWords.flatMap { case (id, ws) =>
+      val hits = cf.keys.map(t => t -> ws.count(_ == t)).filter(_._2 > 0).toSeq
+      if (hits.isEmpty) None
+      else {
+        val hMu = hits.map { case (t, tf) =>
+          math.floor(math.log(1.0 + (tf.toLong * c).toDouble / (mu * cf(t)))
+            * 1e6 + 0.5).toLong
+        }.sum
+        val lenMu =
+          math.floor(math.log((ws.length + mu).toDouble) * 1e6 + 0.5).toLong
+        Some(id -> (hMu + qcMu - cf.size * lenMu) / 1e6)
+      }
+    }
+    val out = Retrieval.qlDirichlet(spark, fixtureDir("documents" -> qdocs))
+      .collect()
+    assert(out.map(_.getAs[Long]("query_id")).toSet === Set(0L))
+    val got = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("ql")).toMap
+    assert(got === want)
+    // ranks follow score desc: doc 2 (4 hit tokens incl rare-term-free
+    // stream mass) vs doc 1 (3 hits incl the rare 'vector')
+    val ranks = out.map(r => r.getAs[Int]("rank") -> r.getAs[Long]("doc_id")).toMap
+    val byScore = want.toSeq.sortBy { case (id, s) => (-s, id) }.map(_._1)
+    assert((1 to byScore.length).map(ranks) === byScore)
+  }
+
+  test("dirichlet QL harness ranking: dense ranks 1..k, scores descending") {
+    val out = Retrieval.qlDirichlet(spark, SparkSpec.sf0001).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+    assert(out.nonEmpty)
+    out.foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq === (1 to rows.length))
+      val scores = sorted.map(_.getAs[Double]("ql")).toSeq
+      assert(scores === scores.sorted.reverse, s"query $q not descending")
+    }
+  }
 }
