@@ -233,9 +233,72 @@ object Graph {
        |SELECT node, d FROM d$BfsHops ORDER BY 1""".stripMargin
   }
 
+  // ------------------------------------------------------------ adamic-adar
+
+  /** Pairs reported by the link-prediction ranking. */
+  val AaTopK = 50
+
+  /** Adamic-Adar link prediction over the order-part bipartite graph —
+    * the classic common-neighbor score (Adamic & Adar 2003) that
+    * down-weights promiscuous neighbors: for a part pair (a, b),
+    * aa = Σ over shared orders o of 1/ln(|o|), where |o| is the order's
+    * distinct-part degree. Complements `q_basket_affinity` (raw support
+    * counts) exactly the way the literature motivates: a pair co-bought
+    * only inside huge catch-all baskets scores near zero here.
+    *
+    * Exactness: each order's weight 1/ln(deg) quantizes to micro-units
+    * ONCE (one division on an exact BIGINT degree), so per-pair scores
+    * are order-free integer sums; ln(1) never divides (an order with one
+    * part yields no pairs, and the deg ≥ 2 filter makes the plan
+    * ANSI-safe regardless of reordering). Ranking compares exact aa_µ
+    * integers, ties (part_a, part_b).
+    *
+    * Scale shape: per-order pair generation is the pageRankCoPurchase
+    * self-join — equi-join on orderkey, bounded by order size, never a
+    * global cross product; weights broadcast-join on orderkey; the
+    * global top-k goes through the native bounded-heap operator (no
+    * global sort). */
+  def adamicAdar(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val w = li.groupBy(col("o")).agg(count(lit(1)).as("d"))
+      .filter(col("d") >= 2)
+      .select(col("o"),
+        floor(lit(1.0) / log(col("d").cast("double")) * 1e6 + 0.5)
+          .cast("long").as("w_mu"))
+    val pairs = li.alias("a")
+      .join(li.alias("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("part_a"), col("b.p").as("part_b"), col("a.o").as("o"))
+    val ag = pairs.join(w, Seq("o"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("common_orders"), sum(col("w_mu")).as("aa_mu"))
+    graft.plans.TopK.topK(ag, Seq.empty,
+      Seq(("aa_mu", true), ("part_a", false), ("part_b", false)), AaTopK)
+      .orderBy(col("aa_mu").desc, col("part_a"), col("part_b"))
+      .select(col("part_a"), col("part_b"), col("common_orders"),
+        (col("aa_mu") / 1e6).as("aa"))
+  }
+
+  private val adamicAdarSql =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |w AS (SELECT o,
+       |        CAST(floor(1.0 / ln(CAST(d AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS w_mu
+       |      FROM (SELECT o, count(*) AS d FROM li GROUP BY 1) WHERE d >= 2),
+       |pairs AS (SELECT a.p AS part_a, b.p AS part_b, a.o
+       |          FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+       |ag AS (SELECT part_a, part_b, count(*) AS common_orders,
+       |         CAST(sum(w_mu) AS BIGINT) AS aa_mu
+       |       FROM pairs JOIN w USING (o) GROUP BY 1, 2)
+       |SELECT part_a, part_b, common_orders, aa_mu / 1e6 AS aa
+       |FROM ag
+       |ORDER BY aa_mu DESC, part_a, part_b
+       |LIMIT $AaTopK""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q_graph_pagerank", pageRankCoPurchase, Some(pageRankSql)),
     Q("q_graph_triangles", nearDupTriangles, Some(trianglesSql)),
     Q("q_graph_bfs", bfsCoPurchase, Some(bfsSql)),
+    Q("q_graph_adamic_adar", adamicAdar, Some(adamicAdarSql)),
   )
 }

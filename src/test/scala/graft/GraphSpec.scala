@@ -84,4 +84,33 @@ class GraphSpec extends SparkSuite {
     assert(kept == keepers ++ unclustered)
     assert(kept.contains(9L))
   }
+
+  test("adamic-adar: hand-computed weights, pair set, and big-basket downweight") {
+    // order 1 {10,20}, order 2 {10,20,30}, order 3 {10,40}, order 4 {50};
+    // duplicate lineitem row for (1,10) must collapse via distinct
+    val li = Seq(
+      (1L, 10L), (1L, 20L), (1L, 10L),
+      (2L, 10L), (2L, 20L), (2L, 30L),
+      (3L, 10L), (3L, 40L),
+      (4L, 50L))
+      .toDF("l_orderkey", "l_partkey")
+    def wMu(deg: Int): Long =
+      math.floor(1.0 / math.log(deg.toDouble) * 1e6 + 0.5).toLong
+    val want = Map(
+      (10L, 20L) -> (2L, wMu(2) + wMu(3)),
+      (10L, 30L) -> (1L, wMu(3)),
+      (20L, 30L) -> (1L, wMu(3)),
+      (10L, 40L) -> (1L, wMu(2)))
+    val out = Graph.adamicAdar(spark, fixtureDir("lineitem" -> li)).collect()
+    val got = out.map(r => (r.getAs[Long]("part_a"), r.getAs[Long]("part_b")) ->
+      ((r.getAs[Long]("common_orders"),
+        math.floor(r.getAs[Double]("aa") * 1e6 + 0.5).toLong))).toMap
+    assert(got === want)
+    // the pair seen only in the 2-part basket outranks one seen only in
+    // the 3-part basket (the down-weighting AA exists for)
+    assert(want((10L, 40L))._2 > want((10L, 30L))._2)
+    // output ordering: descending aa, ties by part ids
+    val aas = out.map(_.getAs[Double]("aa")).toSeq
+    assert(aas === aas.sorted.reverse)
+  }
 }
