@@ -115,7 +115,94 @@ object FeatureEng {
        |GROUP BY e.event_type, cuts.n, cuts.lo, cuts.hi
        |ORDER BY 1""".stripMargin
 
+  // ----------------------------------------------------------------- woe/iv
+
+  /** Weight-of-Evidence encoding + Information Value (the credit-scoring
+    * standard; Siddiqi 2006) for a categorical feature against a binary
+    * target: per category, WoE = ln((g_c/G)/(b_c/B)), and the feature's
+    * predictive power is IV = Σ_c (g_c/G − b_c/B)·WoE_c, reported as the
+    * category = '__TOTAL__' row. Registered instantiation: order
+    * priority vs the order-fulfilled target (o_orderstatus = 'F') — an
+    * A/A-style check on TPC-H's independent columns (IV ≈ 0), with the
+    * spec planting a genuinely predictive fixture.
+    *
+    * Exactness: WoE = ln((g_c·B)/(b_c·G)) — exact BIGINT cross-products
+    * inside one ln, micro-quantized per category; the IV contribution
+    * reuses the exact difference (g_c·B − b_c·G)/(G·B) in one fixed
+    * double tree against woe_µ, quantized before the order-free integer
+    * total. One-sided categories (g_c or b_c = 0) carry NULL WoE and
+    * drop from IV — the standard treatment, and the when() guards keep
+    * every division ANSI-safe. Cross-products fit BIGINT to ~3e9 rows
+    * per class; beyond that quantize the shares first (the Gram-budget
+    * pattern).
+    *
+    * Scale shape: ONE corpus-collapsing aggregate on (category); the
+    * WoE/IV algebra runs on the category-bounded table off a
+    * localCheckpoint, totals on the category count. */
+  def woeIv(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("category"),
+        (col("o_orderstatus") === "F").cast("long").as("good"))
+    val g = o.groupBy(col("category"))
+      .agg(sum(col("good")).as("g"), sum(lit(1L) - col("good")).as("b"))
+      .localCheckpoint()
+    val tot = broadcast(g.agg(sum(col("g")).as("gt"), sum(col("b")).as("bt")))
+    val sc = g.crossJoin(tot)
+      .withColumn("woe_mu",
+        when(col("g") === 0L || col("b") === 0L || col("gt") === 0L ||
+          col("bt") === 0L, lit(null).cast("long"))
+          .otherwise(floor(log((col("g") * col("bt")).cast("double") /
+            (col("b") * col("gt"))) * 1e6 + 0.5).cast("long")))
+      .withColumn("iv_mu",
+        when(col("woe_mu").isNull, lit(null).cast("long"))
+          .otherwise(floor((col("g") * col("bt") - col("b") * col("gt")).cast("double")
+            / (col("gt") * col("bt")) * (col("woe_mu").cast("double") / 1e6)
+            * 1e6 + 0.5).cast("long")))
+      .localCheckpoint()
+    val total = sc
+      .agg(sum(col("g")).as("n_good"), sum(col("b")).as("n_bad"),
+        sum(col("iv_mu")).as("ivs"))
+      .select(lit("__TOTAL__").as("category"), col("n_good"), col("n_bad"),
+        lit(null).cast("double").as("woe"),
+        (col("ivs") / 1e6).as("iv"))
+    sc.select(col("category"), col("g").as("n_good"), col("b").as("n_bad"),
+        (col("woe_mu") / 1e6).as("woe"), (col("iv_mu") / 1e6).as("iv"))
+      .unionByName(total)
+      .orderBy(col("category"))
+  }
+
+  private val woeIvSql =
+    s"""WITH o AS (SELECT o_orderpriority AS category,
+       |             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS good
+       |           FROM orders),
+       |g AS (SELECT category, CAST(sum(good) AS BIGINT) AS g,
+       |        CAST(sum(1 - good) AS BIGINT) AS b
+       |      FROM o GROUP BY 1),
+       |tot AS (SELECT CAST(sum(g) AS BIGINT) AS gt, CAST(sum(b) AS BIGINT) AS bt
+       |        FROM g),
+       |sc AS (SELECT category, g, b, gt, bt,
+       |         CASE WHEN g = 0 OR b = 0 OR gt = 0 OR bt = 0 THEN NULL
+       |              ELSE CAST(floor(ln(CAST(g * bt AS DOUBLE) / (b * gt))
+       |                     * 1e6 + 0.5) AS BIGINT)
+       |         END AS woe_mu
+       |       FROM g CROSS JOIN tot),
+       |sc2 AS (SELECT *,
+       |          CASE WHEN woe_mu IS NULL THEN NULL
+       |               ELSE CAST(floor(CAST(g * bt - b * gt AS DOUBLE) / (gt * bt)
+       |                      * (CAST(woe_mu AS DOUBLE) / 1e6) * 1e6 + 0.5) AS BIGINT)
+       |          END AS iv_mu
+       |        FROM sc)
+       |SELECT category, g AS n_good, b AS n_bad,
+       |  woe_mu / 1e6 AS woe, iv_mu / 1e6 AS iv
+       |FROM sc2
+       |UNION ALL
+       |SELECT '__TOTAL__' AS category, CAST(sum(g) AS BIGINT), CAST(sum(b) AS BIGINT),
+       |  CAST(NULL AS DOUBLE), sum(iv_mu) / 1e6
+       |FROM sc2
+       |ORDER BY category""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q_feat_target_encode", targetEncode, Some(targetEncodeSql)),
-    Q("q_feat_winsorize", winsorize, Some(winsorizeSql)))
+    Q("q_feat_winsorize", winsorize, Some(winsorizeSql)),
+    Q("q_feat_woe_iv", woeIv, Some(woeIvSql)))
 }

@@ -63,4 +63,42 @@ class FeatureEngSpec extends SparkSuite {
     assert(out("2024-01-01") === 2L) // u1 open + u2's instant session
     assert(out("2024-01-02") === 1L) // carry=1, peak_in_day=-1 -> greatest
   }
+
+  test("woe/iv: hand model on a predictive fixture; one-sided category NULL") {
+    // A: 9 good / 1 bad; B: 1 good / 9 bad; C: 2 good / 0 bad (one-sided)
+    var id = 0L
+    def rows(cat: String, good: Int, bad: Int) =
+      (1 to good).map { _ => id += 1; (id, cat, "F") } ++
+        (1 to bad).map { _ => id += 1; (id, cat, "O") }
+    val orders = (rows("A", 9, 1) ++ rows("B", 1, 9) ++ rows("C", 2, 0))
+      .toDF("o_orderkey", "o_orderpriority", "o_orderstatus")
+    val out = FeatureEng.woeIv(spark, fixtureDir("orders" -> orders)).collect()
+      .map(r => r.getAs[String]("category") -> r).toMap
+    val (gt, bt) = (12L, 10L)
+    def woeMu(g: Long, b: Long): Long =
+      math.floor(math.log((g * bt).toDouble / (b * gt)) * 1e6 + 0.5).toLong
+    def ivMu(g: Long, b: Long): Long =
+      math.floor((g * bt - b * gt).toDouble / (gt * bt) *
+        (woeMu(g, b).toDouble / 1e6) * 1e6 + 0.5).toLong
+    assert(out("A").getAs[Double]("woe") === woeMu(9, 1) / 1e6)
+    assert(out("B").getAs[Double]("woe") === woeMu(1, 9) / 1e6)
+    assert(out("C").isNullAt(out("C").fieldIndex("woe")))
+    assert(out("C").isNullAt(out("C").fieldIndex("iv")))
+    assert(out("A").getAs[Double]("iv") === ivMu(9, 1) / 1e6)
+    // predictive direction: A leans good (woe > 0), B leans bad (< 0);
+    // every non-null IV contribution is non-negative by construction
+    assert(out("A").getAs[Double]("woe") > 0 && out("B").getAs[Double]("woe") < 0)
+    val tot = out("__TOTAL__")
+    assert(tot.getAs[Long]("n_good") === gt && tot.getAs[Long]("n_bad") === bt)
+    assert(tot.getAs[Double]("iv") === (ivMu(9, 1) + ivMu(1, 9)) / 1e6)
+    assert(tot.getAs[Double]("iv") > 1.0) // strongly predictive fixture
+  }
+
+  test("woe/iv: TPC-H priority vs status is near-independent (IV ~ 0)") {
+    val out = FeatureEng.woeIv(spark, SparkSpec.sf0001).collect()
+    val tot = out.find(_.getAs[String]("category") == "__TOTAL__").get
+    assert(out.length === 6)
+    assert(tot.getAs[Double]("iv") >= 0.0 && tot.getAs[Double]("iv") < 0.1,
+      s"IV = ${tot.getAs[Double]("iv")}")
+  }
 }
