@@ -568,6 +568,154 @@ object Trend {
        |  ${roundNSql("gain / 1e4", 4)} AS gain
        |FROM g2 CROSS JOIN pd WHERE day = peak_day""".stripMargin
 
+  // ------------------------------------------------------------------ pacf
+
+  /** Lags computed by the partial-autocorrelation scan (covers the weekly
+    * cycle the autocorr query watches). */
+  val PacfMaxLag = 7
+
+  /** Partial autocorrelation function of daily revenue via
+    * Durbin-Levinson — the AR-order diagnostic (a PACF cutoff at lag p
+    * says AR(p) captures the series; the companion of `q_stats_autocorr`
+    * exactly as PACF complements ACF in Box-Jenkins). Autocorrelations
+    * use the common-mean, common-denominator sample form
+    * r_k = Σ(x_t−x̄)(x_{t+k}−x̄)/Σ(x_t−x̄)² over the zero-filled
+    * calendar; the recursion is
+    * φ_kk = (r_k − Σφ_{k-1,j}r_{k-j}) / (1 − Σφ_{k-1,j}r_j),
+    * φ_kj = φ_{k-1,j} − φ_kk·φ_{k-1,k-j}.
+    *
+    * Exactness: the six per-lag sums are exact BIGINTs (cents² at a
+    * decade of days ≈ 4e16, inside the budget); r quantizes to
+    * micro-units through one fixed double tree; the WHOLE recursion then
+    * runs in integer µ-arithmetic — products stay < 9e15 so the one
+    * explicit floor-division per update and the one true division per
+    * lag are bit-identical in both engines (floor(), never `div`/`//`,
+    * because truncation differs on negatives — the documented
+    * CAST-vs-floor rule). Degenerate input (zero variance, short
+    * series) yields NULL r for the affected lags and NULL propagates
+    * through the recursion identically in both engines (the Scala fold
+    * mirrors SQL three-valued logic by hand).
+    *
+    * Scale shape: the corpus collapses to the day series once; the
+    * seven lag pairings are calendar-bounded equi-joins; the recursion
+    * itself is a DRIVER-SIZED model (7 integers — the MarkovAttribution
+    * value-iteration pattern), so 100 TB of events costs one day-series
+    * scan. */
+  def pacf(spark: SparkSession, dir: String): DataFrame = {
+    val daily = dailyCents(Tables.events(spark, dir)).localCheckpoint()
+    val bounds = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val full = bounds
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("c"), lit(0L)).as("x"))
+      .localCheckpoint()
+    val glob = full.agg(count(lit(1)).as("n"), sum(col("x")).as("t"),
+      sum(col("x") * col("x")).as("sxx"))
+    val lagged = (1 to PacfMaxLag).map { k =>
+      full.alias("a")
+        .join(full.alias("b"), date_add(col("a.day"), k) === col("b.day"))
+        .select(lit(k).as("lag"), col("a.x").as("xa"), col("b.x").as("xb"))
+    }.reduce(_ unionByName _)
+    val per = lagged.groupBy(col("lag")).agg(count(lit(1)).as("mk"),
+      sum(col("xa")).as("sh"), sum(col("xb")).as("st"),
+      sum(col("xa") * col("xb")).as("sxy"))
+    val xbar = col("t").cast("double") / col("n")
+    val den = col("sxx").cast("double") - xbar * col("t")
+    val num = (col("sxy").cast("double") - xbar * (col("sh") + col("st"))) +
+      col("mk") * (xbar * xbar)
+    val rRows = per.crossJoin(broadcast(glob))
+      .select(col("lag"),
+        when(den <= 0, lit(null).cast("long"))
+          .otherwise(floor(num / den * 1e6 + 0.5).cast("long")).as("r_mu"))
+      .collect()
+    val rMu: Map[Int, Long] = rRows.filterNot(_.isNullAt(1))
+      .map(r => r.getAs[Int]("lag") -> r.getLong(1)).toMap
+    val r: Int => Option[Long] = k => rMu.get(k)
+    // integer Durbin-Levinson in µ units; None mirrors SQL NULL
+    def dot(a: Seq[Option[Long]], b: Seq[Option[Long]]): Option[Long] =
+      a.zip(b).foldLeft(Option(0L)) { case (acc, (x, y)) =>
+        for (s <- acc; xv <- x; yv <- y) yield s + xv * yv
+      }
+    var phi: Vector[Option[Long]] = Vector(r(1))
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Option[Double], Option[Double])]()
+    out += ((1, r(1).map(_ / 1e6), r(1).map(_ / 1e6)))
+    for (k <- 2 to PacfMaxLag) {
+      val num2 = for {
+        rv <- r(k)
+        s <- dot(phi, (1 until k).map(j => r(k - j)))
+      } yield rv * 1000000L - s
+      val den2 = dot(phi, (1 until k).map(j => r(j))).map(1000000000000L - _)
+      val phikk = (num2, den2) match {
+        case (Some(n2), Some(d2)) if d2 != 0 =>
+          Some(math.floor(n2.toDouble / d2 * 1e6 + 0.5).toLong)
+        case _ => None
+      }
+      phi = phi.zipWithIndex.map { case (pj, idx) =>
+        val j = idx + 1
+        for (p <- pj; kk <- phikk; pk <- phi(k - j - 1))
+          yield p - math.floor((kk * pk).toDouble / 1e6).toLong
+      } :+ phikk
+      out += ((k, r(k).map(_ / 1e6), phikk.map(_ / 1e6)))
+    }
+    spark.createDataFrame(out.toSeq).toDF("lag", "r", "pacf")
+      .orderBy(col("lag"))
+  }
+
+  private val pacfSql = {
+    val steps = (2 to PacfMaxLag).map { k =>
+      s"""s$k AS (
+         |  SELECT list_append(
+         |           (SELECT list(s.phi[j.j]
+         |              - CAST(floor(CAST(pk.v * s.phi[$k - j.j] AS DOUBLE) / 1e6) AS BIGINT)
+         |              ORDER BY j.j)
+         |            FROM range(1, $k) j(j)),
+         |           pk.v) AS phi,
+         |         list_append(s.pc, pk.v) AS pc
+         |  FROM s${k - 1} s, rlist r, LATERAL (
+         |    SELECT CASE WHEN q.den2 = 0 THEN NULL
+         |                ELSE CAST(floor(CAST(q.num2 AS DOUBLE) / q.den2 * 1e6 + 0.5) AS BIGINT)
+         |           END AS v
+         |    FROM (SELECT
+         |            r.r[$k] * 1000000 - (SELECT CAST(sum(s.phi[j.j] * r.r[$k - j.j]) AS BIGINT)
+         |                                 FROM range(1, $k) j(j)) AS num2,
+         |            1000000000000 - (SELECT CAST(sum(s.phi[j.j] * r.r[j.j]) AS BIGINT)
+         |                             FROM range(1, $k) j(j)) AS den2) q
+         |  ) pk)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT ts::TIMESTAMP AS ts, event_type, value FROM events),
+       |d AS (SELECT CAST(ts AS DATE) AS day,
+       |        CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+       |      FROM e WHERE event_type = 'purchase' GROUP BY 1),
+       |bo AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
+       |spine AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+       |          FROM bo),
+       |f AS (SELECT s.day, coalesce(d.c, 0) AS x FROM spine s LEFT JOIN d USING (day)),
+       |gstat AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS t,
+       |           CAST(sum(x * x) AS BIGINT) AS sxx FROM f),
+       |lg AS (SELECT CAST(unnest(range(1, ${PacfMaxLag + 1})) AS INTEGER) AS lag),
+       |per AS (SELECT lg.lag, count(*) AS mk,
+       |          CAST(sum(a.x) AS BIGINT) AS sh, CAST(sum(b.x) AS BIGINT) AS st,
+       |          CAST(sum(a.x * b.x) AS BIGINT) AS sxy
+       |        FROM lg, f a, f b WHERE b.day = a.day + lg.lag
+       |        GROUP BY 1),
+       |rr AS (SELECT lag,
+       |         CASE WHEN den <= 0 THEN NULL
+       |              ELSE CAST(floor(num / den * 1e6 + 0.5) AS BIGINT) END AS r_mu
+       |       FROM (SELECT lag,
+       |               (CAST(sxy AS DOUBLE) - (CAST(t AS DOUBLE) / n) * (sh + st))
+       |                 + mk * ((CAST(t AS DOUBLE) / n) * (CAST(t AS DOUBLE) / n)) AS num,
+       |               CAST(sxx AS DOUBLE) - (CAST(t AS DOUBLE) / n) * t AS den
+       |             FROM per CROSS JOIN gstat)),
+       |rl AS (SELECT lg.lag, rr.r_mu FROM lg LEFT JOIN rr USING (lag)),
+       |rlist AS (SELECT list(r_mu ORDER BY lag) AS r FROM rl),
+       |s1 AS (SELECT [r.r[1]] AS phi, [r.r[1]] AS pc FROM rlist r),
+       |$steps
+       |SELECT CAST(rl.lag AS INTEGER) AS lag, rl.r_mu / 1e6 AS r,
+       |  p.pc[rl.lag] / 1e6 AS pacf
+       |FROM rl, s$PacfMaxLag p
+       |ORDER BY lag""".stripMargin
+  }
+
   // --------------------------------------------------------------- kendall
 
   /** Kendall tau-b rank correlation between daily traffic (event count)
@@ -659,6 +807,7 @@ object Trend {
     Q("q_stats_runs", runsTest, Some(runsTestSql)),
     Q("q_stats_changepoint", changepoint, Some(changepointSql)),
     Q("q_stats_kendall", kendall, Some(kendallSql)),
+    Q("q_stats_pacf", pacf, Some(pacfSql)),
     Q("q_stats_trend_theilsen", theilSen, Some(theilSenSql)),
     Q("q_stats_autocorr", autocorr, Some(autocorrSql)),
     Q("q_stats_cusum", cusum, Some(cusumSql)),

@@ -225,6 +225,40 @@ class TrendSamplingSpec extends SparkSuite {
     assert(r.getAs[Double]("tau_b") === tauB)
   }
 
+  test("pacf: lag-1 equals r1; lag-2 matches the closed form; AR(1) cuts off") {
+    // seeded AR(1): x_t = 0.8 x_{t-1} + e_t -> theoretical PACF cuts off
+    // after lag 1 (phi_11 ~ 0.8, later lags ~ 0)
+    val rnd = new scala.util.Random(7)
+    var x = 0.0
+    var id = 0L
+    val rows = (0 until 120).map { d =>
+      x = 0.8 * x + rnd.nextGaussian()
+      id += 1
+      (id, f"2024-${1 + d / 28}%02d-${1 + d % 28}%02d 12:00:00", "purchase",
+        100.0 + 10.0 * x)
+    }
+    val out = graft.operators.Trend
+      .pacf(spark, fixtureDir("events" -> eventsDfV(rows: _*)))
+      .collect().map(r => r.getAs[Int]("lag") -> r).toMap
+    assert(out.size === graft.operators.Trend.PacfMaxLag)
+    def mu(v: Double): Long = math.round(v * 1e6)
+    // phi_11 = r1 exactly
+    assert(out(1).getAs[Double]("pacf") === out(1).getAs[Double]("r"))
+    // phi_22 via the independent closed form (r2 - r1^2)/(1 - r1^2),
+    // replayed through the same integer micro-quantization
+    val r1 = mu(out(1).getAs[Double]("r"))
+    val r2 = mu(out(2).getAs[Double]("r"))
+    val want22 = math.floor(
+      (r2 * 1000000L - r1 * r1).toDouble / (1000000000000L - r1 * r1)
+        * 1e6 + 0.5).toLong
+    assert(mu(out(2).getAs[Double]("pacf")) === want22)
+    // AR(1) signature: strong lag 1, small partials at 2..7
+    assert(out(1).getAs[Double]("pacf") > 0.5)
+    (2 to 7).foreach { k =>
+      assert(math.abs(out(k).getAs[Double]("pacf")) < 0.35, s"lag $k")
+    }
+  }
+
   test("kendall: strictly monotone series scores tau_b = 1") {
     var id = 0L
     val rows = (1 to 5).flatMap { d =>
