@@ -439,7 +439,69 @@ object Curation {
        |  CAST($DpEpsilon AS DOUBLE) AS epsilon
        |FROM pick CROSS JOIN tm""".stripMargin
 
+  // ---------------------------------------------------- randomized response
+
+  /** Keep-truth probability of the Warner coin (3/4: md5 byte mod 4 ≠ 0). */
+  val RrKeepNum = 3
+  val RrKeepDen = 4
+
+  /** Warner randomized response (1965) — LOCAL differential privacy for a
+    * sensitive binary attribute, completing the privacy ladder's local
+    * side (the dp_* queries add noise centrally; here each USER's record
+    * is already perturbed): each user reports their purchaser flag
+    * truthfully with probability p = 3/4 and inverted otherwise
+    * (ε-LDP with ε = ln(p/(1−p)) = ln 3), and the release debiases the
+    * reported rate with π̂ = (r̄ + p − 1)/(2p − 1). The audit row carries
+    * the true rate beside the estimate — the spec's accuracy bound is the
+    * point of the mechanism.
+    *
+    * Exactness: the coin is the deterministic md5-byte draw (the arm /
+    * dp-noise convention); flags, reports, and counts are exact integers;
+    * rates and the debias are one fixed double tree each, quantized to
+    * 1e-6. Scale shape: ONE keyed per-user aggregate, then single-row
+    * algebra. */
+  def randomizedResponse(spark: SparkSession, dir: String): DataFrame = {
+    val coin = conv(substring(md5(concat(lit("rr|"),
+      col("user_id").cast("string"))), 1, 2), 16, 10).cast("int") % RrKeepDen
+    val u = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("f"))
+      .select(col("f"),
+        when(coin =!= 0, col("f")).otherwise(lit(1L) - col("f")).as("r"))
+    val p = RrKeepNum.toDouble / RrKeepDen
+    u.agg(count(lit(1)).as("n_users"), sum(col("f")).as("n_true"),
+        sum(col("r")).as("n_reported"))
+      .select(col("n_users"), col("n_true"), col("n_reported"),
+        roundN(col("n_true").cast("double") / col("n_users"), 6).as("true_rate"),
+        roundN((col("n_reported").cast("double") / col("n_users") + (p - 1.0))
+          / (2.0 * p - 1.0), 6).as("est_rate"))
+  }
+
+  private val rrSql = {
+    val p = RrKeepNum.toDouble / RrKeepDen
+    s"""WITH e AS (SELECT user_id, event_type FROM events),
+       |u AS (SELECT user_id,
+       |        CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+       |          AS f
+       |      FROM e GROUP BY 1),
+       |r AS (SELECT f,
+       |        CASE WHEN (('0x' || substr(md5('rr|' || CAST(user_id AS VARCHAR)), 1, 2))::INT
+       |               % $RrKeepDen) != 0
+       |             THEN f ELSE 1 - f END AS r
+       |      FROM u),
+       |ag AS (SELECT count(*) AS n_users, CAST(sum(f) AS BIGINT) AS n_true,
+       |         CAST(sum(r) AS BIGINT) AS n_reported
+       |       FROM r)
+       |SELECT n_users, n_true, n_reported,
+       |  ${roundNSql("CAST(n_true AS DOUBLE) / n_users", 6)} AS true_rate,
+       |  ${roundNSql(
+             s"(CAST(n_reported AS DOUBLE) / n_users + ($p - 1.0)) / (2.0 * $p - 1.0)",
+             6)} AS est_rate
+       |FROM ag""".stripMargin
+  }
+
   def queries: Seq[Q] = Seq(
+    Q("q_privacy_randomized_response", randomizedResponse, Some(rrSql)),
     Q("q_privacy_dp_quantile", dpQuantile, Some(dpQuantileSql)),
     Q("q_cdc_derive", cdcDerive, Some(cdcDeriveSql)),
     Q("q_dataset_diff", datasetDiff, Some(datasetDiffSql)),

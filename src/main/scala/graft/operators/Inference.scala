@@ -1406,8 +1406,139 @@ object Inference {
        |SELECT stratum, n_t, n_c, diff_dollars FROM po
        |ORDER BY stratum""".stripMargin
 
+  // ---------------------------------------------------------------- ridge
+
+  /** Shrinkage grid reported by the ridge path (λ in Σx² units; 0 = OLS). */
+  val RidgeLambdas: Seq[Long] = Seq(0L, 1000L, 100000L)
+
+  /** Closed-form ridge regression (Hoerl-Kennard 1970) of post-period
+    * spend on pre-period activity — the regularized counterpart of the
+    * Granger/CUPED normal-equation fits, reported as a SHRINKAGE PATH
+    * over the pinned λ grid: β(λ) = (X'X + λD)⁻¹X'y with the intercept
+    * unpenalized (D = diag(0,1,1)), features x₁ = pre-midpoint views,
+    * x₂ = pre-midpoint clicks, target y = post-midpoint purchase dollars.
+    *
+    * Exactness: all nine sufficient statistics are exact order-free
+    * BIGINTs (whole dollars + counts, the granger quantization, with the
+    * same enforced overflow budget); each λ row is ONE fixed
+    * Cramer-3×3 double tree over those integers plus the integer λ on
+    * the penalized diagonal. Singular systems yield NULL.
+    *
+    * Scale shape: one keyed per-user aggregate collapses the corpus;
+    * the grid explodes from the single sufficient-statistics row —
+    * 100 TB costs one scan regardless of how many λ are reported. */
+  def ridge(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val us = unix_micros(col("ts"))
+    val cents = floor(col("value") * 100 + 0.5).cast("long")
+    val mid = ev.agg(floor((min(us) + max(us)) / lit(2L)).cast("long").as("mid_us"))
+    val perUser = ev.crossJoin(broadcast(mid))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(us < col("mid_us") && col("event_type") === "view", 1L)
+          .otherwise(0L)).as("x1"),
+        sum(when(us < col("mid_us") && col("event_type") === "click", 1L)
+          .otherwise(0L)).as("x2"),
+        coalesce(sum(when(us >= col("mid_us") &&
+          col("event_type") === "purchase", cents)), lit(0L)).as("yc"))
+      .select(
+        when(col("x1") < 3000000000L && col("x2") < 3000000000L, col("x1"))
+          .otherwise(raise_error(lit("ridge: input exceeds the BIGINT budget")))
+          .as("x1"),
+        col("x2"), expr("yc div 100").as("y"))
+    val agg = perUser.agg(
+      count(lit(1)).as("t"),
+      sum(col("y")).as("sy"), sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+      sum(col("x1") * col("x1")).as("s11"),
+      sum(col("x2") * col("x2")).as("s22"),
+      sum(col("x1") * col("x2")).as("s12"),
+      sum(col("y") * col("x1")).as("s1y"),
+      sum(col("y") * col("x2")).as("s2y"))
+    val grid = agg.select(col("*"),
+      explode(typedLit(RidgeLambdas)).as("lambda"))
+    def d(c: String) = col(c).cast("double")
+    val a11 = (col("s11") + col("lambda")).cast("double")
+    val a22 = (col("s22") + col("lambda")).cast("double")
+    val detF = d("t") * (a11 * a22 - d("s12") * d("s12")) -
+      d("s1") * (d("s1") * a22 - d("s12") * d("s2")) +
+      d("s2") * (d("s1") * d("s12") - a11 * d("s2"))
+    val det0 = d("sy") * (a11 * a22 - d("s12") * d("s12")) -
+      d("s1") * (d("s1y") * a22 - d("s12") * d("s2y")) +
+      d("s2") * (d("s1y") * d("s12") - a11 * d("s2y"))
+    val det1 = d("t") * (d("s1y") * a22 - d("s12") * d("s2y")) -
+      d("sy") * (d("s1") * a22 - d("s12") * d("s2")) +
+      d("s2") * (d("s1") * d("s2y") - d("s1y") * d("s2"))
+    val det2 = d("t") * (a11 * d("s2y") - d("s1y") * d("s12")) -
+      d("s1") * (d("s1") * d("s2y") - d("s1y") * d("s2")) +
+      d("sy") * (d("s1") * d("s12") - a11 * d("s2"))
+    val degenerate = col("t") < 4L || detF === 0.0
+    grid.select(col("lambda"), col("t").as("n_users"),
+      when(degenerate, lit(null).cast("double"))
+        .otherwise(roundN(det0 / detF, 6)).as("b0"),
+      when(degenerate, lit(null).cast("double"))
+        .otherwise(roundN(det1 / detF, 6)).as("b1"),
+      when(degenerate, lit(null).cast("double"))
+        .otherwise(roundN(det2 / detF, 6)).as("b2"))
+      .orderBy(col("lambda"))
+  }
+
+  private val ridgeSql = {
+    def dd(c: String) = s"CAST($c AS DOUBLE)"
+    val a11 = "CAST(s11 + lambda AS DOUBLE)"
+    val a22 = "CAST(s22 + lambda AS DOUBLE)"
+    val detF = s"""(${dd("t")} * ($a11 * $a22 - ${dd("s12")} * s12) -
+       | ${dd("s1")} * (${dd("s1")} * $a22 - ${dd("s12")} * s2) +
+       | ${dd("s2")} * (${dd("s1")} * s12 - $a11 * s2))""".stripMargin
+      .replaceAll("\n", "")
+    val det0 = s"""(${dd("sy")} * ($a11 * $a22 - ${dd("s12")} * s12) -
+       | ${dd("s1")} * (${dd("s1y")} * $a22 - ${dd("s12")} * s2y) +
+       | ${dd("s2")} * (${dd("s1y")} * s12 - $a11 * s2y))""".stripMargin
+      .replaceAll("\n", "")
+    val det1 = s"""(${dd("t")} * (${dd("s1y")} * $a22 - ${dd("s12")} * s2y) -
+       | ${dd("sy")} * (${dd("s1")} * $a22 - ${dd("s12")} * s2) +
+       | ${dd("s2")} * (${dd("s1")} * s2y - ${dd("s1y")} * s2))""".stripMargin
+      .replaceAll("\n", "")
+    val det2 = s"""(${dd("t")} * ($a11 * s2y - ${dd("s1y")} * s12) -
+       | ${dd("s1")} * (${dd("s1")} * s2y - ${dd("s1y")} * s2) +
+       | ${dd("sy")} * (${dd("s1")} * s12 - $a11 * s2))""".stripMargin
+      .replaceAll("\n", "")
+    val deg = s"(t < 4 OR $detF = 0.0)"
+    val lam = RidgeLambdas.map(l => s"($l)").mkString(", ")
+    s"""WITH $eventsUs,
+       |m AS (SELECT CAST(floor((min(epoch_us(ts)) + max(epoch_us(ts))) / 2) AS BIGINT)
+       |        AS mid_us FROM e),
+       |u AS (SELECT user_id,
+       |        CAST(sum(CASE WHEN epoch_us(ts) < mid_us AND event_type = 'view'
+       |          THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+       |        CAST(sum(CASE WHEN epoch_us(ts) < mid_us AND event_type = 'click'
+       |          THEN 1 ELSE 0 END) AS BIGINT) AS x2,
+       |        CAST(coalesce(sum(CASE WHEN epoch_us(ts) >= mid_us
+       |          AND event_type = 'purchase'
+       |          THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END), 0) // 100 AS BIGINT)
+       |          AS y
+       |      FROM e, m GROUP BY user_id),
+       |ag AS (SELECT count(*) AS t,
+       |         CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x1) AS BIGINT) AS s1,
+       |         CAST(sum(x2) AS BIGINT) AS s2,
+       |         CAST(sum(x1 * x1) AS BIGINT) AS s11,
+       |         CAST(sum(x2 * x2) AS BIGINT) AS s22,
+       |         CAST(sum(x1 * x2) AS BIGINT) AS s12,
+       |         CAST(sum(y * x1) AS BIGINT) AS s1y,
+       |         CAST(sum(y * x2) AS BIGINT) AS s2y
+       |       FROM u),
+       |grid AS (SELECT ag.*, CAST(l.lambda AS BIGINT) AS lambda
+       |         FROM ag CROSS JOIN (VALUES $lam) l(lambda))
+       |SELECT lambda, t AS n_users,
+       |  CASE WHEN $deg THEN NULL ELSE ${roundNSql(s"$det0 / $detF", 6)} END AS b0,
+       |  CASE WHEN $deg THEN NULL ELSE ${roundNSql(s"$det1 / $detF", 6)} END AS b1,
+       |  CASE WHEN $deg THEN NULL ELSE ${roundNSql(s"$det2 / $detF", 6)} END AS b2
+       |FROM grid
+       |ORDER BY lambda""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_stats_sprt", sprt, Some(sprtSql)),
+    Q("q_train_ridge", ridge, Some(ridgeSql)),
     Q("q_events_psm", psm, Some(psmSql)),
     Q("q_stats_jackknife", jackknife, Some(jackknifeSql)),
     Q("q_events_uplift", uplift, Some(upliftSql)),

@@ -568,6 +568,70 @@ object Trend {
        |  ${roundNSql("gain / 1e4", 4)} AS gain
        |FROM g2 CROSS JOIN pd WHERE day = peak_day""".stripMargin
 
+  // ----------------------------------------------------------- mann-kendall
+
+  /** Mann-Kendall trend test on daily purchase revenue — the
+    * non-parametric "is there a monotone trend" companion of the OLS /
+    * Theil-Sen fits (the hypothesis test; Theil-Sen is the estimator):
+    * S = Σ_{i<j} sgn(y_j − y_i) over day pairs, with the tie-corrected
+    * variance Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18 and the
+    * continuity-corrected z = (S∓1)/√Var(S).
+    *
+    * Exactness: S and both variance terms are exact BIGINTs (the n³-ish
+    * numerator is ~5e10 at a decade of days); the /18, sqrt and final
+    * division are one fixed double tree; S = 0 pins z = 0 and a zero
+    * variance yields NULL.
+    *
+    * Scale shape: the corpus collapses to the day series; the pair sweep
+    * is the q_stats_kendall calendar-bounded broadcast BNLJ
+    * (whitelisted); the tie term is a day-keyed aggregate, no pairs. */
+  def mannKendall(spark: SparkSession, dir: String): DataFrame = {
+    val d = dailyCents(Tables.events(spark, dir)).localCheckpoint()
+    val nd = broadcast(d.agg(count(lit(1)).as("n_days")))
+    val s = d.alias("a")
+      .join(broadcast(d.alias("b")), col("a.day") < col("b.day"))
+      .agg(coalesce(sum(
+        when(col("b.c") > col("a.c"), 1L)
+          .when(col("b.c") < col("a.c"), -1L).otherwise(0L)), lit(0L)).as("s"))
+    val ties = d.groupBy(col("c")).agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(when(col("t") >= 2L,
+        col("t") * (col("t") - 1) * (col("t") * 2L + 5))), lit(0L)).as("tie_term"))
+    val vnum = (col("n_days") * (col("n_days") - 1) * (col("n_days") * 2L + 5)
+      - col("tie_term"))
+    val v = vnum.cast("double") / 18.0
+    s.crossJoin(nd).crossJoin(broadcast(ties))
+      .select(col("n_days"), col("s"),
+        when(vnum <= 0L, lit(null).cast("double"))
+          .otherwise(roundN(
+            when(col("s") > 0L, (col("s") - 1).cast("double") / sqrt(v))
+              .when(col("s") < 0L, (col("s") + 1).cast("double") / sqrt(v))
+              .otherwise(lit(0.0)), 6)).as("z"))
+  }
+
+  private val mannKendallSql = {
+    val vnum = "(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term)"
+    val v = s"(CAST($vnum AS DOUBLE) / 18.0)"
+    s"""WITH e AS (SELECT ts::TIMESTAMP AS ts, event_type, value FROM events),
+       |d AS (SELECT CAST(ts AS DATE) AS day,
+       |        CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+       |      FROM e WHERE event_type = 'purchase' GROUP BY 1),
+       |nd AS (SELECT count(*) AS n_days FROM d),
+       |sgn AS (SELECT CAST(coalesce(sum(CASE WHEN b.c > a.c THEN 1
+       |                 WHEN b.c < a.c THEN -1 ELSE 0 END), 0) AS BIGINT) AS s
+       |        FROM d a JOIN d b ON a.day < b.day),
+       |ties AS (SELECT CAST(coalesce(sum(CASE WHEN t >= 2
+       |                  THEN t * (t - 1) * (2 * t + 5) END), 0) AS BIGINT) AS tie_term
+       |         FROM (SELECT c, count(*) AS t FROM d GROUP BY 1))
+       |SELECT n_days, s,
+       |  CASE WHEN $vnum <= 0 THEN NULL
+       |       ELSE ${roundNSql(
+                 s"CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / sqrt($v) " +
+                   s"WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / sqrt($v) ELSE 0.0 END",
+                 6)}
+       |  END AS z
+       |FROM sgn CROSS JOIN nd CROSS JOIN ties""".stripMargin
+  }
+
   // ------------------------------------------------------------------ pacf
 
   /** Lags computed by the partial-autocorrelation scan (covers the weekly
@@ -807,6 +871,7 @@ object Trend {
     Q("q_stats_runs", runsTest, Some(runsTestSql)),
     Q("q_stats_changepoint", changepoint, Some(changepointSql)),
     Q("q_stats_kendall", kendall, Some(kendallSql)),
+    Q("q_stats_mannkendall", mannKendall, Some(mannKendallSql)),
     Q("q_stats_pacf", pacf, Some(pacfSql)),
     Q("q_stats_trend_theilsen", theilSen, Some(theilSenSql)),
     Q("q_stats_autocorr", autocorr, Some(autocorrSql)),

@@ -123,4 +123,44 @@ class CurationSpec extends SparkSuite {
     assert(b.isNullAt(b.fieldIndex("slope")))
     assert(b.isNullAt(b.fieldIndex("intercept")))
   }
+
+  test("randomized response: coin replayed by hand, debias formula exact") {
+    def coin(u: Long): Boolean = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"rr|$u".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 2)
+      Integer.parseInt(hex, 16) % Curation.RrKeepDen != 0
+    }
+    // users 1..30: purchasers are multiples of 3 (10 true positives)
+    val rows = (1L to 30L).map { u =>
+      (u, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), u,
+        if (u % 3 == 0) "purchase" else "view", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Curation.randomizedResponse(spark, fixtureDir("events" -> rows))
+      .collect().head
+    val f = (1L to 30L).map(u => u % 3 == 0)
+    val rep = (1L to 30L).map(u => if (coin(u)) u % 3 == 0 else u % 3 != 0)
+    assert(r.getAs[Long]("n_users") === 30L)
+    assert(r.getAs[Long]("n_true") === f.count(identity).toLong)
+    assert(r.getAs[Long]("n_reported") === rep.count(identity).toLong)
+    val p = Curation.RrKeepNum.toDouble / Curation.RrKeepDen
+    val est = (rep.count(identity).toDouble / 30 + (p - 1.0)) / (2.0 * p - 1.0)
+    assert(r.getAs[Double]("est_rate") === math.floor(est * 1e6 + 0.5) / 1e6)
+  }
+
+  test("randomized response: debias converges at population scale") {
+    // 2000 users kill the coin's sampling noise (SE ≈ 0.019); sf0.001's 15
+    // users sit at SE ≈ 0.22 where the DETERMINISTIC md5 draw happens to
+    // land 0.37 off — accuracy is a law-of-large-numbers property, so it
+    // is pinned where the law applies.
+    val rows = (1L to 2000L).map { u =>
+      (u, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), u,
+        if (u % 3 == 0) "purchase" else "view", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Curation.randomizedResponse(spark, fixtureDir("events" -> rows))
+      .collect().head
+    assert(r.getAs[Double]("true_rate") === 0.333)
+    val err = math.abs(r.getAs[Double]("est_rate") - r.getAs[Double]("true_rate"))
+    assert(err < 0.05, s"LDP estimate off by $err")
+  }
 }

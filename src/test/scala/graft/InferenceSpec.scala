@@ -270,4 +270,32 @@ class InferenceSpec extends SparkSuite {
     val benfordSum = rows.map(_.getAs[Double]("benford_share")).sum
     assert(math.abs(benfordSum - 1.0) < 1e-3)
   }
+
+  // ----------------------------------------------------------------- ridge
+
+  test("ridge: exact linear target recovered at lambda=0, shrunk monotonically") {
+    // user u: u pre-views, (u mod 3) pre-clicks, post spend exactly 5u dollars
+    var id = 0L
+    def e(ts: String, u: Long, t: String, v: Double) = {
+      id += 1; (id, ts, u, t, v)
+    }
+    val rows = (1L to 20L).flatMap { u =>
+      (1 to u.toInt).map(i => e(f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:30", u, "view", 0)) ++
+        (1 to (u % 3).toInt).map(i => e(f"2024-01-02 01:$i%02d:00", u, "click", 0)) :+
+        e("2024-01-10 10:00:00", u, "purchase", 5.0 * u)
+    }
+    val d = fixtureDir("events" -> eventsDf(rows: _*))
+    val out = Inference.ridge(spark, d).collect()
+      .map(r => r.getAs[Long]("lambda") -> r).toMap
+    assert(out.keySet === Inference.RidgeLambdas.toSet)
+    val ols = out(0L)
+    assert(ols.getAs[Double]("b1") === 5.0)
+    assert(ols.getAs[Double]("b2") === 0.0)
+    assert(ols.getAs[Double]("b0") === 0.0)
+    // shrinkage path: |b1| strictly decreases as lambda grows
+    val path = Inference.RidgeLambdas.map(l => out(l).getAs[Double]("b1"))
+    assert(path === path.sortBy(-_), s"not monotone: $path")
+    assert(path.last < 5.0)
+    out.values.foreach(r => assert(r.getAs[Long]("n_users") === 20L))
+  }
 }

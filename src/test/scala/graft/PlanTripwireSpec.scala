@@ -47,6 +47,9 @@ class PlanTripwireSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     "q_stats_kendall", // day×day pair classification — calendar-bounded at
                        // (years·365)² tiny rows by construction; the
                        // corpus-sized pass is the per-day aggregate upstream
+    "q_stats_mannkendall", // the same calendar-bounded day-pair sweep as
+                           // q_stats_kendall (sign statistic instead of
+                           // pair classes); tie term is a day-keyed agg
     "q_events_attribution_shapley" // subset-lattice joins over the 2^k
                                    // coalition table × k channels — k is the
                                    // event-type domain (a schema constant);

@@ -225,6 +225,32 @@ class TrendSamplingSpec extends SparkSuite {
     assert(r.getAs[Double]("tau_b") === tauB)
   }
 
+  test("mann-kendall: monotone series hand-solved; constant series NULL z") {
+    // strictly increasing revenue over 10 days: S = 45, no ties,
+    // V = 10*9*25/18 = 125, z = (45-1)/sqrt(125)
+    var id = 0L
+    val up = (1 to 10).map { d =>
+      id += 1; (id, f"2024-01-$d%02d 12:00:00", "purchase", d.toDouble)
+    }
+    val r = graft.operators.Trend
+      .mannKendall(spark, fixtureDir("events" -> eventsDfV(up: _*)))
+      .collect().head
+    assert(r.getAs[Long]("n_days") === 10L)
+    assert(r.getAs[Long]("s") === 45L)
+    val wantZ = math.floor(44.0 / math.sqrt(125.0) * 1e6 + 0.5) / 1e6
+    assert(r.getAs[Double]("z") === wantZ)
+    // constant series: every pair tied -> variance numerator 0 -> NULL
+    id = 0
+    val flat = (1 to 6).map { d =>
+      id += 1; (id, f"2024-01-$d%02d 12:00:00", "purchase", 7.0)
+    }
+    val rf = graft.operators.Trend
+      .mannKendall(spark, fixtureDir("events" -> eventsDfV(flat: _*)))
+      .collect().head
+    assert(rf.getAs[Long]("s") === 0L)
+    assert(rf.isNullAt(rf.fieldIndex("z")))
+  }
+
   test("pacf: lag-1 equals r1; lag-2 matches the closed form; AR(1) cuts off") {
     // seeded AR(1): x_t = 0.8 x_{t-1} + e_t -> theoretical PACF cuts off
     // after lag 1 (phi_11 ~ 0.8, later lags ~ 0)
