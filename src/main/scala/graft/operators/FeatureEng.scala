@@ -201,8 +201,113 @@ object FeatureEng {
        |FROM sc2
        |ORDER BY category""".stripMargin
 
+  // -------------------------------------------------------- mutual info
+
+  /** Mutual information I(X;Y) in nats between each candidate categorical
+    * feature and the fulfilled label — the model-free screening companion
+    * of [[woeIv]] (WoE needs both classes per category and measures
+    * monotone separation; MI is defined for any contingency table and
+    * captures ANY dependence). Per feature the output also carries the
+    * marginal entropies and the normalized score
+    * NMI = I/√(H(X)·H(Y)) so features of different cardinality compare
+    * fairly.
+    *
+    * Exactness: every cell/marginal count is an exact BIGINT; each
+    * ln(n_xy·N/(n_x·n_y)) and ln(N/n_x) term micro-quantizes ONCE, then
+    * I·N·1e6 = Σ n_xy·t_µ and H·N·1e6 = Σ n_x·h_µ are order-free
+    * integer sums (quantization can leave I a hair negative where true
+    * MI ≈ 0 — reported, not clamped). NMI divides the two integer sums
+    * directly (the /N/1e6 units cancel); a zero-entropy marginal yields
+    * NULL. Products n_xy·N / n_x·n_y fit BIGINT to N ≈ 3e9 rows
+    * (documented budget, the woe cross-product bound).
+    *
+    * Scale shape: ONE corpus scan (both features emitted via explode,
+    * never a second pass), one cell aggregate; marginals/totals re-derive
+    * from the category-bounded cell table off a localCheckpoint. */
+  def mutualInfo(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select((col("o_orderstatus") === "F").cast("long").as("y"),
+        explode(array(
+          struct(lit("priority").as("feature"),
+            col("o_orderpriority").as("x")),
+          struct(lit("month").as("feature"),
+            month(col("o_orderdate")).cast("string").as("x")))).as("fx"))
+      .select(col("fx.feature").as("feature"), col("fx.x").as("x"), col("y"))
+    val cells = o.groupBy(col("feature"), col("x"), col("y"))
+      .agg(count(lit(1)).as("nxy")).localCheckpoint()
+    val nx = cells.groupBy(col("feature"), col("x")).agg(sum(col("nxy")).as("nx"))
+    val ny = cells.groupBy(col("feature"), col("y")).agg(sum(col("nxy")).as("ny"))
+    val nn = cells.groupBy(col("feature")).agg(sum(col("nxy")).as("n"))
+    val mi = cells
+      .join(nx, Seq("feature", "x")).join(ny, Seq("feature", "y"))
+      .join(nn, Seq("feature"))
+      .select(col("feature"), col("nxy"),
+        floor(log((col("nxy") * col("n")).cast("double") /
+          (col("nx") * col("ny"))) * 1e6 + 0.5).cast("long").as("t_mu"))
+      .groupBy(col("feature")).agg(sum(col("nxy") * col("t_mu")).as("mi_s"))
+    def entropy(m: DataFrame, cnt: String, out: String) =
+      m.join(nn, Seq("feature"))
+        .select(col("feature"),
+          (col(cnt) * floor(log(col("n").cast("double") / col(cnt))
+            * 1e6 + 0.5).cast("long")).as("h"))
+        .groupBy(col("feature")).agg(sum(col("h")).as(out))
+    mi.join(entropy(nx, "nx", "hx_s"), Seq("feature"))
+      .join(entropy(ny, "ny", "hy_s"), Seq("feature"))
+      .join(nn, Seq("feature"))
+      .select(col("feature"), col("n"),
+        roundN(col("mi_s").cast("double") / col("n") / 1e6, 6).as("mi"),
+        roundN(col("hx_s").cast("double") / col("n") / 1e6, 6).as("hx"),
+        roundN(col("hy_s").cast("double") / col("n") / 1e6, 6).as("hy"),
+        when(col("hx_s") === 0L || col("hy_s") === 0L,
+          lit(null).cast("double"))
+          .otherwise(roundN(col("mi_s").cast("double") /
+            sqrt(col("hx_s").cast("double") * col("hy_s")), 6)).as("nmi"))
+      .orderBy(col("feature"))
+  }
+
+  private val mutualInfoSql =
+    s"""WITH o AS (
+       |  SELECT 'priority' AS feature, o_orderpriority AS x,
+       |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+       |  FROM orders
+       |  UNION ALL
+       |  SELECT 'month', CAST(month(o_orderdate) AS VARCHAR),
+       |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+       |  FROM orders),
+       |cells AS (SELECT feature, x, y, count(*) AS nxy FROM o GROUP BY 1, 2, 3),
+       |nx AS (SELECT feature, x, CAST(sum(nxy) AS BIGINT) AS nx
+       |       FROM cells GROUP BY 1, 2),
+       |ny AS (SELECT feature, y, CAST(sum(nxy) AS BIGINT) AS ny
+       |       FROM cells GROUP BY 1, 2),
+       |nn AS (SELECT feature, CAST(sum(nxy) AS BIGINT) AS n
+       |       FROM cells GROUP BY 1),
+       |mi AS (SELECT c.feature,
+       |         CAST(sum(nxy * CAST(floor(ln(CAST(nxy * n AS DOUBLE) / (nx * ny))
+       |           * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS mi_s
+       |       FROM cells c JOIN nx USING (feature, x) JOIN ny USING (feature, y)
+       |         JOIN nn USING (feature)
+       |       GROUP BY 1),
+       |hx AS (SELECT nx.feature,
+       |         CAST(sum(nx * CAST(floor(ln(CAST(n AS DOUBLE) / nx) * 1e6 + 0.5)
+       |           AS BIGINT)) AS BIGINT) AS hx_s
+       |       FROM nx JOIN nn USING (feature) GROUP BY 1),
+       |hy AS (SELECT ny.feature,
+       |         CAST(sum(ny * CAST(floor(ln(CAST(n AS DOUBLE) / ny) * 1e6 + 0.5)
+       |           AS BIGINT)) AS BIGINT) AS hy_s
+       |       FROM ny JOIN nn USING (feature) GROUP BY 1)
+       |SELECT mi.feature, n,
+       |  ${roundNSql("CAST(mi_s AS DOUBLE) / n / 1e6", 6)} AS mi,
+       |  ${roundNSql("CAST(hx_s AS DOUBLE) / n / 1e6", 6)} AS hx,
+       |  ${roundNSql("CAST(hy_s AS DOUBLE) / n / 1e6", 6)} AS hy,
+       |  CASE WHEN hx_s = 0 OR hy_s = 0 THEN NULL
+       |       ELSE ${roundNSql("CAST(mi_s AS DOUBLE) / sqrt(CAST(hx_s AS DOUBLE) * hy_s)", 6)}
+       |  END AS nmi
+       |FROM mi JOIN hx USING (feature) JOIN hy USING (feature) JOIN nn USING (feature)
+       |ORDER BY feature""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q_feat_target_encode", targetEncode, Some(targetEncodeSql)),
     Q("q_feat_winsorize", winsorize, Some(winsorizeSql)),
-    Q("q_feat_woe_iv", woeIv, Some(woeIvSql)))
+    Q("q_feat_woe_iv", woeIv, Some(woeIvSql)),
+    Q("q_feat_mutual_info", mutualInfo, Some(mutualInfoSql)))
 }

@@ -437,6 +437,78 @@ object Retrieval {
        |  ${roundNSql("CAST(n_hit AS DOUBLE) / n_exact", 6)} AS recall
        |FROM g ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- map
+
+  /** Mean-average-precision of the LSH ANN ranking against the brute
+    * exact top-k — the position-sensitive companion of
+    * [[annRecall]] (recall says HOW MANY exact neighbors the
+    * approximate index returns; AP says WHERE it puts them):
+    * AP(q) = Σ_{i: hit at position i} P@i / n_exact, P@i = hits
+    * so far / i over the approximate ranking.
+    *
+    * Exactness: each P@i quantizes as the exact integer division
+    * (cum·1e6) div i (all positive — truncation identical cross-engine),
+    * so AP's numerator is an order-free BIGINT sum; the final
+    * /1e6/n_exact is one fixed double tree. A query the approximate
+    * index misses entirely scores AP = 0 (the honest read), via the
+    * right join from the truth side.
+    *
+    * Scale shape: the candidate work IS the two registered ANN plans;
+    * the cumulative-precision window partitions by query_id over ≤ k
+    * rows each. */
+  def annMap(spark: SparkSession, dir: String): DataFrame =
+    mapOf(
+      Similarity.knnBrute(spark, dir)
+        .select(col("query_id"), col("neighbor_id")),
+      Similarity.knnLsh(spark, dir)
+        .select(col("query_id"), col("neighbor_id"), col("rank")))
+
+  /** The AP fold over (query_id, neighbor_id) truth and
+    * (query_id, neighbor_id, rank) approximate frames — exposed so the
+    * spec can drive it with hand-built rankings. */
+  private[graft] def mapOf(truth: DataFrame, appr: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+    val scored = appr
+      .join(truth.withColumn("rel", lit(1L)), Seq("query_id", "neighbor_id"), "left")
+      .withColumn("hit", coalesce(col("rel"), lit(0L)))
+      .withColumn("cum", sum(col("hit")).over(w))
+      .withColumn("p_mu",
+        when(col("hit") === 1L, expr("(cum * 1000000) div rank"))
+          .otherwise(lit(0L)))
+      .groupBy(col("query_id"))
+      .agg(sum(col("p_mu")).as("ap_mu"), sum(col("hit")).as("n_hit"))
+    truth.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+      .join(scored, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        roundN(coalesce(col("ap_mu"), lit(0L)).cast("double") / 1e6 /
+          col("n_exact"), 6).as("ap"))
+      .orderBy(col("query_id"))
+  }
+
+  private val annMapSql =
+    s"""WITH truth AS (${Similarity.knnBruteSql}),
+       |appr AS (${Similarity.knnLshSql}),
+       |h AS (SELECT a.query_id, a.rank,
+       |        CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+       |      FROM appr a LEFT JOIN truth t
+       |        ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id),
+       |c AS (SELECT query_id, rank, hit,
+       |        CAST(sum(hit) OVER (PARTITION BY query_id ORDER BY rank) AS BIGINT)
+       |          AS cum
+       |      FROM h),
+       |p AS (SELECT query_id,
+       |        CAST(sum(CASE WHEN hit = 1 THEN (cum * 1000000) // rank ELSE 0 END)
+       |          AS BIGINT) AS ap_mu,
+       |        CAST(sum(hit) AS BIGINT) AS n_hit
+       |      FROM c GROUP BY 1),
+       |nex AS (SELECT query_id, count(*) AS n_exact FROM truth GROUP BY 1)
+       |SELECT nex.query_id, n_exact, coalesce(n_hit, 0) AS n_hit,
+       |  ${roundNSql("CAST(coalesce(ap_mu, 0) AS DOUBLE) / 1e6 / n_exact", 6)} AS ap
+       |FROM nex LEFT JOIN p USING (query_id)
+       |ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------------ interleave
 
   /** Team-draft rounds (interleaved list length = 2 × rounds) and the
@@ -819,5 +891,6 @@ object Retrieval {
     Q("q_retrieval_mmr", mmr, Some(mmrSql)),
     Q("q_retrieval_mmr_multi", mmrMulti, Some(mmrSql)),
     Q("q_retrieval_recall", annRecall, Some(annRecallSql)),
+    Q("q_retrieval_map", annMap, Some(annMapSql)),
     Q("q_retrieval_ndcg", annNdcg, Some(annNdcgSql)))
 }

@@ -632,6 +632,119 @@ object Trend {
        |FROM sgn CROSS JOIN nd CROSS JOIN ties""".stripMargin
   }
 
+  // ----------------------------------------------------------- periodogram
+
+  /** Periods scanned by the periodogram: the weekly cycle, its
+    * neighborhood, and the fortnight. */
+  val PeriodogramPeriods: Seq[Int] = Seq(2, 3, 4, 5, 6, 7, 14)
+
+  /** Σ|dev| ceiling that keeps every Σ dev·(cos·1e4) term inside BIGINT:
+    * Σ|dev·cq| ≤ Σ|dev|·1e4 < 2^63. */
+  val PeriodogramAbsDevBudget = 920000000000000L // 9.2e14 cents
+
+  /** (period, k mod period, cos(2πr/p)·1e4, sin(2πr/p)·1e4) — computed
+    * ONCE here and embedded as IDENTICAL literals in both engines, so no
+    * cross-engine transcendental is ever evaluated (the train_quantile
+    * step-schedule convention). cos/sin depend on k only through
+    * k mod p, so the whole trig surface is these Σp ≈ 41 constants. */
+  private[graft] val periodogramTable: Seq[(Int, Int, Long, Long)] =
+    PeriodogramPeriods.flatMap { p =>
+      (0 until p).map { r =>
+        val a = 2.0 * math.Pi * r / p
+        (p, r, math.floor(math.cos(a) * 1e4 + 0.5).toLong,
+          math.floor(math.sin(a) * 1e4 + 0.5).toLong)
+      }
+    }
+
+  /** Discrete-frequency periodogram of daily purchase revenue — the
+    * frequency-domain "WHICH cycle length dominates" companion of the
+    * seasonal-index/Holt-Winters fits (those assume the weekly period;
+    * this one measures it against its neighbors): for each candidate
+    * period p, power(p) = (C² + S²)/n with C = Σ_k dev_k·cos(2πk/p),
+    * S = Σ_k dev_k·sin(2πk/p) over the zero-filled calendar spine,
+    * dev_k = y_k − ⌊T/n⌋ (the exact-floor mean, so centering is
+    * bit-identical cross-engine and the DC term cannot leak into the
+    * scanned frequencies).
+    *
+    * Exactness: dev is exact cents; cos/sin come from the Scala-computed
+    * literal table above (1e-4 quantized), so C and S are order-free
+    * BIGINT sums — guarded by [[PeriodogramAbsDevBudget]] on Σ|dev|
+    * (assert_true filter / error() CASE, the Gram convention); power is
+    * one fixed double tree per period, in dollars².
+    *
+    * Scale shape: one keyed daily aggregate collapses the corpus; the
+    * spine explodes from a 1-row bounds aggregate; the trig table is a
+    * 41-row broadcast equi-join on (p, k mod p); one day-bounded
+    * 7-group aggregate finishes. */
+  def periodogram(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark; import spark2.implicits._
+    val daily = dailyCents(Tables.events(spark, dir))
+    val bounds = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val full = bounds
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"), col("d0"))
+      .join(daily, Seq("day"), "left")
+      .select(datediff(col("day"), col("d0")).cast("long").as("k"),
+        coalesce(col("c"), lit(0L)).as("y"))
+    val tot = broadcast(full.agg(sum(col("y")).as("t"), count(lit(1)).as("n")))
+    val dev = full.crossJoin(tot)
+      .select(col("k"), col("n"), (col("y") - expr("t div n")).as("dev"))
+      .localCheckpoint()
+    val guard = broadcast(dev.agg(sum(abs(col("dev"))).as("sg")))
+    val tbl = broadcast(periodogramTable.toDF("p", "r", "cq", "sq"))
+    dev.crossJoin(guard)
+      .filter(assert_true(col("sg") < PeriodogramAbsDevBudget,
+        lit("periodogram BIGINT overflow budget: sum |dev| too large; " +
+          "rerun on DECIMAL(38,0)")).isNull)
+      .select(col("n"), col("dev"),
+        explode(typedLit(PeriodogramPeriods)).as("p"), col("k"))
+      .withColumn("r", pmod(col("k"), col("p").cast("long")).cast("int"))
+      .join(tbl, Seq("p", "r"))
+      .groupBy(col("p")).agg(max(col("n")).as("n_days"),
+        sum(col("dev") * col("cq")).as("cs"),
+        sum(col("dev") * col("sq")).as("ss"))
+      .select(col("p").as("period"), col("n_days"),
+        roundN(((col("cs").cast("double") / 1e6) * (col("cs").cast("double") / 1e6)
+          + (col("ss").cast("double") / 1e6) * (col("ss").cast("double") / 1e6))
+          / col("n_days"), 4).as("power"))
+      .orderBy(col("period"))
+  }
+
+  private val periodogramSql = {
+    val tvals = periodogramTable
+      .map { case (p, r, cq, sq) => s"($p, $r, $cq, $sq)" }.mkString(", ")
+    s"""WITH e AS (SELECT ts::TIMESTAMP AS ts, event_type, value FROM events),
+       |d AS (SELECT CAST(ts AS DATE) AS day,
+       |        CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+       |      FROM e WHERE event_type = 'purchase' GROUP BY 1),
+       |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
+       |spine AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day, d0
+       |          FROM b),
+       |fl AS (SELECT CAST(datediff('day', d0, day) AS BIGINT) AS k,
+       |         coalesce(c, 0) AS y
+       |       FROM spine s LEFT JOIN d USING (day)),
+       |tot AS (SELECT CAST(sum(y) AS BIGINT) AS t, count(*) AS n FROM fl),
+       |dv AS (SELECT k, n, CAST(y - (t // n) AS BIGINT) AS dev
+       |       FROM fl CROSS JOIN tot),
+       |sg AS (SELECT CAST(sum(abs(dev)) AS BIGINT) AS sg FROM dv),
+       |dvg AS (SELECT k, n,
+       |          CASE WHEN sg < $PeriodogramAbsDevBudget THEN dev
+       |               ELSE CAST(error('periodogram BIGINT overflow budget') AS BIGINT)
+       |          END AS dev
+       |        FROM dv CROSS JOIN sg),
+       |tbl(p, r, cq, sq) AS (VALUES $tvals),
+       |g AS (SELECT p, max(n) AS n_days,
+       |        CAST(sum(dev * cq) AS BIGINT) AS cs,
+       |        CAST(sum(dev * sq) AS BIGINT) AS ss
+       |      FROM dvg JOIN tbl ON tbl.r = dvg.k % tbl.p
+       |      GROUP BY 1)
+       |SELECT p AS period, n_days,
+       |  ${roundNSql(
+             "((CAST(cs AS DOUBLE) / 1e6) * (CAST(cs AS DOUBLE) / 1e6) " +
+               "+ (CAST(ss AS DOUBLE) / 1e6) * (CAST(ss AS DOUBLE) / 1e6)) / n_days",
+             4)} AS power
+       |FROM g ORDER BY 1""".stripMargin
+  }
+
   // ------------------------------------------------------------------ pacf
 
   /** Lags computed by the partial-autocorrelation scan (covers the weekly
@@ -872,6 +985,7 @@ object Trend {
     Q("q_stats_changepoint", changepoint, Some(changepointSql)),
     Q("q_stats_kendall", kendall, Some(kendallSql)),
     Q("q_stats_mannkendall", mannKendall, Some(mannKendallSql)),
+    Q("q_stats_periodogram", periodogram, Some(periodogramSql)),
     Q("q_stats_pacf", pacf, Some(pacfSql)),
     Q("q_stats_trend_theilsen", theilSen, Some(theilSenSql)),
     Q("q_stats_autocorr", autocorr, Some(autocorrSql)),

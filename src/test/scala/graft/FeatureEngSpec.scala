@@ -94,6 +94,43 @@ class FeatureEngSpec extends SparkSuite {
     assert(tot.getAs[Double]("iv") > 1.0) // strongly predictive fixture
   }
 
+  test("mutual info: predictive feature gives MI = H(Y) and NMI = 1; " +
+    "constant feature gives MI = 0 and NULL NMI") {
+    // priority perfectly predicts status (4 U->F, 4 L->O); every order in
+    // the same month, so the month feature is a single-category constant.
+    var id = 0L
+    def rows(pri: String, st: String, k: Int) =
+      (1 to k).map { _ =>
+        id += 1; (id, pri, st, java.sql.Date.valueOf("2024-03-15"))
+      }
+    val orders = (rows("1-URGENT", "F", 4) ++ rows("5-LOW", "O", 4))
+      .toDF("o_orderkey", "o_orderpriority", "o_orderstatus", "o_orderdate")
+    val out = FeatureEng.mutualInfo(spark, fixtureDir("orders" -> orders))
+      .collect().map(r => r.getAs[String]("feature") -> r).toMap
+    val ln2q = math.floor(math.log(2.0) * 1e6 + 0.5) / 1e6 // 0.693147
+    val pri = out("priority")
+    assert(pri.getAs[Long]("n") === 8L)
+    assert(pri.getAs[Double]("mi") === ln2q)
+    assert(pri.getAs[Double]("hx") === ln2q)
+    assert(pri.getAs[Double]("hy") === ln2q)
+    assert(pri.getAs[Double]("nmi") === 1.0)
+    val mon = out("month")
+    assert(mon.getAs[Double]("mi") === 0.0)
+    assert(mon.getAs[Double]("hx") === 0.0) // one category
+    assert(mon.getAs[Double]("hy") === ln2q)
+    assert(mon.isNullAt(mon.fieldIndex("nmi"))) // 0-entropy marginal
+  }
+
+  test("mutual info: TPC-H features are near-independent of the label") {
+    val out = FeatureEng.mutualInfo(spark, SparkSpec.sf0001).collect()
+    assert(out.length === 2)
+    out.foreach { r =>
+      assert(r.getAs[Double]("mi") < 0.01,
+        s"${r.getAs[String]("feature")} unexpectedly informative")
+      assert(r.getAs[Double]("hy") > 0.0)
+    }
+  }
+
   test("woe/iv: TPC-H priority vs status is near-independent (IV ~ 0)") {
     val out = FeatureEng.woeIv(spark, SparkSpec.sf0001).collect()
     val tot = out.find(_.getAs[String]("category") == "__TOTAL__").get

@@ -37,6 +37,8 @@ class PlanTripwireSpec extends SparkSuite with AdaptiveSparkPlanHelper {
                         // choice; the approx side under eval is bucketed
     "q_retrieval_recall", // same ground-truth role as ndcg: the brute
                           // top-k IS recall's denominator by definition
+    "q_retrieval_map", // same ground-truth role as recall/ndcg: AP is
+                       // measured against the brute exact top-k
     "q_sim_matryoshka", // prefix-dim recall eval: ONE brute pair pass at
                         // every truncation width is the metric's
                         // definition; the truncated-ANN tier it qualifies

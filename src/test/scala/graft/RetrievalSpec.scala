@@ -114,4 +114,41 @@ class RetrievalSpec extends SparkSuite {
       assert(scores === scores.sorted.reverse, s"query $q not descending")
     }
   }
+
+  test("map: AP hand-computed per ranking; an all-miss query scores 0") {
+    // q1 truth {10, 11}; ranking [10, 99, 11]:
+    //   AP = (P@1 + P@3)/2 = (1 + 2/3)/2, quantized:
+    //   (1e6 div 1 + 2e6 div 3)/1e6/2 = (1000000 + 666666)/2e6 = 0.833333
+    // q2 truth {20}; ranking [21, 22] has no hit -> AP = 0
+    // q3 truth {30}; ranked nothing at all (missing from appr) -> AP = 0
+    val truth = Seq((1L, 10L), (1L, 11L), (2L, 20L), (3L, 30L))
+      .toDF("query_id", "neighbor_id")
+    val appr = Seq((1L, 10L, 1), (1L, 99L, 2), (1L, 11L, 3),
+      (2L, 21L, 1), (2L, 22L, 2))
+      .toDF("query_id", "neighbor_id", "rank")
+    val out = Retrieval.mapOf(truth, appr).collect()
+      .map(r => r.getAs[Long]("query_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_exact") === 2L)
+    assert(out(1L).getAs[Long]("n_hit") === 2L)
+    assert(out(1L).getAs[Double]("ap") === 0.833333)
+    assert(out(2L).getAs[Long]("n_hit") === 0L)
+    assert(out(2L).getAs[Double]("ap") === 0.0)
+    assert(out(3L).getAs[Long]("n_hit") === 0L)
+    assert(out(3L).getAs[Double]("ap") === 0.0)
+  }
+
+  test("map: harness AP is bounded by recall per query") {
+    // AP ≤ n_hit/n_exact (each hit's precision ≤ 1) — ties recall and
+    // map together on the real ANN pair without re-deriving either
+    val ap = Retrieval.annMap(spark, SparkSpec.sf0001).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Double]("ap"), r.getAs[Long]("n_hit"),
+          r.getAs[Long]("n_exact"))).toMap
+    val rec = Retrieval.annRecall(spark, SparkSpec.sf0001).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("recall")).toMap
+    assert(ap.nonEmpty && ap.keySet === rec.keySet)
+    ap.foreach { case (q, (a, hit, ex)) =>
+      assert(a >= 0.0 && a <= hit.toDouble / ex + 1e-9, s"query $q ap=$a")
+    }
+  }
 }

@@ -251,6 +251,43 @@ class TrendSamplingSpec extends SparkSuite {
     assert(rf.isNullAt(rf.fieldIndex("z")))
   }
 
+  test("periodogram: weekly spike train peaks at 7, values replayed by hand") {
+    // 28 days, $100 purchase every 7th day (k = 0, 7, 14, 21); a 0-value
+    // purchase on the last day pins the spine end so n = 28 exactly
+    var id = 0L
+    val rows = (0 until 28).flatMap { k =>
+      val day = f"2024-01-${k + 1}%02d 12:00:00"
+      if (k % 7 == 0) { id += 1; Seq((id, day, "purchase", 100.0)) }
+      else if (k == 27) { id += 1; Seq((id, day, "purchase", 0.0)) }
+      else Nil
+    }
+    val out = graft.operators.Trend
+      .periodogram(spark, fixtureDir("events" -> eventsDfV(rows: _*)))
+      .collect().map(r => r.getAs[Int]("period") ->
+        (r.getAs[Long]("n_days"), r.getAs[Double]("power"))).toMap
+    assert(out.keySet === graft.operators.Trend.PeriodogramPeriods.toSet)
+    out.values.foreach { case (n, _) => assert(n === 28L) }
+    // independent hand replay from the same literal trig table
+    val tbl = graft.operators.Trend.periodogramTable
+      .map { case (p, r, cq, sq) => (p, r) -> ((cq, sq)) }.toMap
+    val y = (0 until 28).map(k => if (k % 7 == 0) 10000L else 0L)
+    val ybar = y.sum / 28
+    val dev = y.map(_ - ybar)
+    val want = graft.operators.Trend.PeriodogramPeriods.map { p =>
+      val cs = (0 until 28).map(k => dev(k) * tbl((p, k % p))._1).sum
+      val ss = (0 until 28).map(k => dev(k) * tbl((p, k % p))._2).sum
+      val pw = ((cs / 1e6) * (cs / 1e6) + (ss / 1e6) * (ss / 1e6)) / 28
+      p -> math.floor(pw * 1e4 + 0.5) / 1e4
+    }.toMap
+    graft.operators.Trend.PeriodogramPeriods.foreach { p =>
+      assert(out(p)._2 === want(p), s"period $p")
+    }
+    // the weekly line carries the energy; every non-harmonic is below it
+    val p7 = out(7)._2
+    assert(p7 > 0.0)
+    Seq(2, 3, 4, 5, 6, 14).foreach(p => assert(out(p)._2 < p7, s"period $p >= p7"))
+  }
+
   test("pacf: lag-1 equals r1; lag-2 matches the closed form; AR(1) cuts off") {
     // seeded AR(1): x_t = 0.8 x_{t-1} + e_t -> theoretical PACF cuts off
     // after lag 1 (phi_11 ~ 0.8, later lags ~ 0)
