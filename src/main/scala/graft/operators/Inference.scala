@@ -1536,8 +1536,121 @@ object Inference {
        |ORDER BY lambda""".stripMargin
   }
 
+  // --------------------------------------------------------- permutation
+
+  /** Re-randomizations drawn by the permutation test. */
+  val PermCount = 100
+
+  /** Fisher-style permutation (re-randomization) test on mean spend per
+    * user between the two md5 arms — the assumption-free companion of the
+    * Welch/z tests: the null distribution is built by re-assigning every
+    * user to a pseudo-arm under [[PermCount]] deterministic md5 coins
+    * (md5("perm|p|user") parity — fresh randomization per p, independent
+    * of the real arm), and p = (1 + #{|diff_p| ≥ |diff_obs|}) /
+    * (1 + #valid perms), the standard add-one form that keeps p > 0.
+    *
+    * Exactness: per-user spend is exact cents; each arm mean quantizes as
+    * the exact integer division (sum·1e6) div n (operands non-negative,
+    * so truncation is identical cross-engine), making every |diff|
+    * comparison pure BIGINT — the reject count cannot differ by a float
+    * ulp. One-armed splits (observed or permuted) carry NULL and are
+    * excluded from the valid-perm denominator. sum·1e6 fits BIGINT to
+    * ~9e12 spend cents (documented budget).
+    *
+    * Scale shape: ONE keyed corpus aggregate collapses events to users;
+    * the perm fanout explodes users × [[PermCount]] AFTER that collapse
+    * and map-side-combines straight back to PermCount rows — no extra
+    * corpus scan, no window, no join wider than a 1-row broadcast. */
+  def permutation(spark: SparkSession, dir: String): DataFrame = {
+    val cents = floor(col("value") * 100 + 0.5).cast("long")
+    val u = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(coalesce(sum(when(col("event_type") === "purchase", cents)), lit(0L))
+        .as("y"))
+      .localCheckpoint()
+    def diffed(df: DataFrame) = df.select(col("*"),
+      when(col("nt") > 0L && col("nc") > 0L,
+        expr("(st * 1000000) div nt") - expr("(sc * 1000000) div nc")).as("d"))
+    val obs = diffed(u.agg(
+      count(lit(1)).as("n_users"),
+      sum(when(armCol(col("user_id")) === 1, col("y")).otherwise(0L)).as("st"),
+      sum(when(armCol(col("user_id")) === 1, 1L).otherwise(0L)).as("nt"),
+      sum(when(armCol(col("user_id")) === 0, col("y")).otherwise(0L)).as("sc"),
+      sum(when(armCol(col("user_id")) === 0, 1L).otherwise(0L)).as("nc")))
+    val permArm = conv(substring(md5(concat(lit("perm|"),
+      col("p").cast("string"), lit("|"), col("user_id").cast("string"))),
+      1, 2), 16, 10).cast("int") % 2
+    val pd = diffed(u
+      .select(col("user_id"), col("y"),
+        explode(sequence(lit(0), lit(PermCount - 1))).as("p"))
+      .select(col("p"), col("y"), permArm.as("a"))
+      .groupBy(col("p"))
+      .agg(sum(when(col("a") === 1, col("y")).otherwise(0L)).as("st"),
+        sum(when(col("a") === 1, 1L).otherwise(0L)).as("nt"),
+        sum(when(col("a") === 0, col("y")).otherwise(0L)).as("sc"),
+        sum(when(col("a") === 0, 1L).otherwise(0L)).as("nc")))
+    val ag = pd.crossJoin(broadcast(obs.select(col("d").as("d_obs"))))
+      .agg(count(col("d")).as("n_perms"),
+        sum(when(abs(col("d")) >= abs(col("d_obs")), 1L).otherwise(0L))
+          .as("n_ext"))
+    obs.crossJoin(broadcast(ag))
+      .select(col("n_users"), col("nt").as("n_t"), col("nc").as("n_c"),
+        roundN(col("d").cast("double") / 1e8, 6).as("diff_dollars"),
+        col("n_perms"),
+        when(col("d").isNull, lit(null).cast("long"))
+          .otherwise(col("n_ext")).as("n_extreme"),
+        when(col("d").isNull || col("n_perms") === 0L,
+          lit(null).cast("double"))
+          .otherwise(roundN((lit(1.0) + col("n_ext")) /
+            (lit(1.0) + col("n_perms")), 6)).as("p_value"))
+  }
+
+  private val permutationSql = {
+    val permArm = "(('0x' || substr(md5('perm|' || CAST(p AS VARCHAR) || '|' " +
+      "|| CAST(user_id AS VARCHAR)), 1, 2))::INT % 2)"
+    s"""WITH $eventsUs,
+       |u AS (SELECT user_id,
+       |        CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+       |          THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END), 0) AS BIGINT)
+       |          AS y
+       |      FROM e GROUP BY 1),
+       |ob AS (SELECT count(*) AS n_users,
+       |         CAST(sum(CASE WHEN $armSql = 1 THEN y ELSE 0 END) AS BIGINT) AS st,
+       |         CAST(sum(CASE WHEN $armSql = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+       |         CAST(sum(CASE WHEN $armSql = 0 THEN y ELSE 0 END) AS BIGINT) AS sc,
+       |         CAST(sum(CASE WHEN $armSql = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc
+       |       FROM u),
+       |obd AS (SELECT *, CASE WHEN nt > 0 AND nc > 0
+       |          THEN (st * 1000000) // nt - (sc * 1000000) // nc END AS d
+       |        FROM ob),
+       |pm AS (SELECT p.p, u.y, $permArm AS a
+       |       FROM u CROSS JOIN (SELECT unnest(range(0, $PermCount)) AS p) p),
+       |pg AS (SELECT p,
+       |         CAST(sum(CASE WHEN a = 1 THEN y ELSE 0 END) AS BIGINT) AS st,
+       |         CAST(sum(CASE WHEN a = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+       |         CAST(sum(CASE WHEN a = 0 THEN y ELSE 0 END) AS BIGINT) AS sc,
+       |         CAST(sum(CASE WHEN a = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc
+       |       FROM pm GROUP BY 1),
+       |pd AS (SELECT CASE WHEN nt > 0 AND nc > 0
+       |         THEN (st * 1000000) // nt - (sc * 1000000) // nc END AS d
+       |       FROM pg),
+       |ag AS (SELECT count(pd.d) AS n_perms,
+       |         CAST(sum(CASE WHEN abs(pd.d) >= abs(obd.d) THEN 1 ELSE 0 END)
+       |           AS BIGINT) AS n_ext
+       |       FROM pd CROSS JOIN obd)
+       |SELECT n_users, nt AS n_t, nc AS n_c,
+       |  ${roundNSql("CAST(d AS DOUBLE) / 1e8", 6)} AS diff_dollars,
+       |  n_perms,
+       |  CASE WHEN d IS NULL THEN NULL ELSE n_ext END AS n_extreme,
+       |  CASE WHEN d IS NULL OR n_perms = 0 THEN NULL
+       |       ELSE ${roundNSql("(1.0 + n_ext) / (1.0 + n_perms)", 6)}
+       |  END AS p_value
+       |FROM obd CROSS JOIN ag""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_stats_sprt", sprt, Some(sprtSql)),
+    Q("q_stats_permutation", permutation, Some(permutationSql)),
     Q("q_train_ridge", ridge, Some(ridgeSql)),
     Q("q_events_psm", psm, Some(psmSql)),
     Q("q_stats_jackknife", jackknife, Some(jackknifeSql)),

@@ -292,9 +292,91 @@ object ModelEval {
        |ORDER BY fold""".stripMargin
   }
 
+  // ----------------------------------------------------------------- lift
+
+  /** Quintile lift / cumulative-gains table of the trained classifier —
+    * the campaign-targeting read beside AUC (AUC summarizes the whole
+    * ranking; the lift table says what happens if you act on the TOP
+    * 20/40/… percent): documents bucket into score quintiles via the
+    * exact ntile machinery ([[graft.operators.Events.ntileByCutpoints]]
+    * on (score DESC, doc_id) — NO corpus-sized window), and each bucket
+    * reports its positive rate, lift = rate/base-rate, and the
+    * cumulative gain share of all positives captured so far.
+    *
+    * Exactness: scores are the identical micro-quantized sigmoid the AUC
+    * family ranks on; bucket counts are exact BIGINTs; lift is one
+    * division of exact cross-products (x_b·N)/(n_b·X) (fits BIGINT to
+    * ~3e9 docs, the woe budget) and gain is cum_x/X — a base-rate-free
+    * corpus (X = 0) reports NULL lift/gain. The cumulative window runs
+    * over the 5 quintile rows (bounded by construction, whitelisted —
+    * the q_events_uplift Qini class).
+    *
+    * Scale shape: T scan-speed grand aggregates train the model (the fit
+    * contract); scoring is one narrow pass; bucketing is the broadcast
+    * cutpoint CASE; the table itself is 5 rows. */
+  def lift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val f = TrainClassifier.features(spark, dir).cache()
+    val (ws, _, _, _) = TrainClassifier.fit(f)
+    val p = TrainClassifier.sigma(TrainClassifier.margin(ws))
+    val sc = f.select(col("doc_id").as("user_id"), // cutpoint ties key on user_id
+      floor(p * lit(Micro) + lit(0.5)).cast("long").as("mu"), col("y"))
+      .localCheckpoint()
+    val n = sc.count()
+    val b = Events.ntileByCutpoints(sc, -col("mu"), n, "bucket")
+    val w5 = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y") === lit(1.0), 1L).otherwise(0L)).as("n_pos"))
+      .withColumn("cum_pos", sum(col("n_pos")).over(w5))
+      .crossJoin(broadcast(sc.agg(count(lit(1)).as("nn"),
+        sum(when(col("y") === lit(1.0), 1L).otherwise(0L)).as("xx"))))
+      .select(col("bucket").cast("long").as("bucket"), col("n"), col("n_pos"),
+        roundN(col("n_pos").cast("double") / col("n"), 6).as("rate"),
+        when(col("xx") === 0L, lit(null).cast("double"))
+          .otherwise(roundN((col("n_pos") * col("nn")).cast("double") /
+            (col("n") * col("xx")), 6)).as("lift"),
+        when(col("xx") === 0L, lit(null).cast("double"))
+          .otherwise(roundN(col("cum_pos").cast("double") / col("xx"), 6))
+          .as("cum_gain"))
+      .orderBy(col("bucket"))
+  }
+
+  private val liftSql: String =
+    s"""WITH ${TrainClassifier.trainCtesSql},
+       |scd AS (SELECT f.doc_id,
+       |          CAST(floor((0.5 + 0.5 * ($MARGIN / (1.0 + abs($MARGIN))))
+       |            * $MicroSql + 0.5) AS BIGINT) AS mu,
+       |          f.y AS y
+       |        FROM f CROSS JOIN w${TrainClassifier.Iterations} w),
+       |b AS (SELECT *, ntile(5) OVER (ORDER BY mu DESC, doc_id) AS bucket
+       |      FROM scd),
+       |g AS (SELECT bucket, count(*) AS n,
+       |        CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+       |      FROM b GROUP BY 1),
+       |c AS (SELECT *,
+       |        CAST(sum(n_pos) OVER (ORDER BY bucket
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |          AS cum_pos,
+       |        CAST(sum(n) OVER () AS BIGINT) AS nn,
+       |        CAST(sum(n_pos) OVER () AS BIGINT) AS xx
+       |      FROM g)
+       |SELECT CAST(bucket AS BIGINT) AS bucket, n, n_pos,
+       |  ${roundNSql("CAST(n_pos AS DOUBLE) / n", 6)} AS rate,
+       |  CASE WHEN xx = 0 THEN NULL
+       |       ELSE ${roundNSql("CAST(n_pos * nn AS DOUBLE) / (n * xx)", 6)}
+       |  END AS lift,
+       |  CASE WHEN xx = 0 THEN NULL
+       |       ELSE ${roundNSql("CAST(cum_pos AS DOUBLE) / xx", 6)}
+       |  END AS cum_gain
+       |FROM c
+       |ORDER BY bucket""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q_train_auc", auc, Some(aucSql)),
     Q("q_train_confusion", confusion, Some(confusionSql)),
     Q("q_train_prauc", averagePrecision, Some(averagePrecisionSql)),
-    Q("q_train_cv", crossVal, Some(crossValSql)))
+    Q("q_train_cv", crossVal, Some(crossValSql)),
+    Q("q_train_lift", lift, Some(liftSql)))
 }

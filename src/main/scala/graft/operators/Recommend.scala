@@ -528,7 +528,81 @@ object Recommend {
        |       ELSE ${roundNSql("CAST(mrr_mu AS DOUBLE) / n_eval / 1e6", 6)} END AS mrr
        |FROM ne CROSS JOIN h""".stripMargin
 
+  // ------------------------------------------------------------- coverage
+
+  /** Aggregate diversity of the item-sim recommender — the health check a
+    * recsys team runs beside accuracy (HR/MRR measure the lists'
+    * QUALITY; this measures what the system as a whole ever shows):
+    * catalog coverage = share of cataloged items appearing in ANY
+    * top-[[RecTopK]] list, and the exposure Gini over per-item list
+    * appearances with never-recommended items counted at 0 — the
+    * popularity-concentration read (Gini → 1 means a few blockbusters
+    * absorb all slots).
+    *
+    * Exactness: exposures and counts are exact BIGINTs; coverage is one
+    * final division; the Gini is the q_events_gini grouped-histogram
+    * identity Σ c·x·(2·cb+c−n)/(n·Σx) on exact integers (an
+    * exposure-free system, Σx = 0, yields NULL). Scale shape: the
+    * candidate work IS the registered item-sim plan; exposure is an
+    * item-keyed aggregate left-joined to the item catalog; the
+    * cumulative walk runs over the DISTINCT-exposure-count histogram
+    * (values bounded by the exposure domain, never the catalog —
+    * whitelisted, the q_events_gini class). */
+  def coverage(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cat = liDistinct(spark, dir).select(col("p")).distinct()
+    val exp = simTop(spark, dir)
+      .groupBy(col("neighbor")).agg(count(lit(1)).as("e"))
+    val xs = cat.join(exp, cat("p") === exp("neighbor"), "left")
+      .select(coalesce(col("e"), lit(0L)).as("x"))
+    val hist = xs.groupBy(col("x")).agg(count(lit(1)).as("c"))
+    val win = Window.orderBy(col("x"))
+    val cum = hist
+      .withColumn("cb", coalesce(sum(col("c"))
+        .over(win.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .crossJoin(broadcast(hist.agg(sum(col("c")).as("n"),
+        sum(col("c") * col("x")).as("sx"))))
+    cum.agg(
+      max(col("n")).as("n_items"),
+      sum(when(col("x") > 0L, col("c")).otherwise(0L)).as("n_recommended"),
+      roundN(sum(when(col("x") > 0L, col("c")).otherwise(0L)).cast("double") /
+        max(col("n")), 6).as("coverage"),
+      when(max(col("sx")) === 0L, lit(null).cast("double"))
+        .otherwise(roundN(
+          sum(col("c") * col("x") * (lit(2) * col("cb") + col("c") - col("n")))
+            .cast("double") / (max(col("n")) * max(col("sx"))), 6))
+        .as("exposure_gini"))
+  }
+
+  private val coverageSql =
+    s"""WITH $simCtesSql,
+       |t3 AS (SELECT item, neighbor FROM sc
+       |       QUALIFY row_number() OVER (PARTITION BY item
+       |         ORDER BY cos_mu DESC, neighbor) <= $RecTopK),
+       |cat AS (SELECT DISTINCT p FROM li),
+       |ex AS (SELECT neighbor, count(*) AS e FROM t3 GROUP BY 1),
+       |xs AS (SELECT CAST(coalesce(e, 0) AS BIGINT) AS x
+       |       FROM cat LEFT JOIN ex ON ex.neighbor = cat.p),
+       |h AS (SELECT x, count(*) AS c FROM xs GROUP BY 1),
+       |cu AS (SELECT x, c,
+       |         coalesce(sum(c) OVER (ORDER BY x
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+       |         sum(c) OVER () AS n, sum(c * x) OVER () AS sx
+       |       FROM h)
+       |SELECT CAST(max(n) AS BIGINT) AS n_items,
+       |  CAST(sum(CASE WHEN x > 0 THEN c ELSE 0 END) AS BIGINT) AS n_recommended,
+       |  ${roundNSql(
+           "CAST(sum(CASE WHEN x > 0 THEN c ELSE 0 END) AS DOUBLE) / max(n)", 6)}
+       |    AS coverage,
+       |  CASE WHEN max(sx) = 0 THEN NULL
+       |       ELSE ${roundNSql(
+               "CAST(sum(c * x * (2 * cb + c - n)) AS DOUBLE) / (max(n) * max(sx))",
+               6)}
+       |  END AS exposure_gini
+       |FROM cu""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q_rec_coverage", coverage, Some(coverageSql)),
     Q("q_rec_ope", ope, Some(opeSql)),
     Q("q_rec_ope_dr", opeDr, Some(opeDrSql)),
     Q("q_rec_holdout", holdout, Some(holdoutSql)),

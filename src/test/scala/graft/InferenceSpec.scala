@@ -271,6 +271,48 @@ class InferenceSpec extends SparkSuite {
     assert(math.abs(benfordSum - 1.0) < 1e-3)
   }
 
+  // ----------------------------------------------------------- permutation
+
+  test("permutation: planted effect, all 100 re-randomizations replayed") {
+    def md5b(s: String): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d(0) & 0xff
+    }
+    def arm(u: Long) = md5b(u.toString) % 2
+    def parm(p: Int, u: Long) = md5b(s"perm|$p|$u") % 2
+    var id = 0L
+    def e(u: Long, v: Double) = {
+      id += 1; (id, "2024-01-01 10:00:00", u, "purchase", v)
+    }
+    // effect aligned with the REAL arm: treatment $100, control $1
+    val rows = (1L to 30L).map(u => e(u, if (arm(u) == 1) 100.0 else 1.0))
+    val d = fixtureDir("events" -> eventsDf(rows: _*))
+    val y = (1L to 30L).map(u =>
+      u -> (if (arm(u) == 1) 10000L else 100L)).toMap
+    def diff(a: Long => Int): Option[Long] = {
+      val t = (1L to 30L).filter(a(_) == 1)
+      val c = (1L to 30L).filter(a(_) == 0)
+      if (t.isEmpty || c.isEmpty) None
+      else Some(t.map(y).sum * 1000000L / t.size -
+        c.map(y).sum * 1000000L / c.size)
+    }
+    val dObs = diff(arm).get
+    val perms = (0 until Inference.PermCount).flatMap(p => diff(parm(p, _)))
+    val nExt = perms.count(dp => math.abs(dp) >= math.abs(dObs)).toLong
+    val r = Inference.permutation(spark, d).collect().head
+    assert(r.getAs[Long]("n_users") === 30L)
+    assert(r.getAs[Long]("n_t") + r.getAs[Long]("n_c") === 30L)
+    assert(r.getAs[Double]("diff_dollars") ===
+      math.floor(dObs / 1e8 * 1e6 + 0.5) / 1e6)
+    assert(r.getAs[Long]("n_perms") === perms.size.toLong)
+    assert(r.getAs[Long]("n_extreme") === nExt)
+    assert(r.getAs[Double]("p_value") ===
+      math.floor((1.0 + nExt) / (1.0 + perms.size) * 1e6 + 0.5) / 1e6)
+    // a 30-user aligned effect is unreachable by chance re-randomization
+    assert(r.getAs[Double]("p_value") < 0.05)
+  }
+
   // ----------------------------------------------------------------- ridge
 
   test("ridge: exact linear target recovered at lambda=0, shrunk monotonically") {

@@ -83,4 +83,31 @@ class ModelEvalSpec extends SparkSuite {
       math.floor(((aucs(0) + aucs(1) + aucs(2)) / 3.0) * 1e6 + 0.5) / 1e6
     assert(mean.getAs[Double]("auc") === expect)
   }
+
+  test("lift: quintile table is self-consistent and reconciles with auc totals") {
+    val rows = ModelEval.lift(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("bucket")).toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+    val n = rows.map(_.getAs[Long]("n")).sum
+    val x = rows.map(_.getAs[Long]("n_pos")).sum
+    // population totals match the AUC query's positive/negative counts
+    val a = ModelEval.auc(spark, dir).collect().head
+    assert(x === a.getAs[Long]("n_pos"))
+    assert(n - x === a.getAs[Long]("n_neg"))
+    // ntile(5) bucket sizes: floor(n/5) or +1 for the first n%5 buckets
+    val want = (1 to 5).map(b => n / 5 + (if (b <= (n % 5)) 1L else 0L))
+    assert(rows.map(_.getAs[Long]("n")).toSeq === want)
+    rows.foreach { r =>
+      val (nb, xb) = (r.getAs[Long]("n"), r.getAs[Long]("n_pos"))
+      assert(r.getAs[Double]("rate") ===
+        math.floor(xb.toDouble / nb * 1e6 + 0.5) / 1e6)
+      assert(r.getAs[Double]("lift") ===
+        math.floor((xb * n).toDouble / (nb * x) * 1e6 + 0.5) / 1e6)
+    }
+    // cumulative gains are nondecreasing and end at exactly 1
+    val gains = rows.map(_.getAs[Double]("cum_gain")).toSeq
+    assert(gains === gains.sorted)
+    assert(gains.last === 1.0)
+    // the score actually ranks: the top quintile outperforms the bottom
+    assert(rows.head.getAs[Double]("rate") > rows.last.getAs[Double]("rate"))
+  }
 }

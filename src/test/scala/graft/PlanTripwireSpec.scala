@@ -181,7 +181,15 @@ class PlanTripwireSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     // distinct event type, an instrumentation enum bounded by the
     // product's schema, not data volume; user-sized work is the two
     // keyed aggregates upstream
-    "q_stats_bh_fdr")
+    "q_stats_bh_fdr",
+    // cumulative gains run over the 5 quintile rows — bounded by
+    // construction (the q_events_uplift Qini class); doc-sized work is
+    // the scoring scan and the cutpoint machinery, never a global window
+    "q_train_lift",
+    // exposure-Gini cumulative walks the DISTINCT exposure-count
+    // histogram — bounded by the exposure domain (the q_events_gini
+    // class); item-sized work is the keyed exposure aggregate upstream
+    "q_rec_coverage")
 
   private def globalWindows(name: String, df: DataFrame): Seq[String] = {
     val plan = df.queryExecution.executedPlan

@@ -60,4 +60,20 @@ class RecommendSpec extends SparkSuite {
     val r = Recommend.did(spark, d).collect()(0)
     assert(r.isNullAt(r.fieldIndex("did")))
   }
+
+  test("coverage: hand-computed exposure Gini; isolated item drops coverage") {
+    // orders {1,2}, {1,2}, {1,3}, {4}: part 4 is cataloged but never
+    // co-occurs -> exposure 0. Top-3 lists: 1->[2,3], 2->[1], 3->[1]
+    // exposures: 1:2, 2:1, 3:1, 4:0 -> coverage 3/4
+    // Gini over {0,1,1,2} (grouped identity): (0 + 0 + 6)/(4*4) = 0.375
+    val li = Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L),
+      (12L, 1L), (12L, 3L), (13L, 4L))
+      .toDF("l_orderkey", "l_partkey")
+    val r = Recommend.coverage(spark, fixtureDir("lineitem" -> li))
+      .collect().head
+    assert(r.getAs[Long]("n_items") === 4L)
+    assert(r.getAs[Long]("n_recommended") === 3L)
+    assert(r.getAs[Double]("coverage") === 0.75)
+    assert(r.getAs[Double]("exposure_gini") === 0.375)
+  }
 }
