@@ -134,8 +134,82 @@ object Engagement {
        |FROM m JOIN co USING (channel)
        |ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------------ event study
+
+  /** Days on each side of the anchor in the event-study window. */
+  val EventStudyWindow = 7
+
+  /** Event study around each user's FIRST purchase — the peri-event
+    * profile a causal read starts from (DID compares two period means;
+    * this plots the full lead/lag path so pre-trends are visible): for
+    * relative day τ ∈ [−7, 7], mean spend per anchored user at day
+    * anchor+τ, with users who have no event that day contributing an
+    * implicit exact zero — only the sum over OBSERVED (user, τ) rows and
+    * the anchored-user count are ever materialized, never a user×τ
+    * spine. The τ = 0 row spikes by construction (it contains every
+    * user's first purchase) — the spec pins exactly that.
+    *
+    * Exactness: cents and counts are exact BIGINTs; mean_spend is one
+    * final division. Scale shape: one keyed first-purchase aggregate,
+    * one user-keyed equi-join with the ±7 range filter, a 15-group
+    * aggregate, and the τ spine explodes from a literal sequence —
+    * no window anywhere. */
+  def eventStudy(spark: SparkSession, dir: String): DataFrame = {
+    val cents = floor(col("value") * 100 + 0.5).cast("long")
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("event_type"),
+        cents.as("c"))
+    val anchor = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("day")).as("d0"))
+    val n = broadcast(anchor.agg(count(lit(1)).as("n_users")))
+    val rel = ev.join(anchor, "user_id")
+      .select(datediff(col("day"), col("d0")).cast("long").as("rel_day"),
+        col("user_id"),
+        when(col("event_type") === "purchase", col("c")).otherwise(0L).as("c"))
+      .filter(col("rel_day").between(-EventStudyWindow, EventStudyWindow))
+    val g = rel.groupBy(col("rel_day"))
+      .agg(count_distinct(col("user_id")).as("n_active"),
+        sum(col("c")).as("s"))
+    spark.range(1).select(explode(sequence(lit(-EventStudyWindow.toLong),
+        lit(EventStudyWindow.toLong))).as("rel_day"))
+      .join(g, Seq("rel_day"), "left")
+      .crossJoin(n)
+      .select(col("rel_day"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"),
+        roundN(coalesce(col("s"), lit(0L)).cast("double") / col("n_users")
+          / 100.0, 6).as("mean_spend"))
+      .orderBy(col("rel_day"))
+  }
+
+  private val eventStudySql =
+    s"""WITH e AS (SELECT ts::TIMESTAMP AS ts, user_id, event_type, value FROM events),
+       |ev AS (SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+       |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+       |       FROM e),
+       |an AS (SELECT user_id, min(day) AS d0 FROM ev
+       |       WHERE event_type = 'purchase' GROUP BY 1),
+       |nu AS (SELECT count(*) AS n_users FROM an),
+       |rel AS (SELECT CAST(datediff('day', d0, day) AS BIGINT) AS rel_day,
+       |          ev.user_id,
+       |          CASE WHEN event_type = 'purchase' THEN c ELSE 0 END AS c
+       |        FROM ev JOIN an USING (user_id)
+       |        WHERE datediff('day', d0, day)
+       |          BETWEEN -$EventStudyWindow AND $EventStudyWindow),
+       |g AS (SELECT rel_day, count(DISTINCT user_id) AS n_active,
+       |        CAST(sum(c) AS BIGINT) AS s
+       |      FROM rel GROUP BY 1),
+       |sp AS (SELECT unnest(range(-$EventStudyWindow, ${EventStudyWindow + 1}))
+       |         AS rel_day)
+       |SELECT CAST(sp.rel_day AS BIGINT) AS rel_day,
+       |  CAST(coalesce(n_active, 0) AS BIGINT) AS n_active,
+       |  ${roundNSql("CAST(coalesce(s, 0) AS DOUBLE) / n_users / 100.0", 6)}
+       |    AS mean_spend
+       |FROM sp LEFT JOIN g ON g.rel_day = sp.rel_day CROSS JOIN nu
+       |ORDER BY 1""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q_events_streaks", streaks, Some(streaksSql)),
     Q("q_events_interpurchase", interPurchase, Some(interPurchaseSql)),
+    Q("q_events_eventstudy", eventStudy, Some(eventStudySql)),
     Q("q_events_retention_channel", retentionByChannel, Some(retentionByChannelSql)))
 }

@@ -1427,12 +1427,15 @@ object Inference {
     * Scale shape: one keyed per-user aggregate collapses the corpus;
     * the grid explodes from the single sufficient-statistics row —
     * 100 TB costs one scan regardless of how many λ are reported. */
-  def ridge(spark: SparkSession, dir: String): DataFrame = {
+  /** (user_id, x1 = pre-midpoint views, x2 = pre-midpoint clicks,
+    * y = post-midpoint purchase whole dollars) — the design frame shared
+    * by [[ridge]] and the conformal audit, budget-checked. */
+  private def ridgeUsers(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val us = unix_micros(col("ts"))
     val cents = floor(col("value") * 100 + 0.5).cast("long")
     val mid = ev.agg(floor((min(us) + max(us)) / lit(2L)).cast("long").as("mid_us"))
-    val perUser = ev.crossJoin(broadcast(mid))
+    ev.crossJoin(broadcast(mid))
       .groupBy(col("user_id"))
       .agg(
         sum(when(us < col("mid_us") && col("event_type") === "view", 1L)
@@ -1441,11 +1444,28 @@ object Inference {
           .otherwise(0L)).as("x2"),
         coalesce(sum(when(us >= col("mid_us") &&
           col("event_type") === "purchase", cents)), lit(0L)).as("yc"))
-      .select(
+      .select(col("user_id"),
         when(col("x1") < 3000000000L && col("x2") < 3000000000L, col("x1"))
           .otherwise(raise_error(lit("ridge: input exceeds the BIGINT budget")))
           .as("x1"),
         col("x2"), expr("yc div 100").as("y"))
+  }
+
+  /** The u CTE body mirroring [[ridgeUsers]] (expects `e` and `m`). */
+  private val ridgeUsersSql =
+    s"""u AS (SELECT user_id,
+       |        CAST(sum(CASE WHEN epoch_us(ts) < mid_us AND event_type = 'view'
+       |          THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+       |        CAST(sum(CASE WHEN epoch_us(ts) < mid_us AND event_type = 'click'
+       |          THEN 1 ELSE 0 END) AS BIGINT) AS x2,
+       |        CAST(coalesce(sum(CASE WHEN epoch_us(ts) >= mid_us
+       |          AND event_type = 'purchase'
+       |          THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END), 0) // 100 AS BIGINT)
+       |          AS y
+       |      FROM e, m GROUP BY user_id)""".stripMargin
+
+  def ridge(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = ridgeUsers(spark, dir).drop("user_id")
     val agg = perUser.agg(
       count(lit(1)).as("t"),
       sum(col("y")).as("sy"), sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
@@ -1507,16 +1527,7 @@ object Inference {
     s"""WITH $eventsUs,
        |m AS (SELECT CAST(floor((min(epoch_us(ts)) + max(epoch_us(ts))) / 2) AS BIGINT)
        |        AS mid_us FROM e),
-       |u AS (SELECT user_id,
-       |        CAST(sum(CASE WHEN epoch_us(ts) < mid_us AND event_type = 'view'
-       |          THEN 1 ELSE 0 END) AS BIGINT) AS x1,
-       |        CAST(sum(CASE WHEN epoch_us(ts) < mid_us AND event_type = 'click'
-       |          THEN 1 ELSE 0 END) AS BIGINT) AS x2,
-       |        CAST(coalesce(sum(CASE WHEN epoch_us(ts) >= mid_us
-       |          AND event_type = 'purchase'
-       |          THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END), 0) // 100 AS BIGINT)
-       |          AS y
-       |      FROM e, m GROUP BY user_id),
+       |$ridgeUsersSql,
        |ag AS (SELECT count(*) AS t,
        |         CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x1) AS BIGINT) AS s1,
        |         CAST(sum(x2) AS BIGINT) AS s2,
@@ -1534,6 +1545,168 @@ object Inference {
        |  CASE WHEN $deg THEN NULL ELSE ${roundNSql(s"$det2 / $detF", 6)} END AS b2
        |FROM grid
        |ORDER BY lambda""".stripMargin
+  }
+
+  // ----------------------------------------------------------- conformal
+
+  /** Miscoverage target: 1 − α = 9/10. */
+  val ConformalKeepNum = 9
+
+  /** Split conformal prediction interval (Papadopoulos et al. 2002 /
+    * Lei et al. 2018) around the OLS spend model — the
+    * distribution-free answer to "how wide must the ±band be so 90% of
+    * unseen users land inside": users split 3 ways on the md5("cp|u")
+    * byte (0 train, 1 calibration, 2 test); OLS fits on train via the
+    * [[ridge]] Cramer-3×3 normal equations (λ = 0); q̂ = the
+    * k = ⌈(n_cal+1)·9/10⌉-th smallest calibration |residual|; coverage
+    * = share of TEST users with |residual| ≤ q̂ — the audit row carries
+    * it beside q̂ because ≈ 90% IS the method's guarantee.
+    *
+    * Exactness: residuals quantize ONCE to whole cents (one fixed double
+    * tree over exact integers and the train-derived betas, identical
+    * both engines), so rank selection and the coverage comparison are
+    * pure BIGINT; k is exact integer arithmetic ⌈x/10⌉ = (x+9) div 10.
+    * k > n_cal (too few calibration points) pins q̂ = NULL and
+    * coverage = 1 (the infinite interval); a degenerate train fit
+    * (singular / < 4 users) yields NULL q̂ AND NULL coverage.
+    *
+    * Scale shape: one keyed corpus aggregate builds the user frame; the
+    * fit is a 1-row sufficient-statistics aggregate; q̂ selection walks
+    * the DISTINCT residual-CENTS histogram — money-domain-bounded (the
+    * q_events_gini class, whitelisted); everything else is 1-row
+    * broadcast algebra. */
+  def conformal(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = ridgeUsers(spark, dir)
+      .withColumn("sp", conv(substring(md5(concat(lit("cp|"),
+        col("user_id").cast("string"))), 1, 2), 16, 10).cast("int") % 3)
+      .localCheckpoint()
+    val tr = u.filter(col("sp") === 0).agg(
+      count(lit(1)).as("t"),
+      sum(col("y")).as("sy"), sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+      sum(col("x1") * col("x1")).as("s11"),
+      sum(col("x2") * col("x2")).as("s22"),
+      sum(col("x1") * col("x2")).as("s12"),
+      sum(col("y") * col("x1")).as("s1y"),
+      sum(col("y") * col("x2")).as("s2y"))
+    def d(c: String) = col(c).cast("double")
+    val a11 = d("s11")
+    val a22 = d("s22")
+    val detF = d("t") * (a11 * a22 - d("s12") * d("s12")) -
+      d("s1") * (d("s1") * a22 - d("s12") * d("s2")) +
+      d("s2") * (d("s1") * d("s12") - a11 * d("s2"))
+    val det0 = d("sy") * (a11 * a22 - d("s12") * d("s12")) -
+      d("s1") * (d("s1y") * a22 - d("s12") * d("s2y")) +
+      d("s2") * (d("s1y") * d("s12") - a11 * d("s2y"))
+    val det1 = d("t") * (d("s1y") * a22 - d("s12") * d("s2y")) -
+      d("sy") * (d("s1") * a22 - d("s12") * d("s2")) +
+      d("s2") * (d("s1") * d("s2y") - d("s1y") * d("s2"))
+    val det2 = d("t") * (a11 * d("s2y") - d("s1y") * d("s12")) -
+      d("s1") * (d("s1") * d("s2y") - d("s1y") * d("s2")) +
+      d("sy") * (d("s1") * d("s12") - a11 * d("s2"))
+    // the divisions live INSIDE the when guard: Spark 4 ANSI throws on a
+    // division the plan might evaluate, even when the output is masked
+    val degB = col("t") < 4L || detF === 0.0
+    def b(det: org.apache.spark.sql.Column) =
+      when(degB, lit(null).cast("double")).otherwise(det / detF)
+    val beta = broadcast(tr.select(col("t").as("n_train"), degB.as("deg"),
+      b(det0).as("b0"), b(det1).as("b1"), b(det2).as("b2")))
+    def resid(df: DataFrame) = df.crossJoin(beta)
+      .select(when(col("deg"), lit(null).cast("long"))
+        .otherwise(floor(abs(col("y").cast("double") -
+          (col("b0") + col("b1") * col("x1") + col("b2") * col("x2")))
+          * 100 + 0.5).cast("long")).as("r"))
+    val calR = resid(u.filter(col("sp") === 1)).localCheckpoint()
+    val kRow = broadcast(calR.agg(count(lit(1)).as("n_cal"))
+      .select(col("n_cal"),
+        expr(s"(($ConformalKeepNum * (n_cal + 1)) + 9) div 10").as("k")))
+    val hist = calR.filter(col("r").isNotNull)
+      .groupBy(col("r")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(Window.orderBy(col("r"))))
+    val qRow = broadcast(hist.crossJoin(kRow).filter(col("cum") >= col("k"))
+      .agg(min(col("r")).as("qh")))
+    val cov = resid(u.filter(col("sp") === 2)).crossJoin(qRow)
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("r") <= col("qh"), 1L).otherwise(0L)).as("n_in"))
+    beta.select(col("n_train"), col("deg"))
+      .crossJoin(kRow).crossJoin(broadcast(cov)).crossJoin(qRow)
+      .select(col("n_train"), col("n_cal"), col("n_test"),
+        when(col("deg") || col("k") > col("n_cal"), lit(null).cast("double"))
+          .otherwise(roundN(col("qh").cast("double") / 100.0, 6)).as("q_hat"),
+        when(col("deg"), lit(null).cast("double"))
+          .when(col("k") > col("n_cal"), lit(1.0))
+          .when(col("n_test") === 0L, lit(null).cast("double"))
+          .otherwise(roundN(col("n_in").cast("double") / col("n_test"), 6))
+          .as("coverage"))
+  }
+
+  private val conformalSql = {
+    def dd(c: String) = s"CAST($c AS DOUBLE)"
+    val a11 = dd("s11")
+    val a22 = dd("s22")
+    def flat(s: String) = s.replaceAll("\n", "")
+    val detF = flat(s"""(${dd("t")} * ($a11 * $a22 - ${dd("s12")} * s12) -
+       | ${dd("s1")} * (${dd("s1")} * $a22 - ${dd("s12")} * s2) +
+       | ${dd("s2")} * (${dd("s1")} * s12 - $a11 * s2))""".stripMargin)
+    val det0 = flat(s"""(${dd("sy")} * ($a11 * $a22 - ${dd("s12")} * s12) -
+       | ${dd("s1")} * (${dd("s1y")} * $a22 - ${dd("s12")} * s2y) +
+       | ${dd("s2")} * (${dd("s1y")} * s12 - $a11 * s2y))""".stripMargin)
+    val det1 = flat(s"""(${dd("t")} * (${dd("s1y")} * $a22 - ${dd("s12")} * s2y) -
+       | ${dd("sy")} * (${dd("s1")} * $a22 - ${dd("s12")} * s2) +
+       | ${dd("s2")} * (${dd("s1")} * s2y - ${dd("s1y")} * s2))""".stripMargin)
+    val det2 = flat(s"""(${dd("t")} * ($a11 * s2y - ${dd("s1y")} * s12) -
+       | ${dd("s1")} * (${dd("s1")} * s2y - ${dd("s1y")} * s2) +
+       | ${dd("sy")} * (${dd("s1")} * s12 - $a11 * s2))""".stripMargin)
+    s"""WITH $eventsUs,
+       |m AS (SELECT CAST(floor((min(epoch_us(ts)) + max(epoch_us(ts))) / 2) AS BIGINT)
+       |        AS mid_us FROM e),
+       |$ridgeUsersSql,
+       |s AS (SELECT *, (('0x' || substr(md5('cp|' || CAST(user_id AS VARCHAR)), 1, 2))::INT % 3)
+       |        AS sp FROM u),
+       |tr AS (SELECT count(*) AS t,
+       |         CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x1) AS BIGINT) AS s1,
+       |         CAST(sum(x2) AS BIGINT) AS s2,
+       |         CAST(sum(x1 * x1) AS BIGINT) AS s11,
+       |         CAST(sum(x2 * x2) AS BIGINT) AS s22,
+       |         CAST(sum(x1 * x2) AS BIGINT) AS s12,
+       |         CAST(sum(y * x1) AS BIGINT) AS s1y,
+       |         CAST(sum(y * x2) AS BIGINT) AS s2y
+       |       FROM s WHERE sp = 0),
+       |bt AS (SELECT t AS n_train, (t < 4 OR $detF = 0.0) AS deg,
+       |         CASE WHEN (t < 4 OR $detF = 0.0) THEN NULL
+       |              ELSE $det0 / $detF END AS b0,
+       |         CASE WHEN (t < 4 OR $detF = 0.0) THEN NULL
+       |              ELSE $det1 / $detF END AS b1,
+       |         CASE WHEN (t < 4 OR $detF = 0.0) THEN NULL
+       |              ELSE $det2 / $detF END AS b2
+       |       FROM tr),
+       |calr AS (SELECT CASE WHEN deg THEN NULL
+       |           ELSE CAST(floor(abs(CAST(y AS DOUBLE)
+       |             - (b0 + b1 * x1 + b2 * x2)) * 100 + 0.5) AS BIGINT)
+       |         END AS r
+       |         FROM s CROSS JOIN bt WHERE sp = 1),
+       |kk AS (SELECT count(*) AS n_cal,
+       |         (($ConformalKeepNum * (count(*) + 1)) + 9) // 10 AS k
+       |       FROM calr),
+       |h AS (SELECT r, count(*) AS c FROM calr WHERE r IS NOT NULL GROUP BY 1),
+       |cm AS (SELECT r, sum(c) OVER (ORDER BY r) AS cum FROM h),
+       |q AS (SELECT min(r) AS qh FROM cm CROSS JOIN kk WHERE cum >= kk.k),
+       |ter AS (SELECT CASE WHEN deg THEN NULL
+       |          ELSE CAST(floor(abs(CAST(y AS DOUBLE)
+       |            - (b0 + b1 * x1 + b2 * x2)) * 100 + 0.5) AS BIGINT)
+       |        END AS r
+       |        FROM s CROSS JOIN bt WHERE sp = 2),
+       |cov AS (SELECT count(*) AS n_test,
+       |          CAST(sum(CASE WHEN ter.r <= qh THEN 1 ELSE 0 END) AS BIGINT) AS n_in
+       |        FROM ter CROSS JOIN q)
+       |SELECT n_train, n_cal, n_test,
+       |  CASE WHEN deg OR k > n_cal THEN NULL
+       |       ELSE ${roundNSql("CAST(qh AS DOUBLE) / 100.0", 6)} END AS q_hat,
+       |  CASE WHEN deg THEN NULL
+       |       WHEN k > n_cal THEN 1.0
+       |       WHEN n_test = 0 THEN NULL
+       |       ELSE ${roundNSql("CAST(n_in AS DOUBLE) / n_test", 6)} END AS coverage
+       |FROM bt CROSS JOIN kk CROSS JOIN cov CROSS JOIN q""".stripMargin
   }
 
   // --------------------------------------------------------- permutation
@@ -1651,6 +1824,7 @@ object Inference {
   val queries: Seq[Q] = Seq(
     Q("q_stats_sprt", sprt, Some(sprtSql)),
     Q("q_stats_permutation", permutation, Some(permutationSql)),
+    Q("q_train_conformal", conformal, Some(conformalSql)),
     Q("q_train_ridge", ridge, Some(ridgeSql)),
     Q("q_events_psm", psm, Some(psmSql)),
     Q("q_stats_jackknife", jackknife, Some(jackknifeSql)),

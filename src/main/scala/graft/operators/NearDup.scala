@@ -529,8 +529,118 @@ object NearDup {
        |FROM p JOIN n na ON na.source = p.src_a
        |       JOIN n nb ON nb.source = p.src_b""".stripMargin
 
+  // -------------------------------------------------------- js divergence
+
+  /** floor(ln 2 · 1e6 + 0.5) — the micro-quantized one-sided-term weight,
+    * computed once here and embedded identically in both engines. */
+  private val Ln2Mu: Long = math.floor(math.log(2.0) * 1e6 + 0.5).toLong
+
+  /** Jensen-Shannon divergence between the word DISTRIBUTIONS of every
+    * source pair — the distributional companion of [[corpusOverlap]]
+    * (Jaccard says how much vocabulary two sources share; JSD says how
+    * differently they USE it — the metric mixture-design work weighs
+    * before blending corpora): JSD(p,q) = ½KL(p‖m) + ½KL(q‖m),
+    * m = (p+q)/2, in nats plus the /ln 2 normalization to [0,1].
+    *
+    * Exactness via the shared-term decomposition: only terms present in
+    * BOTH sources carry a data-dependent log — per shared term the ratio
+    * p/m = 2·c₁N₂/(c₁N₂+c₂N₁) is one double log over exact BIGINT
+    * products, micro-quantized then weighted by the exact c₁; the
+    * entire one-sided mass contributes exactly (N₁−S₁)·[[Ln2Mu]]
+    * (KL(p‖m) = ln 2 wherever q = 0), so KL·N·1e6 is an order-free
+    * integer sum and a disjoint-vocabulary pair lands on jsd_norm = 1
+    * without ever joining its unshared terms. Products c·N fit BIGINT
+    * to ~2e9 tokens per source (documented budget).
+    *
+    * Scale shape: ONE corpus-sized (source, term) count aggregate; the
+    * shared-term self-join fans out per term by C(#sources, 2) — a
+    * deployment constant (the corpusOverlap bound); the all-pairs frame
+    * collects the #sources-row size table into ONE row and
+    * double-explodes it — a generate fanout, no join shape at all (a
+    * constant-key join here folds to a CartesianProduct and trips the
+    * registry tripwire). */
+  def jsDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val words = TextAnalysis.wordsOf(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+        "doc_id")
+    val tc = words.groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("c")).localCheckpoint()
+    val sizes = tc.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val sz = broadcast(sizes)
+    val shared = tc.as("a")
+      .join(tc.as("b"),
+        col("a.term") === col("b.term") && col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        col("a.c").as("c1"), col("b.c").as("c2"))
+      .join(sz.select(col("source").as("src_a"), col("n").as("n_a")), "src_a")
+      .join(sz.select(col("source").as("src_b"), col("n").as("n_b")), "src_b")
+      .select(col("src_a"), col("src_b"), col("c1"), col("c2"),
+        (col("c1") * col("n_b")).as("aa"), (col("c2") * col("n_a")).as("bb"))
+    val agg = shared.groupBy(col("src_a"), col("src_b")).agg(
+      count(lit(1)).as("n_shared"),
+      sum(col("c1")).as("s1"), sum(col("c2")).as("s2"),
+      sum(col("c1") * floor(log(lit(2.0) * col("aa").cast("double") /
+        (col("aa") + col("bb"))) * 1e6 + 0.5).cast("long")).as("tp"),
+      sum(col("c2") * floor(log(lit(2.0) * col("bb").cast("double") /
+        (col("aa") + col("bb"))) * 1e6 + 0.5).cast("long")).as("tq"))
+    val allPairs = sizes
+      .agg(collect_list(struct(col("source"), col("n"))).as("ss"))
+      .select(explode(col("ss")).as("a"), col("ss"))
+      .select(col("a.source").as("src_a"), col("a.n").as("n_a"),
+        explode(col("ss")).as("b"))
+      .filter(col("src_a") < col("b.source"))
+      .select(col("src_a"), col("b.source").as("src_b"), col("n_a"),
+        col("b.n").as("n_b"))
+    val kp = coalesce(col("tp"), lit(0L)) +
+      (col("n_a") - coalesce(col("s1"), lit(0L))) * Ln2Mu
+    val kq = coalesce(col("tq"), lit(0L)) +
+      (col("n_b") - coalesce(col("s2"), lit(0L))) * Ln2Mu
+    val jsd = (kp.cast("double") / col("n_a") + kq.cast("double") / col("n_b")) /
+      2.0 / 1e6
+    allPairs.join(agg, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        roundN(jsd, 6).as("jsd"),
+        roundN(jsd / 0.6931471805599453, 6).as("jsd_norm"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  private val jsDivergenceSql = {
+    import TextAnalysis.normSql
+    val kp = s"(coalesce(tp, 0) + (n_a - coalesce(s1, 0)) * $Ln2Mu)"
+    val kq = s"(coalesce(tq, 0) + (n_b - coalesce(s2, 0)) * $Ln2Mu)"
+    val jsd = s"((CAST($kp AS DOUBLE) / n_a + CAST($kq AS DOUBLE) / n_b) / 2.0 / 1e6)"
+    s"""WITH w AS (SELECT doc_id, source, unnest(string_split($normSql, ' ')) AS term
+       |           FROM documents),
+       |wn AS (SELECT source, term FROM w WHERE term != ''),
+       |tc AS (SELECT source, term, count(*) AS c FROM wn GROUP BY 1, 2),
+       |sz AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM tc GROUP BY 1),
+       |sh AS (SELECT a.source AS src_a, b.source AS src_b, a.c AS c1, b.c AS c2
+       |       FROM tc a JOIN tc b ON a.term = b.term AND a.source < b.source),
+       |t AS (SELECT src_a, src_b, c1, c2,
+       |        c1 * nb.n AS aa, c2 * na.n AS bb
+       |      FROM sh JOIN sz na ON na.source = sh.src_a
+       |              JOIN sz nb ON nb.source = sh.src_b),
+       |ag AS (SELECT src_a, src_b, count(*) AS n_shared,
+       |         CAST(sum(c1) AS BIGINT) AS s1, CAST(sum(c2) AS BIGINT) AS s2,
+       |         CAST(sum(c1 * CAST(floor(ln(2.0 * CAST(aa AS DOUBLE) / (aa + bb))
+       |           * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS tp,
+       |         CAST(sum(c2 * CAST(floor(ln(2.0 * CAST(bb AS DOUBLE) / (aa + bb))
+       |           * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS tq
+       |       FROM t GROUP BY 1, 2),
+       |ap AS (SELECT a.source AS src_a, b.source AS src_b, a.n AS n_a, b.n AS n_b
+       |       FROM sz a JOIN sz b ON a.source < b.source)
+       |SELECT src_a, src_b, n_a, n_b,
+       |  CAST(coalesce(n_shared, 0) AS BIGINT) AS n_shared,
+       |  ${roundNSql(jsd, 6)} AS jsd,
+       |  ${roundNSql(s"$jsd / 0.6931471805599453", 6)} AS jsd_norm
+       |FROM ap LEFT JOIN ag USING (src_a, src_b)
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_corpus_overlap", corpusOverlap, Some(corpusOverlapSql)),
+    Q("q_corpus_js_divergence", jsDivergence, Some(jsDivergenceSql)),
     Q("q_dedup_containment_pairs", containmentPairs, Some(containmentPairsSql)),
     Q("q_dedup_minhash_sig", minhashSignatures, Some(minhashSigSql)),
     Q("q_dedup_minhash_lsh", minhashPairs, Some(minhashPairsSql), bench = true),

@@ -128,4 +128,27 @@ class EngagementSpec extends SparkSuite {
     assert(out(1) === ((2.0, 1.0)))
     assert(out(2) === ((5.0, 0.0)))
   }
+
+  test("event study: anchored means with implicit zeros, tau=0 holds every anchor") {
+    def ev(id: Long, uid: Long, day: Int, t: String, v: Double) =
+      (id, java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:00:00"), uid, t, v, "{}")
+    // u1 anchors day 3 ($10), buys again day 5 ($4), views day 1;
+    // u2 anchors day 10 ($20). 2 anchored users.
+    val d = fixtureDir("events" -> Seq(
+      ev(1, 1, 1, "view", 0.0), ev(2, 1, 3, "purchase", 10.0),
+      ev(3, 1, 5, "purchase", 4.0), ev(4, 2, 10, "purchase", 20.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val out = graft.operators.Engagement.eventStudy(spark, d).collect()
+      .map(r => r.getAs[Long]("rel_day") ->
+        (r.getAs[Long]("n_active"), r.getAs[Double]("mean_spend"))).toMap
+    assert(out.keySet === (-7L to 7L).toSet) // zero-filled spine
+    assert(out(0L) === ((2L, 15.0))) // (1000 + 2000)/2 users/100
+    assert(out(2L) === ((1L, 2.0))) // u1's $4 across BOTH anchored users
+    assert(out(-2L) === ((1L, 0.0))) // u1's view: active, zero spend
+    // before any user's first purchase there is no purchase by definition
+    (-7L to -1L).foreach(t => assert(out(t)._2 === 0.0, s"tau $t"))
+    (Seq(-7L, -6L, -5L, -4L, -3L, -1L, 1L, 3L, 4L, 5L, 6L, 7L)).foreach { t =>
+      assert(out(t) === ((0L, 0.0)), s"tau $t")
+    }
+  }
 }

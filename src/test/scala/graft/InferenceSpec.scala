@@ -271,6 +271,58 @@ class InferenceSpec extends SparkSuite {
     assert(math.abs(benfordSum - 1.0) < 1e-3)
   }
 
+  // ------------------------------------------------------------- conformal
+
+  test("conformal: exact linear target gives a zero band with full coverage") {
+    // y = 5*x1 exactly for every user -> train OLS recovers it, every
+    // calibration/test residual is 0 cents -> q_hat = 0, coverage = 1
+    var id = 0L
+    def e(ts: String, u: Long, t: String, v: Double) = {
+      id += 1; (id, ts, u, t, v)
+    }
+    val rows = (1L to 60L).flatMap { u =>
+      (1 to (u % 5 + 1).toInt).map(i =>
+        e(f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:30", u, "view", 0)) ++
+        (1 to (u % 3).toInt).map(i => // clicks vary so the design has rank 3
+          e(f"2024-01-02 01:$i%02d:00", u, "click", 0)) :+
+        e("2024-01-10 10:00:00", u, "purchase", 5.0 * (u % 5 + 1))
+    }
+    val r = Inference.conformal(spark, fixtureDir("events" -> eventsDf(rows: _*)))
+      .collect().head
+    val (nt, ncal, nte) = (r.getAs[Long]("n_train"), r.getAs[Long]("n_cal"),
+      r.getAs[Long]("n_test"))
+    assert(nt + ncal + nte === 60L)
+    // the md5 3-way split is replayable
+    def sp(u: Long): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"cp|$u".getBytes("UTF-8"))
+      (d(0) & 0xff) % 3
+    }
+    assert(nt === (1L to 60L).count(sp(_) == 0).toLong)
+    assert(ncal === (1L to 60L).count(sp(_) == 1).toLong)
+    assert(r.getAs[Double]("q_hat") === 0.0)
+    assert(r.getAs[Double]("coverage") === 1.0)
+  }
+
+  test("conformal: too-few calibration points pin the infinite-interval path") {
+    // 3 users: at most ~1 calibration user; k = ceil((n_cal+1)*0.9) then
+    // exceeds n_cal -> q_hat NULL, coverage 1.0 by definition
+    var id = 0L
+    def e(u: Long, v: Double) = {
+      id += 1; (id, "2024-01-01 10:00:00", u, "purchase", v)
+    }
+    val r = Inference.conformal(spark,
+      fixtureDir("events" -> eventsDf((1L to 3L).map(u => e(u, u * 1.0)): _*)))
+      .collect().head
+    assert(r.getAs[Long]("n_train") + r.getAs[Long]("n_cal") +
+      r.getAs[Long]("n_test") === 3L)
+    assert(r.isNullAt(r.fieldIndex("q_hat")))
+    // degenerate train fit (< 4 users) -> NULL coverage; a healthy fit
+    // with an empty-ish calibration would instead pin coverage = 1.0
+    assert(r.isNullAt(r.fieldIndex("coverage")) ||
+      r.getAs[Double]("coverage") === 1.0)
+  }
+
   // ----------------------------------------------------------- permutation
 
   test("permutation: planted effect, all 100 re-randomizations replayed") {

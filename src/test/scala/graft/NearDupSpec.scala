@@ -166,4 +166,37 @@ class NearDupSpec extends SparkSuite {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
     assert(rows(3L)._2 === plain(3L))
   }
+
+  test("js divergence: shared-term decomposition hand-computed; disjoint pair = 1") {
+    // A: "x x y" (N=3), B: "x z" (N=2), C: "w w" (N=2, disjoint vocab)
+    val d3 = fixtureDir("documents" -> Seq(
+      (1L, "x x y", "en", "A", 5L),
+      (2L, "x z", "en", "B", 3L),
+      (3L, "w w", "en", "C", 3L)).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = graft.operators.NearDup.jsDivergence(spark, d3).collect()
+      .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) -> r).toMap
+    assert(out.keySet === Set(("A", "B"), ("A", "C"), ("B", "C")))
+    def mu(x: Double) = math.floor(math.log(x) * 1e6 + 0.5).toLong
+    // shared term x: c1=2, c2=1, aa=c1*Nb=4, bb=c2*Na=3
+    val tp = 2L * mu(2.0 * 4 / 7)
+    val tq = 1L * mu(2.0 * 3 / 7)
+    val ln2mu = mu(2.0)
+    val kp = tp + (3 - 2) * ln2mu
+    val kq = tq + (2 - 1) * ln2mu
+    val jsd = (kp.toDouble / 3 + kq.toDouble / 2) / 2.0 / 1e6
+    val ab = out(("A", "B"))
+    assert(ab.getAs[Long]("n_a") === 3L && ab.getAs[Long]("n_b") === 2L)
+    assert(ab.getAs[Long]("n_shared") === 1L)
+    assert(ab.getAs[Double]("jsd") === math.floor(jsd * 1e6 + 0.5) / 1e6)
+    // disjoint-vocabulary pairs: maximal divergence, normalized exactly 1
+    Seq(("A", "C"), ("B", "C")).foreach { p =>
+      assert(out(p).getAs[Long]("n_shared") === 0L)
+      assert(out(p).getAs[Double]("jsd_norm") === 1.0, s"pair $p")
+    }
+    // jsd is symmetric-bounded: 0 <= jsd <= ln 2 everywhere
+    out.values.foreach { r =>
+      val v = r.getAs[Double]("jsd")
+      assert(v >= 0.0 && v <= 0.693148)
+    }
+  }
 }

@@ -189,7 +189,11 @@ class PlanTripwireSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     // exposure-Gini cumulative walks the DISTINCT exposure-count
     // histogram — bounded by the exposure domain (the q_events_gini
     // class); item-sized work is the keyed exposure aggregate upstream
-    "q_rec_coverage")
+    "q_rec_coverage",
+    // conformal-quantile selection walks the DISTINCT residual-CENTS
+    // histogram — money-domain-bounded (the q_events_gini class);
+    // user-sized work is the keyed design aggregate upstream
+    "q_train_conformal")
 
   private def globalWindows(name: String, df: DataFrame): Seq[String] = {
     val plan = df.queryExecution.executedPlan
