@@ -509,6 +509,78 @@ object Retrieval {
        |FROM nex LEFT JOIN p USING (query_id)
        |ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- mrr
+
+  /** Mean reciprocal rank of the LSH ANN against the brute exact top-k —
+    * the "how soon does the FIRST true neighbor appear" read beside
+    * [[annRecall]] (how many) and [[annMap]] (where on average; AP is the
+    * right metric when every true neighbor matters, RR when the user
+    * stops at the first good one): RR(q) = 1/rank of the first exact
+    * neighbor in the approximate ranking, 0 when the index returns none
+    * of them; the query_id = −1 summary row carries MRR = Σ RR / n over
+    * all truth queries.
+    *
+    * Exactness: RR quantizes as the exact integer division
+    * 1e6 div rank (positive operands — truncation identical
+    * cross-engine, the [[annMap]] P@i contract), so the summary
+    * numerator is an order-free BIGINT sum; each output is one final
+    * /1e6 (+ the summary's /n).
+    *
+    * Scale shape: the candidate work IS the two registered ANN plans;
+    * first-hit is a ≤k-row min per query; the per-query table is
+    * localCheckpointed so its rows and the 1-row summary share one
+    * computation (the union-from-one-aggregate rule). */
+  def annMrr(spark: SparkSession, dir: String): DataFrame =
+    mrrOf(
+      Similarity.knnBrute(spark, dir)
+        .select(col("query_id"), col("neighbor_id")),
+      Similarity.knnLsh(spark, dir)
+        .select(col("query_id"), col("neighbor_id"), col("rank")))
+
+  /** The RR fold over (query_id, neighbor_id) truth and
+    * (query_id, neighbor_id, rank) approximate frames — exposed so the
+    * spec can drive it with hand-built rankings. */
+  private[graft] def mrrOf(truth: DataFrame, appr: DataFrame): DataFrame = {
+    val first = appr.join(truth, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(min(col("rank")).cast("long").as("first_rank"))
+    val per = truth.select(col("query_id")).distinct()
+      .join(first, Seq("query_id"), "left")
+      .select(col("query_id"), col("first_rank"),
+        when(col("first_rank").isNull, lit(0L))
+          .otherwise(expr("1000000 div first_rank")).as("rr_mu"))
+      .localCheckpoint()
+    val summary = per
+      .agg(count(lit(1)).as("n"), sum(col("rr_mu")).as("s"))
+      .select(lit(-1L).as("query_id"), lit(null).cast("long").as("first_rank"),
+        roundN(col("s").cast("double") / col("n") / 1e6, 6).as("rr"))
+    per.select(col("query_id"), col("first_rank"),
+        roundN(col("rr_mu").cast("double") / 1e6, 6).as("rr"))
+      .unionByName(summary)
+      .orderBy(col("query_id"))
+  }
+
+  private val annMrrSql =
+    s"""WITH truth AS (${Similarity.knnBruteSql}),
+       |appr AS (${Similarity.knnLshSql}),
+       |fh AS (SELECT a.query_id, CAST(min(a.rank) AS BIGINT) AS first_rank
+       |       FROM appr a JOIN truth t
+       |         ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+       |       GROUP BY 1),
+       |qs AS (SELECT DISTINCT query_id FROM truth),
+       |per AS (SELECT qs.query_id, first_rank,
+       |          CASE WHEN first_rank IS NULL THEN 0
+       |               ELSE 1000000 // first_rank END AS rr_mu
+       |        FROM qs LEFT JOIN fh USING (query_id)),
+       |sm AS (SELECT count(*) AS n, CAST(sum(rr_mu) AS BIGINT) AS s FROM per)
+       |SELECT query_id, first_rank,
+       |  ${roundNSql("CAST(rr_mu AS DOUBLE) / 1e6", 6)} AS rr
+       |FROM per
+       |UNION ALL
+       |SELECT CAST(-1 AS BIGINT), CAST(NULL AS BIGINT),
+       |  ${roundNSql("CAST(s AS DOUBLE) / n / 1e6", 6)}
+       |FROM sm
+       |ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------------ interleave
 
   /** Team-draft rounds (interleaved list length = 2 × rounds) and the
@@ -892,5 +964,6 @@ object Retrieval {
     Q("q_retrieval_mmr_multi", mmrMulti, Some(mmrSql)),
     Q("q_retrieval_recall", annRecall, Some(annRecallSql)),
     Q("q_retrieval_map", annMap, Some(annMapSql)),
+    Q("q_retrieval_mrr", annMrr, Some(annMrrSql)),
     Q("q_retrieval_ndcg", annNdcg, Some(annNdcgSql)))
 }

@@ -125,6 +125,101 @@ object TextAnalysis {
        |FROM s""".stripMargin
   }
 
+  // ------------------------------------------------------ filter agreement
+
+  /** Cohen's kappa (Cohen 1960) between the two binary curation raters
+    * the engine already registers — rater A = the heuristic quality gate
+    * ([[quality]]'s passes_quality) and rater B = language-ID agreement
+    * with the metadata label ([[langId]]'s matches_label): the
+    * chance-corrected agreement κ = (p_o − p_e)/(1 − p_e) answers "do
+    * the two keep-filters select the same documents beyond what their
+    * base rates force" — raw p_o alone flatters two filters that both
+    * keep nearly everything.
+    *
+    * Exactness: the 2×2 table is four exact BIGINT counters; κ is the
+    * cross-multiplied integer identity (N·agree − pe_num)/(N² − pe_num)
+    * with pe_num = a1·b1 + a0·b0 — exact BIGINT products (fits to
+    * N ≈ 3e9 documents, the woe budget class) and ONE final division;
+    * both-raters-constant input (p_e = 1) → NULL κ. p_o and p_e are
+    * display divisions off the same integers.
+    *
+    * Scale shape: ONE corpus scan computes both flags per document (the
+    * registered raters' expressions share the tokenized projection —
+    * no doc-keyed join between two scans); one 4-counter grand
+    * aggregate; 1-row algebra after. */
+  def filterAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val w = col("w")
+    val nTok = size(w)
+    val nStop = size(filter(w, t => t.isInCollection(stopwords)))
+    val scoreCols = markers.map { case (l, ms) =>
+      size(filter(w, t => t.isInCollection(ms))).as(s"score_$l")
+    }
+    val flags = withWords(spark, dir).select(
+      col("lang") +: (nTok >= 10 && nStop > 0).as("ra") +: scoreCols: _*)
+    val best = markers.map(_._1).foldRight(lit("und")) { case (lang, elseCol) =>
+      val others = markers.map(_._1).filter(_ != lang)
+      when(col(s"score_$lang") > 0 &&
+          others.map(o => col(s"score_$lang") >= col(s"score_$o")).reduce(_ && _),
+        lit(lang)).otherwise(elseCol)
+    }
+    val c = flags.select(col("ra"), (best === col("lang")).as("rb"))
+      .agg(
+        sum(when(col("ra") && col("rb"), 1L).otherwise(0L)).as("n11"),
+        sum(when(col("ra") && !col("rb"), 1L).otherwise(0L)).as("n10"),
+        sum(when(!col("ra") && col("rb"), 1L).otherwise(0L)).as("n01"),
+        sum(when(!col("ra") && !col("rb"), 1L).otherwise(0L)).as("n00"))
+    val n = col("n11") + col("n10") + col("n01") + col("n00")
+    val agree = col("n11") + col("n00")
+    val peNum = (col("n11") + col("n10")) * (col("n11") + col("n01")) +
+      (col("n01") + col("n00")) * (col("n10") + col("n00"))
+    c.select(col("n11"), col("n10"), col("n01"), col("n00"),
+      roundN(agree.cast("double") / n, 6).as("p_o"),
+      roundN(peNum.cast("double") / (n * n), 6).as("p_e"),
+      when(n * n === peNum, lit(null).cast("double"))
+        .otherwise(roundN((n * agree - peNum).cast("double") / (n * n - peNum), 6))
+        .as("kappa"))
+  }
+
+  private val filterAgreementSql: String = {
+    def scoreSql(ms: Seq[String]) = {
+      val lst = ms.map(m => s"'$m'").mkString("[", ", ", "]")
+      s"len(list_filter(w, t -> list_contains($lst, t)))"
+    }
+    val scoreCols = markers
+      .map { case (l, ms) => s"${scoreSql(ms)} AS score_$l" }.mkString(",\n  ")
+    val best = markers.map(_._1).foldRight("'und'") { case (lang, elseSql) =>
+      val others = markers.map(_._1).filter(_ != lang)
+      val geAll = others.map(o => s"score_$lang >= score_$o").mkString(" AND ")
+      s"CASE WHEN score_$lang > 0 AND $geAll THEN '$lang' ELSE $elseSql END"
+    }
+    s"""WITH s AS (SELECT lang, string_split($normSql, ' ') AS w FROM documents),
+       |sc AS (SELECT lang,
+       |  (len(w) >= 10 AND len(list_filter(w, t -> list_contains($stopSqlList, t))) > 0) AS ra,
+       |  $scoreCols
+       |  FROM s),
+       |fl AS (SELECT ra, ($best) = lang AS rb FROM sc),
+       |c AS (SELECT
+       |  CAST(sum(CASE WHEN ra AND rb THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+       |  CAST(sum(CASE WHEN ra AND NOT rb THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+       |  CAST(sum(CASE WHEN NOT ra AND rb THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+       |  CAST(sum(CASE WHEN NOT ra AND NOT rb THEN 1 ELSE 0 END) AS BIGINT) AS n00
+       |  FROM fl)
+       |SELECT n11, n10, n01, n00,
+       |  ${roundNSql("CAST(n11 + n00 AS DOUBLE) / (n11 + n10 + n01 + n00)", 6)} AS p_o,
+       |  ${roundNSql(
+        "CAST((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00) AS DOUBLE) / " +
+          "((n11 + n10 + n01 + n00) * (n11 + n10 + n01 + n00))", 6)} AS p_e,
+       |  CASE WHEN (n11 + n10 + n01 + n00) * (n11 + n10 + n01 + n00)
+       |         = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00) THEN NULL
+       |       ELSE ${roundNSql(
+        "CAST((n11 + n10 + n01 + n00) * (n11 + n00) - " +
+          "((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) AS DOUBLE) / " +
+          "((n11 + n10 + n01 + n00) * (n11 + n10 + n01 + n00) - " +
+          "((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)))", 6)}
+       |  END AS kappa
+       |FROM c""".stripMargin
+  }
+
   /** Document fingerprints: content md5 + a winnowing-style rolling-window
     * min-hash over word 4-grams (the scale path for shard-local near-dup
     * candidate generation). */
@@ -1273,6 +1368,7 @@ object TextAnalysis {
          |  len(list_filter(toks, t -> regexp_full_match(t, '[^a-z0-9]'))) AS n_punct_tokens
          |FROM s""".stripMargin)),
     Q("q_text_langid", langId, Some(langIdSql)),
+    Q("q_text_filter_kappa", filterAgreement, Some(filterAgreementSql)),
     Q("q_text_fingerprint", fingerprint, Some(fingerprintSql)),
     Q("q_text_filter_quality", filterQuality, Some(filterQualitySql)),
     Q("q_corpus_gate", corpusGate, Some(corpusGateSql)),

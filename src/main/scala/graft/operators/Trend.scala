@@ -778,7 +778,13 @@ object Trend {
     * itself is a DRIVER-SIZED model (7 integers — the MarkovAttribution
     * value-iteration pattern), so 100 TB of events costs one day-series
     * scan. */
-  def pacf(spark: SparkSession, dir: String): DataFrame = {
+  /** (lag, r_mu, n) common-mean autocorrelations in micro-units over
+    * the zero-filled daily-revenue calendar, lags 1..[[PacfMaxLag]] —
+    * the sample-ACF frame shared by [[pacf]] (collected into the
+    * Durbin-Levinson recursion) and [[ljungBox]] (consumed in-engine).
+    * A lag with no pairs (series shorter than the lag) emits NO row;
+    * zero-variance series carry NULL r_mu. */
+  private def rMuFrame(spark: SparkSession, dir: String): DataFrame = {
     val daily = dailyCents(Tables.events(spark, dir)).localCheckpoint()
     val bounds = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
     val full = bounds
@@ -800,11 +806,15 @@ object Trend {
     val den = col("sxx").cast("double") - xbar * col("t")
     val num = (col("sxy").cast("double") - xbar * (col("sh") + col("st"))) +
       col("mk") * (xbar * xbar)
-    val rRows = per.crossJoin(broadcast(glob))
+    per.crossJoin(broadcast(glob))
       .select(col("lag"),
         when(den <= 0, lit(null).cast("long"))
-          .otherwise(floor(num / den * 1e6 + 0.5).cast("long")).as("r_mu"))
-      .collect()
+          .otherwise(floor(num / den * 1e6 + 0.5).cast("long")).as("r_mu"),
+        col("n"))
+  }
+
+  def pacf(spark: SparkSession, dir: String): DataFrame = {
+    val rRows = rMuFrame(spark, dir).select(col("lag"), col("r_mu")).collect()
     val rMu: Map[Int, Long] = rRows.filterNot(_.isNullAt(1))
       .map(r => r.getAs[Int]("lag") -> r.getLong(1)).toMap
     val r: Int => Option[Long] = k => rMu.get(k)
@@ -838,28 +848,11 @@ object Trend {
       .orderBy(col("lag"))
   }
 
-  private val pacfSql = {
-    val steps = (2 to PacfMaxLag).map { k =>
-      s"""s$k AS (
-         |  SELECT list_append(
-         |           (SELECT list(s.phi[j.j]
-         |              - CAST(floor(CAST(pk.v * s.phi[$k - j.j] AS DOUBLE) / 1e6) AS BIGINT)
-         |              ORDER BY j.j)
-         |            FROM range(1, $k) j(j)),
-         |           pk.v) AS phi,
-         |         list_append(s.pc, pk.v) AS pc
-         |  FROM s${k - 1} s, rlist r, LATERAL (
-         |    SELECT CASE WHEN q.den2 = 0 THEN NULL
-         |                ELSE CAST(floor(CAST(q.num2 AS DOUBLE) / q.den2 * 1e6 + 0.5) AS BIGINT)
-         |           END AS v
-         |    FROM (SELECT
-         |            r.r[$k] * 1000000 - (SELECT CAST(sum(s.phi[j.j] * r.r[$k - j.j]) AS BIGINT)
-         |                                 FROM range(1, $k) j(j)) AS num2,
-         |            1000000000000 - (SELECT CAST(sum(s.phi[j.j] * r.r[j.j]) AS BIGINT)
-         |                             FROM range(1, $k) j(j)) AS den2) q
-         |  ) pk)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH e AS (SELECT ts::TIMESTAMP AS ts, event_type, value FROM events),
+  /** Oracle CTE chain mirroring [[rMuFrame]]: `rr(lag, r_mu)` over the
+    * zero-filled calendar plus `gstat(n, t, sxx)` and the `lg` lag
+    * spine — shared by the pacf and ljungbox oracles. */
+  private val rMuCtesSql =
+    s"""e AS (SELECT ts::TIMESTAMP AS ts, event_type, value FROM events),
        |d AS (SELECT CAST(ts AS DATE) AS day,
        |        CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
        |      FROM e WHERE event_type = 'purchase' GROUP BY 1),
@@ -882,7 +875,30 @@ object Trend {
        |               (CAST(sxy AS DOUBLE) - (CAST(t AS DOUBLE) / n) * (sh + st))
        |                 + mk * ((CAST(t AS DOUBLE) / n) * (CAST(t AS DOUBLE) / n)) AS num,
        |               CAST(sxx AS DOUBLE) - (CAST(t AS DOUBLE) / n) * t AS den
-       |             FROM per CROSS JOIN gstat)),
+       |             FROM per CROSS JOIN gstat))""".stripMargin
+
+  private val pacfSql = {
+    val steps = (2 to PacfMaxLag).map { k =>
+      s"""s$k AS (
+         |  SELECT list_append(
+         |           (SELECT list(s.phi[j.j]
+         |              - CAST(floor(CAST(pk.v * s.phi[$k - j.j] AS DOUBLE) / 1e6) AS BIGINT)
+         |              ORDER BY j.j)
+         |            FROM range(1, $k) j(j)),
+         |           pk.v) AS phi,
+         |         list_append(s.pc, pk.v) AS pc
+         |  FROM s${k - 1} s, rlist r, LATERAL (
+         |    SELECT CASE WHEN q.den2 = 0 THEN NULL
+         |                ELSE CAST(floor(CAST(q.num2 AS DOUBLE) / q.den2 * 1e6 + 0.5) AS BIGINT)
+         |           END AS v
+         |    FROM (SELECT
+         |            r.r[$k] * 1000000 - (SELECT CAST(sum(s.phi[j.j] * r.r[$k - j.j]) AS BIGINT)
+         |                                 FROM range(1, $k) j(j)) AS num2,
+         |            1000000000000 - (SELECT CAST(sum(s.phi[j.j] * r.r[j.j]) AS BIGINT)
+         |                             FROM range(1, $k) j(j)) AS den2) q
+         |  ) pk)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $rMuCtesSql,
        |rl AS (SELECT lg.lag, rr.r_mu FROM lg LEFT JOIN rr USING (lag)),
        |rlist AS (SELECT list(r_mu ORDER BY lag) AS r FROM rl),
        |s1 AS (SELECT [r.r[1]] AS phi, [r.r[1]] AS pc FROM rlist r),
@@ -891,6 +907,76 @@ object Trend {
        |  p.pc[rl.lag] / 1e6 AS pacf
        |FROM rl, s$PacfMaxLag p
        |ORDER BY lag""".stripMargin
+  }
+
+  // ------------------------------------------------------------ ljung-box
+
+  /** χ²_{0.95}(df) critical values for df = 1..[[PacfMaxLag]] — standard
+    * table constants (Abramowitz & Stegun 26.8) embedded as identical
+    * literals in both engines. */
+  private val Chi2Crit95: Seq[Double] =
+    Seq(3.841, 5.991, 7.815, 9.488, 11.070, 12.592, 14.067)
+
+  /** Ljung-Box portmanteau test (Ljung & Box 1978) over the daily-revenue
+    * sample ACF — the "is there ANY autocorrelation up to lag m" gate a
+    * forecasting read (holt, seasonal index) should pass before trusting
+    * residual whiteness: Q(m) = n(n+2)·Σ_{k≤m} r_k²/(n−k), compared per m
+    * to χ²_{0.95}(m). One row per m ∈ 1..[[PacfMaxLag]].
+    *
+    * Exactness: r_k comes micro-quantized from the shared [[rMuFrame]];
+    * each lag's term quantizes as the exact integer division
+    * r_mu² div (n−k) (non-negative operands, truncation identical
+    * cross-engine), so Σ_{k≤m} is an order-free BIGINT sum; Q is one
+    * fixed double tree over exact integers and the reject comparison
+    * runs on identically-computed doubles. A lag with NULL r (zero
+    * variance) or no pairs at all makes every m ≥ that lag NULL
+    * (navail < m — the incomplete-ACF guard), never significant.
+    *
+    * Scale shape: the corpus collapses to the day series inside
+    * [[rMuFrame]]; everything after runs on the ≤[[PacfMaxLag]]-row ACF
+    * table — the m-expansion is an explode(sequence(lag, max)) fanout
+    * and a ≤max²-row aggregate, no window, no join. */
+  def ljungBox(spark: SparkSession, dir: String): DataFrame = {
+    val terms = rMuFrame(spark, dir)
+      .select(col("lag"), col("n"),
+        when(col("r_mu").isNull, lit(null).cast("long"))
+          .otherwise(expr("(r_mu * r_mu) div (n - lag)")).as("term"))
+    val contrib = terms.select(col("n"), col("term"),
+      explode(sequence(col("lag"), lit(PacfMaxLag))).as("m"))
+    val g = contrib.groupBy(col("m")).agg(max(col("n")).as("n"),
+      count(col("term")).as("navail"), sum(col("term")).as("ssum"))
+    val q = expr("CAST(n * (n + 2) AS DOUBLE)") * col("ssum") / 1e12
+    val crit = element_at(
+      array(Chi2Crit95.map(lit): _*), col("m").cast("int"))
+    g.select(col("m").cast("int").as("m"), col("n"),
+        when(col("navail") < col("m"), lit(null).cast("double"))
+          .otherwise(roundN(q, 6)).as("q"),
+        crit.as("crit_95"),
+        when(col("navail") < col("m"), lit(null).cast("boolean"))
+          .otherwise(q > crit).as("reject_white"))
+      .orderBy(col("m"))
+  }
+
+  private val ljungBoxSql = {
+    val critList = Chi2Crit95.mkString("[", ", ", "]")
+    s"""WITH $rMuCtesSql,
+       |tm AS (SELECT rr.lag, gstat.n,
+       |         CASE WHEN r_mu IS NULL THEN NULL
+       |              ELSE (r_mu * r_mu) // (n - rr.lag) END AS term
+       |       FROM rr CROSS JOIN gstat),
+       |ct AS (SELECT n, term, unnest(range(lag, ${PacfMaxLag + 1})) AS m FROM tm),
+       |g AS (SELECT m, max(n) AS n, count(term) AS navail,
+       |        CAST(sum(term) AS BIGINT) AS ssum
+       |      FROM ct GROUP BY 1)
+       |SELECT CAST(m AS INTEGER) AS m, n,
+       |  CASE WHEN navail < m THEN NULL
+       |       ELSE ${roundNSql("CAST(n * (n + 2) AS DOUBLE) * ssum / 1e12", 6)}
+       |  END AS q,
+       |  ($critList)[m] AS crit_95,
+       |  CASE WHEN navail < m THEN NULL
+       |       ELSE CAST(n * (n + 2) AS DOUBLE) * ssum / 1e12 > ($critList)[m]
+       |  END AS reject_white
+       |FROM g ORDER BY m""".stripMargin
   }
 
   // --------------------------------------------------------------- kendall
@@ -987,6 +1073,7 @@ object Trend {
     Q("q_stats_mannkendall", mannKendall, Some(mannKendallSql)),
     Q("q_stats_periodogram", periodogram, Some(periodogramSql)),
     Q("q_stats_pacf", pacf, Some(pacfSql)),
+    Q("q_stats_ljungbox", ljungBox, Some(ljungBoxSql)),
     Q("q_stats_trend_theilsen", theilSen, Some(theilSenSql)),
     Q("q_stats_autocorr", autocorr, Some(autocorrSql)),
     Q("q_stats_cusum", cusum, Some(cusumSql)),

@@ -39,6 +39,10 @@ class PlanTripwireSpec extends SparkSuite with AdaptiveSparkPlanHelper {
                           // top-k IS recall's denominator by definition
     "q_retrieval_map", // same ground-truth role as recall/ndcg: AP is
                        // measured against the brute exact top-k
+    // q_retrieval_mrr embeds the same brute ground truth as recall/map
+    // but localCheckpoints its per-query table, so the registered plan
+    // the tripwire inspects is already truncated past the BNLJ — it
+    // needs (and must not have) a whitelist entry.
     "q_sim_matryoshka", // prefix-dim recall eval: ONE brute pair pass at
                         // every truncation width is the metric's
                         // definition; the truncated-ANN tier it qualifies

@@ -137,6 +137,46 @@ class RetrievalSpec extends SparkSuite {
     assert(out(3L).getAs[Double]("ap") === 0.0)
   }
 
+  test("mrr: first-hit reciprocal per ranking; no-hit queries score 0; summary row") {
+    // q1 truth {10, 11}; ranking [99, 11, 10]: first hit at rank 2 -> rr 0.5
+    // q2 truth {20}; ranking [21] has no hit -> rr 0, NULL first_rank
+    // q3 truth {30}; ranked nothing at all -> rr 0
+    // summary: (500000 + 0 + 0) / 3 / 1e6 = 0.166667 (roundN)
+    val truth = Seq((1L, 10L), (1L, 11L), (2L, 20L), (3L, 30L))
+      .toDF("query_id", "neighbor_id")
+    val appr = Seq((1L, 99L, 1), (1L, 11L, 2), (1L, 10L, 3), (2L, 21L, 1))
+      .toDF("query_id", "neighbor_id", "rank")
+    val out = Retrieval.mrrOf(truth, appr).collect()
+      .map(r => r.getAs[Long]("query_id") -> r).toMap
+    assert(out.size === 4)
+    assert(out(1L).getAs[Long]("first_rank") === 2L)
+    assert(out(1L).getAs[Double]("rr") === 0.5)
+    assert(out(2L).isNullAt(out(2L).fieldIndex("first_rank")))
+    assert(out(2L).getAs[Double]("rr") === 0.0)
+    assert(out(3L).getAs[Double]("rr") === 0.0)
+    assert(out(-1L).isNullAt(out(-1L).fieldIndex("first_rank")))
+    assert(out(-1L).getAs[Double]("rr") === 0.166667)
+  }
+
+  test("mrr: harness — positive iff recall positive, bounded by 1, summary is the mean") {
+    val rows = Retrieval.annMrr(spark, SparkSpec.sf0001).collect()
+    val per = rows.filter(_.getAs[Long]("query_id") >= 0L)
+    val sm = rows.filter(_.getAs[Long]("query_id") === -1L)
+    assert(per.nonEmpty && sm.length === 1)
+    val rec = Retrieval.annRecall(spark, SparkSpec.sf0001).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("recall")).toMap
+    assert(per.map(_.getAs[Long]("query_id")).toSet === rec.keySet)
+    per.foreach { r =>
+      val rr = r.getAs[Double]("rr")
+      assert(rr >= 0.0 && rr <= 1.0)
+      assert((rr > 0.0) === (rec(r.getAs[Long]("query_id")) > 0.0))
+    }
+    // summary = mean of the quantized per-query RRs (one final division)
+    val want = math.floor(per.map(r => math.round(r.getAs[Double]("rr") * 1e6))
+      .sum.toDouble / per.length / 1e6 * 1e6 + 0.5) / 1e6
+    assert(math.abs(sm.head.getAs[Double]("rr") - want) < 2e-6)
+  }
+
   test("map: harness AP is bounded by recall per query") {
     // AP ≤ n_hit/n_exact (each hit's precision ≤ 1) — ties recall and
     // map together on the real ANN pair without re-deriving either

@@ -32,6 +32,46 @@ class TextAnalysisSpec extends SparkSuite {
     rows.values.foreach { case (s, _) => assert(s > 0.0) }
   }
 
+  test("filter kappa: 2x2 table and chance-corrected agreement hand-computed") {
+    // rater A = quality gate (>=10 tokens AND >=1 stopword);
+    // rater B = langid prediction matches the metadata label
+    val en10 = "the quick brown fox jumps over the lazy sleeping dog" // 10 tok, en
+    val deLong = "alpha beta gamma delta epsilon zeta eta theta iota the" // en-pred
+    val d = fixtureDir("documents" -> Seq(
+      (1L, en10, "en", "s", 52L),                 // ra=T (the), rb=T
+      (2L, deLong, "de", "s", 60L),               // ra=T, rb=F (pred en != de)
+      (3L, "der und kurz", "de", "s", 12L),       // ra=F (3 tok), rb=T
+      (4L, "zz yy", "fr", "s", 5L),               // ra=F, rb=F (pred und)
+      (5L, "xx ww", "es", "s", 5L))               // ra=F, rb=F
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val r = TextAnalysis.filterAgreement(spark, d).collect().head
+    assert(r.getAs[Long]("n11") === 1L)
+    assert(r.getAs[Long]("n10") === 1L)
+    assert(r.getAs[Long]("n01") === 1L)
+    assert(r.getAs[Long]("n00") === 2L)
+    // po = 3/5; pe = (2*2 + 3*3)/25 = 13/25; kappa = (15-13)/(25-13) = 1/6
+    assert(r.getAs[Double]("p_o") === 0.6)
+    assert(r.getAs[Double]("p_e") === 0.52)
+    assert(r.getAs[Double]("kappa") === 0.166667)
+  }
+
+  test("filter kappa: perfect two-class agreement = 1, constant raters = NULL") {
+    val en10 = "the quick brown fox jumps over the lazy sleeping dog"
+    val perfect = fixtureDir("documents" -> Seq(
+      (1L, en10, "en", "s", 52L),           // ra=T, rb=T
+      (2L, "zz yy", "fr", "s", 5L))         // ra=F, rb=F
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val p = TextAnalysis.filterAgreement(spark, perfect).collect().head
+    assert(p.getAs[Double]("kappa") === 1.0)
+    val constant = fixtureDir("documents" -> Seq(
+      (1L, en10, "en", "s", 52L),
+      (2L, en10, "en", "s", 52L))           // both raters all-true -> pe = 1
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val c = TextAnalysis.filterAgreement(spark, constant).collect().head
+    assert(c.isNullAt(c.fieldIndex("kappa")))
+    assert(c.getAs[Double]("p_o") === 1.0)
+  }
+
   test("token and char counts") {
     val rows = TextAnalysis.tokenCount(spark, dir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_tokens")).toMap

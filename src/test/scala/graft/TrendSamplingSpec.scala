@@ -322,6 +322,66 @@ class TrendSamplingSpec extends SparkSuite {
     }
   }
 
+  test("ljung-box: alternating series replayed through the exact quantized pipeline") {
+    // 14 days of $1/$3 alternation: strong negative r1 -> huge Q at every m
+    var id = 0L
+    val rows = (1 to 14).map { d =>
+      id += 1
+      (id, f"2024-03-$d%02d 12:00:00", "purchase", if (d % 2 == 1) 1.0 else 3.0)
+    }
+    val out = Trend.ljungBox(spark, fixtureDir("events" -> eventsDfV(rows: _*)))
+      .collect().map(r => r.getAs[Int]("m") -> r).toMap
+    assert(out.size === graft.operators.Trend.PacfMaxLag)
+    // replay: zero-fill is a no-op (every day present), x in cents
+    val x = (1 to 14).map(d => if (d % 2 == 1) 100L else 300L)
+    val n = x.length
+    val t = x.sum
+    val sxx = x.map(v => v * v).sum
+    val xbar = t.toDouble / n
+    val den = sxx.toDouble - xbar * t
+    val qs = (1 to 7).map { k =>
+      val pairs = x.dropRight(k).zip(x.drop(k))
+      val mk = pairs.length
+      val sh = pairs.map(_._1).sum
+      val st = pairs.map(_._2).sum
+      val sxy = pairs.map { case (a, b) => a * b }.sum
+      val num = (sxy.toDouble - xbar * (sh + st)) + mk * (xbar * xbar)
+      val rMu = math.floor(num / den * 1e6 + 0.5).toLong
+      k -> (rMu * rMu) / (n - k) // integer div, the engine's term
+    }.toMap
+    (1 to 7).foreach { m =>
+      val ssum = (1 to m).map(qs).sum
+      val want = math.floor(
+        (n.toLong * (n + 2)).toDouble * ssum / 1e12 * 1e6 + 0.5) / 1e6
+      assert(out(m).getAs[Long]("n") === n.toLong)
+      assert(out(m).getAs[Double]("q") === want, s"m=$m")
+      assert(out(m).getAs[Boolean]("reject_white") ===
+        ((n.toLong * (n + 2)).toDouble * ssum / 1e12 >
+          out(m).getAs[Double]("crit_95")), s"reject m=$m")
+    }
+    // the alternating signal is overwhelmingly non-white at m = 1
+    assert(out(1).getAs[Boolean]("reject_white"))
+    // Q is nondecreasing in m (terms are non-negative)
+    val qv = (1 to 7).map(m => out(m).getAs[Double]("q"))
+    assert(qv.zip(qv.tail).forall { case (a, b) => b >= a })
+  }
+
+  test("ljung-box: constant series carries NULL q and NULL reject at every m") {
+    var id = 0L
+    val rows = (1 to 10).map { d =>
+      id += 1
+      (id, f"2024-03-$d%02d 12:00:00", "purchase", 2.0)
+    }
+    val out = Trend.ljungBox(spark, fixtureDir("events" -> eventsDfV(rows: _*)))
+      .collect()
+    assert(out.length === graft.operators.Trend.PacfMaxLag)
+    out.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("q")))
+      assert(r.isNullAt(r.fieldIndex("reject_white")))
+      assert(!r.isNullAt(r.fieldIndex("crit_95")))
+    }
+  }
+
   test("kendall: strictly monotone series scores tau_b = 1") {
     var id = 0L
     val rows = (1 to 5).flatMap { d =>
