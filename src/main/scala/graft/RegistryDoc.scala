@@ -19,7 +19,7 @@ object BenchSets {
   /** Open-vocabulary Zipf text decade (5k → 50k docs). */
   val textZipfDecade: Seq[String] =
     Seq("q_text_pmi", "q_text_batch_buckets", "q_text_zipf",
-      "q_dedup_setsim_prefix")
+      "q_dedup_setsim_prefix", "q_text_textrank", "q_text_textrank_capped")
   /** Harness-statistics v2 text decade (stopword-bearing vocabulary). */
   val textV2Decade: Seq[String] = Seq("q_text_keyphrase")
 

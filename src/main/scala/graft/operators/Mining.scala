@@ -574,6 +574,13 @@ object Mining {
   val TrIters = 10
   val TrTopK = 3
   val TrPico = 1000000000000L
+  /** Per-(doc, src) out-edge cap for the capped variant: a node keeps only
+    * its TrEdgeCap strongest neighbors (weight desc, dst asc — fully
+    * deterministic), so per-doc edge volume is nodes·cap instead of the
+    * near-complete nodes² a fixed small vocabulary produces. 8 ≈ the p90
+    * out-degree of the open-vocab zipf corpus — dense graphs are thinned,
+    * sparse ones untouched. */
+  val TrEdgeCap = 8
 
   /** TextRank keyword extraction (Mihalcea & Tarau 2004, word-graph
     * half): per document, words are nodes, adjacent-token co-occurrence
@@ -602,7 +609,21 @@ object Mining {
     * distinct neighbor) have no edges and drop out — a one-distinct-word
     * doc yields no keywords (pinned). The final top-k is a
     * doc-partitioned rank window. */
-  def textrank(spark: SparkSession, dir: String): DataFrame = {
+  def textrank(spark: SparkSession, dir: String): DataFrame =
+    textrankWith(spark, dir, edgeCap = None)
+
+  /** [[textrank]] with the per-node out-edge budget ON: keeps rank quality
+    * on sparse graphs (cap ≥ out-degree ⇒ bit-identical to the uncapped
+    * query — TextrankCapSpec pins it) while bounding the dense-vocabulary
+    * worst case, where per-doc co-occurrence graphs are near-complete and
+    * edge volume is nodes² per doc. Capping is a (doc, src)-partitioned
+    * top-w window — same key the iteration join already shuffles on, so
+    * the cap adds no new exchange. */
+  def textrankCapped(spark: SparkSession, dir: String): DataFrame =
+    textrankWith(spark, dir, edgeCap = Some(TrEdgeCap))
+
+  private[graft] def textrankWith(spark: SparkSession, dir: String,
+      edgeCap: Option[Int]): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), TextAnalysis.normText(col("text")).as("norm"))
       .select(col("doc_id"), posexplode(split(col("norm"), " ")).as(Seq("pos", "w")))
@@ -611,11 +632,19 @@ object Mining {
       Window.partitionBy(col("doc_id")).orderBy(col("pos")))
     val adj = toks.withColumn("nw", nxt)
       .filter(col("nw").isNotNull && col("nw") =!= col("w"))
-    val edges = adj.select(col("doc_id"), col("w").as("src"), col("nw").as("dst"))
+    val edgesAll = adj.select(col("doc_id"), col("w").as("src"), col("nw").as("dst"))
       .unionByName(adj.select(col("doc_id"), col("nw").as("src"), col("w").as("dst")))
       .groupBy(col("doc_id"), col("src"), col("dst"))
       .agg(count(lit(1)).as("wgt"))
-      .localCheckpoint()
+    // out-weights are recomputed AFTER the cap so each surviving node still
+    // distributes exactly its full rank mass — the unit-mass invariant holds
+    // under any cap
+    val edges = edgeCap.fold(edgesAll) { cap =>
+      val wc = Window.partitionBy(col("doc_id"), col("src"))
+        .orderBy(col("wgt").desc, col("dst"))
+      edgesAll.withColumn("erk", row_number().over(wc))
+        .filter(col("erk") <= cap).drop("erk")
+    }.localCheckpoint()
     val wout = edges.groupBy(col("doc_id"), col("src"))
       .agg(sum(col("wgt")).as("wsum"))
     // loop-invariant joins hoisted OUT of the rounds (measured 9.6 s →
@@ -654,7 +683,29 @@ object Mining {
       .orderBy(col("doc_id"), col("rk"))
   }
 
-  private val textrankSql = {
+  private val textrankSql = textrankSqlWith(None)
+  private val textrankCappedSql = textrankSqlWith(Some(TrEdgeCap))
+
+  private def textrankSqlWith(edgeCap: Option[Int]): String = {
+    // capped: the raw symmetric edge aggregate becomes e0 and `e` keeps only
+    // the top-cap out-edges per (doc, src) — identical window + tie-break as
+    // the Spark side, so the 10-round integer recurrence sees the same graph
+    val edgeCte = edgeCap match {
+      case None =>
+        """e AS (SELECT doc_id, src, dst, CAST(count(*) AS BIGINT) AS wgt FROM (
+          |        SELECT doc_id, w AS src, nw AS dst FROM ad
+          |        UNION ALL SELECT doc_id, nw, w FROM ad)
+          |      GROUP BY 1, 2, 3)""".stripMargin
+      case Some(cap) =>
+        s"""e0 AS (SELECT doc_id, src, dst, CAST(count(*) AS BIGINT) AS wgt FROM (
+           |        SELECT doc_id, w AS src, nw AS dst FROM ad
+           |        UNION ALL SELECT doc_id, nw, w FROM ad)
+           |      GROUP BY 1, 2, 3),
+           |e AS (SELECT doc_id, src, dst, wgt FROM (
+           |        SELECT *, row_number() OVER (PARTITION BY doc_id, src
+           |          ORDER BY wgt DESC, dst) AS erk FROM e0)
+           |      WHERE erk <= $cap)""".stripMargin
+    }
     val rounds = (1 to TrIters).map { i =>
       s"""r$i AS MATERIALIZED (
          |  SELECT e.doc_id, e.dst AS word,
@@ -674,10 +725,7 @@ object Mining {
        |        lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS nw
        |      FROM t),
        |ad AS (SELECT * FROM a WHERE nw IS NOT NULL AND nw != w),
-       |e AS (SELECT doc_id, src, dst, CAST(count(*) AS BIGINT) AS wgt FROM (
-       |        SELECT doc_id, w AS src, nw AS dst FROM ad
-       |        UNION ALL SELECT doc_id, nw, w FROM ad)
-       |      GROUP BY 1, 2, 3),
+       |$edgeCte,
        |wo AS (SELECT doc_id, src, CAST(sum(wgt) AS BIGINT) AS wsum FROM e GROUP BY 1, 2),
        |nd AS (SELECT doc_id, count(*) AS n FROM wo GROUP BY 1),
        |r0 AS MATERIALIZED (SELECT wo.doc_id, wo.src AS word,
@@ -696,6 +744,7 @@ object Mining {
 
   val queries: Seq[Q] = Seq(
     Q("q_text_textrank", textrank, Some(textrankSql)),
+    Q("q_text_textrank_capped", textrankCapped, Some(textrankCappedSql)),
     Q("q_text_llr", llrCollocations, Some(llrCollocationsSql)),
     Q("q_text_feature_hash", featureHash, Some(featureHashSql)),
     Q("q_embed_rp_distortion", rpDistortion, Some(rpDistortionSql)),

@@ -61,8 +61,12 @@ object RewriteWindowTopK extends Rule[LogicalPlan] {
           w @ Window(Seq(Alias(WindowExpression(RowNumber(), spec), _)), part, order, child, _))
           if order.nonEmpty && !child.isInstanceOf[TopKPerGroup] =>
         val rnAttr = w.windowOutputSet.head
+        // heap memory is O(groups × k) rows with NO spill path — past this
+        // bound the sort-based Window (which spills) is the safer plan, and
+        // a k near Int.MaxValue would overflow the heap capacity outright
+        val maxK = conf.getConfString("spark.graft.topkRewrite.maxK", "1000000").toInt
         conjuncts(cond).flatMap(rankBound).collectFirst {
-          case (a, k) if a.exprId == rnAttr.exprId && k > 0 => k
+          case (a, k) if a.exprId == rnAttr.exprId && k > 0 && k <= maxK => k
         } match {
           case Some(k) =>
             f.copy(child = w.copy(child = TopKPerGroup(part, order, k, child)))

@@ -22,14 +22,21 @@ class TopKPlanSpec extends SparkSuite {
     assert(native.exceptAll(windowed).isEmpty && windowed.exceptAll(native).isEmpty)
   }
 
-  test("plans partial + exchange + final, with no Sort and no Window") {
+  test("plans partial + exchange + survivor sort + streaming final, no Window") {
     val native = TopK.topK(li, Seq("g"), Seq(("p", true), ("o", false)), 5)
     val plan = native.queryExecution.executedPlan.toString
     assert(plan.contains("GraftTopKPartial"), s"missing partial exec:\n$plan")
     assert(plan.contains("GraftTopKFinal"), s"missing final exec:\n$plan")
     assert(plan.contains("Exchange hashpartitioning(g"), s"missing group-key exchange:\n$plan")
     assert(!plan.contains("Window"), s"window leaked into the native plan:\n$plan")
-    assert(!plan.contains("Sort "), s"sort leaked into the native plan:\n$plan")
+    // the final pass streams over (group, order)-sorted input; the Sort must
+    // sit BETWEEN final and partial — i.e. it sorts the k·groups·partitions
+    // partial survivors, never the raw relation (tree prints top-down)
+    val (iFinal, iSort, iPartial) =
+      (plan.indexOf("GraftTopKFinal"), plan.indexOf("Sort "), plan.indexOf("GraftTopKPartial"))
+    assert(iSort >= 0, s"missing survivor sort under the final exec:\n$plan")
+    assert(iFinal < iSort && iSort < iPartial,
+      s"sort is not between final and partial:\n$plan")
   }
 
   test("k larger than any group returns every row") {
