@@ -438,11 +438,14 @@ object Bench {
     // tail (prefixed with [info]), which has twice swallowed the scale
     // decades. Persist the FULL bench evidence to a repo-root file the
     // judge can read directly, independent of any capture window. Best
-    // effort — a read-only cwd must not fail the bench.
+    // effort — a read-only cwd must not fail the bench. One JSON object
+    // (round-9 advice: two concatenated objects broke json.load).
     try {
       val out = new java.io.PrintWriter("BENCH_LOCAL.json", "UTF-8")
-      try { scaleLine.foreach(out.println); out.println(totalLine) }
-      finally out.close()
+      try {
+        out.println(
+          s"""{"scale_evidence":${scaleLine.getOrElse("null")},"total":$totalLine}""")
+      } finally out.close()
     } catch { case e: Exception =>
       System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}")
     }

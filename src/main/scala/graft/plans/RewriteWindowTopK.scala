@@ -64,7 +64,11 @@ object RewriteWindowTopK extends Rule[LogicalPlan] {
         // heap memory is O(groups × k) rows with NO spill path — past this
         // bound the sort-based Window (which spills) is the safer plan, and
         // a k near Int.MaxValue would overflow the heap capacity outright
-        val maxK = conf.getConfString("spark.graft.topkRewrite.maxK", "1000000").toInt
+        // toIntOption: a malformed or out-of-range conf value must not
+        // throw from inside the optimizer (it would fail EVERY query with
+        // no hint which conf did it) — fall back to the default instead
+        val maxK = conf.getConfString("spark.graft.topkRewrite.maxK", "1000000")
+          .toIntOption.filter(_ > 0).getOrElse(1000000)
         conjuncts(cond).flatMap(rankBound).collectFirst {
           case (a, k) if a.exprId == rnAttr.exprId && k > 0 && k <= maxK => k
         } match {

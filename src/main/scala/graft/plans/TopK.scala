@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descendi
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.functions._
 
 /** Native top-k-per-group: a whole custom operator through Catalyst's
@@ -93,12 +94,45 @@ case class GraftTopKExec(
     if (partial) Seq(Nil)
     else Seq(group.map(SortOrder(_, Ascending)) ++ order)
 
-  /** Row interval between groups-per-row checks in the partial pass. */
-  private val CheckEvery = 65536
+  /** The final pass's streaming first-k filter preserves its input order,
+    * so its output carries the same (group, order) sequence it required of
+    * its child. Declaring it lets EnsureRequirements elide the otherwise
+    * redundant second sort a parent Window (same partition/order spec)
+    * would insert over the k·|groups| survivors. */
+  override def outputOrdering: Seq[SortOrder] =
+    if (partial) Nil
+    else group.map(SortOrder(_, Ascending)) ++ order
+
+  override lazy val metrics: Map[String, SQLMetric] =
+    if (partial) Map(
+      "passthroughParts" -> SQLMetrics.createMetric(sparkContext,
+        "partitions degraded to passthrough"))
+    else Map.empty
+
+  /** Row interval between groups-per-row checks in the partial pass —
+    * rounded down to a power of two so the hot-loop check stays a mask.
+    * Injectable (`spark.graft.topk.checkEvery`) so a unit spec can force
+    * the degrade path on a small dataset. */
+  private val checkMask: Long = {
+    val raw = conf.getConfString("spark.graft.topk.checkEvery", "65536")
+      .toIntOption.filter(_ > 0).getOrElse(65536)
+    java.lang.Integer.highestOneBit(raw).toLong - 1L
+  }
+
+  /** Absolute retained-row budget for the partial heap map (the map has no
+    * spill path): once groups×k would exceed this, new groups stop being
+    * admitted and the partition degrades to passthrough — covers the
+    * mid-density case (~3 rows/group over millions of groups) the
+    * rows-per-group ratio check never catches. */
+  private val maxRetainedRows: Long =
+    conf.getConfString("spark.graft.topk.maxRetainedRows", "8388608")
+      .toLongOption.filter(_ > 0).getOrElse(8388608L)
 
   override protected def doExecute(): RDD[InternalRow] = {
     val schema = child.output
     val (g, o, cap) = (group, order, k)
+    val (mask, maxRetained) = (checkMask, maxRetainedRows)
+    val passthroughMetric = if (partial) metrics("passthroughParts") else null
     if (partial) child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(g, schema)
       val ord = RowOrdering.create(o, schema)
@@ -111,30 +145,43 @@ case class GraftTopKExec(
       val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
       var n = 0L
       var passthrough = false
+      var pending: InternalRow = null
       while (iter.hasNext && !passthrough) {
         val row = iter.next()
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
-          // initial capacity only — the queue grows to cap as needed, so a
-          // large k doesn't pre-allocate (or integer-overflow) a huge array
-          heap = new java.util.PriorityQueue[InternalRow](math.min(cap, 1024) + 1, cmp)
-          heaps.put(key.copy(), heap)
+          // absolute-budget degrade: admitting this group would push the
+          // worst-case retained set past the budget — forward the current
+          // row and the remainder untouched instead of growing the map
+          if ((heaps.size + 1).toLong * cap > maxRetained) {
+            passthrough = true
+            pending = row.copy()
+          } else {
+            // initial capacity only — the queue grows to cap as needed, so a
+            // large k doesn't pre-allocate (or integer-overflow) a huge array
+            heap = new java.util.PriorityQueue[InternalRow](math.min(cap, 1024) + 1, cmp)
+            heaps.put(key.copy(), heap)
+          }
         }
-        if (heap.size < cap) heap.add(row.copy())
-        else if (ord.compare(row, heap.peek()) < 0) {
-          heap.poll()
-          heap.add(row.copy())
+        if (!passthrough) {
+          if (heap.size < cap) heap.add(row.copy())
+          else if (ord.compare(row, heap.peek()) < 0) {
+            heap.poll()
+            heap.add(row.copy())
+          }
+          n += 1
+          // tiny-group degrade: if fewer than 2 rows/group observed so far,
+          // the heap map is paying per-row copy + GC for (almost) no volume
+          // reduction — forward the remainder untouched (correct: the final
+          // sorted scan re-selects exactly k per group from any superset)
+          if ((n & mask) == 0 && heaps.size * 2L > n) passthrough = true
         }
-        n += 1
-        // tiny-group degrade: if fewer than 2 rows/group observed so far,
-        // the heap map is paying per-row copy + GC for (almost) no volume
-        // reduction — forward the remainder untouched (correct: the final
-        // sorted scan re-selects exactly k per group from any superset)
-        if ((n & (CheckEvery - 1)) == 0 && heaps.size * 2L > n) passthrough = true
       }
+      if (passthrough) passthroughMetric.add(1L)
       import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap(_.iterator().asScala) ++ iter
+      val rest = if (pending != null) Iterator.single(pending) ++ iter else iter
+      heaps.values().iterator().asScala.flatMap(_.iterator().asScala) ++ rest
     }, preservesPartitioning = true)
     else child.execute().mapPartitions({ iter =>
       // input is (group, order)-sorted: stream the first k of each group

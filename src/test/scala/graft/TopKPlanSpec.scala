@@ -39,6 +39,79 @@ class TopKPlanSpec extends SparkSuite {
       s"sort is not between final and partial:\n$plan")
   }
 
+  /** Every node of the executed plan, descending through AQE wrappers and
+    * query-stage leaves (collect() alone stops at stage boundaries). */
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      p +: allNodes(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      p +: allNodes(q.plan)
+    case _ => p +: p.children.flatMap(allNodes)
+  }
+
+  private def partialExec(df: org.apache.spark.sql.DataFrame): graft.plans.GraftTopKExec =
+    allNodes(df.queryExecution.executedPlan).collectFirst {
+      case e: graft.plans.GraftTopKExec if e.partial => e
+    }.getOrElse(fail("no GraftTopKPartial in plan"))
+
+  test("forced tiny-group passthrough still matches the window form") {
+    // checkEvery=1 makes the ratio check fire on the very first row of every
+    // partition (1 group / 1 row), exercising the degrade path that fixed the
+    // 93s near-unique-key regression — on a small dataset a spec can reach it
+    spark.conf.set("spark.graft.topk.checkEvery", "1")
+    try {
+      val native = TopK.topK(li, Seq("g"),
+        Seq(("p", true), ("o", false), ("n", false)), 5)
+      val w = Window.partitionBy(col("g"))
+        .orderBy(col("p").desc, col("o"), col("n"))
+      val windowed = li.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5).drop("rn")
+      assert(native.exceptAll(windowed).isEmpty && windowed.exceptAll(native).isEmpty)
+      val probed = TopK.topK(li, Seq("g"), Seq(("p", true), ("o", false)), 5)
+      probed.collect()
+      assert(partialExec(probed).metrics("passthroughParts").value > 0,
+        "degrade never fired despite checkEvery=1")
+    } finally spark.conf.unset("spark.graft.topk.checkEvery")
+  }
+
+  test("absolute retained-row budget degrades mid-density partitions") {
+    // 10 groups x 10 rows in ONE partition, k=2, budget 4 retained rows:
+    // the ratio check never fires (10 rows/group) but admitting a 3rd group
+    // would exceed the budget — the map stops growing and the partition
+    // forwards the remainder; the final sorted scan still emits exactly k
+    spark.conf.set("spark.graft.topk.maxRetainedRows", "4")
+    try {
+      val df = spark.range(100).select(
+        (col("id") % 10).as("g"), col("id").as("o")).repartition(1)
+      val native = TopK.topK(df, Seq("g"), Seq(("o", true)), 2)
+      val w = Window.partitionBy(col("g")).orderBy(col("o").desc)
+      val windowed = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2).drop("rn")
+      assert(native.exceptAll(windowed).isEmpty && windowed.exceptAll(native).isEmpty)
+      native.collect()
+      assert(partialExec(native).metrics("passthroughParts").value > 0,
+        "budget degrade never fired despite maxRetainedRows=4")
+    } finally spark.conf.unset("spark.graft.topk.maxRetainedRows")
+  }
+
+  test("rewrite path: final exec's declared ordering elides the Window's sort") {
+    val w = Window.partitionBy(col("g"))
+      .orderBy(col("p").desc, col("o"), col("n"))
+    val q = li.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftTopKFinal"), s"rewrite did not fire:\n$plan")
+    // exactly ONE sort: the survivor sort between final and partial. The
+    // parent Window's (partition, order) requirement is satisfied by the
+    // final exec's declared outputOrdering — a second sort above the final
+    // exec would be pure waste over the k·|groups| survivors
+    val sorts = "Sort \\[".r.findAllIn(plan).size
+    assert(sorts == 1, s"expected exactly 1 sort, got $sorts:\n$plan")
+    val (iFinal, iSort, iPartial) =
+      (plan.indexOf("GraftTopKFinal"), plan.indexOf("Sort ["), plan.indexOf("GraftTopKPartial"))
+    assert(iFinal < iSort && iSort < iPartial,
+      s"the single sort is not the survivor sort:\n$plan")
+  }
+
   test("k larger than any group returns every row") {
     val native = TopK.topK(li, Seq("g"), Seq(("p", true), ("o", false), ("n", false)),
       10 * 1000 * 1000)
