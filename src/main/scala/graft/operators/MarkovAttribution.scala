@@ -91,7 +91,10 @@ object MarkovAttribution {
 
   /** Per-channel removal effect + exact share of credit. */
   def removalEffect(spark: SparkSession, dir: String): DataFrame = {
-    val tm = edges(spark, dir).collect()
+    // the transition matrix is ≤ (channels+2)² rows by construction; the
+    // bound catches a pathological channel cardinality before it OOMs the
+    // driver (1M edge rows ≈ a 1000-channel matrix — far past any real one)
+    val tm = Guard.boundedCollect(edges(spark, dir), 1 << 20, "markov transition matrix")
       .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
     val channels = tm.map(_._2)
       .filter(t => t != Conv && t != Term).distinct.sorted

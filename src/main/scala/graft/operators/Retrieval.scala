@@ -243,10 +243,13 @@ object Retrieval {
         floor(dot(col("va"), col("vb")) / (col("na") * col("nb")) * 1e6 + 0.5)
           .cast("long").as("sim_mu"))
 
-    // ≤ queries·k² rows by construction — the driver-model collect class
-    val rel = cand.select(col("query_id"), col("doc_id"), col("rel_mu")).collect()
+    // ≤ queries·k (rel) and queries·k² (sim) rows by construction — the
+    // driver-model collect class; bounds catch a widened candidate stage
+    val rel = Guard.boundedCollect(
+      cand.select(col("query_id"), col("doc_id"), col("rel_mu")),
+      1 << 20, "MMR relevance candidates (queries*k)")
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
-    val sim = pairs.collect()
+    val sim = Guard.boundedCollect(pairs, 1 << 22, "MMR pairwise sims (queries*k^2)")
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
     val byQ = rel.keys.groupBy(_._1)
     val out = byQ.toSeq.sortBy(_._1).flatMap { case (q, keys) =>

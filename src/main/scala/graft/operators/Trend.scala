@@ -814,7 +814,9 @@ object Trend {
   }
 
   def pacf(spark: SparkSession, dir: String): DataFrame = {
-    val rRows = rMuFrame(spark, dir).select(col("lag"), col("r_mu")).collect()
+    val rRows = Guard.boundedCollect(
+      rMuFrame(spark, dir).select(col("lag"), col("r_mu")),
+      PacfMaxLag, "pacf autocorrelation frame (one row per lag)")
     val rMu: Map[Int, Long] = rRows.filterNot(_.isNullAt(1))
       .map(r => r.getAs[Int]("lag") -> r.getLong(1)).toMap
     val r: Int => Option[Long] = k => rMu.get(k)
