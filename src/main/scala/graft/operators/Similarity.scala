@@ -50,12 +50,19 @@ object Similarity {
     * the invariant that kills the quadratic blow-up at 100 TB. */
   val TargetBucketRows = 64
 
+  /** Hard cap on the plane count: keeps the bucket id an int and bounds
+    * the SQL-side plane-literal inlining. */
+  val MaxPlanes = 30
+
   /** Plane count such that corpus / 2^planes ≈ TargetBucketRows (floor at
-    * the registered default, cap at 30 to keep the bucket id an int). */
+    * the registered default, cap at MaxPlanes). Pure INTEGER arithmetic —
+    * the smallest p with TargetBucketRows·2^p ≥ corpus — so the DuckDB
+    * oracle's shift-ladder reproduces it bit-for-bit (ceil(log2(...)) in
+    * doubles can round the wrong way at exact powers of two). */
   def planesFor(corpusRows: Long): Int = {
-    val needed = math.ceil(math.log(math.max(1.0,
-      corpusRows.toDouble / TargetBucketRows)) / math.log(2.0)).toInt
-    math.min(30, math.max(NumPlanes, needed))
+    var p = 0
+    while (p < MaxPlanes && (TargetBucketRows.toLong << p) < corpusRows) p += 1
+    math.max(NumPlanes, p)
   }
 
   /** Deterministic +-1 hyperplane components: sign of md5("p:d") nibble —
@@ -500,9 +507,23 @@ object Similarity {
        |QUALIFY rank <= $TopK""".stripMargin
   }
 
-  /** Embedding-cosine near-dup pairs, blocked by the same LSH buckets. */
+  /** Embedding-cosine near-dup pairs, blocked by DENSITY-ADAPTIVE LSH
+    * buckets: the plane count is derived from the corpus cardinality
+    * ([[planesFor]] — parquet row-count metadata, no data scan) so the
+    * within-bucket self-join stays O(corpus · TargetBucketRows) instead of
+    * the fixed-plane O(corpus²/2^const) that measured 20.9M candidate pairs
+    * at 50k rows where this path holds ~1.6M. At the harness scales
+    * (≤ 2k vectors) planesFor returns the registered default, so results
+    * are bit-identical to the fixed-plane form there.
+    *
+    * STILL exactly oracle-checked: the plane count is a deterministic
+    * integer function of count(*), and the planes themselves are md5
+    * literals — the oracle SQL computes the same count, walks the same
+    * shift ladder, and masks the same inlined MaxPlanes plane terms, so
+    * both engines bucket identically at ANY corpus size. */
   def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val vecs = vectors(spark, dir).withColumn("bkt", bucket(col("v"))).persist()
+    val m = planesMatrix(planesFor(Tables.embeddings(spark, dir).count()))
+    val vecs = vectors(spark, dir).withColumn("bkt", bucketWith(col("v"), m)).persist()
     val q = vecs.alias("q")
     val c = vecs.alias("c")
     q.join(c, col("q.bkt") === col("c.bkt") && col("q.vec_id") < col("c.vec_id"))
@@ -510,9 +531,24 @@ object Similarity {
       .filter(col("sim") >= NearDupCos)
   }
 
+  /** Sign-bucket SQL over the full MaxPlanes md5 plane set, with each
+    * plane's bit masked by `p < np.planes` — the SQL twin of
+    * `bucketWith(v, planesMatrix(planesFor(count)))`. */
+  private val adaptiveBucketSql: String = {
+    val m = planesMatrix(MaxPlanes)
+    def planeLit(p: Int) = m(p).map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+    (0 until MaxPlanes).map { p =>
+      s"""(CASE WHEN $p < np.planes AND list_sum(list_transform(range(1, ${Dim + 1}), i -> v[i] * (${planeLit(p)}::DOUBLE[])[i])) > 0 THEN ${1 << p} ELSE 0 END)"""
+    }.mkString(" + ")
+  }
+
   private val embedNearDupSql =
     s"""WITH v0 AS ($vectorsSql),
-       |vecs AS (SELECT vec_id, v, nrm, $bucketSql AS bkt FROM v0)
+       |n AS (SELECT count(*) AS cnt FROM embeddings),
+       |np AS (SELECT least($MaxPlanes, greatest($NumPlanes, coalesce(
+       |         (SELECT min(p) FROM (SELECT unnest(range(0, ${MaxPlanes + 1})) AS p) ps, n
+       |          WHERE ($TargetBucketRows::BIGINT << p) >= n.cnt), $MaxPlanes))) AS planes),
+       |vecs AS (SELECT vec_id, v, nrm, $adaptiveBucketSql AS bkt FROM v0, np)
        |SELECT q.vec_id AS id_a, c.vec_id AS id_b, $cosineSql AS sim
        |FROM vecs q JOIN vecs c ON q.bkt = c.bkt AND q.vec_id < c.vec_id
        |WHERE $cosineSql >= $NearDupCos""".stripMargin

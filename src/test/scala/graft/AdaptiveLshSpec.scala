@@ -35,6 +35,33 @@ class AdaptiveLshSpec extends SparkSuite {
       s"n=$n buckets=${pops.length} max=${pops.max} mean=$mean")
   }
 
+  test("embed near-dup: planes adapt past 4k rows and planted exact dups survive") {
+    // 5001 rows -> planesFor = 7 > the fixed default: the query is in its
+    // adaptive regime. A planted exact duplicate has identical plane signs
+    // at ANY plane count, so blocking can never lose it — the recall floor
+    // the density adaptation must preserve.
+    val base = graft.sources.SyntheticEmbeddings.corpus(spark, 5000)
+    val dup = base.filter(col("vec_id") === 0L)
+      .select(lit(5000L).as("vec_id"), col("embedding"), col("label"))
+    val dir = fixtureDir("embeddings" -> base.unionByName(dup))
+    assert(Similarity.planesFor(5001) > Similarity.NumPlanes)
+    val pair = Similarity.embedNearDup(spark, dir)
+      .filter(col("id_a") === 0L && col("id_b") === 5000L).collect()
+    assert(pair.length == 1, "planted exact-dup pair lost by adaptive blocking")
+    assert(pair.head.getAs[Double]("sim") === 1.0)
+  }
+
+  test("embed near-dup candidate volume: adaptive beats fixed planes at 5k rows") {
+    val dir = "/tmp/graft_synth_embed_5000"
+    graft.sources.SyntheticEmbeddings.writePoint(spark, dir, 5000)
+    val fixed = Similarity.embedCandidateCount(spark, dir, adaptive = false)
+    val adaptive = Similarity.embedCandidateCount(spark, dir, adaptive = true)
+    assert(adaptive < fixed, s"adaptive=$adaptive fixed=$fixed")
+    // the linearity invariant: candidates ≤ corpus · (8× skew · target pop)
+    assert(adaptive <= 5000L * 8 * Similarity.TargetBucketRows,
+      s"adaptive=$adaptive exceeds the linear candidate budget")
+  }
+
   test("adaptive kNN returns dense ranks with self excluded") {
     val dir = SparkSpec.sf0001
     val out = Similarity.knnLshAdaptive(spark, dir)
