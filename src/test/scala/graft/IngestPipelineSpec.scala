@@ -1,0 +1,89 @@
+package graft
+
+import graft.sources.Tables
+import graft.streaming.IngestPipeline
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** The composed end-to-end stream (streaming/IngestPipeline.scala):
+  * ingest → near-dup gate → keyed KPI upsert chained through one
+  * checkpointed run, killed and restarted from its checkpoint mid-stream,
+  * against a HAND-PINNED expected state (the gate's keep/drop decisions
+  * are asserted from the fixture, not re-derived through the same code). */
+class IngestPipelineSpec extends SparkSuite {
+
+  private val base1 =
+    "the quick brown fox jumps over the lazy dog and then runs far away home tonight"
+  private val base2 =
+    "a completely different story about the catalyst optimizer and its many clever rules indeed"
+  private val uniqEn =
+    "totally disjoint set of tokens nobody else uses anywhere around these parts"
+  private val uniqFr =
+    "contenu unique en francais qui ne ressemble a rien d autre dans le corpus existant"
+
+  // corpus (standing) docs
+  private val corpusRows = Seq(
+    (1L, base1, "en", "web"),
+    (2L, base2, "en", "web"),
+    (3L, "unrelated text about nothing in particular with many random words here", "en", "web"))
+  // arriving docs: 5 near-dups 1, 10 exactly dups 2 -> both DROPPED;
+  // 15 (en) and 20 (fr) are unique -> KEPT
+  private val arrivingRows = Seq(
+    (5L, base1.replace("tonight", "today"), "en", "s"),
+    (10L, base2, "en", "s"),
+    (15L, uniqEn, "en", "s"),
+    (20L, uniqFr, "fr", "s"))
+
+  private def docsDf(rows: Seq[(Long, String, String, String)]) = {
+    import spark.implicits._
+    rows.map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test("ingest → near-dup gate → KPI upsert: one checkpointed run with mid-stream restart and replay guard") {
+    val corpusDir = fixtureDir("documents" -> docsDf(corpusRows))
+    val corpus = Tables.documents(spark, corpusDir)
+    val srcDir = Files.createTempDirectory("ingest_src").toString
+    val stateDir = Files.createTempDirectory("ingest_state").toString + "/kpi"
+    val ck = Files.createTempDirectory("ingest_ck").toString
+    def land(ids: Long*): Unit =
+      docsDf(arrivingRows.filter(d => ids.contains(d._1))).repartition(1)
+        .write.mode("append").parquet(srcDir)
+    def run() = IngestPipeline.run(spark, srcDir, corpus, stateDir, ck)
+
+    // wave 1: the near-dup (5) and one keeper (15) land; stop the query
+    land(5L); land(15L)
+    val q1 = run(); q1.processAllAvailable(); q1.stop()
+    val mid = spark.read.parquet(stateDir)
+    assert(mid.filter(col("lang") === "en").select(col("n_docs")).collect()
+      .map(_.getLong(0)).toSeq === Seq(1L), "wave 1: only doc 15 survives the gate")
+
+    // wave 2: restart from the checkpoint; exact dup (10) and keeper (20)
+    land(10L); land(20L)
+    val q2 = run(); q2.processAllAvailable(); q2.stop()
+
+    val got = spark.read.parquet(stateDir)
+      .select(col("lang"), col("source"), col("n_docs"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // hand-pinned: 5 and 10 dropped by the gate, 15 and 20 counted once
+    assert(got === Set(
+      ("en", "s", 1L, uniqEn.length.toLong),
+      ("fr", "s", 1L, uniqFr.length.toLong)))
+
+    // replay guard: re-applying an already-applied batch id is a no-op
+    // (foreachBatch is at-least-once; the additive merge must not double)
+    val lastId = IngestPipeline.lastAppliedBatch(spark, stateDir)
+    assert(lastId >= 0L)
+    val corpusShingles = graft.operators.NearDup.shingleTableOf(corpus)
+    val index = graft.operators.NearDup.bandedOf(corpusShingles)
+      .select(col("doc_id").as("id_b"), col("band"))
+    val corpusSh = corpusShingles.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    IngestPipeline.applyBatch(docsDf(arrivingRows), lastId, index, corpusSh, stateDir)
+    val afterReplay = spark.read.parquet(stateDir)
+      .select(col("lang"), col("source"), col("n_docs"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(afterReplay === got, "replayed batch id must not re-merge")
+  }
+}
