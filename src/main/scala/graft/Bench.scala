@@ -50,6 +50,45 @@ object Bench {
     // iteration shortcut (the driver never sets it, so BENCH_r{N}.json
     // always carries the full evidence)
     val fast = sys.env.get("SPARK_GRAFT_BENCH_FAST").contains("1")
+    // best-of-N for the scale decades (round-9 verdict task #5: endpoint α
+    // fits are noise-sensitive; N defaults to the historical 2, raise via
+    // env for evidence runs)
+    val benchRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(2)
+
+    /** Best-of-`runs` wall time per query at `dir` (cache cleared per run). */
+    def timeQs(qs: Seq[Q], dir: String, runs: Int): Seq[(String, Double)] = qs.map { q =>
+      val t = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try q.run(spark, dir).count()
+        catch { case _: Throwable => () }
+        spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      q.name -> t
+    }
+
+    /** Endpoint-fit α plus a per-query MONOTONICITY flag over every decade
+      * point (10% noise slack): a non-monotone series means the endpoints
+      * sit inside the host-noise band and the fitted exponent is weak
+      * evidence — readers get the flag instead of a silently-noisy number. */
+    def alphaMonoJson(names: Seq[String],
+        series: Seq[(Long, Map[String, Double])]): (String, String) = {
+      val ratio = series.last._1.toDouble / series.head._1
+      val alphas = names.map { n =>
+        val (tLo, tHi) = (series.head._2(n), series.last._2(n))
+        val a = if (tLo > 0 && tHi > 0) Some(math.log(tHi / tLo) / math.log(ratio)) else None
+        "\"" + n + "\":" + a.filter(x => !x.isNaN && !x.isInfinite)
+          .map(x => BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString)
+          .getOrElse("null")
+      }.mkString(",")
+      val mono = names.map { n =>
+        val ts = series.map(_._2(n))
+        val ok = ts.zip(ts.tail).forall { case (a, b) => b >= a * 0.9 }
+        "\"" + n + "\":" + ok
+      }.mkString(",")
+      (alphas, mono)
+    }
     val results = time(sfDir, 3)
     def fmt(rs: Seq[(String, Double)]) =
       rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -137,15 +176,7 @@ object Bench {
       // open-vocabulary (web-like) decade: candidate volume should track
       // dup density here, isolating the fixed-vocab df-cohort artifact
       val zipfPoints = points("zipf", graft.sources.SyntheticDocs.zipfCorpus(_, _))
-      def timeLsh(dir: String): Seq[(String, Double)] = lshQs.map { q =>
-        val t = (1 to 2).map { _ =>
-          val t0 = System.nanoTime()
-          q.run(spark, dir).count()
-          spark.catalog.clearCache()
-          (System.nanoTime() - t0) / 1e9
-        }.min
-        q.name -> t
-      }
+      def timeLsh(dir: String): Seq[(String, Double)] = timeQs(lshQs, dir, benchRuns)
       def docRows(dir: String): Long =
         spark.read.parquet(s"$dir/documents.parquet").count()
       def candCounts(dir: String): (Long, Long) = {
@@ -161,7 +192,7 @@ object Bench {
         val (c, p) = candCounts(d)
         s"""{"dir":"$d","rows":${docRows(d)},"candidates":$c,"candidates_pruned":$p}"""
       }
-      def decade(pts: Seq[(Long, String)]): (String, String) = {
+      def decade(pts: Seq[(Long, String)]): (String, String, String) = {
         val data = pts.map { case (n, d) => (n, d, candCounts(d), timeLsh(d)) }
         val rowsJson = data.map { case (n, d, cp, ts) =>
           s"""{"dir":"$d","rows":$n,"candidates":${cp._1},"candidates_pruned":${cp._2},${
@@ -169,22 +200,16 @@ object Bench {
         }.mkString(",")
         // per-query exponent over the decade (same generator at both
         // ends, so the points sit on one curve by construction)
-        val (tLo, tHi) = (data.head._4.toMap, data.last._4.toMap)
-        val rowRatio = pts.last._1.toDouble / pts.head._1
-        val alphas = lshQs.map { q =>
-          val a = Some(tHi(q.name)).filter(_ > 0).filter(_ => tLo(q.name) > 0)
-            .map(t => math.log(t / tLo(q.name)) / math.log(rowRatio))
-          "\"" + q.name + "\":" + a.filter(x => !x.isNaN && !x.isInfinite)
-            .map(x => BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString)
-            .getOrElse("null")
-        }.mkString(",")
-        (rowsJson, alphas)
+        val (alphas, mono) = alphaMonoJson(lshQs.map(_.name),
+          data.map { case (n, _, _, ts) => (n, ts.toMap) })
+        (rowsJson, alphas, mono)
       }
-      val (synth, alphaSynth) = decade(synthPoints)
-      val (zipf, alphaZipf) = decade(zipfPoints)
+      val (synth, alphaSynth, monoSynth) = decade(synthPoints)
+      val (zipf, alphaZipf, monoZipf) = decade(zipfPoints)
       s""","lsh_scale":{"harness":[${harness.mkString(",")}],"synthetic":[$synth],""" +
-        s""""alpha_synth_decade":{$alphaSynth},"synthetic_zipf":[$zipf],""" +
-        s""""alpha_zipf_decade":{$alphaZipf}}"""
+        s""""alpha_synth_decade":{$alphaSynth},"monotone_synth_decade":{$monoSynth},""" +
+        s""""synthetic_zipf":[$zipf],"alpha_zipf_decade":{$alphaZipf},""" +
+        s""""monotone_zipf_decade":{$monoZipf}}"""
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] lsh scale pass failed: ${e.getMessage}")
@@ -207,32 +232,15 @@ object Bench {
         graft.sources.SyntheticEvents.writePoint(spark, d, n)
         n -> d
       }
-      val data = pts.map { case (n, d) =>
-        val ts = qs2.map { q =>
-          val t = (1 to 2).map { _ =>
-            val t0 = System.nanoTime()
-            q.run(spark, d).count()
-            spark.catalog.clearCache()
-            (System.nanoTime() - t0) / 1e9
-          }.min
-          q.name -> t
-        }
-        (n, d, ts)
-      }
+      val data = pts.map { case (n, d) => (n, d, timeQs(qs2, d, benchRuns)) }
       val ptsJson = data.map { case (n, d, ts) =>
         s"""{"dir":"$d","events":$n,${
           ts.map { case (k, v) => "\"" + k + "\":" + v }.mkString(",")}}"""
       }.mkString(",")
-      val (tLo, tHi) = (data.head._3.toMap, data.last._3.toMap)
-      val rowRatio = pts.last._1.toDouble / pts.head._1
-      val alphas = qs2.map { q =>
-        val a = Some(tHi(q.name)).filter(_ > 0).filter(_ => tLo(q.name) > 0)
-          .map(t => math.log(t / tLo(q.name)) / math.log(rowRatio))
-        "\"" + q.name + "\":" + a.filter(x => !x.isNaN && !x.isInfinite)
-          .map(x => BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString)
-          .getOrElse("null")
-      }.mkString(",")
-      s""","events_scale":{"points":[$ptsJson],"alpha_decade":{$alphas}}"""
+      val (alphas, mono) = alphaMonoJson(qs2.map(_.name),
+        data.map { case (n, _, ts) => (n, ts.toMap) })
+      s""","events_scale":{"points":[$ptsJson],"alpha_decade":{$alphas},""" +
+        s""""monotone_decade":{$mono}}"""
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] events scale pass failed: ${e.getMessage}")
@@ -261,31 +269,16 @@ object Bench {
         val cf = operators.Similarity.embedCandidateCount(spark, d, adaptive = false)
         val ca = operators.Similarity.embedCandidateCount(spark, d, adaptive = true)
         spark.catalog.clearCache()
-        val ts = qs3.map { q =>
-          val t = (1 to 2).map { _ =>
-            val t0 = System.nanoTime()
-            q.run(spark, d).count()
-            spark.catalog.clearCache()
-            (System.nanoTime() - t0) / 1e9
-          }.min
-          q.name -> t
-        }
-        (n, d, cf, ca, ts)
+        (n, d, cf, ca, timeQs(qs3, d, benchRuns))
       }
       val ptsJson = data.map { case (n, d, cf, ca, ts) =>
         s"""{"dir":"$d","rows":$n,"cand_fixed":$cf,"cand_adaptive":$ca,${
           ts.map { case (k, v) => "\"" + k + "\":" + v }.mkString(",")}}"""
       }.mkString(",")
-      val (tLo, tHi) = (data.head._5.toMap, data.last._5.toMap)
-      val rowRatio = pts.last._1.toDouble / pts.head._1
-      val alphas = qs3.map { q =>
-        val a = Some(tHi(q.name)).filter(_ > 0).filter(_ => tLo(q.name) > 0)
-          .map(t => math.log(t / tLo(q.name)) / math.log(rowRatio))
-        "\"" + q.name + "\":" + a.filter(x => !x.isNaN && !x.isInfinite)
-          .map(x => BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString)
-          .getOrElse("null")
-      }.mkString(",")
-      s""","embed_scale":{"points":[$ptsJson],"alpha_decade":{$alphas}}"""
+      val (alphas, mono) = alphaMonoJson(qs3.map(_.name),
+        data.map { case (n, _, _, _, ts) => (n, ts.toMap) })
+      s""","embed_scale":{"points":[$ptsJson],"alpha_decade":{$alphas},""" +
+        s""""monotone_decade":{$mono}}"""
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] embed scale pass failed: ${e.getMessage}")
@@ -313,41 +306,24 @@ object Bench {
             gen(spark, n).write.mode("overwrite").parquet(s"$d/documents.parquet")
           n -> d
         }
-      def decade(names: Seq[String], pts: Seq[(Long, String)]): (String, String) = {
+      def decade(names: Seq[String], pts: Seq[(Long, String)]): (String, String, String) = {
         val qs4 = Registry.all.filter(q => names.contains(q.name))
-        val data = pts.map { case (n, d) =>
-          val ts = qs4.map { q =>
-            val t = (1 to 2).map { _ =>
-              val t0 = System.nanoTime()
-              q.run(spark, d).count()
-              spark.catalog.clearCache()
-              (System.nanoTime() - t0) / 1e9
-            }.min
-            q.name -> t
-          }
-          (n, d, ts)
-        }
+        val data = pts.map { case (n, d) => (n, d, timeQs(qs4, d, benchRuns)) }
         val ptsJson = data.map { case (n, d, ts) =>
           s"""{"dir":"$d","rows":$n,${
             ts.map { case (k, v) => "\"" + k + "\":" + v }.mkString(",")}}"""
         }.mkString(",")
-        val (tLo, tHi) = (data.head._3.toMap, data.last._3.toMap)
-        val rowRatio = pts.last._1.toDouble / pts.head._1
-        val alphas = qs4.map { q =>
-          val a = Some(tHi(q.name)).filter(_ > 0).filter(_ => tLo(q.name) > 0)
-            .map(t => math.log(t / tLo(q.name)) / math.log(rowRatio))
-          "\"" + q.name + "\":" + a.filter(x => !x.isNaN && !x.isInfinite)
-            .map(x => BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString)
-            .getOrElse("null")
-        }.mkString(",")
-        (ptsJson, alphas)
+        val (alphas, mono) = alphaMonoJson(qs4.map(_.name),
+          data.map { case (n, _, ts) => (n, ts.toMap) })
+        (ptsJson, alphas, mono)
       }
-      val (zipfJson, zipfAlpha) =
+      val (zipfJson, zipfAlpha, zipfMono) =
         decade(zipfNames, mkPts("zipf", graft.sources.SyntheticDocs.zipfCorpus(_, _)))
-      val (v2Json, v2Alpha) =
+      val (v2Json, v2Alpha, v2Mono) =
         decade(v2Names, mkPts("v2", graft.sources.SyntheticDocs.corpus(_, _)))
       s""","text_scale":{"points":[$zipfJson],"alpha_decade":{$zipfAlpha},""" +
-        s""""points_v2":[$v2Json],"alpha_v2_decade":{$v2Alpha}}"""
+        s""""monotone_decade":{$zipfMono},"points_v2":[$v2Json],""" +
+        s""""alpha_v2_decade":{$v2Alpha},"monotone_v2_decade":{$v2Mono}}"""
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] text scale pass failed: ${e.getMessage}")
@@ -419,6 +395,61 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       spin(); (1 to 3).map(_ => spin()).min
+    }
+
+    // ---- 100× deep decade (round-9 verdict task #5): a third scale point
+    // at 500k rows — two decades end to end — for the SCALE-DESIGNED
+    // flagship queries (BenchSets.deep*: adaptive ANN/near-dup, DF-pruned
+    // MinHash, prefix-filter set-sim, capped TextRank, PMI). Env-gated
+    // (SPARK_GRAFT_BENCH_DEEP=1) because the 500k TextRank point costs
+    // minutes per run; results go to BENCH_DEEP.json, never the driver
+    // line. Per-family degrade-don't-crash.
+    if (sys.env.get("SPARK_GRAFT_BENCH_DEEP").contains("1")) try {
+      def family(tag: String, names: Seq[String], pts: Seq[(Long, String)],
+          extras: String => String = _ => ""): String = try {
+        val qs = Registry.all.filter(q => names.contains(q.name))
+        val data = pts.map { case (n, d) => (n, d, timeQs(qs, d, benchRuns)) }
+        val ptsJson = data.map { case (n, d, ts) =>
+          s"""{"dir":"$d","rows":$n${extras(d)},${
+            ts.map { case (k, v) => "\"" + k + "\":" + v }.mkString(",")}}"""
+        }.mkString(",")
+        val (alphas, mono) = alphaMonoJson(qs.map(_.name),
+          data.map { case (n, _, ts) => (n, ts.toMap) })
+        s""""$tag":{"points":[$ptsJson],"alpha_2decades":{$alphas},"monotone":{$mono}}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] deep $tag family failed: ${e.getMessage}")
+        s""""$tag":null"""
+      }
+      val deepNs = Seq(5000L, 50000L, 500000L)
+      val embedPts = deepNs.map { n =>
+        val d = s"/tmp/graft_synth_embed_$n"
+        graft.sources.SyntheticEmbeddings.writePoint(spark, d, n); n -> d
+      }
+      val docPts = deepNs.map { n =>
+        val d = s"/tmp/graft_synth_docs_zipf_$n"
+        if (!new java.io.File(s"$d/documents.parquet").exists())
+          graft.sources.SyntheticDocs.zipfCorpus(spark, n)
+            .write.mode("overwrite").parquet(s"$d/documents.parquet")
+        n -> d
+      }
+      val embedJson = family("embed", BenchSets.deepEmbed, embedPts, d => {
+        val ca = operators.Similarity.embedCandidateCount(spark, d, adaptive = true)
+        spark.catalog.clearCache(); s""","cand_adaptive":$ca"""
+      })
+      val lshJson = family("lsh", BenchSets.deepLsh, docPts, d => {
+        val c = operators.NearDup.lshCandidateCount(spark, d)
+        spark.catalog.clearCache()
+        val p = operators.NearDup.lshPrunedCandidateCount(spark, d)
+        spark.catalog.clearCache()
+        s""","candidates":$c,"candidates_pruned":$p"""
+      })
+      val textJson = family("text", BenchSets.deepText, docPts)
+      val out = new java.io.PrintWriter("BENCH_DEEP.json", "UTF-8")
+      try out.println(s"""{"runs":$benchRuns,"calib_spin_sec":$calib,$embedJson,$lshJson,$textJson}""")
+      finally out.close()
+      System.err.println("[bench] deep pass written to BENCH_DEEP.json")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] deep pass failed: ${e.getMessage}")
     }
     // Round-5 verdict ask #2: the driver's tail capture truncated the
     // FRONT of the old one-giant-line output (scale evidence grew past the

@@ -27,6 +27,19 @@ object BenchSets {
     (lshDecade.map(_ -> "lsh") ++ eventsDecade.map(_ -> "events") ++
       embedDecade.map(_ -> "embed") ++ textZipfDecade.map(_ -> "text-zipf") ++
       textV2Decade.map(_ -> "text-v2")).toMap
+
+  /** 100× deep decade (5k → 50k → 500k, SPARK_GRAFT_BENCH_DEEP=1): the
+    * SCALE-DESIGNED flagships only — each family's fixed-parameter
+    * siblings (fixed-plane kNN, uncapped TextRank, unpruned materialize)
+    * stop at the 50k decade BY DESIGN, because their cost model is the
+    * quadratic the adaptive/pruned/capped paths exist to avoid. */
+  val deepEmbed: Seq[String] = Seq("q_sim_knn_lsh_adaptive", "q_dedup_embed_cos")
+  val deepLsh: Seq[String] = Seq("q_dedup_minhash_lsh", "q_dedup_minhash_lsh_pruned")
+  val deepText: Seq[String] =
+    Seq("q_text_pmi", "q_dedup_setsim_prefix", "q_text_textrank_capped")
+  require(deepEmbed.forall(embedDecade.contains) && deepLsh.forall(lshDecade.contains)
+    && deepText.forall(textZipfDecade.contains),
+    "deep decade sets must be subsets of their 10x decade sets")
 }
 
 /** Generates REGISTRY.md from [[Registry.modules]] (round-6 verdict #8):
