@@ -1007,6 +1007,28 @@ object TextAnalysis {
   def ingestChunks(spark: SparkSession, dir: String): DataFrame =
     ingestChunksOf(Tables.documents(spark, dir))
 
+  /** [[ingestChunksOf]] with BOUNDED dedup state — the "one line, bounded
+    * state" swap the unbounded form's scaladoc promises, made real: the
+    * input must carry an `ingest_time` timestamp column, and the exact
+    * content dedup becomes `dropDuplicatesWithinWatermark("fp")` under a
+    * `horizon` watermark, so streaming state holds only the fingerprints
+    * seen within the horizon instead of every digest ever ingested.
+    *
+    * The semantics trade is explicit and spec-pinned (BoundedIngestSpec):
+    * a duplicate arriving MORE than `horizon` after its original is
+    * re-admitted (its fingerprint was evicted) — correct when business
+    * rules scope "duplicate" to a crawl window; corpus-forever dedup stays
+    * the default ([[ingestChunksOf]]). */
+  def ingestChunksBoundedOf(docs: DataFrame, horizon: String): DataFrame = {
+    val staged = withWordsOf(docs)
+    val gated = staged.filter(size(col("w")) >= 10 &&
+      size(filter(col("w"), t => t.isInCollection(stopwords))) > 0)
+    val deduped = gated.withColumn("fp", md5(col("norm")))
+      .withWatermark("ingest_time", horizon)
+      .dropDuplicatesWithinWatermark("fp")
+    chunkExplode(deduped, col("fp"), "fp")
+  }
+
   /** Oracle: dedup-then-chunk equals chunk-then-DISTINCT because chunking
     * is a pure function of normalized content. */
   private val ingestChunksSql = {

@@ -40,4 +40,18 @@ object DocIngest {
     * unbounded stream in, chunk rows out. */
   def ingest(spark: SparkSession, srcDir: String, maxFilesPerTrigger: Int = 1): DataFrame =
     TextAnalysis.ingestChunksOf(docsStream(spark, srcDir, maxFilesPerTrigger))
+
+  /** Bounded-state ingest: dedup state holds only fingerprints seen within
+    * `horizon` of the watermark (`dropDuplicatesWithinWatermark`), the
+    * production form when "duplicate" is scoped to a crawl window. Arrival
+    * is stamped with processing time — documents carry no event time, so
+    * the horizon is a wall-clock contract, exactly like a crawl batch's.
+    * A duplicate arriving past the horizon is re-admitted (spec-pinned);
+    * [[ingest]] keeps the corpus-forever semantics. */
+  def ingestBounded(spark: SparkSession, srcDir: String, horizon: String,
+      maxFilesPerTrigger: Int = 1): DataFrame =
+    TextAnalysis.ingestChunksBoundedOf(
+      docsStream(spark, srcDir, maxFilesPerTrigger)
+        .withColumn("ingest_time", org.apache.spark.sql.functions.current_timestamp()),
+      horizon)
 }
