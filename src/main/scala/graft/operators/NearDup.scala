@@ -499,10 +499,19 @@ object NearDup {
     * The sketch path for when exact distinct counts stop being worth a
     * shuffle is [[Dedup.kmvBySource]]'s KMV estimator — same keying. */
   def corpusOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val e = shingleTable(spark, dir)
+    // BOTH persists are load-bearing (wide-tier finding: 11.8 s at sf0.1
+    // for a 207k-row e-table, vs 0.65 s to build the shingles alone):
+    //  - shingleTbl: unpersisted, the join+Generate path re-inlines the
+    //    norm/split chain into the shingle lambda (CollapseProject — the
+    //    same per-element re-evaluation wedge the minhash paths block by
+    //    persisting this exact table), re-running the regex per SHINGLE;
+    //  - e: feeds three branches (sizes + both self-join sides).
+    val shingleTbl = shingleTable(spark, dir).persist()
+    val e = shingleTbl
       .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")), "doc_id")
       .select(col("source"), explode(col("sh")).as("sh"))
       .distinct()
+      .persist()
     val sizes = e.groupBy(col("source")).agg(count(lit(1)).as("n"))
     val pairs = e.as("a").join(e.as("b"), col("a.sh") === col("b.sh"))
       .filter(col("a.source") < col("b.source"))
