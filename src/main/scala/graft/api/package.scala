@@ -119,5 +119,25 @@ package object api {
       * frame. See [[graft.operators.Retrieval.mmrOf]]. */
     def mmrPicks(queryIds: Seq[Long]): DataFrame =
       operators.Retrieval.mmrOf(df.sparkSession, df, queryIds)
+
+    /** Every pair with word-set Jaccard ≥ 0.7, EXACT (no false negatives),
+      * via lossless prefix filtering (columns: doc_id, text).
+      * See [[graft.operators.SetSim.prefixJaccardPairsOf]]. */
+    def setSimPairs(): DataFrame = operators.SetSim.prefixJaccardPairsOf(df)
+
+    /** MinHash-LSH near-dup candidate pairs + exact Jaccard verify
+      * (columns: doc_id, text). See [[graft.operators.NearDup.minhashPairsOf]]. */
+    def nearDupPairs(): DataFrame = operators.NearDup.minhashPairsOf(df)
+
+    /** The LLM-ingest pipeline body — quality gate → exact content dedup →
+      * retrieval chunking (columns: doc_id, text).
+      * See [[graft.operators.TextAnalysis.ingestChunksOf]]. */
+    def ingestChunks(): DataFrame = operators.TextAnalysis.ingestChunksOf(df)
+
+    /** [[ingestChunks]] with dedup state BOUNDED to `horizon` of the
+      * required `ingest_time` watermark column — the streaming form.
+      * See [[graft.operators.TextAnalysis.ingestChunksBoundedOf]]. */
+    def ingestChunksBounded(horizon: String): DataFrame =
+      operators.TextAnalysis.ingestChunksBoundedOf(df, horizon)
   }
 }

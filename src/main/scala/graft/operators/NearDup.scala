@@ -183,8 +183,12 @@ object NearDup {
     * AND both sides of the verify join, and it is tiny relative to the
     * corpus (ids + shingle arrays), so at cluster scale this is the
     * standard "materialize features once" step, not a luxury. */
-  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val shingleTbl = shingleTable(spark, dir).persist()
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+    minhashPairsOf(Tables.documents(spark, dir))
+
+  /** [[minhashPairs]] over any documents-shaped frame — library API. */
+  def minhashPairsOf(docs: DataFrame): DataFrame = {
+    val shingleTbl = shingleTableOf(docs).persist()
     verifyJaccard(lshCandidates(shingleTbl), shingleTbl)
   }
 

@@ -68,5 +68,18 @@ class ApiSpec extends SparkSuite {
     val emb = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.1f)))
       .toDF("vec_id", "embedding")
     assert(emb.mmrPicks(Seq(0L)).count() === 1L)
+
+    // dedup + ingest façade (round 10): same cores the q_ queries run
+    val text = "the quick brown fox jumps over the lazy dog and then runs far away home"
+    val docs = Seq(
+      (1L, text), (2L, text.replace("home", "now")), (3L, "totally unrelated words"))
+      .toDF("doc_id", "text")
+    val setsim = docs.setSimPairs().select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(setsim.toSet === Set((1L, 2L)))
+    val near = docs.nearDupPairs().select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(near.toSet === Set((1L, 2L)))
+    val chunks = Seq((1L, text), (2L, text.toUpperCase)).toDF("doc_id", "text")
+      .ingestChunks()
+    assert(chunks.select("fp").distinct().count() === 1L) // case-folds dedup
   }
 }
