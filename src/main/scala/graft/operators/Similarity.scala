@@ -542,15 +542,61 @@ object Similarity {
     }.mkString(" + ")
   }
 
-  private val embedNearDupSql =
-    s"""WITH v0 AS ($vectorsSql),
-       |n AS (SELECT count(*) AS cnt FROM embeddings),
+  /** The adaptive plane-count CTE pair shared by the embed near-dup
+    * oracles: n = corpus count, np.planes = the planesFor shift ladder. */
+  private val adaptivePlanesCte =
+    s"""n AS (SELECT count(*) AS cnt FROM embeddings),
        |np AS (SELECT least($MaxPlanes, greatest($NumPlanes, coalesce(
        |         (SELECT min(p) FROM (SELECT unnest(range(0, ${MaxPlanes + 1})) AS p) ps, n
-       |          WHERE ($TargetBucketRows::BIGINT << p) >= n.cnt), $MaxPlanes))) AS planes),
+       |          WHERE ($TargetBucketRows::BIGINT << p) >= n.cnt), $MaxPlanes))) AS planes)""".stripMargin
+
+  private val embedNearDupSql =
+    s"""WITH v0 AS ($vectorsSql),
+       |$adaptivePlanesCte,
        |vecs AS (SELECT vec_id, v, nrm, $adaptiveBucketSql AS bkt FROM v0, np)
        |SELECT q.vec_id AS id_a, c.vec_id AS id_b, $cosineSql AS sim
        |FROM vecs q JOIN vecs c ON q.bkt = c.bkt AND q.vec_id < c.vec_id
+       |WHERE $cosineSql >= $NearDupCos""".stripMargin
+
+  /** [[embedNearDup]] with MULTI-PROBE recall recovery: each vector also
+    * probes the `planes` buckets at hamming distance 1 from its own (one
+    * sign bit flipped), so a pair split by exactly one plane is still
+    * found. Sign-LSH recall for a fixed threshold FALLS as planesFor grows
+    * with the corpus — the density adaptation's one trade — and hamming-1
+    * probing is the standard recovery: candidate volume grows (planes+1)×
+    * while staying O(corpus · target), and the plan shape (equi-join on a
+    * small int key) is unchanged. Found pairs are a strict SUPERSET of the
+    * base query's (the self bucket is always probed; spec-pinned).
+    *
+    * Exactly oracle-checked with the same dynamic-plane construction: the
+    * probe LIST is itself plane-count-dependent, and the SQL builds it
+    * with `list_transform(range(0, planes), …)` over the same np CTE. A
+    * pair at hamming distance 1 matches through exactly ONE of the
+    * (probe = bkt) equalities — the hamming-1 relation is symmetric and
+    * single-bit — so no candidate dedup is needed on either engine. */
+  def embedNearDupProbe(spark: SparkSession, dir: String): DataFrame = {
+    val planes = planesFor(Tables.embeddings(spark, dir).count())
+    val m = planesMatrix(planes)
+    val vecs = vectors(spark, dir).withColumn("bkt", bucketWith(col("v"), m)).persist()
+    val probes = array(col("bkt") +:
+      (0 until planes).map(p => col("bkt").bitwiseXOR(lit(1 << p))): _*)
+    val q = vecs.withColumn("probe", explode(probes)).alias("q")
+    val c = vecs.alias("c")
+    q.join(c, col("q.probe") === col("c.bkt") && col("q.vec_id") < col("c.vec_id"))
+      .select(col("q.vec_id").as("id_a"), col("c.vec_id").as("id_b"), cosine.as("sim"))
+      .filter(col("sim") >= NearDupCos)
+  }
+
+  private val embedNearDupProbeSql =
+    s"""WITH v0 AS ($vectorsSql),
+       |$adaptivePlanesCte,
+       |vecs AS (SELECT vec_id, v, nrm, $adaptiveBucketSql AS bkt FROM v0, np),
+       |q AS (SELECT vec_id, v, nrm,
+       |        unnest(list_prepend(bkt, list_transform(range(0, (SELECT planes FROM np)),
+       |          p -> xor(bkt::BIGINT, 1::BIGINT << p)))) AS probe
+       |      FROM vecs)
+       |SELECT q.vec_id AS id_a, c.vec_id AS id_b, $cosineSql AS sim
+       |FROM q JOIN vecs c ON q.probe = c.bkt AND q.vec_id < c.vec_id
        |WHERE $cosineSql >= $NearDupCos""".stripMargin
 
   /** SemDeDup-style semantic dedup (Abbas et al., "SemDeDup: Data-
@@ -622,6 +668,7 @@ object Similarity {
     Q("q_sim_knn_ivf_trained", knnIvfTrained, None),
     Q("q_sim_knn_sq8", knnSq8, Some(knnSq8Sql)),
     Q("q_dedup_embed_cos", embedNearDup, Some(embedNearDupSql)),
+    Q("q_dedup_embed_cos_probe", embedNearDupProbe, Some(embedNearDupProbeSql)),
     Q("q_dedup_semantic", semanticDedup, Some(semanticDedupSql)),
   )
 }

@@ -51,6 +51,20 @@ class AdaptiveLshSpec extends SparkSuite {
     assert(pair.head.getAs[Double]("sim") === 1.0)
   }
 
+  test("multi-probe near-dup finds a strict superset of the base pairs (recall recovery)") {
+    // hamming-1 probing can only ADD collisions (the self bucket is always
+    // probed) — the recall the density adaptation trades away comes back
+    // without changing the plan shape. Checked in the adaptive regime.
+    val dir = "/tmp/graft_synth_embed_5000"
+    graft.sources.SyntheticEmbeddings.writePoint(spark, dir, 5000)
+    val base = Similarity.embedNearDup(spark, dir)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val probed = Similarity.embedNearDupProbe(spark, dir)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(base.subsetOf(probed), s"${(base -- probed).size} base pairs lost by probing")
+    assert(probed.size > base.size, "probing recovered no additional pairs")
+  }
+
   test("embed near-dup candidate volume: adaptive beats fixed planes at 5k rows") {
     val dir = "/tmp/graft_synth_embed_5000"
     graft.sources.SyntheticEmbeddings.writePoint(spark, dir, 5000)
