@@ -296,6 +296,23 @@ object Similarity {
       .filter(col("rank") <= TopK)
   }
 
+  /** Round-10 whitelist shrink: this query spent eight rounds rows-only
+    * ("no static oracle — the plane count depends on the input"); the
+    * dynamic-plane SQL construction built for the embed near-dup removes
+    * that reason, so it is now exactly oracle-checked like the rest of
+    * the family (the adaptivePlanesCte reproduces planesFor in SQL). */
+  // lazy: adaptivePlanesCte/adaptiveBucketSql are declared further down
+  // the file — a strict val here would interpolate their nulls at init
+  private lazy val knnLshAdaptiveSql =
+    s"""WITH v0 AS ($vectorsSql),
+       |$adaptivePlanesCte,
+       |vecs AS (SELECT vec_id, v, nrm, $adaptiveBucketSql AS bkt FROM v0, np)
+       |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $cosineSql AS sim,
+       |  CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY $cosineSql DESC, c.vec_id) AS INT) AS rank
+       |FROM vecs q JOIN vecs c ON q.bkt = c.bkt AND q.vec_id != c.vec_id
+       |WHERE q.vec_id % $QueryStride = 0
+       |QUALIFY rank <= $TopK""".stripMargin
+
   /** Total bucketed candidate-pair count (a < b) under the registered
     * fixed plane count or the corpus-adaptive one — the ANN family's only
     * data-dependent growing term, reported by the bench's embeddings
@@ -663,7 +680,7 @@ object Similarity {
     Q("q_sim_matryoshka", matryoshkaEval, Some(matryoshkaEvalSql)),
     Q("q_sim_knn_lsh", knnLsh, Some(knnLshSql), bench = true),
     Q("q_sim_knn_lsh_multiprobe", knnLshMultiProbe, Some(knnLshMultiProbeSql)),
-    Q("q_sim_knn_lsh_adaptive", knnLshAdaptive, None),
+    Q("q_sim_knn_lsh_adaptive", knnLshAdaptive, Some(knnLshAdaptiveSql)),
     Q("q_sim_knn_ivf", knnIvf, Some(knnIvfSql)),
     Q("q_sim_knn_ivf_trained", knnIvfTrained, None),
     Q("q_sim_knn_sq8", knnSq8, Some(knnSq8Sql)),

@@ -18,12 +18,15 @@ class EntrySpec extends SparkSuite {
     // its bounding spec AND the pinned bound lives in PLANS.md
     // ("Rows-only ledger"); keep that table in sync with this set.
     // Summary: HLL KPI (ApproxKpiSpec), GK quantiles
-    // (ApproxQuantilesSpec), corpus-adaptive LSH (AdaptiveLshSpec),
-    // WAV decode (AudioSpec closed-form sine), PNG aHash + GIF frames
-    // (MultimodalSpec), PQ ANN (PqSpec determinism + recall), trained
-    // IVF (AnnRecallSpec recall floor vs oracle-checked seed IVF)
+    // (ApproxQuantilesSpec), WAV decode (AudioSpec closed-form sine),
+    // PNG aHash + GIF frames (MultimodalSpec), PQ ANN (PqSpec determinism
+    // + recall), trained IVF (AnnRecallSpec recall floor vs oracle-checked
+    // seed IVF). Round 10 removed q_sim_knn_lsh_adaptive from this set:
+    // the dynamic-plane SQL construction reproduces planesFor inside the
+    // oracle, so "the plane count depends on the input" stopped being a
+    // reason — it is now hash-checked like the rest of the family.
     val allowed = Set("q_kpi_order_approx", "q_stats_quantiles_approx",
-      "q_sim_knn_lsh_adaptive", "q_mm_audio", "q_mm_image_neardup",
+      "q_mm_audio", "q_mm_image_neardup",
       "q_mm_video_frames", "q_sim_knn_pq", "q_sim_knn_ivf_trained")
     assert(noOracle === allowed, noOracle.toString)
     assert(SparkEntry.queries.keySet === SparkEntry.oracleSql.keySet ++ allowed)
