@@ -421,6 +421,40 @@ object Similarity {
     ivfWith(spark, dir, cents)
   }
 
+  /** Round-10 whitelist shrink #2: trained IVF spent seven rounds
+    * rows-only ("the codebook comes from a fit step"). But the fit IS the
+    * oracle-checked Lloyd trajectory (q_embed_kmeans hash-matches
+    * KMeans.kmeansCtesSql), so the oracle can DERIVE the same codebook —
+    * c2's integer-tick centroids divided by the same 1e6 — and replay the
+    * identical assign→probe→rank tail the seed-IVF oracle uses. Exact
+    * because every step is: tick centroids are BIGINT-exact (kmeans
+    * oracle), tick→double division is one IEEE op on exact inputs, and
+    * the similarity is micro-rounded before any ranking. */
+  private lazy val knnIvfTrainedSql = {
+    val simAC = s"list_sum(list_transform(range(1, ${Dim + 1}), i -> a.v[i] * c.cv[i]))"
+    s"""WITH ${KMeans.kmeansCtesSql},
+       |v0 AS ($vectorsSql),
+       |tc AS (SELECT cid, list_transform(list(x ORDER BY i), t -> CAST(t AS DOUBLE) / 1e6) AS cv
+       |       FROM c2 GROUP BY cid),
+       |cent AS (SELECT cid, cv,
+       |           sqrt(list_sum(list_transform(range(1, ${Dim + 1}), i -> cv[i] * cv[i]))) AS cnrm
+       |         FROM tc),
+       |sims AS (SELECT a.vec_id, c.cid,
+       |           ${roundNSql(s"$simAC / (a.nrm * c.cnrm)", 6)} AS sim
+       |         FROM v0 a CROSS JOIN cent c),
+       |ranked AS (SELECT vec_id, cid,
+       |             row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+       |           FROM sims),
+       |assign AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
+       |probes AS (SELECT vec_id, cid FROM ranked WHERE rn <= $IvfProbes AND vec_id % $QueryStride = 0),
+       |cand AS (SELECT p.vec_id AS qid, a.vec_id AS nid
+       |         FROM probes p JOIN assign a ON p.cid = a.cid AND a.vec_id != p.vec_id)
+       |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $cosineSql AS sim,
+       |  CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY $cosineSql DESC, c.vec_id) AS INT) AS rank
+       |FROM cand JOIN v0 q ON q.vec_id = cand.qid JOIN v0 c ON c.vec_id = cand.nid
+       |QUALIFY rank <= $TopK""".stripMargin
+  }
+
   private val knnIvfSql = {
     val simAC = s"list_sum(list_transform(range(1, ${Dim + 1}), i -> a.v[i] * c.cv[i]))"
     s"""WITH v0 AS ($vectorsSql),
@@ -682,7 +716,7 @@ object Similarity {
     Q("q_sim_knn_lsh_multiprobe", knnLshMultiProbe, Some(knnLshMultiProbeSql)),
     Q("q_sim_knn_lsh_adaptive", knnLshAdaptive, Some(knnLshAdaptiveSql)),
     Q("q_sim_knn_ivf", knnIvf, Some(knnIvfSql)),
-    Q("q_sim_knn_ivf_trained", knnIvfTrained, None),
+    Q("q_sim_knn_ivf_trained", knnIvfTrained, Some(knnIvfTrainedSql)),
     Q("q_sim_knn_sq8", knnSq8, Some(knnSq8Sql)),
     Q("q_dedup_embed_cos", embedNearDup, Some(embedNearDupSql)),
     Q("q_dedup_embed_cos_probe", embedNearDupProbe, Some(embedNearDupProbeSql)),

@@ -21,13 +21,15 @@ class EntrySpec extends SparkSuite {
     // (ApproxQuantilesSpec), WAV decode (AudioSpec closed-form sine),
     // PNG aHash + GIF frames (MultimodalSpec), PQ ANN (PqSpec determinism
     // + recall), trained IVF (AnnRecallSpec recall floor vs oracle-checked
-    // seed IVF). Round 10 removed q_sim_knn_lsh_adaptive from this set:
-    // the dynamic-plane SQL construction reproduces planesFor inside the
-    // oracle, so "the plane count depends on the input" stopped being a
-    // reason — it is now hash-checked like the rest of the family.
+    // seed IVF). Round 10 removed TWO entries from this set:
+    // q_sim_knn_lsh_adaptive (the dynamic-plane SQL construction
+    // reproduces planesFor inside the oracle) and q_sim_knn_ivf_trained
+    // (the codebook IS the oracle-checked Lloyd trajectory, so the oracle
+    // derives the same centroids from the shared kmeans CTE chain and
+    // replays the seed-IVF probe tail) — both now hash-checked.
     val allowed = Set("q_kpi_order_approx", "q_stats_quantiles_approx",
       "q_mm_audio", "q_mm_image_neardup",
-      "q_mm_video_frames", "q_sim_knn_pq", "q_sim_knn_ivf_trained")
+      "q_mm_video_frames", "q_sim_knn_pq")
     assert(noOracle === allowed, noOracle.toString)
     assert(SparkEntry.queries.keySet === SparkEntry.oracleSql.keySet ++ allowed)
   }
