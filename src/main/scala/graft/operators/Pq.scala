@@ -163,6 +163,69 @@ object Pq {
     } finally sub.unpersist()
   }
 
+  /** Round-10 whitelist shrink #3: the scaladoc above said "an 8-codebook
+    * unrolled-SQL oracle is not reasonable" — but the codebooks don't need
+    * unrolling PER BOOK: in long form (m, cid, i, x) ONE Lloyd CTE chain
+    * trains all M subspaces at once (the kmeansCtesSql construction keyed
+    * by (m, cid) instead of cid), and the encode → ADC → candidate-cut →
+    * re-rank tail is four more aggregates. Every step is integer-exact
+    * (unit-tick quantization is one IEEE division per element on both
+    * engines; distances, packing, and table lookups are BIGINT), so the
+    * full train→encode→probe trajectory hash-matches. */
+  private lazy val knnPqSql = {
+    def step(d: String, cPrev: String, a: String, n: String, c: String) =
+      s"""$a AS (SELECT vec_id, m, CAST(min(dist*64+cid) % 64 AS INTEGER) AS cid FROM $d GROUP BY 1, 2),
+         |$n AS (SELECT m, cid, count(*) AS n FROM $a GROUP BY 1, 2),
+         |$c AS MATERIALIZED (
+         |  SELECT * FROM (
+         |    SELECT a.m, a.cid, s.i,
+         |      CAST(floor(CAST(sum(s.x) AS DOUBLE) / max(n.n) + 0.5) AS BIGINT) AS x
+         |    FROM $a a JOIN sub s ON a.vec_id = s.vec_id AND a.m = s.m
+         |              JOIN $n n ON a.m = n.m AND a.cid = n.cid
+         |    GROUP BY 1, 2, 3)
+         |  UNION ALL
+         |  SELECT p.m, p.cid, p.i, p.x FROM $cPrev p
+         |  WHERE NOT EXISTS (SELECT 1 FROM $n n WHERE n.m = p.m AND n.cid = p.cid))""".stripMargin
+    def dist(c: String, d: String) =
+      s"""$d AS (SELECT s.vec_id, s.m, c.cid, sum((s.x - c.x)*(s.x - c.x)) AS dist
+         |  FROM sub s JOIN $c c ON s.m = c.m AND s.i = c.i GROUP BY 1, 2, 3)""".stripMargin
+    val cosineSql = Similarity.cosineSql
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |tk AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(v, x -> CAST(floor(x / nrm * 1e6 + 0.5) AS BIGINT)) AS t
+       |  FROM (SELECT vec_id, v,
+       |          sqrt(list_sum(list_transform(range(1, ${Similarity.Dim + 1}), i -> v[i]*v[i]))) AS nrm
+       |        FROM e)),
+       |sub AS MATERIALIZED (
+       |  SELECT vec_id, mm.m AS m, r.i AS i, t[mm.m * $SubDim + r.i] AS x
+       |  FROM tk, range(0, $M) AS mm(m), range(1, ${SubDim + 1}) AS r(i)),
+       |cidmap AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid
+       |           FROM (SELECT DISTINCT vec_id FROM tk WHERE vec_id < $K)),
+       |c0 AS (SELECT s.m, cm.cid, s.i, s.x FROM sub s JOIN cidmap cm ON s.vec_id = cm.vec_id),
+       |${dist("c0", "d1")},
+       |${step("d1", "c0", "a1", "n1", "c1")},
+       |${dist("c1", "d2")},
+       |${step("d2", "c1", "a2", "n2", "c2")},
+       |${dist("c2", "d3")},
+       |codes AS MATERIALIZED (
+       |  SELECT vec_id, m, CAST(min(dist*64+cid) % 64 AS INTEGER) AS code FROM d3 GROUP BY 1, 2),
+       |qd AS (SELECT s.vec_id AS query_id, s.m, c.cid AS code, sum((s.x - c.x)*(s.x - c.x)) AS d
+       |       FROM sub s JOIN c2 c ON s.m = c.m AND s.i = c.i
+       |       WHERE s.vec_id % ${Similarity.QueryStride} = 0 GROUP BY 1, 2, 3),
+       |ap AS (SELECT q.query_id, cd.vec_id, sum(q.d) AS approx_d
+       |       FROM codes cd JOIN qd q ON cd.m = q.m AND cd.code = q.code
+       |       WHERE cd.vec_id != q.query_id GROUP BY 1, 2),
+       |cand AS (SELECT query_id, vec_id FROM (
+       |           SELECT query_id, vec_id,
+       |             row_number() OVER (PARTITION BY query_id ORDER BY approx_d, vec_id) AS rn
+       |           FROM ap) WHERE rn <= ${CandidateFactor * Similarity.TopK}),
+       |v0 AS (${Similarity.vectorsSql})
+       |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $cosineSql AS sim,
+       |  CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY $cosineSql DESC, c.vec_id) AS INT) AS rank
+       |FROM cand JOIN v0 q ON q.vec_id = cand.query_id JOIN v0 c ON c.vec_id = cand.vec_id
+       |QUALIFY rank <= ${Similarity.TopK}""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
-    Q("q_sim_knn_pq", knnPq, None))
+    Q("q_sim_knn_pq", knnPq, Some(knnPqSql)))
 }

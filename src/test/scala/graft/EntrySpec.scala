@@ -21,15 +21,18 @@ class EntrySpec extends SparkSuite {
     // (ApproxQuantilesSpec), WAV decode (AudioSpec closed-form sine),
     // PNG aHash + GIF frames (MultimodalSpec), PQ ANN (PqSpec determinism
     // + recall), trained IVF (AnnRecallSpec recall floor vs oracle-checked
-    // seed IVF). Round 10 removed TWO entries from this set:
+    // seed IVF). Round 10 removed THREE entries from this set:
     // q_sim_knn_lsh_adaptive (the dynamic-plane SQL construction
-    // reproduces planesFor inside the oracle) and q_sim_knn_ivf_trained
-    // (the codebook IS the oracle-checked Lloyd trajectory, so the oracle
-    // derives the same centroids from the shared kmeans CTE chain and
-    // replays the seed-IVF probe tail) — both now hash-checked.
+    // reproduces planesFor inside the oracle), q_sim_knn_ivf_trained
+    // (the codebook IS the oracle-checked Lloyd trajectory — the oracle
+    // derives the same centroids from the shared kmeans CTE chain), and
+    // q_sim_knn_pq (long-form (m, cid, i, x) keying trains all M subspace
+    // codebooks in ONE Lloyd CTE chain; the full train→encode→ADC→re-rank
+    // trajectory hash-matches). What remains is genuinely engine-side:
+    // sketch internals DuckDB cannot reproduce (HLL, GK) and binary
+    // codecs it does not have (WAV, PNG aHash, GIF frames).
     val allowed = Set("q_kpi_order_approx", "q_stats_quantiles_approx",
-      "q_mm_audio", "q_mm_image_neardup",
-      "q_mm_video_frames", "q_sim_knn_pq")
+      "q_mm_audio", "q_mm_image_neardup", "q_mm_video_frames")
     assert(noOracle === allowed, noOracle.toString)
     assert(SparkEntry.queries.keySet === SparkEntry.oracleSql.keySet ++ allowed)
   }
