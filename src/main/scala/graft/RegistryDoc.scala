@@ -15,7 +15,7 @@ object BenchSets {
   /** Embeddings synthetic decade (5k → 50k vectors). */
   val embedDecade: Seq[String] =
     Seq("q_sim_knn_lsh", "q_sim_knn_lsh_adaptive",
-      "q_dedup_embed_cos", "q_embed_hard_negatives")
+      "q_dedup_embed_cos", "q_dedup_embed_cos_probe", "q_embed_hard_negatives")
   /** Open-vocabulary Zipf text decade (5k → 50k docs). */
   val textZipfDecade: Seq[String] =
     Seq("q_text_pmi", "q_text_batch_buckets", "q_text_zipf",
