@@ -33,7 +33,8 @@ object BenchSets {
     * siblings (fixed-plane kNN, uncapped TextRank, unpruned materialize)
     * stop at the 50k decade BY DESIGN, because their cost model is the
     * quadratic the adaptive/pruned/capped paths exist to avoid. */
-  val deepEmbed: Seq[String] = Seq("q_sim_knn_lsh_adaptive", "q_dedup_embed_cos")
+  val deepEmbed: Seq[String] =
+    Seq("q_sim_knn_lsh_adaptive", "q_dedup_embed_cos", "q_dedup_embed_cos_probe")
   val deepLsh: Seq[String] = Seq("q_dedup_minhash_lsh", "q_dedup_minhash_lsh_pruned")
   val deepText: Seq[String] =
     Seq("q_text_pmi", "q_dedup_setsim_prefix", "q_text_textrank_capped")
