@@ -6,6 +6,27 @@ import org.apache.spark.sql.SparkSession
   * bench=true, falling back to all) on SPARK_GRAFT_SF_DIR and prints one
   * JSON line the driver consumes (BENCH_r{N}.json). */
 object Bench {
+
+  /** Fixed-work single-thread xorshift spin (~0.2 s idle): wall time tracks
+    * this VM's CPU-steal/contention level. */
+  private def spinOnce(): Double = {
+    val t0 = System.nanoTime()
+    var x = 88172645463325252L
+    var i = 0
+    while (i < 200000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+    if (x == 0) println("") // defeat dead-code elimination
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Warm + best-of-2 spin — the calibration stamp. Taken once for the
+    * headline run AND once per DECADE POINT (round-10 verdict #3: the
+    * committed events decade recorded a 16 s q_kpi_category point that an
+    * isolated run measures at 4.7 s — batch-run contamination inflating
+    * one endpoint is invisible to a monotonicity flag, so every α fit now
+    * carries per-point calib and is REFUSED when calib drifts > 25%
+    * across the decade's points). */
+  private def calibSpin(): Double = { spinOnce(); (1 to 2).map(_ => spinOnce()).min }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -32,20 +53,28 @@ object Bench {
       catch { case _: Throwable => () }
     }
     spark.catalog.clearCache() // drop warmup persists before timing
-    // Best-of-3 per query: single-shot timings on a shared VM include
+    // Best-of-N per query: single-shot timings on a shared VM include
     // CPU-steal/GC noise (observed same-plan swings of 6-10×); the min
-    // is the steady-state number. Cache cleared between runs so each
-    // timing pays its own materialization.
-    def time(dir: String, runs: Int): Seq[(String, Double)] = headline.map { q =>
-      val t = (1 to runs).map { _ =>
+    // over SUCCESSFUL runs is the steady-state number. Cache cleared
+    // between runs so each timing pays its own materialization. A query
+    // that fails every run records -1.0 (round-10 advice: timing a fast
+    // failure as a legitimate measurement fed bogus near-zero numbers
+    // into the α fits with no error marker) — alphaMonoJson treats
+    // non-positive times as null evidence.
+    def timeQs(qs: Seq[Q], dir: String, runs: Int): Seq[(String, Double)] = qs.map { q =>
+      val ts = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
-        try q.run(spark, dir).count()
-        catch { case _: Throwable => () }
+        val ok = try { q.run(spark, dir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] ${q.name} FAILED at $dir: ${e.toString.take(200)}")
+            false
+          }
         spark.catalog.clearCache()
-        (System.nanoTime() - t0) / 1e9
-      }.min
-      q.name -> t
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+      }
+      q.name -> (if (ts.nonEmpty) ts.min else -1.0)
     }
+    def time(dir: String, runs: Int): Seq[(String, Double)] = timeQs(headline, dir, runs)
     // SPARK_GRAFT_BENCH_FAST=1 skips the scale-evidence passes — a local
     // iteration shortcut (the driver never sets it, so BENCH_r{N}.json
     // always carries the full evidence)
@@ -56,38 +85,39 @@ object Bench {
     val benchRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
       .flatMap(_.toIntOption).filter(_ > 0).getOrElse(2)
 
-    /** Best-of-`runs` wall time per query at `dir` (cache cleared per run). */
-    def timeQs(qs: Seq[Q], dir: String, runs: Int): Seq[(String, Double)] = qs.map { q =>
-      val t = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        try q.run(spark, dir).count()
-        catch { case _: Throwable => () }
-        spark.catalog.clearCache()
-        (System.nanoTime() - t0) / 1e9
-      }.min
-      q.name -> t
-    }
-
     /** Endpoint-fit α plus a per-query MONOTONICITY flag over every decade
       * point (10% noise slack): a non-monotone series means the endpoints
       * sit inside the host-noise band and the fitted exponent is weak
-      * evidence — readers get the flag instead of a silently-noisy number. */
-    def alphaMonoJson(names: Seq[String],
-        series: Seq[(Long, Map[String, Double])]): (String, String) = {
+      * evidence — readers get the flag instead of a silently-noisy number.
+      *
+      * Every decade point carries its own calibSpin stamp; when calib
+      * drifts > 25% across the points, ALL the family's α fits are REFUSED
+      * (emitted null, with the drift recorded) — the round-10 lesson: a
+      * decade's big point timed under accumulated batch load fitted a fake
+      * α 1.17 that an isolated run measures at 0.37, and a monotone flag
+      * structurally cannot catch a series whose big point inflates. */
+    def alphaMonoJson(names: Seq[String], series: Seq[(Long, Map[String, Double])],
+        calibs: Seq[Double]): (String, String, String) = {
+      val drift = if (calibs.nonEmpty && calibs.min > 0) calibs.max / calibs.min - 1.0 else 0.0
+      val suppressed = drift > 0.25
       val ratio = series.last._1.toDouble / series.head._1
       val alphas = names.map { n =>
         val (tLo, tHi) = (series.head._2(n), series.last._2(n))
-        val a = if (tLo > 0 && tHi > 0) Some(math.log(tHi / tLo) / math.log(ratio)) else None
+        val a = if (!suppressed && tLo > 0 && tHi > 0)
+          Some(math.log(tHi / tLo) / math.log(ratio)) else None
         "\"" + n + "\":" + a.filter(x => !x.isNaN && !x.isInfinite)
           .map(x => BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString)
           .getOrElse("null")
       }.mkString(",")
       val mono = names.map { n =>
         val ts = series.map(_._2(n))
-        val ok = ts.zip(ts.tail).forall { case (a, b) => b >= a * 0.9 }
+        val ok = ts.forall(_ > 0) && ts.zip(ts.tail).forall { case (a, b) => b >= a * 0.9 }
         "\"" + n + "\":" + ok
       }.mkString(",")
-      (alphas, mono)
+      val calibJson = s""""calib_points":[${calibs.mkString(",")}],""" +
+        s""""calib_drift":${BigDecimal(drift).setScale(3, BigDecimal.RoundingMode.HALF_UP)},""" +
+        s""""alpha_suppressed_calib_drift":$suppressed"""
+      (alphas, mono, calibJson)
     }
     val results = time(sfDir, 3)
     def fmt(rs: Seq[(String, Double)]) =
@@ -192,24 +222,29 @@ object Bench {
         val (c, p) = candCounts(d)
         s"""{"dir":"$d","rows":${docRows(d)},"candidates":$c,"candidates_pruned":$p}"""
       }
-      def decade(pts: Seq[(Long, String)]): (String, String, String) = {
-        val data = pts.map { case (n, d) => (n, d, candCounts(d), timeLsh(d)) }
-        val rowsJson = data.map { case (n, d, cp, ts) =>
-          s"""{"dir":"$d","rows":$n,"candidates":${cp._1},"candidates_pruned":${cp._2},${
+      def decade(pts: Seq[(Long, String)]): (String, String, String, String) = {
+        val data = pts.map { case (n, d) =>
+          val cp = candCounts(d)
+          val cal = calibSpin()
+          (n, d, cp, cal, timeLsh(d))
+        }
+        val rowsJson = data.map { case (n, d, cp, cal, ts) =>
+          s"""{"dir":"$d","rows":$n,"candidates":${cp._1},"candidates_pruned":${cp._2},"calib":$cal,${
             ts.map { case (k, v) => "\"" + k + "\":" + v }.mkString(",")}}"""
         }.mkString(",")
         // per-query exponent over the decade (same generator at both
         // ends, so the points sit on one curve by construction)
-        val (alphas, mono) = alphaMonoJson(lshQs.map(_.name),
-          data.map { case (n, _, _, ts) => (n, ts.toMap) })
-        (rowsJson, alphas, mono)
+        val (alphas, mono, calibJson) = alphaMonoJson(lshQs.map(_.name),
+          data.map { case (n, _, _, _, ts) => (n, ts.toMap) },
+          data.map(_._4))
+        (rowsJson, alphas, mono, calibJson)
       }
-      val (synth, alphaSynth, monoSynth) = decade(synthPoints)
-      val (zipf, alphaZipf, monoZipf) = decade(zipfPoints)
+      val (synth, alphaSynth, monoSynth, calSynth) = decade(synthPoints)
+      val (zipf, alphaZipf, monoZipf, calZipf) = decade(zipfPoints)
       s""","lsh_scale":{"harness":[${harness.mkString(",")}],"synthetic":[$synth],""" +
         s""""alpha_synth_decade":{$alphaSynth},"monotone_synth_decade":{$monoSynth},""" +
-        s""""synthetic_zipf":[$zipf],"alpha_zipf_decade":{$alphaZipf},""" +
-        s""""monotone_zipf_decade":{$monoZipf}}"""
+        s""""calib_synth":{$calSynth},"synthetic_zipf":[$zipf],"alpha_zipf_decade":{$alphaZipf},""" +
+        s""""monotone_zipf_decade":{$monoZipf},"calib_zipf":{$calZipf}}"""
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] lsh scale pass failed: ${e.getMessage}")
@@ -232,15 +267,15 @@ object Bench {
         graft.sources.SyntheticEvents.writePoint(spark, d, n)
         n -> d
       }
-      val data = pts.map { case (n, d) => (n, d, timeQs(qs2, d, benchRuns)) }
-      val ptsJson = data.map { case (n, d, ts) =>
-        s"""{"dir":"$d","events":$n,${
+      val data = pts.map { case (n, d) => (n, d, calibSpin(), timeQs(qs2, d, benchRuns)) }
+      val ptsJson = data.map { case (n, d, cal, ts) =>
+        s"""{"dir":"$d","events":$n,"calib":$cal,${
           ts.map { case (k, v) => "\"" + k + "\":" + v }.mkString(",")}}"""
       }.mkString(",")
-      val (alphas, mono) = alphaMonoJson(qs2.map(_.name),
-        data.map { case (n, _, ts) => (n, ts.toMap) })
+      val (alphas, mono, calibJson) = alphaMonoJson(qs2.map(_.name),
+        data.map { case (n, _, _, ts) => (n, ts.toMap) }, data.map(_._3))
       s""","events_scale":{"points":[$ptsJson],"alpha_decade":{$alphas},""" +
-        s""""monotone_decade":{$mono}}"""
+        s""""monotone_decade":{$mono},$calibJson}"""
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] events scale pass failed: ${e.getMessage}")
@@ -269,16 +304,17 @@ object Bench {
         val cf = operators.Similarity.embedCandidateCount(spark, d, adaptive = false)
         val ca = operators.Similarity.embedCandidateCount(spark, d, adaptive = true)
         spark.catalog.clearCache()
-        (n, d, cf, ca, timeQs(qs3, d, benchRuns))
+        val cal = calibSpin()
+        (n, d, cf, ca, cal, timeQs(qs3, d, benchRuns))
       }
-      val ptsJson = data.map { case (n, d, cf, ca, ts) =>
-        s"""{"dir":"$d","rows":$n,"cand_fixed":$cf,"cand_adaptive":$ca,${
+      val ptsJson = data.map { case (n, d, cf, ca, cal, ts) =>
+        s"""{"dir":"$d","rows":$n,"cand_fixed":$cf,"cand_adaptive":$ca,"calib":$cal,${
           ts.map { case (k, v) => "\"" + k + "\":" + v }.mkString(",")}}"""
       }.mkString(",")
-      val (alphas, mono) = alphaMonoJson(qs3.map(_.name),
-        data.map { case (n, _, _, _, ts) => (n, ts.toMap) })
+      val (alphas, mono, calibJson) = alphaMonoJson(qs3.map(_.name),
+        data.map { case (n, _, _, _, _, ts) => (n, ts.toMap) }, data.map(_._5))
       s""","embed_scale":{"points":[$ptsJson],"alpha_decade":{$alphas},""" +
-        s""""monotone_decade":{$mono}}"""
+        s""""monotone_decade":{$mono},$calibJson}"""
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] embed scale pass failed: ${e.getMessage}")
@@ -306,24 +342,24 @@ object Bench {
             gen(spark, n).write.mode("overwrite").parquet(s"$d/documents.parquet")
           n -> d
         }
-      def decade(names: Seq[String], pts: Seq[(Long, String)]): (String, String, String) = {
+      def decade(names: Seq[String], pts: Seq[(Long, String)]): (String, String, String, String) = {
         val qs4 = Registry.all.filter(q => names.contains(q.name))
-        val data = pts.map { case (n, d) => (n, d, timeQs(qs4, d, benchRuns)) }
-        val ptsJson = data.map { case (n, d, ts) =>
-          s"""{"dir":"$d","rows":$n,${
+        val data = pts.map { case (n, d) => (n, d, calibSpin(), timeQs(qs4, d, benchRuns)) }
+        val ptsJson = data.map { case (n, d, cal, ts) =>
+          s"""{"dir":"$d","rows":$n,"calib":$cal,${
             ts.map { case (k, v) => "\"" + k + "\":" + v }.mkString(",")}}"""
         }.mkString(",")
-        val (alphas, mono) = alphaMonoJson(qs4.map(_.name),
-          data.map { case (n, _, ts) => (n, ts.toMap) })
-        (ptsJson, alphas, mono)
+        val (alphas, mono, calibJson) = alphaMonoJson(qs4.map(_.name),
+          data.map { case (n, _, _, ts) => (n, ts.toMap) }, data.map(_._3))
+        (ptsJson, alphas, mono, calibJson)
       }
-      val (zipfJson, zipfAlpha, zipfMono) =
+      val (zipfJson, zipfAlpha, zipfMono, zipfCal) =
         decade(zipfNames, mkPts("zipf", graft.sources.SyntheticDocs.zipfCorpus(_, _)))
-      val (v2Json, v2Alpha, v2Mono) =
+      val (v2Json, v2Alpha, v2Mono, v2Cal) =
         decade(v2Names, mkPts("v2", graft.sources.SyntheticDocs.corpus(_, _)))
       s""","text_scale":{"points":[$zipfJson],"alpha_decade":{$zipfAlpha},""" +
-        s""""monotone_decade":{$zipfMono},"points_v2":[$v2Json],""" +
-        s""""alpha_v2_decade":{$v2Alpha},"monotone_v2_decade":{$v2Mono}}"""
+        s""""monotone_decade":{$zipfMono},"calib":{$zipfCal},"points_v2":[$v2Json],""" +
+        s""""alpha_v2_decade":{$v2Alpha},"monotone_v2_decade":{$v2Mono},"calib_v2":{$v2Cal}}"""
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] text scale pass failed: ${e.getMessage}")
@@ -383,19 +419,7 @@ object Bench {
     // spin whose wall-time scales with this VM's CPU-steal level. Readers
     // comparing BENCH_r{N}.json across rounds can divide query times by
     // (calib_spin_sec / a reference value) to normalize host noise.
-    val calib = {
-      def spin(): Double = {
-        val t0 = System.nanoTime()
-        var x = 88172645463325252L
-        var i = 0
-        while (i < 200000000) {
-          x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
-        }
-        if (x == 0) println("") // defeat dead-code elimination
-        (System.nanoTime() - t0) / 1e9
-      }
-      spin(); (1 to 3).map(_ => spin()).min
-    }
+    val calib = calibSpin()
 
     // ---- 100× deep decade (round-9 verdict task #5): a third scale point
     // at 500k rows — two decades end to end — for the SCALE-DESIGNED
@@ -408,14 +432,18 @@ object Bench {
       def family(tag: String, names: Seq[String], pts: Seq[(Long, String)],
           extras: String => String = _ => ""): String = try {
         val qs = Registry.all.filter(q => names.contains(q.name))
-        val data = pts.map { case (n, d) => (n, d, timeQs(qs, d, benchRuns)) }
-        val ptsJson = data.map { case (n, d, ts) =>
-          s"""{"dir":"$d","rows":$n${extras(d)},${
+        val data = pts.map { case (n, d) =>
+          val ex = extras(d)
+          val cal = calibSpin()
+          (n, d, ex, cal, timeQs(qs, d, benchRuns))
+        }
+        val ptsJson = data.map { case (n, d, ex, cal, ts) =>
+          s"""{"dir":"$d","rows":$n$ex,"calib":$cal,${
             ts.map { case (k, v) => "\"" + k + "\":" + v }.mkString(",")}}"""
         }.mkString(",")
-        val (alphas, mono) = alphaMonoJson(qs.map(_.name),
-          data.map { case (n, _, ts) => (n, ts.toMap) })
-        s""""$tag":{"points":[$ptsJson],"alpha_2decades":{$alphas},"monotone":{$mono}}"""
+        val (alphas, mono, calibJson) = alphaMonoJson(qs.map(_.name),
+          data.map { case (n, _, _, _, ts) => (n, ts.toMap) }, data.map(_._4))
+        s""""$tag":{"points":[$ptsJson],"alpha_2decades":{$alphas},"monotone":{$mono},$calibJson}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] deep $tag family failed: ${e.getMessage}")
         s""""$tag":null"""
@@ -432,6 +460,13 @@ object Bench {
             .write.mode("overwrite").parquet(s"$d/documents.parquet")
         n -> d
       }
+      // 100× events decade (round-10 verdict task #4): 600k → 6M → 60M
+      // events (lineitem at the harness 6× ratio → 360M rows at the top)
+      // for the reference-derived KPI star join and sessionization.
+      val eventsPts = Seq(600000L, 6000000L, 60000000L).map { n =>
+        val d = s"/tmp/graft_synth_events_$n"
+        graft.sources.SyntheticEvents.writePoint(spark, d, n); n -> d
+      }
       val embedJson = family("embed", BenchSets.deepEmbed, embedPts, d => {
         val ca = operators.Similarity.embedCandidateCount(spark, d, adaptive = true)
         spark.catalog.clearCache(); s""","cand_adaptive":$ca"""
@@ -444,8 +479,10 @@ object Bench {
         s""","candidates":$c,"candidates_pruned":$p"""
       })
       val textJson = family("text", BenchSets.deepText, docPts)
+      val eventsJson = family("events", BenchSets.deepEvents, eventsPts)
       val out = new java.io.PrintWriter("BENCH_DEEP.json", "UTF-8")
-      try out.println(s"""{"runs":$benchRuns,"calib_spin_sec":$calib,$embedJson,$lshJson,$textJson}""")
+      try out.println(
+        s"""{"runs":$benchRuns,"calib_spin_sec":$calib,$embedJson,$lshJson,$textJson,$eventsJson}""")
       finally out.close()
       System.err.println("[bench] deep pass written to BENCH_DEEP.json")
     } catch { case e: Throwable =>

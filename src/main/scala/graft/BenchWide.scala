@@ -44,7 +44,11 @@ object BenchWide {
 
     var errors = List.empty[String]
     val timed = all.map { q =>
-      val t = (1 to runs).map { _ =>
+      // min over SUCCESSFUL runs only (round-10 advice: with runs > 1 a
+      // query failing one run but succeeding another reported min(-1, t)
+      // = -1, discarding the valid measurement); -1 only when every run
+      // failed.
+      val ts = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok = try { q.run(spark, sfDir).count(); true }
           catch { case e: Throwable =>
@@ -52,10 +56,45 @@ object BenchWide {
             false
           }
         spark.catalog.clearCache()
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      }.min
-      q.name -> t
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+      }
+      q.name -> (if (ts.nonEmpty) ts.min else -1.0)
     }.sortBy(-_._2)
+
+    // ---- Regression delta vs the prior committed BENCH_WIDE.json (round-10
+    // verdict task #7): flag >2× per-query swings in either direction so a
+    // replanning pathology (the 93 s TopK, the 11.8 s corpusOverlap wedge)
+    // surfaces automatically instead of via a judge task. Only queries
+    // whose larger side clears 0.5 s are flagged — sub-half-second times
+    // sit inside the host-noise band where ratios are meaningless. Parsed
+    // BEFORE this run's file overwrites it; absent/unparseable prior →
+    // empty delta, never a crash.
+    val delta = try {
+      val src = scala.io.Source.fromFile("BENCH_WIDE.json", "UTF-8")
+      val prior = try src.mkString finally src.close()
+      val qre = """"(q_[a-z0-9_]+)":(-?[0-9.]+(?:[eE]-?[0-9]+)?)""".r
+      val inDesc = prior.indexOf("\"queries_desc\"") match {
+        case -1 => ""
+        case i => prior.substring(i)
+      }
+      val priorTimes = qre.findAllMatchIn(inDesc)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      val nowTimes = timed.toMap
+      val flagged = timed.collect {
+        case (name, now) if now > 0 && priorTimes.get(name).exists(_ > 0) &&
+            math.max(now, priorTimes(name)) >= 0.5 &&
+            (now >= 2 * priorTimes(name) || priorTimes(name) >= 2 * now) =>
+          val p = priorTimes(name)
+          s"""{"query":"$name","prior":$p,"now":$now,"ratio":${
+            BigDecimal(now / p).setScale(2, BigDecimal.RoundingMode.HALF_UP)}}"""
+      }
+      val newQs = nowTimes.keySet -- priorTimes.keySet
+      s""""delta_vs_prior":{"prior_queries":${priorTimes.size},""" +
+        s""""new_queries":${newQs.size},"flagged":[${flagged.mkString(",")}]},"""
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench-wide] delta vs prior skipped: ${e.getMessage}")
+      """"delta_vs_prior":null,"""
+    }
 
     val calib = {
       def spin(): Double = {
@@ -73,6 +112,7 @@ object BenchWide {
     val line =
       s"""{"metric":"wide","n_queries":${all.size},"runs":$runs,"total_sec":$total,""" +
       s""""calib_spin_sec":$calib,"sf":"$sfDir","errors":[${errors.distinct.mkString(",")}],""" +
+      delta +
       s""""queries_desc":$qs}"""
     println(line)
     try {

@@ -6,7 +6,8 @@ package graft
 object BenchSets {
   /** LSH dedup synthetic decade (5k → 50k docs). */
   val lshDecade: Seq[String] =
-    Seq("q_dedup_minhash_lsh", "q_dedup_minhash_lsh_pruned", "q_dedup_near_materialize")
+    Seq("q_dedup_minhash_lsh", "q_dedup_minhash_lsh_pruned",
+      "q_dedup_minhash_lsh_auto", "q_dedup_near_materialize")
   /** Events/sales synthetic decade (600k → 6M events). */
   val eventsDecade: Seq[String] =
     Seq("q_kpi_category", "q_events_session", "q_join_range_events",
@@ -15,11 +16,13 @@ object BenchSets {
   /** Embeddings synthetic decade (5k → 50k vectors). */
   val embedDecade: Seq[String] =
     Seq("q_sim_knn_lsh", "q_sim_knn_lsh_adaptive",
-      "q_dedup_embed_cos", "q_dedup_embed_cos_probe", "q_embed_hard_negatives")
+      "q_dedup_embed_cos", "q_dedup_embed_cos_probe", "q_embed_hard_negatives",
+      "q_split_semantic_leakage")
   /** Open-vocabulary Zipf text decade (5k → 50k docs). */
   val textZipfDecade: Seq[String] =
     Seq("q_text_pmi", "q_text_batch_buckets", "q_text_zipf",
-      "q_dedup_setsim_prefix", "q_text_textrank", "q_text_textrank_capped")
+      "q_dedup_setsim_prefix", "q_text_textrank", "q_text_textrank_capped",
+      "q_text_bpe_learn")
   /** Harness-statistics v2 text decade (stopword-bearing vocabulary). */
   val textV2Decade: Seq[String] = Seq("q_text_keyphrase")
 
@@ -34,12 +37,20 @@ object BenchSets {
     * stop at the 50k decade BY DESIGN, because their cost model is the
     * quadratic the adaptive/pruned/capped paths exist to avoid. */
   val deepEmbed: Seq[String] =
-    Seq("q_sim_knn_lsh_adaptive", "q_dedup_embed_cos", "q_dedup_embed_cos_probe")
-  val deepLsh: Seq[String] = Seq("q_dedup_minhash_lsh", "q_dedup_minhash_lsh_pruned")
+    Seq("q_sim_knn_lsh_adaptive", "q_dedup_embed_cos", "q_dedup_embed_cos_probe",
+      "q_embed_hard_negatives", "q_split_semantic_leakage")
+  val deepLsh: Seq[String] =
+    Seq("q_dedup_minhash_lsh", "q_dedup_minhash_lsh_pruned", "q_dedup_minhash_lsh_auto")
   val deepText: Seq[String] =
-    Seq("q_text_pmi", "q_dedup_setsim_prefix", "q_text_textrank_capped")
+    Seq("q_text_pmi", "q_dedup_setsim_prefix", "q_text_textrank_capped",
+      "q_text_bpe_learn")
+  /** Events-family 100× points (600k → 6M → 60M events; round-10 verdict
+    * task #4 — the reference-derived flagship KPI and sessionization at
+    * two decades). */
+  val deepEvents: Seq[String] = Seq("q_kpi_category", "q_events_session")
   require(deepEmbed.forall(embedDecade.contains) && deepLsh.forall(lshDecade.contains)
-    && deepText.forall(textZipfDecade.contains),
+    && deepText.forall(textZipfDecade.contains)
+    && deepEvents.forall(eventsDecade.contains),
     "deep decade sets must be subsets of their 10x decade sets")
 }
 

@@ -39,10 +39,22 @@ object Mining {
     * usable as an augmentation positive) and the best HARD NEGATIVE
     * (highest cosine < τ — maximally confusable non-duplicate, the pair
     * that actually teaches a contrastive model). One bucketed candidate
-    * join, one role tag, one champion per (anchor, role). */
+    * join, one role tag, one champion per (anchor, role).
+    *
+    * Blocking is DENSITY-ADAPTIVE (round-11 verdict task #1): the plane
+    * count comes from [[Similarity.planesFor]] over the corpus cardinality,
+    * so within-bucket candidate volume stays O(corpus · TargetBucketRows)
+    * instead of the fixed-plane O(corpus²/2^6) this query measured before.
+    * Still exactly oracle-checked at ANY corpus size: the SQL recomputes
+    * the same integer shift ladder and masks the same md5 plane literals
+    * ([[Similarity.adaptivePlanesCte]]/[[Similarity.adaptiveBucketSql]]).
+    * At harness scales (≤ 2k vectors) planesFor floors at the registered
+    * default, so results there are bit-identical to the fixed-plane form. */
   def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val m = Similarity.planesMatrix(
+      Similarity.planesFor(Tables.embeddings(spark, dir).count()))
     val vecs = Similarity.vectors(spark, dir)
-      .withColumn("bkt", Similarity.bucket(col("v"))).persist()
+      .withColumn("bkt", Similarity.bucketWith(col("v"), m)).persist()
     val q = vecs.filter(col("vec_id") % QueryStride === 0).alias("q")
     val c = vecs.alias("c")
     val cand = q.join(c, col("q.bkt") === col("c.bkt") &&
@@ -58,9 +70,23 @@ object Mining {
       .orderBy(col("anchor_id"), col("role"))
   }
 
+  /** Bucketed candidate volume of the hard-negative miner — bench/spec
+    * instrumentation (the AdaptiveLshSpec linearity invariant applied to
+    * this consumer: candidates ≤ anchors · bucket-skew · target rows). */
+  def miningCandidateCount(spark: SparkSession, dir: String): Long = {
+    val m = Similarity.planesMatrix(
+      Similarity.planesFor(Tables.embeddings(spark, dir).count()))
+    val vecs = Similarity.vectors(spark, dir)
+      .withColumn("bkt", Similarity.bucketWith(col("v"), m)).persist()
+    val q = vecs.filter(col("vec_id") % QueryStride === 0).alias("q")
+    q.join(vecs.alias("c"), col("q.bkt") === col("c.bkt") &&
+      col("q.vec_id") =!= col("c.vec_id")).count()
+  }
+
   private val hardNegativesSql =
     s"""WITH v0 AS (${Similarity.vectorsSql}),
-       |vecs AS (SELECT vec_id, v, nrm, ${Similarity.bucketSql} AS bkt FROM v0),
+       |${Similarity.adaptivePlanesCte},
+       |vecs AS (SELECT vec_id, v, nrm, ${Similarity.adaptiveBucketSql} AS bkt FROM v0, np),
        |cand AS (
        |  SELECT q.vec_id AS anchor_id, c.vec_id AS cand_id,
        |    ${Similarity.cosineSql} AS sim
@@ -79,11 +105,19 @@ object Mining {
     * embedding-level sequel to `q_split_leakage_free` (which guards
     * lexical near-dups). Splits use the engine's standard md5-byte gate
     * on the id so both engines assign identically; one row per leaked
-    * eval vector with its worst offender. */
+    * eval vector with its worst offender.
+    *
+    * Blocking is density-adaptive like [[hardNegatives]] (same planesFor
+    * ladder, same dynamic-plane oracle): the test⋈train bucket join's
+    * candidate volume stays corpus-linear as the corpus grows, and at
+    * harness scales the plane count floors at the registered default so
+    * results are unchanged there. */
   def semanticLeakage(spark: SparkSession, dir: String): DataFrame = {
     val hb = Sampling.hashByteOf(col("vec_id"))
+    val m = Similarity.planesMatrix(
+      Similarity.planesFor(Tables.embeddings(spark, dir).count()))
     val vecs = Similarity.vectors(spark, dir)
-      .withColumn("bkt", Similarity.bucket(col("v")))
+      .withColumn("bkt", Similarity.bucketWith(col("v"), m))
       .withColumn("hb", hb).persist()
     val test = vecs.filter(col("hb") >= 230).alias("q")
     val train = vecs.filter(col("hb") < 205).alias("c")
@@ -101,8 +135,9 @@ object Mining {
   private val semanticLeakageSql = {
     val hb = Sampling.hashByteSqlOf("vec_id")
     s"""WITH v0 AS (${Similarity.vectorsSql}),
-       |vecs AS (SELECT vec_id, v, nrm, ${Similarity.bucketSql} AS bkt,
-       |  $hb AS hb FROM v0),
+       |${Similarity.adaptivePlanesCte},
+       |vecs AS (SELECT vec_id, v, nrm, ${Similarity.adaptiveBucketSql} AS bkt,
+       |  $hb AS hb FROM v0, np),
        |cand AS (
        |  SELECT q.vec_id AS test_id, c.vec_id AS train_id,
        |    ${Similarity.cosineSql} AS sim

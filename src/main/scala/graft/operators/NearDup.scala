@@ -182,7 +182,16 @@ object NearDup {
     * The per-doc shingle table is persisted: it feeds signature generation
     * AND both sides of the verify join, and it is tiny relative to the
     * corpus (ids + shingle arrays), so at cluster scale this is the
-    * standard "materialize features once" step, not a luxury. */
+    * standard "materialize features once" step, not a luxury.
+    *
+    * SCALE WARNING: this is the UNPRUNED form — its candidate volume grows
+    * ~n^1.8 on the measured Zipf decade (303 → 15k → 1.30M pairs at
+    * 5k → 50k → 500k docs) because high-DF boilerplate shingles collide
+    * unrelated docs. Production corpora use [[minhashPairsAuto]]
+    * (`q_dedup_minhash_lsh_auto`), which switches to the DF-pruned form at
+    * the measured [[DfPruneMinDocs]] crossover (13.0 s vs 48.0 s at 500k,
+    * BENCH_DEEP.json); this form stays registered as the exact-recall
+    * baseline and the small-corpus fast path. */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame =
     minhashPairsOf(Tables.documents(spark, dir))
 
@@ -233,6 +242,37 @@ object NearDup {
     if (Tables.documents(spark, dir).count() >= minDocs)
       minhashPairsPruned(spark, dir)
     else minhashPairs(spark, dir)
+
+  /** Oracle for [[minhashPairsAuto]], exact on BOTH sides of the size gate
+    * with ONE SQL: the gate folds into the `common` CTE's predicate —
+    * below [[DfPruneMinDocs]] no shingle qualifies as boilerplate, and a
+    * signature built from the full (distinct) shingle set is identical to
+    * the unpruned signature because every minhash is a min over per-shingle
+    * hashes (order- and duplicate-insensitive), while verify always uses
+    * the full sets. Above the gate the predicate reduces to the pruned
+    * form verbatim. So this SQL ≡ minhashPairsSql below the gate and
+    * ≡ minhashPairsPrunedSql at/above it — exactly the branch
+    * [[minhashPairsAuto]] takes. */
+  private val minhashPairsAutoSql = {
+    val mhs = (0 until NumHashes).map(k => s"${minhashSql(k)} AS mh_$k").mkString(", ")
+    val bandList = (0 until NumBands).map { b =>
+      val parts = (b * BandSize until (b + 1) * BandSize).map(k => s"mh_$k")
+      s"md5(concat_ws(',', ${parts.mkString(", ")}))"
+    }.mkString("[", ", ", "]")
+    s"""WITH s AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
+       |x AS (SELECT doc_id, unnest(sh) AS t FROM s),
+       |nn AS (SELECT count(*) AS n FROM s),
+       |common AS (SELECT t FROM (SELECT t, count(*) AS df FROM x GROUP BY t) d, nn
+       |           WHERE nn.n >= $DfPruneMinDocs AND d.df > $DfPruneFrac * nn.n),
+       |p AS (SELECT doc_id, list_sort(list(DISTINCT t)) AS sh FROM x
+       |      WHERE t NOT IN (SELECT t FROM common) GROUP BY doc_id),
+       |hh AS (SELECT doc_id, $baseHashesSql AS hb FROM p),
+       |m AS (SELECT doc_id, $mhs FROM hh),
+       |b AS (SELECT doc_id, unnest($bandList) AS band FROM m),
+       |c AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+       |      FROM b a JOIN b b2 ON a.band = b2.band AND a.doc_id < b2.doc_id),
+       |${jaccardVerifySql("c")}""".stripMargin
+  }
 
   /** MinHash-LSH with doc-frequency shingle pruning — the candidate-volume
     * control for corpora whose background (unrelated-pair) shingle overlap
@@ -658,6 +698,7 @@ object NearDup {
     Q("q_dedup_minhash_sig", minhashSignatures, Some(minhashSigSql)),
     Q("q_dedup_minhash_lsh", minhashPairs, Some(minhashPairsSql), bench = true),
     Q("q_dedup_minhash_lsh_pruned", minhashPairsPruned, Some(minhashPairsPrunedSql)),
+    Q("q_dedup_minhash_lsh_auto", (s, d) => minhashPairsAuto(s, d), Some(minhashPairsAutoSql)),
     Q("q_dedup_incremental_near", incrementalNearPairs, Some(incrementalNearSql)),
     Q("q_dedup_ngram_jaccard", ngramJaccardPairs, Some(ngramJaccardSql)),
     Q("q_dedup_simhash_sig", simhashSignatures, Some(simhashSigSql), bench = true),

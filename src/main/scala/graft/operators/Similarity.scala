@@ -585,7 +585,7 @@ object Similarity {
   /** Sign-bucket SQL over the full MaxPlanes md5 plane set, with each
     * plane's bit masked by `p < np.planes` — the SQL twin of
     * `bucketWith(v, planesMatrix(planesFor(count)))`. */
-  private val adaptiveBucketSql: String = {
+  private[operators] val adaptiveBucketSql: String = {
     val m = planesMatrix(MaxPlanes)
     def planeLit(p: Int) = m(p).map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
     (0 until MaxPlanes).map { p =>
@@ -595,7 +595,7 @@ object Similarity {
 
   /** The adaptive plane-count CTE pair shared by the embed near-dup
     * oracles: n = corpus count, np.planes = the planesFor shift ladder. */
-  private val adaptivePlanesCte =
+  private[operators] val adaptivePlanesCte =
     s"""n AS (SELECT count(*) AS cnt FROM embeddings),
        |np AS (SELECT least($MaxPlanes, greatest($NumPlanes, coalesce(
        |         (SELECT min(p) FROM (SELECT unnest(range(0, ${MaxPlanes + 1})) AS p) ps, n

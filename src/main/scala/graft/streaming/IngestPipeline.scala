@@ -22,25 +22,52 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *
   * Exactly-once on top of foreachBatch's at-least-once: `foreachBatch`
   * REPLAYS the in-flight batch after a restart, and an additive merge is
-  * not idempotent — so every published state row carries the batch id
-  * that produced it, and a replayed batch (id ≤ the stored high-water
-  * mark) is skipped. The id rides the SAME atomic rename as the data, so
-  * no crash window separates "merged" from "recorded" — the transactional
-  * pattern a production deployment gets from a Delta/Iceberg MERGE, here
-  * on plain parquet.
+  * not idempotent — so the published state carries the batch id that
+  * produced it (the `_last_batch` sidecar, an underscore file Spark's
+  * parquet reader ignores), and a replayed batch (id ≤ the stored
+  * high-water mark) is skipped. The id rides the SAME atomic rename as
+  * the data, so no crash window separates "merged" from "recorded" — the
+  * transactional pattern a production deployment gets from a Delta/
+  * Iceberg MERGE, here on plain parquet. LOCAL-FILESYSTEM ONLY: the
+  * swap's atomicity and the state probes are java.io rename/exists
+  * semantics (shared with UpsertSink); on HDFS/S3 the whole sidecar +
+  * two-rename pattern is replaced by the table format's transaction, not
+  * re-implemented.
   *
   * Scale notes: the stream side never holds state (the gate's joins are
   * batch-local inside foreachBatch; `dropDuplicates` there dedups one
   * micro-batch's candidate pairs, not history); the corpus index is built
-  * once and persisted; the KPI store is O(distinct lang × source), read
-  * and rewritten per batch — swap the merge body for a transactional
-  * MERGE INTO when the key space is large. */
+  * once, persisted, and unpersisted when the query terminates (listener
+  * registered by [[run]]). The KPI store is hash-partitioned by key
+  * ([[NumStateParts]] `part=` directories): each batch reads ONLY the
+  * partitions its delta touches (partition-pruned scan), rewrites those,
+  * and HARD-LINKS the untouched partition files into the new published
+  * tree byte-identically — per-batch work is O(touched partitions), not
+  * O(store), the plain-parquet form of a partition-pruned MERGE INTO. */
 object IngestPipeline {
 
   val KpiKeys: Seq[String] = Seq("lang", "source")
 
+  /** Hash partitions of the keyed KPI store: each published state tree is
+    * `part=<k>` directories, k = md5 byte of the concatenated key mod
+    * this. 16 partitions over an O(lang × source) key space keeps every
+    * partition file small while making the per-batch rewrite proportional
+    * to the TOUCHED key range, not the store. */
+  val NumStateParts = 16
+
+  /** Deterministic store partition of a key row — md5-derived (the
+    * engine's portable-hash convention), so the mapping survives Spark
+    * upgrades, repartitioning, and replays. */
+  private def partCol: org.apache.spark.sql.Column =
+    conv(substring(md5(concat_ws("\u0001", KpiKeys.map(col): _*)), 1, 2), 16, 10)
+      .cast("int") % NumStateParts
+
   /** Start the composed pipeline. `corpusDocs` is the standing corpus the
-    * near-dup gate screens against (static side of every join). */
+    * near-dup gate screens against (static side of every join). The
+    * corpus band index and shingle table are persisted for the query's
+    * lifetime and unpersisted when THIS query terminates (stop or crash)
+    * via a self-removing listener — repeated starts in one session don't
+    * accumulate cached blocks. */
   def run(spark: SparkSession, srcDir: String, corpusDocs: DataFrame,
       stateDir: String, checkpointDir: String,
       maxFilesPerTrigger: Int = 1): StreamingQuery = {
@@ -49,7 +76,7 @@ object IngestPipeline {
       .select(col("doc_id").as("id_b"), col("band")).persist()
     val corpusSh = corpusShingles
       .select(col("doc_id").as("id_b"), col("sh").as("sh_b")).persist()
-    DocIngest.docsStream(spark, srcDir, maxFilesPerTrigger)
+    val query = DocIngest.docsStream(spark, srcDir, maxFilesPerTrigger)
       .writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
@@ -57,17 +84,30 @@ object IngestPipeline {
         applyBatch(batch, batchId, index, corpusSh, stateDir)
       }
       .start()
+    val qid = query.id
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        if (e.id == qid) {
+          index.unpersist(); corpusSh.unpersist()
+          spark.streams.removeListener(this)
+        }
+    }
+    spark.streams.addListener(listener)
+    query
   }
 
   /** High-water batch id in the published state (−1 when absent), after
-    * recovering any interrupted swap. */
+    * recovering any interrupted swap. Read from the `_last_batch` sidecar
+    * that rides every swap (local-FS java.io probe — see the class
+    * scaladoc's exactly-once paragraph). */
   private[graft] def lastAppliedBatch(spark: SparkSession, stateDir: String): Long = {
     UpsertSink.recoverState(stateDir)
-    if (!new java.io.File(stateDir).exists()) -1L
-    else {
-      val r = spark.read.parquet(stateDir).agg(max(col("last_batch"))).collect()(0)
-      if (r.isNullAt(0)) -1L else r.getLong(0)
-    }
+    val f = new java.io.File(stateDir, "_last_batch")
+    if (!f.exists()) -1L
+    else java.nio.file.Files.readString(f.toPath).trim.toLong
   }
 
   /** One micro-batch: near-dup gate then additive KPI merge. Public to the
@@ -90,20 +130,60 @@ object IngestPipeline {
     mergeAdd(delta, batchId, stateDir)
   }
 
-  /** Additive keyed merge: existing counts + this batch's delta, published
-    * with the batch id under one atomic swap (UpsertSink's two-rename with
-    * crash recovery). */
+  /** Additive keyed merge, PARTITION-PRUNED (round-10 verdict task #6):
+    * the store is `part=` hash partitions of the key; this batch reads
+    * only the partitions its delta touches (a partition-pruned scan —
+    * `part` is a directory column), merges and rewrites those, and
+    * hard-links every untouched partition's files into the new tree
+    * unchanged (byte-identical, spec-pinned). The `_last_batch` sidecar
+    * and the whole tree still publish under ONE atomic swap (UpsertSink's
+    * two-rename with crash recovery), so the exactly-once story is
+    * unchanged — deleting the displaced `.old` tree only drops link
+    * counts, never the live files. */
   private def mergeAdd(delta: DataFrame, batchId: Long, stateDir: String): Unit = {
     val spark = delta.sparkSession
-    val existing =
-      if (!new java.io.File(stateDir).exists()) None
-      else Some(spark.read.parquet(stateDir).drop("last_batch"))
-    val merged = existing.fold(delta)(_.unionByName(delta))
-      .groupBy(KpiKeys.map(col): _*)
-      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_chars")).as("n_chars"))
-      .withColumn("last_batch", lit(batchId))
+    val d = delta.withColumn("part", partCol).persist()
+    // O(NumStateParts) driver rows by construction
+    val touched = d.select("part").distinct().collect().map(_.getInt(0)).toSet
+    val stateRoot = new java.io.File(stateDir)
+    val existingParts: Set[Int] =
+      if (!stateRoot.exists()) Set.empty
+      else Option(stateRoot.listFiles()).toSeq.flatten
+        .map(_.getName).collect { case s if s.startsWith("part=") => s.drop(5).toInt }.toSet
+    val touchedExisting = touched intersect existingParts
+    val merged =
+      if (touchedExisting.isEmpty) d
+      else spark.read.parquet(stateDir)
+        .filter(col("part").isin(touchedExisting.toSeq: _*))
+        .unionByName(d)
+        .groupBy((KpiKeys :+ "part").map(col): _*)
+        .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_chars")).as("n_chars"))
     val tmp = stateDir + ".tmp"
-    merged.write.mode("overwrite").parquet(tmp)
+    if (touched.nonEmpty)
+      merged.write.mode("overwrite").partitionBy("part").parquet(tmp)
+    else
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmp))
+    (existingParts -- touched).foreach { p =>
+      linkTree(new java.io.File(stateRoot, s"part=$p"), new java.io.File(tmp, s"part=$p"))
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(tmp, "_last_batch"), batchId.toString)
+    d.unpersist()
     UpsertSink.swapInto(tmp, stateDir)
+  }
+
+  /** Hard-link `src`'s file tree under `dst` (byte-identical publish of an
+    * untouched partition without copying data); falls back to a real copy
+    * on filesystems without link support. */
+  private def linkTree(src: java.io.File, dst: java.io.File): Unit = {
+    dst.mkdirs()
+    Option(src.listFiles()).toSeq.flatten.foreach { f =>
+      val t = new java.io.File(dst, f.getName)
+      if (f.isDirectory) linkTree(f, t)
+      else try java.nio.file.Files.createLink(t.toPath, f.toPath)
+      catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+        java.nio.file.Files.copy(f.toPath, t.toPath)
+      }
+    }
   }
 }

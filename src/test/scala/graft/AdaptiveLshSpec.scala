@@ -76,6 +76,45 @@ class AdaptiveLshSpec extends SparkSuite {
       s"adaptive=$adaptive exceeds the linear candidate budget")
   }
 
+  test("mining passes in the adaptive regime: planted exact dups survive blocking, candidates bounded") {
+    // Round-10 verdict task #1: q_embed_hard_negatives and
+    // q_split_semantic_leakage moved from the fixed 6-plane bucket to the
+    // planesFor ladder. 5002 rows -> planesFor = 7 > the default: both
+    // queries run in their adaptive regime here. A planted exact copy has
+    // identical plane signs at ANY plane count, so blocking can never
+    // lose it — the recall floor the adaptation must preserve.
+    import graft.operators.Mining
+    val base = graft.sources.SyntheticEmbeddings.corpus(spark, 5000)
+    // dup of anchor 0 (0 % QueryStride == 0) -> its champion positive;
+    // dup of vec 3 (hash byte 236 >= 230: test split) planted at id 5001
+    // (hash byte 3 < 205: train split) -> a semantic leak at sim 1.0
+    val dups = base.filter(col("vec_id") === 0L)
+      .select(lit(5000L).as("vec_id"), col("embedding"), col("label"))
+      .unionByName(base.filter(col("vec_id") === 3L)
+        .select(lit(5001L).as("vec_id"), col("embedding"), col("label")))
+    val dir = fixtureDir("embeddings" -> base.unionByName(dups))
+    assert(Similarity.planesFor(5002) > Similarity.NumPlanes)
+
+    val pos = Mining.hardNegatives(spark, dir)
+      .filter(col("anchor_id") === 0L && col("role") === "positive").collect()
+    assert(pos.length == 1, "anchor 0 lost its planted positive under adaptive blocking")
+    assert(pos.head.getAs[Long]("cand_id") === 5000L)
+    assert(pos.head.getAs[Double]("sim") === 1.0)
+
+    val leak = Mining.semanticLeakage(spark, dir)
+      .filter(col("test_id") === 3L).collect()
+    assert(leak.length == 1, "planted test->train leak lost under adaptive blocking")
+    assert(leak.head.getAs[Long]("train_id") === 5001L)
+    assert(leak.head.getAs[Double]("sim") === 1.0)
+
+    // the linearity invariant, applied to the miner's candidate relation:
+    // anchors (n/QueryStride) x (8x bucket skew x target population)
+    val cand = Mining.miningCandidateCount(spark, dir)
+    val anchors = 5002L / Similarity.QueryStride + 1
+    assert(cand <= anchors * 8 * Similarity.TargetBucketRows,
+      s"mining candidates $cand exceed the linear budget")
+  }
+
   test("adaptive kNN returns dense ranks with self excluded") {
     val dir = SparkSpec.sf0001
     val out = Similarity.knnLshAdaptive(spark, dir)

@@ -58,9 +58,26 @@ class IngestPipelineSpec extends SparkSuite {
     assert(mid.filter(col("lang") === "en").select(col("n_docs")).collect()
       .map(_.getLong(0)).toSeq === Seq(1L), "wave 1: only doc 15 survives the gate")
 
+    // snapshot the (en, s) store partition — md5("en" + \\u0001 + "s") first byte
+    // mod 16 = 13 — before wave 2, whose only surviving key (fr, s)
+    // hashes to part=2: the partition-pruned merge must publish wave 1's
+    // partition files BYTE-IDENTICALLY (hard-linked, not rewritten), both
+    // for wave 2's empty-delta batch (doc 10 is gated) and its fr batch.
+    def partFiles(p: Int): Map[String, Seq[Byte]] = {
+      val d = new java.io.File(stateDir, s"part=$p")
+      assert(d.isDirectory, s"expected store partition $d")
+      d.listFiles().filter(_.isFile).map(f =>
+        f.getName -> Files.readAllBytes(f.toPath).toSeq).toMap
+    }
+    val enBefore = partFiles(13)
+    assert(enBefore.nonEmpty)
+
     // wave 2: restart from the checkpoint; exact dup (10) and keeper (20)
     land(10L); land(20L)
     val q2 = run(); q2.processAllAvailable(); q2.stop()
+
+    assert(partFiles(13) === enBefore,
+      "untouched store partition must survive a batch byte-identically")
 
     val got = spark.read.parquet(stateDir)
       .select(col("lang"), col("source"), col("n_docs"), col("n_chars"))
