@@ -126,8 +126,15 @@ package object api {
     def setSimPairs(): DataFrame = operators.SetSim.prefixJaccardPairsOf(df)
 
     /** MinHash-LSH near-dup candidate pairs + exact Jaccard verify
-      * (columns: doc_id, text). See [[graft.operators.NearDup.minhashPairsOf]]. */
+      * (columns: doc_id, text). See [[graft.operators.NearDup.minhashPairsOf]].
+      * Corpora that may exceed the 150k-doc pruning crossover should call
+      * [[nearDupPairsAuto]] instead. */
     def nearDupPairs(): DataFrame = operators.NearDup.minhashPairsOf(df)
+
+    /** [[nearDupPairs]] behind the measured size gate: DF-pruned signature
+      * generation at/above the 150k-doc crossover, identical below it.
+      * See [[graft.operators.NearDup.minhashPairsAutoOf]]. */
+    def nearDupPairsAuto(): DataFrame = operators.NearDup.minhashPairsAutoOf(df)
 
     /** The LLM-ingest pipeline body — quality gate → exact content dedup →
       * retrieval chunking (columns: doc_id, text).

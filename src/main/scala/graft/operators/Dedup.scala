@@ -84,16 +84,23 @@ object Dedup {
     * a verified MinHash-LSH near-dup pair (greedy keep-lowest — one
     * deterministic pass, no iterative union-find; transitive clusters keep
     * their lowest member and possibly other mutually-distant members, the
-    * standard large-scale approximation). */
+    * standard large-scale approximation).
+    *
+    * Pairs come through the SIZE-GATED generator
+    * ([[NearDup.minhashPairsAuto]], round-11: the composed-pipeline gate
+    * the DfPruneMinDocs scaladoc promises): identical pairs below the
+    * measured 150k-doc crossover (all harness scales), DF-pruned above it
+    * so the materialize pass inherits the linear candidate volume instead
+    * of the unpruned ~n^1.8 growth. The oracle carries the same gate. */
   def materializeNearDupFree(spark: SparkSession, dir: String): DataFrame = {
-    val losers = NearDup.minhashPairs(spark, dir).select(col("id_b").as("doc_id"))
+    val losers = NearDup.minhashPairsAuto(spark, dir).select(col("id_b").as("doc_id"))
     Tables.documents(spark, dir)
       .join(losers, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("source"))
   }
 
   private val nearDupFreeSql =
-    s"""WITH pairs AS (${NearDup.minhashPairsSql})
+    s"""WITH pairs AS (${NearDup.minhashPairsAutoSql})
        |SELECT doc_id, lang, source FROM documents
        |WHERE doc_id NOT IN (SELECT id_b FROM pairs)""".stripMargin
 
@@ -102,16 +109,17 @@ object Dedup {
     * min-label propagation, one shuffle-join + min-agg per round). Output is
     * (doc_id, cluster_id) for every doc in at least one verified pair, with
     * cluster_id = min doc_id of the component — the canonical labeling a
-    * DuckDB recursive CTE reproduces exactly. */
+    * DuckDB recursive CTE reproduces exactly. Pair generation is
+    * size-gated like [[materializeNearDupFree]]. */
   def nearDupClusters(spark: SparkSession, dir: String): DataFrame =
     Graph.connectedComponents(
-        NearDup.minhashPairs(spark, dir).select(col("id_a"), col("id_b")))
+        NearDup.minhashPairsAuto(spark, dir).select(col("id_a"), col("id_b")))
       .select(col("node").as("doc_id"), col("cluster").as("cluster_id"))
 
   /** Shared oracle prefix: pairs → symmetric edges → transitive reachability
     * (recursive CTE) → per-node min reachable id. */
   private val clustersCteSql =
-    s"""WITH RECURSIVE pairs AS (${NearDup.minhashPairsSql}),
+    s"""WITH RECURSIVE pairs AS (${NearDup.minhashPairsAutoSql}),
        |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
        |      UNION SELECT id_b AS src, id_a AS dst FROM pairs),
        |reach(node, m) AS (

@@ -166,12 +166,14 @@ object Graph {
 
   /** Registered instantiation: mutual-near-dup triangles over the verified
     * MinHash pair list (clusters of three pairwise-similar docs — the
-    * signal that a dup cluster is a true clique, not a chain). */
+    * signal that a dup cluster is a true clique, not a chain). Pair
+    * generation is size-gated ([[NearDup.minhashPairsAuto]]): identical
+    * below the 150k-doc crossover, DF-pruned above it. */
   def nearDupTriangles(spark: SparkSession, dir: String): DataFrame =
-    triangles(NearDup.minhashPairs(spark, dir).select(col("id_a"), col("id_b")))
+    triangles(NearDup.minhashPairsAuto(spark, dir).select(col("id_a"), col("id_b")))
 
   private val trianglesSql =
-    s"""WITH pairs AS (${NearDup.minhashPairsSql}),
+    s"""WITH pairs AS (${NearDup.minhashPairsAutoSql}),
        |e AS (SELECT id_a AS lo, id_b AS hi FROM pairs)
        |SELECT ab.lo AS id_a, ab.hi AS id_b, bc.hi AS id_c
        |FROM e ab JOIN e bc ON ab.hi = bc.lo

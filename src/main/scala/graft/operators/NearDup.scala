@@ -243,6 +243,14 @@ object NearDup {
       minhashPairsPruned(spark, dir)
     else minhashPairs(spark, dir)
 
+  /** [[minhashPairsAuto]] over any documents-shaped frame — library API.
+    * Pays one count() of the input to pick the side of the gate (parquet
+    * sources answer it from footer metadata). */
+  def minhashPairsAutoOf(docs: DataFrame,
+      minDocs: Long = DfPruneMinDocs): DataFrame =
+    if (docs.count() >= minDocs) minhashPairsPrunedOf(docs)
+    else minhashPairsOf(docs)
+
   /** Oracle for [[minhashPairsAuto]], exact on BOTH sides of the size gate
     * with ONE SQL: the gate folds into the `common` CTE's predicate —
     * below [[DfPruneMinDocs]] no shingle qualifies as boilerplate, and a
@@ -253,7 +261,7 @@ object NearDup {
     * form verbatim. So this SQL ≡ minhashPairsSql below the gate and
     * ≡ minhashPairsPrunedSql at/above it — exactly the branch
     * [[minhashPairsAuto]] takes. */
-  private val minhashPairsAutoSql = {
+  private[operators] val minhashPairsAutoSql = {
     val mhs = (0 until NumHashes).map(k => s"${minhashSql(k)} AS mh_$k").mkString(", ")
     val bandList = (0 until NumBands).map { b =>
       val parts = (b * BandSize until (b + 1) * BandSize).map(k => s"mh_$k")
@@ -293,8 +301,12 @@ object NearDup {
     * ~52·n), so collecting it to a broadcast anti-join is the justified
     * k-sized pattern, not a corpus-sized collect. Docs whose every
     * shingle is boilerplate drop out of candidate generation by design. */
-  def minhashPairsPruned(spark: SparkSession, dir: String): DataFrame = {
-    val shingleTbl = shingleTable(spark, dir).persist()
+  def minhashPairsPruned(spark: SparkSession, dir: String): DataFrame =
+    minhashPairsPrunedOf(Tables.documents(spark, dir))
+
+  /** [[minhashPairsPruned]] over any documents-shaped frame — library API. */
+  def minhashPairsPrunedOf(docs: DataFrame): DataFrame = {
+    val shingleTbl = shingleTableOf(docs).persist()
     val n = shingleTbl.count()
     val x = shingleTbl.select(col("doc_id"), explode(col("sh")).as("t"))
     val common = x.groupBy(col("t")).agg(count(lit(1)).as("df"))

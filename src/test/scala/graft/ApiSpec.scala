@@ -78,6 +78,9 @@ class ApiSpec extends SparkSuite {
     assert(setsim.toSet === Set((1L, 2L)))
     val near = docs.nearDupPairs().select("id_a", "id_b").as[(Long, Long)].collect()
     assert(near.toSet === Set((1L, 2L)))
+    // size-gated form: identical pairs below the 150k-doc crossover
+    val auto = docs.nearDupPairsAuto().select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(auto.toSet === near.toSet)
     val chunks = Seq((1L, text), (2L, text.toUpperCase)).toDF("doc_id", "text")
       .ingestChunks()
     assert(chunks.select("fp").distinct().count() === 1L) // case-folds dedup
