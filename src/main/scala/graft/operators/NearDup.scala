@@ -189,9 +189,16 @@ object NearDup {
     * 5k → 50k → 500k docs) because high-DF boilerplate shingles collide
     * unrelated docs. Production corpora use [[minhashPairsAuto]]
     * (`q_dedup_minhash_lsh_auto`), which switches to the DF-pruned form at
-    * the measured [[DfPruneMinDocs]] crossover (13.0 s vs 48.0 s at 500k,
-    * BENCH_DEEP.json); this form stays registered as the exact-recall
-    * baseline and the small-corpus fast path. */
+    * the [[DfPruneMinDocs]] candidate-volume budget. Note the budget is a
+    * SHUFFLE-WIDTH control, not a single-host wall-time optimum: the clean
+    * per-point-calibrated measure (round 11, BENCH_DEEP.json) has this
+    * unpruned form FASTER on one 32-thread host until ~900k docs
+    * (7.4 s vs 11.8 s pruned at 500k; the round-10 48 s reading that first
+    * motivated the gate was batch-run contamination and is withdrawn) —
+    * what diverges first at cluster scale is its ~n^1.8 candidate stream
+    * (1.30M vs 60k verify pairs at 500k; ~80M vs ~600k extrapolated at
+    * 5M). This form stays registered as the exact-recall baseline and the
+    * small-corpus fast path. */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame =
     minhashPairsOf(Tables.documents(spark, dir))
 
@@ -221,16 +228,25 @@ object NearDup {
     * generation (verify still uses full sets). */
   val DfPruneFrac = 0.02
 
-  /** Measured DF-pruning crossover (round-5 verdict ask #6): the pruned
-    * query pays a corpus-linear DF-count pre-pass (~1.8× the unpruned
-    * wall time at ≤50k docs) to cut candidate volume 6.9× on the Zipf
-    * decade. Per-candidate verify costs ~18 µs (5.04 s / 277k pairs at
-    * the 50k fixed-vocab point), so pruning pays once it removes ~50–100k
-    * candidates; on the measured Zipf trajectory (removed ≈ 13k at 50k
-    * docs, growing ~n^1.9 with the boilerplate clique) that lands at
-    * ~150k docs. Composed pipelines gate the pruned path here; either
-    * side of the gate is correctness-identical (same verify, same
-    * emitted-pair meaning). */
+  /** DF-pruning gate, derived as an explicit CANDIDATE-VOLUME BUDGET
+    * (round-12 re-grounding; the round-5 "time crossover at 150k" story is
+    * withdrawn — round 11's clean re-measure showed its 48 s anchor was
+    * batch-run contamination, and on one 32-thread host unpruned stays
+    * faster to ~900k docs: 7.4 s vs 11.8 s at 500k, BENCH_DEEP.json).
+    *
+    * Budget: keep the verify join's shuffle ≤ ~1 candidate pair per
+    * document, i.e. O(corpus) — the width any linear pipeline stage
+    * tolerates at 100 TB. On the measured Zipf decade the unpruned
+    * candidate stream fits cands(n) ≈ 1.30e6 · (n/5e5)^1.8 (303 → 15.3k →
+    * 1.30M at 5k → 50k → 500k), so candidates-per-doc = 2.6 · (n/5e5)^0.8
+    * crosses 1.0 at n = 5e5 · (1/2.6)^1.25 ≈ 1.5e5 — the gate. The pruned
+    * form stays ~n^1.0 (60k pairs at 500k), so above the gate it bounds
+    * shuffle width at the cost of ≤1.6× single-host wall time in the
+    * 150k–900k band (the measured worst point). [[GateBudgetSpec]] pins
+    * this derivation to the constant. Either side of the gate is
+    * correctness-identical (same full-set verify, same emitted-pair
+    * meaning); `q_dedup_minhash_lsh_auto_lowgate` oracle-checks the pruned
+    * branch of the gated SQL at every correctness scale. */
   val DfPruneMinDocs = 150000L
 
   /** The gated form for composed pipelines: unpruned LSH below
@@ -260,8 +276,12 @@ object NearDup {
     * the full sets. Above the gate the predicate reduces to the pruned
     * form verbatim. So this SQL ≡ minhashPairsSql below the gate and
     * ≡ minhashPairsPrunedSql at/above it — exactly the branch
-    * [[minhashPairsAuto]] takes. */
-  private[operators] val minhashPairsAutoSql = {
+    * [[minhashPairsAuto]] takes. The threshold is a PARAMETER of the
+    * builder (round-11 advice): `q_dedup_minhash_lsh_auto` checks the
+    * production constant (unpruned branch at correctness scales) and
+    * `q_dedup_minhash_lsh_auto_lowgate` checks a 100-doc gate, so the
+    * PRUNED branch of this same SQL is DuckDB-verified every round too. */
+  private[graft] def minhashPairsAutoSqlFor(minDocs: Long): String = {
     val mhs = (0 until NumHashes).map(k => s"${minhashSql(k)} AS mh_$k").mkString(", ")
     val bandList = (0 until NumBands).map { b =>
       val parts = (b * BandSize until (b + 1) * BandSize).map(k => s"mh_$k")
@@ -271,7 +291,7 @@ object NearDup {
        |x AS (SELECT doc_id, unnest(sh) AS t FROM s),
        |nn AS (SELECT count(*) AS n FROM s),
        |common AS (SELECT t FROM (SELECT t, count(*) AS df FROM x GROUP BY t) d, nn
-       |           WHERE nn.n >= $DfPruneMinDocs AND d.df > $DfPruneFrac * nn.n),
+       |           WHERE nn.n >= $minDocs AND d.df > $DfPruneFrac * nn.n),
        |p AS (SELECT doc_id, list_sort(list(DISTINCT t)) AS sh FROM x
        |      WHERE t NOT IN (SELECT t FROM common) GROUP BY doc_id),
        |hh AS (SELECT doc_id, $baseHashesSql AS hb FROM p),
@@ -281,6 +301,13 @@ object NearDup {
        |      FROM b a JOIN b b2 ON a.band = b2.band AND a.doc_id < b2.doc_id),
        |${jaccardVerifySql("c")}""".stripMargin
   }
+
+  private[operators] val minhashPairsAutoSql = minhashPairsAutoSqlFor(DfPruneMinDocs)
+
+  /** Gate threshold of the lowgate registry twin — small enough that every
+    * correctness scale (500 docs at sf0.01) takes the PRUNED branch of the
+    * gated plan AND of its one-SQL oracle. */
+  private[graft] val LowGateMinDocs = 100L
 
   /** MinHash-LSH with doc-frequency shingle pruning — the candidate-volume
     * control for corpora whose background (unrelated-pair) shingle overlap
@@ -711,6 +738,9 @@ object NearDup {
     Q("q_dedup_minhash_lsh", minhashPairs, Some(minhashPairsSql), bench = true),
     Q("q_dedup_minhash_lsh_pruned", minhashPairsPruned, Some(minhashPairsPrunedSql)),
     Q("q_dedup_minhash_lsh_auto", (s, d) => minhashPairsAuto(s, d), Some(minhashPairsAutoSql)),
+    Q("q_dedup_minhash_lsh_auto_lowgate",
+      (s, d) => minhashPairsAuto(s, d, minDocs = LowGateMinDocs),
+      Some(minhashPairsAutoSqlFor(LowGateMinDocs))),
     Q("q_dedup_incremental_near", incrementalNearPairs, Some(incrementalNearSql)),
     Q("q_dedup_ngram_jaccard", ngramJaccardPairs, Some(ngramJaccardSql)),
     Q("q_dedup_simhash_sig", simhashSignatures, Some(simhashSigSql), bench = true),

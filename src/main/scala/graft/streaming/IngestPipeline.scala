@@ -105,9 +105,47 @@ object IngestPipeline {
     * scaladoc's exactly-once paragraph). */
   private[graft] def lastAppliedBatch(spark: SparkSession, stateDir: String): Long = {
     UpsertSink.recoverState(stateDir)
+    migrateLegacyState(spark, stateDir)
     val f = new java.io.File(stateDir, "_last_batch")
     if (!f.exists()) -1L
     else java.nio.file.Files.readString(f.toPath).trim.toLong
+  }
+
+  /** One-time upgrade of a store written by the pre-partitioned layout
+    * (root-level parquet rows carrying a `last_batch` COLUMN, no sidecar).
+    * Without this, the new reader would report -1 for an old store (so a
+    * replayed in-flight batch double-applies) and [[mergeAdd]]'s `part=`
+    * scan would silently drop every legacy row at the first swap. The
+    * rewrite — hash-partition the rows, derive the sidecar from
+    * max(last_batch) — publishes under the same atomic swap as a normal
+    * merge. A partitioned tree MISSING its sidecar is no layout this code
+    * ever wrote (they ride one rename), so that case fails loudly instead
+    * of guessing a high-water mark. */
+  private def migrateLegacyState(spark: SparkSession, stateDir: String): Unit = {
+    val root = new java.io.File(stateDir)
+    if (!root.exists() || new java.io.File(root, "_last_batch").exists()) return
+    val entries = Option(root.listFiles()).toSeq.flatten
+    val legacyFiles = entries.filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    if (legacyFiles.isEmpty) {
+      if (entries.exists(_.getName.startsWith("part=")))
+        throw new IllegalStateException(
+          s"IngestPipeline state at $stateDir is partitioned but has no _last_batch " +
+            "sidecar; refusing to guess the replay high-water mark")
+      return // empty / unrelated dir: nothing to migrate
+    }
+    val legacy = spark.read.parquet(stateDir)
+    require(legacy.columns.contains("last_batch"),
+      s"unrecognized IngestPipeline state layout at $stateDir: " +
+        "root-level parquet without a last_batch column")
+    val hwRow = legacy.agg(max(col("last_batch")).cast("long")).collect()(0)
+    val hw = if (hwRow.isNullAt(0)) -1L else hwRow.getLong(0)
+    val tmp = stateDir + ".tmp"
+    UpsertSink.rmTree(new java.io.File(tmp))
+    legacy.drop("last_batch").withColumn("part", partCol)
+      .write.mode("overwrite").partitionBy("part").parquet(tmp)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(tmp, "_last_batch"), hw.toString)
+    UpsertSink.swapInto(tmp, stateDir)
   }
 
   /** One micro-batch: near-dup gate then additive KPI merge. Public to the
@@ -159,6 +197,12 @@ object IngestPipeline {
         .groupBy((KpiKeys :+ "part").map(col): _*)
         .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_chars")).as("n_chars"))
     val tmp = stateDir + ".tmp"
+    // A crash between staging-write and swapInto leaves a stale tmp tree;
+    // every publish attempt must start from an EMPTY staging dir or the
+    // empty-delta branch below would hard-link into already-present files
+    // and crash-loop the replayed batch. (The Spark write clears it too,
+    // via mode("overwrite") — this makes both branches safe.)
+    UpsertSink.rmTree(new java.io.File(tmp))
     if (touched.nonEmpty)
       merged.write.mode("overwrite").partitionBy("part").parquet(tmp)
     else
@@ -181,8 +225,14 @@ object IngestPipeline {
       val t = new java.io.File(dst, f.getName)
       if (f.isDirectory) linkTree(f, t)
       else try java.nio.file.Files.createLink(t.toPath, f.toPath)
-      catch { case _: UnsupportedOperationException | _: java.io.IOException =>
-        java.nio.file.Files.copy(f.toPath, t.toPath)
+      catch {
+        // ONLY "this filesystem has no hard links" falls back to a copy;
+        // genuine IO errors (including a collision, which a cleared staging
+        // tree makes impossible) propagate instead of being masked by a
+        // second, uncaught failure from the copy.
+        case _: UnsupportedOperationException =>
+          java.nio.file.Files.copy(f.toPath, t.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
     }
   }

@@ -79,9 +79,7 @@ object UpsertSink {
     * instead; here the only readers are the next foreachBatch and
     * post-stop consumers. */
   private[graft] def swapInto(tmpDir: String, destDir: String): Unit = {
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-    }
+    def rm(f: java.io.File): Unit = rmTree(f)
     val dest = new java.io.File(destDir)
     val old = new java.io.File(destDir + ".old")
     if (old.exists()) {
@@ -93,6 +91,13 @@ object UpsertSink {
     if (!new java.io.File(tmpDir).renameTo(dest))
       throw new java.io.IOException(s"swapInto: cannot publish $tmpDir -> $destDir")
     if (old.exists()) rm(old)
+  }
+
+  /** Recursive delete (no-op on a missing path). Shared by the swap cleanup
+    * and by callers that must start a publish from an EMPTY staging tree
+    * (a crash between staging-write and swap leaves a stale tmp dir). */
+  private[graft] def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete()
   }
 
   /** File-source stream over a directory of parquet files (the S3-arrival

@@ -102,5 +102,66 @@ class IngestPipelineSpec extends SparkSuite {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
       .toSet
     assert(afterReplay === got, "replayed batch id must not re-merge")
+
+    // crash-window replay (round-11 advice, medium): a crash between the
+    // staging write and the swap leaves a stale tmp tree; the replayed
+    // batch — including the EMPTY-delta shape, whose hard-link publish
+    // would otherwise collide with the leftovers — must start clean
+    val staleTmp = new java.io.File(stateDir + ".tmp")
+    (existingParts(stateDir) + 0).foreach { p =>
+      val d = new java.io.File(staleTmp, s"part=$p"); d.mkdirs()
+      // duplicate a real published file name so a naive link collides
+      Option(new java.io.File(stateDir, s"part=$p").listFiles()).toSeq.flatten
+        .filter(_.isFile).take(1).foreach { f =>
+          Files.write(new java.io.File(d, f.getName).toPath, Array[Byte](1, 2, 3))
+        }
+    }
+    // doc 10 is an exact dup of corpus doc 2 -> its whole batch is gated
+    // out -> empty delta -> pure hard-link publish over the stale tmp
+    IngestPipeline.applyBatch(
+      docsDf(arrivingRows.filter(_._1 == 10L)), lastId + 1, index, corpusSh, stateDir)
+    assert(!staleTmp.exists(), "publish must consume (not leak) the staging dir")
+    val afterCrashReplay = spark.read.parquet(stateDir)
+      .select(col("lang"), col("source"), col("n_docs"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(afterCrashReplay === got, "stale tmp must not corrupt or dup state")
+    assert(IngestPipeline.lastAppliedBatch(spark, stateDir) === lastId + 1)
+  }
+
+  private def existingParts(stateDir: String): Set[Int] =
+    Option(new java.io.File(stateDir).listFiles()).toSeq.flatten
+      .map(_.getName).collect { case s if s.startsWith("part=") => s.drop(5).toInt }
+      .toSet
+
+  test("pre-partitioned legacy store migrates: rows kept, high-water mark derived") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("ingest_legacy").toString
+    val stateDir = root + "/kpi"
+    // the OLD layout: root-level parquet rows carrying a last_batch column
+    Seq(("en", "web", 7L, 700L, 4L), ("fr", "web", 2L, 150L, 4L))
+      .toDF("lang", "source", "n_docs", "n_chars", "last_batch")
+      .write.parquet(stateDir)
+    assert(IngestPipeline.lastAppliedBatch(spark, stateDir) === 4L,
+      "high-water mark must come from max(last_batch), not reset to -1")
+    // migrated in place: partitioned layout, sidecar present, rows intact
+    assert(new java.io.File(stateDir, "_last_batch").exists())
+    assert(existingParts(stateDir).nonEmpty)
+    val rows = spark.read.parquet(stateDir)
+      .select(col("lang"), col("n_docs"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows === Set(("en", 7L, 700L), ("fr", 2L, 150L)))
+    // idempotent: a second read leaves the migrated store alone
+    assert(IngestPipeline.lastAppliedBatch(spark, stateDir) === 4L)
+  }
+
+  test("partitioned store missing its sidecar fails loudly instead of guessing") {
+    val root = Files.createTempDirectory("ingest_nosidecar").toString
+    val stateDir = root + "/kpi"
+    new java.io.File(stateDir, "part=3").mkdirs()
+    val e = intercept[IllegalStateException] {
+      IngestPipeline.lastAppliedBatch(spark, stateDir)
+    }
+    assert(e.getMessage.contains("_last_batch"))
   }
 }

@@ -58,6 +58,25 @@ class NearDupSpec extends SparkSuite {
     assert(pairs(below) === pairs(above))
   }
 
+  test("lowgate twin: pruned branch on BOTH the plan and the one-SQL oracle") {
+    val dir = SparkSpec.sf0001
+    // 500 docs >= LowGateMinDocs (100): the registered lowgate query must
+    // take the PRUNED plan — the branch the default-gate oracle never
+    // exercises at correctness scales (round-11 advice)
+    val low = NearDup.minhashPairsAuto(spark, dir, minDocs = NearDup.LowGateMinDocs)
+    assert(low.queryExecution.executedPlan.toString.contains("LeftAnti"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(low) === pairs(NearDup.minhashPairsPruned(spark, dir)))
+    // the SQL builder injects the threshold (not the hard-coded default),
+    // and is otherwise byte-identical — the gate folds into ONE predicate
+    val lowSql = NearDup.minhashPairsAutoSqlFor(NearDup.LowGateMinDocs)
+    val defSql = NearDup.minhashPairsAutoSqlFor(NearDup.DfPruneMinDocs)
+    assert(lowSql.contains(s"nn.n >= ${NearDup.LowGateMinDocs}"))
+    assert(lowSql.replace(s"nn.n >= ${NearDup.LowGateMinDocs}",
+      s"nn.n >= ${NearDup.DfPruneMinDocs}") === defSql)
+  }
+
   test("incremental near-dup: batch-vs-corpus only, no within-split pairs") {
     // batch = doc_id % 5 == 0
     val d2 = fixtureDir("documents" -> Seq(
