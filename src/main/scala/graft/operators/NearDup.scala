@@ -88,9 +88,10 @@ object NearDup {
   /** Staged per-shingle base hashes (md5 once per shingle; the `hb` column
     * is referenced by all NumHashes minhash expressions, so it survives
     * CollapseProject and is computed once). */
-  private def baseHashes: Column =
-    transform(col("sh"), s =>
+  private def baseHashesOf(sh: Column): Column =
+    transform(sh, s =>
       conv(substring(md5(s), 1, 15), 16, 10).cast("long") % HashP)
+  private def baseHashes: Column = baseHashesOf(col("sh"))
   private val baseHashesSql =
     s"list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % $HashP)"
 
@@ -144,11 +145,19 @@ object NearDup {
   /** (doc_id, band) — one row per band per doc; the LSH bucket relation.
     * `carrySh = true` keeps the shingle set on each row so a streaming
     * probe side can verify without re-joining itself (stream-stream joins
-    * are exactly what the incremental design avoids). */
-  private[graft] def bandedOf(shingleTbl: DataFrame, carrySh: Boolean = false): DataFrame = {
+    * are exactly what the incremental design avoids). `bandSh`, when set,
+    * is the (possibly DF-pruned) shingle expression SIGNATURES are built
+    * from — `sh` still carries the FULL set for verify, and rows whose
+    * banding set prunes to empty drop out of candidate generation, exactly
+    * like the batch pruned form's anti-join + groupBy. All expressions
+    * stay narrow/stateless, so this works on streaming frames. */
+  private[graft] def bandedOf(shingleTbl: DataFrame, carrySh: Boolean = false,
+      bandSh: Option[Column] = None): DataFrame = {
     val keep = if (carrySh) Seq(col("doc_id"), col("sh")) else Seq(col("doc_id"))
-    val sig = shingleTbl
-      .withColumn("hb", baseHashes)
+    val src = bandSh.fold(shingleTbl)(b =>
+      shingleTbl.withColumn("bsh", b).filter(size(col("bsh")) > 0))
+    val sig = src
+      .withColumn("hb", baseHashesOf(if (bandSh.isDefined) col("bsh") else col("sh")))
       .select(keep ++ (0 until NumHashes).map(k => minhash(col("hb"), k).as(s"mh_$k")): _*)
     sig.select(keep :+ explode(bandArray).as("band"): _*)
   }
@@ -419,6 +428,82 @@ object NearDup {
     }.mkString("[", ", ", "]")
     s"""WITH s AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
        |hh AS (SELECT doc_id, sh, $baseHashesSql AS hb FROM s),
+       |m AS (SELECT doc_id, $mhs FROM hh),
+       |b AS (SELECT doc_id, unnest($bandList) AS band FROM m),
+       |c AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+       |      FROM b a JOIN b b2 ON a.band = b2.band
+       |      WHERE a.doc_id % 5 = 0 AND b2.doc_id % 5 != 0),
+       |${jaccardVerifySql("c")}""".stripMargin
+  }
+
+  /** The CORPUS-side DF stop list as a driver array, for streaming probes
+    * where the broadcast anti-join form is unavailable (a stream prunes
+    * per-row with `array_except` instead — stateless, codegen-friendly).
+    * Bounded REGARDLESS of corpus size: a shingle needs df > frac·n while
+    * total shingle instances are ~52·n, so at most ~52/frac ≈ 2600
+    * entries — the justified k-sized collect, same bound as the batch
+    * broadcast ([[minhashPairsPrunedOf]]'s scaladoc). Sorted for
+    * deterministic plans. */
+  private[graft] def commonShingleArray(shingleTbl: DataFrame, n: Long): Array[String] =
+    shingleTbl.select(explode(col("sh")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > lit(DfPruneFrac) * n)
+      .select(col("t")).collect().map(_.getString(0)).sorted
+
+  /** Size-gated incremental near-dedup — [[incrementalNearPairs]] with the
+    * same candidate-volume gate as [[minhashPairsAuto]]: at or above
+    * `minDocs` STANDING-corpus docs, signatures on BOTH sides are built
+    * from shingles with corpus df ≤ [[DfPruneFrac]]·n (verify unchanged,
+    * full sets). DF comes from the CORPUS side only — the standing index
+    * is what a streaming deployment has at hand; arriving batches must not
+    * shift it (and [[graft.streaming.NearDupStream]] mirrors exactly this,
+    * so its replay spec can assert parity on both sides of the gate). The
+    * gate folds into one filter (`n >= minDocs` is a driver literal), so
+    * below it the stop list is empty and the plan reduces to the unpruned
+    * form — same single-plan trick as the auto oracle SQL. */
+  def incrementalNearPairsAuto(spark: SparkSession, dir: String,
+      minDocs: Long = DfPruneMinDocs): DataFrame = {
+    val shingleTbl = shingleTable(spark, dir).persist()
+    val corpusSide = shingleTbl.filter(col("doc_id") % 5 =!= 0)
+    val n = corpusSide.count()
+    val common = corpusSide.select(explode(col("sh")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("df"))
+      .filter(lit(n >= minDocs) && col("df") > lit(DfPruneFrac) * n)
+      .select(col("t"))
+    val pruned = shingleTbl.select(col("doc_id"), explode(col("sh")).as("t"))
+      .join(broadcast(common), Seq("t"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("t"))).as("sh"))
+    val banded = bandedOf(pruned)
+    val batch = banded.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("id_a"), col("band"))
+    val corpus = banded.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id").as("id_b"), col("band"))
+    val cand = batch.join(corpus, "band")
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    verifyJaccard(cand, shingleTbl)
+  }
+
+  /** One-SQL oracle for [[incrementalNearPairsAuto]], threshold-
+    * parameterized like [[minhashPairsAutoSqlFor]]: DF over the corpus
+    * split only, empty stop list below the gate (≡ incrementalNearSql),
+    * pruned signatures at/above it. */
+  private[graft] def incrementalNearAutoSqlFor(minDocs: Long): String = {
+    val mhs = (0 until NumHashes).map(k => s"${minhashSql(k)} AS mh_$k").mkString(", ")
+    val bandList = (0 until NumBands).map { b =>
+      val parts = (b * BandSize until (b + 1) * BandSize).map(k => s"mh_$k")
+      s"md5(concat_ws(',', ${parts.mkString(", ")}))"
+    }.mkString("[", ", ", "]")
+    s"""WITH s AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
+       |nn AS (SELECT count(*) AS n FROM s WHERE doc_id % 5 != 0),
+       |cx AS (SELECT doc_id, unnest(sh) AS t FROM s WHERE doc_id % 5 != 0),
+       |common AS (SELECT t FROM (SELECT t, count(*) AS df FROM cx GROUP BY t) d, nn
+       |           WHERE nn.n >= $minDocs AND d.df > $DfPruneFrac * nn.n),
+       |x AS (SELECT doc_id, unnest(sh) AS t FROM s),
+       |p AS (SELECT doc_id, list_sort(list(DISTINCT t)) AS sh FROM x
+       |      WHERE t NOT IN (SELECT t FROM common) GROUP BY doc_id),
+       |hh AS (SELECT doc_id, $baseHashesSql AS hb FROM p),
        |m AS (SELECT doc_id, $mhs FROM hh),
        |b AS (SELECT doc_id, unnest($bandList) AS band FROM m),
        |c AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
@@ -742,6 +827,11 @@ object NearDup {
       (s, d) => minhashPairsAuto(s, d, minDocs = LowGateMinDocs),
       Some(minhashPairsAutoSqlFor(LowGateMinDocs))),
     Q("q_dedup_incremental_near", incrementalNearPairs, Some(incrementalNearSql)),
+    Q("q_dedup_incremental_near_auto", (s, d) => incrementalNearPairsAuto(s, d),
+      Some(incrementalNearAutoSqlFor(DfPruneMinDocs))),
+    Q("q_dedup_incremental_near_auto_lowgate",
+      (s, d) => incrementalNearPairsAuto(s, d, minDocs = LowGateMinDocs),
+      Some(incrementalNearAutoSqlFor(LowGateMinDocs))),
     Q("q_dedup_ngram_jaccard", ngramJaccardPairs, Some(ngramJaccardSql)),
     Q("q_dedup_simhash_sig", simhashSignatures, Some(simhashSigSql), bench = true),
     Q("q_dedup_simhash_pairs", simhashPairs, Some(simhashPairsSql)),

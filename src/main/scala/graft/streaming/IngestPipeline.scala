@@ -70,9 +70,20 @@ object IngestPipeline {
     * accumulate cached blocks. */
   def run(spark: SparkSession, srcDir: String, corpusDocs: DataFrame,
       stateDir: String, checkpointDir: String,
-      maxFilesPerTrigger: Int = 1): StreamingQuery = {
+      maxFilesPerTrigger: Int = 1,
+      minDocs: Long = NearDup.DfPruneMinDocs): StreamingQuery = {
     val corpusShingles = NearDup.shingleTableOf(corpusDocs)
-    val index = NearDup.bandedOf(corpusShingles)
+    // same size gate as NearDupStream / the batch auto family: at or above
+    // minDocs standing docs, signatures both sides come from DF-pruned
+    // shingles (bounded stop array collected once at setup; stateless
+    // per-row array_except on the probe). Verify is unchanged.
+    val bandSh: Option[org.apache.spark.sql.Column] = {
+      val n = corpusDocs.count()
+      if (n < minDocs) None
+      else Some(array_except(col("sh"),
+        typedlit(NearDup.commonShingleArray(corpusShingles, n).toSeq)))
+    }
+    val index = NearDup.bandedOf(corpusShingles, bandSh = bandSh)
       .select(col("doc_id").as("id_b"), col("band")).persist()
     val corpusSh = corpusShingles
       .select(col("doc_id").as("id_b"), col("sh").as("sh_b")).persist()
@@ -81,7 +92,7 @@ object IngestPipeline {
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, batchId, index, corpusSh, stateDir)
+        applyBatch(batch, batchId, index, corpusSh, stateDir, bandSh)
       }
       .start()
     val qid = query.id
@@ -151,10 +162,12 @@ object IngestPipeline {
   /** One micro-batch: near-dup gate then additive KPI merge. Public to the
     * package so the spec can force a REPLAY of an already-applied id. */
   private[graft] def applyBatch(batch: DataFrame, batchId: Long,
-      index: DataFrame, corpusSh: DataFrame, stateDir: String): Unit = {
+      index: DataFrame, corpusSh: DataFrame, stateDir: String,
+      bandSh: Option[org.apache.spark.sql.Column] = None): Unit = {
     val spark = batch.sparkSession
     if (lastAppliedBatch(spark, stateDir) >= batchId) return // replayed batch
-    val probe = NearDup.bandedOf(NearDup.shingleTableOf(batch), carrySh = true)
+    val probe = NearDup.bandedOf(NearDup.shingleTableOf(batch), carrySh = true,
+      bandSh = bandSh)
       .select(col("doc_id").as("id_a"), col("sh").as("sh_a"), col("band"))
     val dupIds = probe.join(index, "band")
       .select(col("id_a"), col("sh_a"), col("id_b"))

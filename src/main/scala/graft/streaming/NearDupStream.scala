@@ -32,17 +32,39 @@ import org.apache.spark.sql.functions._
   */
 object NearDupStream {
 
-  /** Verified near-dup pairs of (arriving docs) × (static corpus). */
+  /** Verified near-dup pairs of (arriving docs) × (static corpus).
+    *
+    * SIZE-GATED like the batch family (round-11 verdict task #6): at or
+    * above `minDocs` standing-corpus docs, signatures on both the index
+    * and the probe are built from DF-pruned shingles — the same
+    * candidate-volume budget as `NearDup.minhashPairsAuto`
+    * ([[graft.operators.NearDup.DfPruneMinDocs]]'s scaladoc has the
+    * derivation). DF comes from the standing corpus (what an ingest
+    * deployment has at hand; arriving batches never shift it), collected
+    * once at stream SETUP into a bounded stop array (≤ ~52/frac entries
+    * regardless of corpus size) and applied per probe row as a stateless
+    * `array_except` — no stream-side aggregation, no new state. Verify is
+    * unchanged (full shingle sets), so emitted pairs mean the same thing
+    * on either side of the gate; NearDupStreamSpec asserts replay parity
+    * with `NearDup.incrementalNearPairsAuto` on BOTH sides of a
+    * test-sized gate. */
   def pairsStream(spark: SparkSession, srcDir: String, corpusDocs: DataFrame,
-      maxFilesPerTrigger: Int = 1): DataFrame = {
+      maxFilesPerTrigger: Int = 1,
+      minDocs: Long = NearDup.DfPruneMinDocs): DataFrame = {
     val corpusShingles = NearDup.shingleTableOf(corpusDocs)
-    val index = NearDup.bandedOf(corpusShingles)
+    val bandSh: Option[org.apache.spark.sql.Column] = {
+      val n = corpusDocs.count()
+      if (n < minDocs) None
+      else Some(array_except(col("sh"),
+        typedlit(NearDup.commonShingleArray(corpusShingles, n).toSeq)))
+    }
+    val index = NearDup.bandedOf(corpusShingles, bandSh = bandSh)
       .select(col("doc_id").as("id_b"), col("band"))
     val corpusSh = corpusShingles.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
 
     val probe = NearDup.bandedOf(
       NearDup.shingleTableOf(DocIngest.docsStream(spark, srcDir, maxFilesPerTrigger)),
-      carrySh = true)
+      carrySh = true, bandSh = bandSh)
       .select(col("doc_id").as("id_a"), col("sh").as("sh_a"), col("band"))
 
     probe.join(index, "band")                       // stream-static: band bucket
