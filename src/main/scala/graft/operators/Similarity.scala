@@ -326,6 +326,28 @@ object Similarity {
       .collect()(0).getLong(0)
   }
 
+  /** Candidate-pair count of the BUDGETED multi-probe near-dup (self
+    * bucket + ProbeBudget margin-guided flips) — bench/spec instrumentation
+    * for the (ProbeBudget+1)× volume cap. Counts exactly the probe join's
+    * candidate relation (q.probe = c.bkt, q.vec_id < c.vec_id). */
+  def embedProbeCandidateCount(spark: SparkSession, dir: String): Long = {
+    val planes = planesFor(Tables.embeddings(spark, dir).count())
+    val m = planesMatrix(planes)
+    val b = math.min(ProbeBudget, planes)
+    val vecs = vectors(spark, dir)
+      .withColumn("bkt", bucketWith(col("v"), m))
+      .withColumn("mk", marginKeys(col("v"), m))
+      .persist()
+    val flips = (0 until b).map { i =>
+      col("bkt").bitwiseXOR(call_function("shiftleft",
+        lit(1), (element_at(col("mk"), i + 1) % 32).cast("int")))
+    }
+    val q = vecs.withColumn("probe", explode(array(col("bkt") +: flips: _*)))
+      .select(col("vec_id").as("id_q"), col("probe"))
+    val c = vecs.select(col("vec_id").as("id_c"), col("bkt"))
+    q.join(c, col("probe") === col("bkt") && col("id_q") < col("id_c")).count()
+  }
+
   /** Per-bucket population under the adaptive plane count — the spec input
     * for the bucket-bound invariant. */
   def bucketPopulations(spark: SparkSession, dir: String): DataFrame = {
@@ -609,29 +631,70 @@ object Similarity {
        |FROM vecs q JOIN vecs c ON q.bkt = c.bkt AND q.vec_id < c.vec_id
        |WHERE $cosineSql >= $NearDupCos""".stripMargin
 
-  /** [[embedNearDup]] with MULTI-PROBE recall recovery: each vector also
-    * probes the `planes` buckets at hamming distance 1 from its own (one
-    * sign bit flipped), so a pair split by exactly one plane is still
-    * found. Sign-LSH recall for a fixed threshold FALLS as planesFor grows
-    * with the corpus — the density adaptation's one trade — and hamming-1
-    * probing is the standard recovery: candidate volume grows (planes+1)×
-    * while staying O(corpus · target), and the plan shape (equi-join on a
-    * small int key) is unchanged. Found pairs are a strict SUPERSET of the
-    * base query's (the self bucket is always probed; spec-pinned).
+  /** Flipped-plane probe expansions per vector — a FIXED budget,
+    * independent of the adaptive plane ladder (round-11 verdict task #5:
+    * unbudgeted hamming-1 probing multiplied candidates (planes+1)×, a
+    * multiplier that GREW with planesFor — α 0.641, the embed family's
+    * worst scaler). Equal to [[NumPlanes]], so at corpora small enough for
+    * the registered default plane count the budget covers every plane and
+    * the query is bit-identical to the unbudgeted form. */
+  val ProbeBudget: Int = NumPlanes
+
+  /** Per-vector plane-margin sort keys: floor(|dot(v, plane_p)|·1e6+0.5)·32
+    * + p, ascending — the [[ProbeBudget]] smallest identify the planes
+    * whose sign bit is MOST LIKELY to differ for a true near pair (both
+    * members of a near pair project close to 0 on the plane that splits
+    * them) — the standard multi-probe sequence (Lv et al., "Multi-Probe
+    * LSH", VLDB 2007 — public). Margins are micro-quantized to BIGINT so
+    * both engines sort identical integers (the p term makes keys unique —
+    * no float-tie ambiguity). */
+  private def marginKeys(v: Column, m: IndexedSeq[IndexedSeq[Double]]): Column =
+    sort_array(array(m.indices.map { p =>
+      floor(abs(dotLit(v, m(p))) * 1e6 + 0.5).cast("long") * 32 + p
+    }: _*))
+
+  /** The margin-key list over the full MaxPlanes md5 plane set, inactive
+    * planes (p ≥ np.planes) pushed past any real key by a sentinel — the
+    * SQL twin of [[marginKeys]] under the dynamic ladder. */
+  private[operators] val marginKeysSql: String = {
+    val m = planesMatrix(MaxPlanes)
+    def planeLit(p: Int) = m(p).map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+    val keys = (0 until MaxPlanes).map { p =>
+      s"""(CASE WHEN $p < np.planes THEN CAST(floor(abs(list_sum(list_transform(range(1, ${Dim + 1}), i -> v[i] * (${planeLit(p)}::DOUBLE[])[i]))) * 1e6 + 0.5) AS BIGINT) * 32 + $p ELSE ${Long.MaxValue - MaxPlanes} + $p END)"""
+    }.mkString("[", ", ", "]")
+    s"list_sort($keys)"
+  }
+
+  /** [[embedNearDup]] with BUDGETED multi-probe recall recovery: each
+    * vector also probes the buckets at hamming distance 1 on its
+    * [[ProbeBudget]] lowest-|margin| planes (the self bucket is always
+    * probed, so found pairs remain a strict superset of the base query's —
+    * spec-pinned). Sign-LSH recall for a fixed threshold falls as
+    * planesFor grows with the corpus — the density adaptation's one trade
+    * — and margin-guided probing is the standard recovery; capping the
+    * expansion keeps candidate volume ≤ (ProbeBudget+1) · corpus · target
+    * REGARDLESS of the ladder, where the unbudgeted form's (planes+1)×
+    * multiplier grew with it.
     *
     * Exactly oracle-checked with the same dynamic-plane construction: the
-    * probe LIST is itself plane-count-dependent, and the SQL builds it
-    * with `list_transform(range(0, planes), …)` over the same np CTE. A
-    * pair at hamming distance 1 matches through exactly ONE of the
-    * (probe = bkt) equalities — the hamming-1 relation is symmetric and
-    * single-bit — so no candidate dedup is needed on either engine. */
+    * margin keys are micro-quantized BIGINTs built from the same masked
+    * plane literals, so both engines pick the same probe planes at ANY
+    * corpus size. Probes are pairwise-distinct buckets and a hamming-1
+    * pair matches through exactly one (probe = bkt) equality, so no
+    * candidate dedup is needed on either engine. */
   def embedNearDupProbe(spark: SparkSession, dir: String): DataFrame = {
     val planes = planesFor(Tables.embeddings(spark, dir).count())
     val m = planesMatrix(planes)
-    val vecs = vectors(spark, dir).withColumn("bkt", bucketWith(col("v"), m)).persist()
-    val probes = array(col("bkt") +:
-      (0 until planes).map(p => col("bkt").bitwiseXOR(lit(1 << p))): _*)
-    val q = vecs.withColumn("probe", explode(probes)).alias("q")
+    val b = math.min(ProbeBudget, planes)
+    val vecs = vectors(spark, dir)
+      .withColumn("bkt", bucketWith(col("v"), m))
+      .withColumn("mk", marginKeys(col("v"), m))
+      .persist()
+    val flips = (0 until b).map { i =>
+      col("bkt").bitwiseXOR(call_function("shiftleft",
+        lit(1), (element_at(col("mk"), i + 1) % 32).cast("int")))
+    }
+    val q = vecs.withColumn("probe", explode(array(col("bkt") +: flips: _*))).alias("q")
     val c = vecs.alias("c")
     q.join(c, col("q.probe") === col("c.bkt") && col("q.vec_id") < col("c.vec_id"))
       .select(col("q.vec_id").as("id_a"), col("c.vec_id").as("id_b"), cosine.as("sim"))
@@ -641,10 +704,12 @@ object Similarity {
   private val embedNearDupProbeSql =
     s"""WITH v0 AS ($vectorsSql),
        |$adaptivePlanesCte,
-       |vecs AS (SELECT vec_id, v, nrm, $adaptiveBucketSql AS bkt FROM v0, np),
+       |vecs AS (SELECT vec_id, v, nrm, $adaptiveBucketSql AS bkt, $marginKeysSql AS mk
+       |         FROM v0, np),
        |q AS (SELECT vec_id, v, nrm,
-       |        unnest(list_prepend(bkt, list_transform(range(0, (SELECT planes FROM np)),
-       |          p -> xor(bkt::BIGINT, 1::BIGINT << p)))) AS probe
+       |        unnest(list_prepend(bkt, list_transform(
+       |          list_slice(mk, 1, least($ProbeBudget, (SELECT planes FROM np))),
+       |          k -> xor(bkt::BIGINT, 1::BIGINT << (k % 32)::INT)))) AS probe
        |      FROM vecs)
        |SELECT q.vec_id AS id_a, c.vec_id AS id_b, $cosineSql AS sim
        |FROM q JOIN vecs c ON q.probe = c.bkt AND q.vec_id < c.vec_id

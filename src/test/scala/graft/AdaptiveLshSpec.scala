@@ -65,6 +65,22 @@ class AdaptiveLshSpec extends SparkSuite {
     assert(probed.size > base.size, "probing recovered no additional pairs")
   }
 
+  test("probe budget binds in the adaptive regime: candidates within (B+1)x base") {
+    // round-11 verdict task #5: at 5k rows planesFor = 7 > ProbeBudget = 6,
+    // so the margin-guided cap is actually selecting (not passing through).
+    // The invariant that fixes the α-0.641 scaler: probe candidate volume
+    // is at most (ProbeBudget+1)× the base blocked volume — a multiplier
+    // INDEPENDENT of the plane ladder — while still adding real recall.
+    val dir = "/tmp/graft_synth_embed_5000"
+    graft.sources.SyntheticEmbeddings.writePoint(spark, dir, 5000)
+    assert(Similarity.planesFor(5000) > Similarity.ProbeBudget)
+    val base = Similarity.embedCandidateCount(spark, dir, adaptive = true)
+    val probed = Similarity.embedProbeCandidateCount(spark, dir)
+    assert(probed <= (Similarity.ProbeBudget + 1L) * base,
+      s"probe candidates $probed exceed the (B+1)x cap over base $base")
+    assert(probed > base, "budgeted probing explores no extra buckets")
+  }
+
   test("embed near-dup candidate volume: adaptive beats fixed planes at 5k rows") {
     val dir = "/tmp/graft_synth_embed_5000"
     graft.sources.SyntheticEmbeddings.writePoint(spark, dir, 5000)
