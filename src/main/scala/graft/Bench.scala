@@ -7,25 +7,15 @@ import org.apache.spark.sql.SparkSession
   * JSON line the driver consumes (BENCH_r{N}.json). */
 object Bench {
 
-  /** Fixed-work single-thread xorshift spin (~0.2 s idle): wall time tracks
-    * this VM's CPU-steal/contention level. */
-  private def spinOnce(): Double = {
-    val t0 = System.nanoTime()
-    var x = 88172645463325252L
-    var i = 0
-    while (i < 200000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
-    if (x == 0) println("") // defeat dead-code elimination
-    (System.nanoTime() - t0) / 1e9
-  }
-
-  /** Warm + best-of-2 spin — the calibration stamp. Taken once for the
-    * headline run AND once per DECADE POINT (round-10 verdict #3: the
+  /** Warm + best-of-2 spin — the calibration stamp. Taken once per
+    * HEADLINE RUN and once per DECADE POINT (round-10 verdict #3: the
     * committed events decade recorded a 16 s q_kpi_category point that an
     * isolated run measures at 4.7 s — batch-run contamination inflating
-    * one endpoint is invisible to a monotonicity flag, so every α fit now
+    * one endpoint is invisible to a monotonicity flag, so every α fit
     * carries per-point calib and is REFUSED when calib drifts > 25%
-    * across the decade's points). */
-  private def calibSpin(): Double = { spinOnce(); (1 to 2).map(_ => spinOnce()).min }
+    * across the decade's points). Machinery lives in [[BenchCore]],
+    * shared with the fresh-JVM-per-family [[BenchDeep]]. */
+  private def calibSpin(): Double = BenchCore.calibSpin()
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -61,19 +51,8 @@ object Bench {
     // failure as a legitimate measurement fed bogus near-zero numbers
     // into the α fits with no error marker) — alphaMonoJson treats
     // non-positive times as null evidence.
-    def timeQs(qs: Seq[Q], dir: String, runs: Int): Seq[(String, Double)] = qs.map { q =>
-      val ts = (1 to runs).flatMap { _ =>
-        val t0 = System.nanoTime()
-        val ok = try { q.run(spark, dir).count(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] ${q.name} FAILED at $dir: ${e.toString.take(200)}")
-            false
-          }
-        spark.catalog.clearCache()
-        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
-      }
-      q.name -> (if (ts.nonEmpty) ts.min else -1.0)
-    }
+    def timeQs(qs: Seq[Q], dir: String, runs: Int): Seq[(String, Double)] =
+      BenchCore.timeQs(spark, qs, dir, runs)
     def time(dir: String, runs: Int): Seq[(String, Double)] = timeQs(headline, dir, runs)
     // SPARK_GRAFT_BENCH_FAST=1 skips the scale-evidence passes — a local
     // iteration shortcut (the driver never sets it, so BENCH_r{N}.json
@@ -85,79 +64,25 @@ object Bench {
     val benchRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
       .flatMap(_.toIntOption).filter(_ > 0).getOrElse(2)
 
-    /** Endpoint-suspect re-timing (round-11): within-JVM state — GC
-      * pressure and page-cache eviction by earlier passes' allocations —
-      * can inflate ONE decade point ~10× while the single-thread calib
-      * stays flat. Round-10's committed 16 s and this round's first-pass
-      * 29 s q_kpi_category@6M are both this phantom: the same query on
-      * the same dir re-measures at ~3 s in the SAME JVM minutes later,
-      * and isolated fresh-JVM runs agree. So any query whose endpoint fit
-      * implies α > 1.15 gets ONE more timing at the top point after a
-      * forced GC, and the min enters the series — a genuinely superlinear
-      * query reproduces its slow time, a phantom vanishes. */
+    // Endpoint-suspect re-timing + calib-gated α fits live in BenchCore
+    // (shared with the fresh-JVM BenchDeep); thin local aliases keep the
+    // evidence passes below unchanged.
     def retimeSuspects(qs: Seq[Q], pts: Seq[(Long, String)],
-        series: Seq[Seq[(String, Double)]]): Seq[Seq[(String, Double)]] = {
-      val lo = series.head.toMap
-      val hi = series.last.toMap
-      val ratio = pts.last._1.toDouble / pts.head._1
-      val suspects = qs.filter { q =>
-        val (a, b) = (lo.getOrElse(q.name, -1.0), hi.getOrElse(q.name, -1.0))
-        a > 0 && b > 0 && ratio > 1.05 &&
-          math.log(b / a) / math.log(ratio) > 1.15
-      }
-      if (suspects.isEmpty) series
-      else {
-        System.gc()
-        val re = timeQs(suspects, pts.last._2, 1).toMap
-        suspects.foreach { q =>
-          System.err.println(f"[bench] retimed suspect ${q.name} at ${pts.last._2}: " +
-            f"${hi(q.name)}%.2f -> ${re.getOrElse(q.name, -1.0)}%.2f s")
-        }
-        series.init :+ series.last.map { case (k, v) =>
-          k -> (if (re.getOrElse(k, -1.0) > 0 && v > 0) math.min(v, re(k)) else v)
-        }
-      }
-    }
-
-    /** Endpoint-fit α plus a per-query MONOTONICITY flag over every decade
-      * point (10% noise slack): a non-monotone series means the endpoints
-      * sit inside the host-noise band and the fitted exponent is weak
-      * evidence — readers get the flag instead of a silently-noisy number.
-      *
-      * Every decade point carries its own calibSpin stamp; when calib
-      * drifts > 25% across the points, ALL the family's α fits are REFUSED
-      * (emitted null, with the drift recorded) — the round-10 lesson: a
-      * decade's big point timed under accumulated batch load fitted a fake
-      * α 1.17 that an isolated run measures at 0.37, and a monotone flag
-      * structurally cannot catch a series whose big point inflates. */
+        series: Seq[Seq[(String, Double)]]): Seq[Seq[(String, Double)]] =
+      BenchCore.retimeSuspects(spark, qs, pts, series)
     def alphaMonoJson(names: Seq[String], series: Seq[(Long, Map[String, Double])],
-        calibs: Seq[Double]): (String, String, String) = {
-      val drift = if (calibs.nonEmpty && calibs.min > 0) calibs.max / calibs.min - 1.0 else 0.0
-      val suppressed = drift > 0.25
-      val ratio = series.last._1.toDouble / series.head._1
-      val alphas = names.map { n =>
-        val (tLo, tHi) = (series.head._2(n), series.last._2(n))
-        val a = if (!suppressed && tLo > 0 && tHi > 0)
-          Some(math.log(tHi / tLo) / math.log(ratio)) else None
-        "\"" + n + "\":" + a.filter(x => !x.isNaN && !x.isInfinite)
-          .map(x => BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString)
-          .getOrElse("null")
-      }.mkString(",")
-      val mono = names.map { n =>
-        val ts = series.map(_._2(n))
-        val ok = ts.forall(_ > 0) && ts.zip(ts.tail).forall { case (a, b) => b >= a * 0.9 }
-        "\"" + n + "\":" + ok
-      }.mkString(",")
-      val calibJson = s""""calib_points":[${calibs.mkString(",")}],""" +
-        s""""calib_drift":${BigDecimal(drift).setScale(3, BigDecimal.RoundingMode.HALF_UP)},""" +
-        s""""alpha_suppressed_calib_drift":$suppressed"""
-      (alphas, mono, calibJson)
-    }
+        calibs: Seq[Double]): (String, String, String) =
+      BenchCore.alphaMonoJson(names, series, calibs)
+
+    // ---- Headline pass 1 of 2 (round-11 verdict task #4: the repo shipped
+    // two contradictory totals with no noise statement — the headline is
+    // now best-of-N over TWO runs SPACED by the evidence passes, each with
+    // its own calib stamp, and the artifact carries both raw runs plus the
+    // measured noise band).
+    val calibRun1 = calibSpin()
     val results = time(sfDir, 3)
     def fmt(rs: Seq[(String, Double)]) =
       rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qs = fmt(results)
-    val total = results.map(_._2).sum
 
     // ---- Multi-scale evidence (round-3 verdict ask #1): re-time the same
     // headline set one decade of scale DOWN and report the per-query
@@ -457,11 +382,42 @@ object Bench {
         ""
     }
 
+    // ---- Headline pass 2 of 2, SPACED from pass 1 by the evidence passes
+    // above (minutes of unrelated work — the spacing that exposes the
+    // documented ~1.5× multi-core noise band a back-to-back re-run hides).
+    // The published headline is the per-query BEST of the two runs; the
+    // artifact carries both raw runs and the measured band.
+    val calibRun2 = calibSpin()
+    val results2 = time(sfDir, 3)
+    val r1 = results.toMap
+    val r2 = results2.toMap
+    val best = results.map { case (k, _) =>
+      k -> ((r1(k), r2.getOrElse(k, -1.0)) match {
+        case (a, b) if a > 0 && b > 0 => math.min(a, b)
+        case (a, b) => math.max(a, b) // at most one positive; keep it (or -1)
+      })
+    }
+    def posSum(rs: Seq[(String, Double)]) = rs.collect { case (_, v) if v > 0 => v }.sum
+    val runTotals = Seq(posSum(results), posSum(results2))
+    // noise band: ratio of the two spaced run totals (>= 1). PLANS.md
+    // "Bench calibration note" explains the band once; per-query swings
+    // inside it are host noise, not regressions.
+    val noiseBand =
+      if (runTotals.min > 0)
+        BigDecimal(runTotals.max / runTotals.min)
+          .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+      else "null"
+    val qs = fmt(best)
+    val total = best.map(_._2).sum
+    val runsJson = Seq((calibRun1, results), (calibRun2, results2)).map { case (c, rs) =>
+      s"""{"calib":$c,"total":${posSum(rs)},"queries":${fmt(rs)}}"""
+    }.mkString("[", ",", "]")
+
     // Fixed-work CPU calibration: a deterministic single-thread xorshift
     // spin whose wall-time scales with this VM's CPU-steal level. Readers
     // comparing BENCH_r{N}.json across rounds can divide query times by
     // (calib_spin_sec / a reference value) to normalize host noise.
-    val calib = calibSpin()
+    val calib = math.min(calibRun1, calibRun2)
 
     // ---- 100× deep decade (round-9 verdict task #5): a third scale point
     // at 500k rows — two decades end to end — for the SCALE-DESIGNED
@@ -471,27 +427,11 @@ object Bench {
     // minutes per run; results go to BENCH_DEEP.json, never the driver
     // line. Per-family degrade-don't-crash.
     if (sys.env.get("SPARK_GRAFT_BENCH_DEEP").contains("1")) try {
+      // shared machinery in BenchCore; graft.BenchDeep is the preferred
+      // clean-evidence path (one fresh JVM per family — see its scaladoc)
       def family(tag: String, names: Seq[String], pts: Seq[(Long, String)],
-          extras: String => String = _ => ""): String = try {
-        val qs = Registry.all.filter(q => names.contains(q.name))
-        val raw = pts.map { case (n, d) =>
-          val ex = extras(d)
-          val cal = calibSpin()
-          (n, d, ex, cal, timeQs(qs, d, benchRuns))
-        }
-        val data = raw.zip(retimeSuspects(qs, pts, raw.map(_._5)))
-          .map { case ((n, d, ex, cal, _), ts) => (n, d, ex, cal, ts) }
-        val ptsJson = data.map { case (n, d, ex, cal, ts) =>
-          s"""{"dir":"$d","rows":$n$ex,"calib":$cal,${
-            ts.map { case (k, v) => "\"" + k + "\":" + v }.mkString(",")}}"""
-        }.mkString(",")
-        val (alphas, mono, calibJson) = alphaMonoJson(qs.map(_.name),
-          data.map { case (n, _, _, _, ts) => (n, ts.toMap) }, data.map(_._4))
-        s""""$tag":{"points":[$ptsJson],"alpha_2decades":{$alphas},"monotone":{$mono},$calibJson}"""
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] deep $tag family failed: ${e.getMessage}")
-        s""""$tag":null"""
-      }
+          extras: String => String = _ => ""): String =
+        BenchCore.deepFamily(spark, tag, names, pts, benchRuns, extras)
       val deepNs = Seq(5000L, 50000L, 500000L)
       val embedPts = deepNs.map { n =>
         val d = s"/tmp/graft_synth_embed_$n"
@@ -543,7 +483,8 @@ object Bench {
         Some(s"""{"metric":"scale_evidence","sf":"$sfDir"$multiScale$lshScale$eventsScale$embedScale$textScale$layoutScale}""")
       else None
     val totalLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"calib_spin_sec":$calib,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""calib_spin_sec":$calib,"noise_band":$noiseBand,"sf":"$sfDir"}"""
     scaleLine.foreach(println)
     println(totalLine)
     // Round-6 verdict ask #2: the driver keeps only a 2000-char stdout
@@ -556,7 +497,8 @@ object Bench {
       val out = new java.io.PrintWriter("BENCH_LOCAL.json", "UTF-8")
       try {
         out.println(
-          s"""{"scale_evidence":${scaleLine.getOrElse("null")},"total":$totalLine}""")
+          s"""{"scale_evidence":${scaleLine.getOrElse("null")},"total":$totalLine,""" +
+            s""""runs":$runsJson,"noise_band":$noiseBand}""")
       } finally out.close()
     } catch { case e: Exception =>
       System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}")
