@@ -657,6 +657,28 @@ object Mining {
   def textrankCapped(spark: SparkSession, dir: String): DataFrame =
     textrankWith(spark, dir, edgeCap = Some(TrEdgeCap))
 
+  /** Round-12 optimization (guide §1.2 "the distributed algorithm"): the
+    * old form ran each of the [[TrIters]] damped rounds as its own
+    * equi-join + aggregation — ~2 Exchanges per round plus a
+    * localCheckpoint barrier every third round, ~25 jobs per query
+    * (measured 170 s at 500k zipf docs, iteration-bound). But the graph is
+    * strictly PER-DOCUMENT and vocabulary-bounded, so after one per-doc
+    * assembly pass the whole 10-round integer recurrence fits in a single
+    * narrow `aggregate` expression over index-aligned arrays: build
+    * (idx, word, in-edges[si, wgt, wsum]) once (the only shuffles left),
+    * then every round is an O(edges) array transform with O(1)
+    * element_at lookups — no per-round shuffle, no per-round job.
+    *
+    * Exactness: the recurrence is the SAME pure-BIGINT arithmetic
+    * (per-edge (r·w) div wsum, damped (15·1e12) div (100n) +
+    * (85·Σ) div 100), and BIGINT summation is order-insensitive, so
+    * collect_list ordering cannot drift the result. The old per-round
+    * INNER joins silently dropped a node whose in-edges all came from
+    * already-dropped sources (possible only under the edge cap, where the
+    * graph is asymmetric); the fused form reproduces that exactly: such a
+    * node's rank goes NULL and null sources are filtered from every later
+    * round's contributions — the DuckDB oracle (unchanged, the unrolled
+    * inner-join CTE chain) pins this at every correctness scale. */
   private[graft] def textrankWith(spark: SparkSession, dir: String,
       edgeCap: Option[Int]): DataFrame = {
     val toks = Tables.documents(spark, dir)
@@ -674,41 +696,87 @@ object Mining {
     // out-weights are recomputed AFTER the cap so each surviving node still
     // distributes exactly its full rank mass — the unit-mass invariant holds
     // under any cap
+    // DISK_ONLY persists, not localCheckpoint: both relations feed two
+    // consumers each (so materializing once is right), but an in-memory
+    // deserialized cache of the 500k-point's ~50M edge rows sits in the
+    // storageFraction-PROTECTED half of the unified pool and starved the
+    // assembly stage's sorts/object-aggs into
+    // SparkOutOfMemoryError(UNABLE_TO_ACQUIRE) — guide §5: cached data
+    // competes with execution memory. Local-disk blocks cost one
+    // sequential write+read (negligible at bench scale, measured) and
+    // leave the whole execution pool to the sorts.
     val edges = edgeCap.fold(edgesAll) { cap =>
       val wc = Window.partitionBy(col("doc_id"), col("src"))
         .orderBy(col("wgt").desc, col("dst"))
       edgesAll.withColumn("erk", row_number().over(wc))
         .filter(col("erk") <= cap).drop("erk")
-    }.localCheckpoint()
-    val wout = edges.groupBy(col("doc_id"), col("src"))
+    }.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    // node table: out-weight plus a deterministic 1-based index per doc
+    // (src order — unique within a doc, so row_number has no ties).
+    // Materialized because it feeds two consumers (in-edge build + final
+    // assembly); without it the row_number window re-executes per consumer.
+    val nodes = edges.groupBy(col("doc_id"), col("src"))
       .agg(sum(col("wgt")).as("wsum"))
-    // loop-invariant joins hoisted OUT of the rounds (measured 9.6 s →
-    // with per-round wout + nd joins at sf0.1): edges carry their source
-    // out-weight once, and the per-doc damping base (15·1e12) div (100n)
-    // lands on the node table once, so each round is ONE equi-join + one
-    // map-side-combinable sum + one small per-doc join.
-    val edgesW = edges.join(wout, Seq("doc_id", "src")).localCheckpoint()
-    val bases = wout.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      .select(col("doc_id"), col("n"),
-        expr(s"(15 * ${TrPico}L) div (100 * n) as base_mu"))
-      .localCheckpoint()
-    var ranks = wout
-      .join(bases, Seq("doc_id"))
-      .select(col("doc_id"), col("src").as("word"),
-        expr(s"${TrPico}L div n").as("r_mu"))
-      .localCheckpoint()
-    for (t <- 1 to TrIters) {
-      ranks = edgesW
-        .join(ranks.withColumnRenamed("word", "src"), Seq("doc_id", "src"))
-        .groupBy(col("doc_id"), col("dst").as("word"))
-        .agg(sum(expr("(r_mu * wgt) div wsum")).as("s"))
-        .join(bases, Seq("doc_id"))
-        .select(col("doc_id"), col("word"),
-          expr("base_mu + (85 * s) div 100").as("r_mu"))
-      // materialize every 3rd round: enough to keep the plan shallow,
-      // 3× fewer barrier jobs than per-round checkpoints
-      if (t % 3 == 0 || t == TrIters) ranks = ranks.localCheckpoint()
-    }
+      .withColumn("idx", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("src"))))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    // EAGER materialization, one small job each (what localCheckpoint did
+    // implicitly): a lazy persist lets the first consumer fuse the whole
+    // edge build (union → 50M-group agg → top-k cap → sort → window) AND
+    // its own sorts/aggs into ONE stage — at the 500k point those
+    // co-resident per-task buffers exceeded the 8 GB heap (measured OOM);
+    // the cache-build barrier restores the old code's stage isolation.
+    edges.count()
+    nodes.count()
+    // Scale-adaptive partition count for the two object-hash (collect_list)
+    // aggregations below: their per-task state is JVM OBJECT buffers
+    // (guide §5 — heavy per-task state wants more/smaller partitions), and
+    // AQE's byte-based coalescing cannot see object expansion, so at 500k
+    // docs × 32 coalesced partitions the assembly aggregation exhausted
+    // execution memory (measured: SparkOutOfMemoryError UNABLE_TO_ACQUIRE).
+    // Target ~4k docs per task (≈ tens of MB of buffered graph objects),
+    // floored at the session's shuffle parallelism so bench-scale plans are
+    // unchanged; the count is a parquet-footer metadata job.
+    val nDocs = Tables.documents(spark, dir).count()
+    val parts = math.max(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt,
+      math.min(20000L, nDocs / 1000L + 1).toInt)
+    // in-edge lists per destination word: (source index, edge weight,
+    // source out-weight) — the loop-invariant join, paid ONCE
+    val inW = edges
+      .join(nodes.select(col("doc_id"), col("src"), col("idx").as("si"), col("wsum")),
+        Seq("doc_id", "src"))
+      .repartition(parts, col("doc_id"), col("dst"))
+      .groupBy(col("doc_id"), col("dst"))
+      .agg(collect_list(struct(col("si"), col("wgt"), col("wsum"))).as("es"))
+    // one row per doc: index-aligned (idx, word, in-edges) + node count n.
+    // array_sort keys on idx (unique), so alignment is deterministic no
+    // matter what order collect_list saw the nodes in.
+    val perDoc = nodes.select(col("doc_id"), col("idx"), col("src").as("word"))
+      .join(inW.withColumnRenamed("dst", "word"), Seq("doc_id", "word"), "left")
+      .repartition(parts, col("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("idx"), col("word"), col("es")))).as("nd"),
+        count(lit(1)).as("n"))
+    // all TrIters rounds in one expression; element_at is 1-based, matching
+    // the row_number indexes
+    val rounds = expr(
+      s"""aggregate(
+         |  sequence(1, $TrIters),
+         |  transform(nd, x -> ${TrPico}L div n),
+         |  (r, it) -> transform(nd, x ->
+         |    CASE WHEN x.es IS NOT NULL
+         |              AND exists(x.es, e -> element_at(r, e.si) IS NOT NULL)
+         |         THEN (15 * ${TrPico}L) div (100 * n)
+         |              + (85 * aggregate(
+         |                  filter(x.es, e -> element_at(r, e.si) IS NOT NULL),
+         |                  0L,
+         |                  (s, e) -> s + (element_at(r, e.si) * e.wgt) div e.wsum)) div 100
+         |         ELSE CAST(NULL AS BIGINT) END))""".stripMargin)
+    val ranks = perDoc.withColumn("r_fin", rounds)
+      .select(col("doc_id"), explode(arrays_zip(col("nd"), col("r_fin"))).as("z"))
+      .select(col("doc_id"), col("z.nd.word").as("word"), col("z.r_fin").as("r_mu"))
+      .filter(col("r_mu").isNotNull)
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("r_mu").desc, col("word"))
     ranks.withColumn("rk", row_number().over(w))

@@ -21,9 +21,9 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes (100 TB):
   *  - Candidate generation never goes quadratic: docs meet only inside an
-  *    LSH band bucket (explode NumBands rows/doc, shuffle on the 16-byte
-  *    band key). Shingle sets are joined back only for candidate pairs, so
-  *    the verify stage is O(candidates), not O(n^2).
+  *    LSH band bucket (explode NumBands rows/doc, shuffle on the 8-byte
+  *    truncated-digest band key). Shingle sets are joined back only for
+  *    candidate pairs, so the verify stage is O(candidates), not O(n^2).
   *  - SimHash pair search blocks on 4x15-bit signature chunks: pigeonhole
   *    guarantees any pair at hamming distance <= 3 shares one exact chunk,
   *    so the blocked plan is lossless for the threshold while joining on a
@@ -135,12 +135,23 @@ object NearDup {
        |      FROM $candCte c JOIN s sa ON sa.doc_id = c.id_a JOIN s sb ON sb.doc_id = c.id_b)
        |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= $JaccardThreshold""".stripMargin
 
-  /** The NumBands 16-byte band keys over staged mh_k signature columns. */
+  /** The NumBands band keys over staged mh_k signature columns, as 60-bit
+    * BIGINTs (truncated md5, the [[baseHashesOf]] recipe) rather than
+    * 32-char hex strings: band keys exist only to be exploded, shuffled and
+    * equi-joined, so an 8-byte key quarters the banded relation's shuffle
+    * bytes and makes the bucket self-join compare longs instead of strings
+    * (guide §2.3 "narrower types"). The oracle builds the identical
+    * truncation ([[bandKeySql]]), so both engines see the same buckets. */
   private def bandArray: Column =
     array((0 until NumBands).map { b =>
-      md5(concat_ws(",",
-        (b * BandSize until (b + 1) * BandSize).map(k => col(s"mh_$k")): _*))
+      conv(substring(md5(concat_ws(",",
+        (b * BandSize until (b + 1) * BandSize).map(k => col(s"mh_$k")): _*)), 1, 15), 16, 10)
+        .cast("long")
     }: _*)
+
+  /** DuckDB twin of one [[bandArray]] element over named mh columns. */
+  private def bandKeySql(parts: Seq[String]): String =
+    s"('0x' || substr(md5(concat_ws(',', ${parts.mkString(", ")})), 1, 15))::BIGINT"
 
   /** (doc_id, band) — one row per band per doc; the LSH bucket relation.
     * `carrySh = true` keeps the shingle set on each row so a streaming
@@ -174,8 +185,9 @@ object NearDup {
     * data-dependent growing term: everything else is O(corpus), candidate
     * volume scales with duplicate density. The bench's LSH scale pass
     * counts THIS relation per scale point (PLANS.md scaling table). */
-  private[graft] def lshCandidates(shingleTbl: DataFrame): DataFrame = {
-    val banded = bandedOf(shingleTbl).persist()
+  private[graft] def lshCandidates(shingleTbl: DataFrame,
+      bandSh: Option[Column] = None): DataFrame = {
+    val banded = bandedOf(shingleTbl, bandSh = bandSh).persist()
     val a = banded.alias("a")
     val b = banded.alias("b")
     a.join(b, col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
@@ -221,7 +233,7 @@ object NearDup {
     val mhs = (0 until NumHashes).map(k => s"${minhashSql(k)} AS mh_$k").mkString(", ")
     val bandList = (0 until NumBands).map { b =>
       val parts = (b * BandSize until (b + 1) * BandSize).map(k => s"mh_$k")
-      s"md5(concat_ws(',', ${parts.mkString(", ")}))"
+      bandKeySql(parts)
     }.mkString("[", ", ", "]")
     s"""WITH s AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
        |hh AS (SELECT doc_id, sh, $baseHashesSql AS hb FROM s),
@@ -294,7 +306,7 @@ object NearDup {
     val mhs = (0 until NumHashes).map(k => s"${minhashSql(k)} AS mh_$k").mkString(", ")
     val bandList = (0 until NumBands).map { b =>
       val parts = (b * BandSize until (b + 1) * BandSize).map(k => s"mh_$k")
-      s"md5(concat_ws(',', ${parts.mkString(", ")}))"
+      bandKeySql(parts)
     }.mkString("[", ", ", "]")
     s"""WITH s AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
        |x AS (SELECT doc_id, unnest(sh) AS t FROM s),
@@ -334,31 +346,43 @@ object NearDup {
     * Scale shape: the common-shingle list is bounded by
     * (shingles-per-doc)/DfPruneFrac rows REGARDLESS of corpus size (a
     * shingle needs df > frac·n, and total shingle instances are
-    * ~52·n), so collecting it to a broadcast anti-join is the justified
-    * k-sized pattern, not a corpus-sized collect. Docs whose every
-    * shingle is boilerplate drop out of candidate generation by design. */
+    * ~52·n), so collecting it to a driver array for a per-row
+    * `array_except` is the justified k-sized pattern, not a corpus-sized
+    * collect. Docs whose every shingle is boilerplate drop out of
+    * candidate generation by design. */
   def minhashPairsPruned(spark: SparkSession, dir: String): DataFrame =
     minhashPairsPrunedOf(Tables.documents(spark, dir))
 
-  /** [[minhashPairsPruned]] over any documents-shaped frame — library API. */
+  /** [[minhashPairsPruned]] over any documents-shaped frame — library API.
+    *
+    * Plan shape (round-12 optimization, guide §2.4 "remove shuffles
+    * outright"): the old form exploded the shingle table a second time and
+    * anti-joined the broadcast stop list, then re-aggregated per doc
+    * (collect_set + sort — one extra Exchange plus an ObjectHashAggregate
+    * pair over the full ~52·n shingle-instance stream). The stop list is
+    * bounded at ≤ ~52/[[DfPruneFrac]] entries REGARDLESS of corpus size
+    * (see [[commonShingleArray]]), so pruning is now the same stateless
+    * per-row `array_except` the streaming twin already uses
+    * ([[graft.streaming.NearDupStream]]) — a narrow map over the persisted
+    * shingle table, no second explode, no re-aggregation Exchange. Set
+    * equality with the anti-join form is structural (array_except returns
+    * the distinct left-set minus the stop list; signatures and set sizes
+    * are order-insensitive), and docs whose every shingle is boilerplate
+    * still drop out of banding ([[bandedOf]] filters empty banding sets,
+    * exactly like the old groupBy losing all its rows). Verified unchanged
+    * against the UNCHANGED DuckDB oracle (anti-join form) at sf0.001/0.01/0.1. */
   def minhashPairsPrunedOf(docs: DataFrame): DataFrame = {
     val shingleTbl = shingleTableOf(docs).persist()
     val n = shingleTbl.count()
-    val x = shingleTbl.select(col("doc_id"), explode(col("sh")).as("t"))
-    val common = x.groupBy(col("t")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > lit(DfPruneFrac) * n)
-      .select(col("t"))
-    val pruned = x.join(broadcast(common), Seq("t"), "left_anti")
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_set(col("t"))).as("sh"))
-    verifyJaccard(lshCandidates(pruned), shingleTbl)
+    val bandSh = array_except(col("sh"), typedlit(commonShingleArray(shingleTbl, n).toSeq))
+    verifyJaccard(lshCandidates(shingleTbl, bandSh = Some(bandSh)), shingleTbl)
   }
 
   private val minhashPairsPrunedSql = {
     val mhs = (0 until NumHashes).map(k => s"${minhashSql(k)} AS mh_$k").mkString(", ")
     val bandList = (0 until NumBands).map { b =>
       val parts = (b * BandSize until (b + 1) * BandSize).map(k => s"mh_$k")
-      s"md5(concat_ws(',', ${parts.mkString(", ")}))"
+      bandKeySql(parts)
     }.mkString("[", ", ", "]")
     s"""WITH s AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
        |x AS (SELECT doc_id, unnest(sh) AS t FROM s),
@@ -380,14 +404,8 @@ object NearDup {
   def lshPrunedCandidateCount(spark: SparkSession, dir: String): Long = {
     val shingleTbl = shingleTable(spark, dir).persist()
     val n = shingleTbl.count()
-    val x = shingleTbl.select(col("doc_id"), explode(col("sh")).as("t"))
-    val common = x.groupBy(col("t")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > lit(DfPruneFrac) * n)
-      .select(col("t"))
-    val pruned = x.join(broadcast(common), Seq("t"), "left_anti")
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_set(col("t"))).as("sh"))
-    lshCandidates(pruned).count()
+    val bandSh = array_except(col("sh"), typedlit(commonShingleArray(shingleTbl, n).toSeq))
+    lshCandidates(shingleTbl, bandSh = Some(bandSh)).count()
   }
 
   /** Incremental NEAR-dup check — the continuous-ingestion twin of the
@@ -424,7 +442,7 @@ object NearDup {
     val mhs = (0 until NumHashes).map(k => s"${minhashSql(k)} AS mh_$k").mkString(", ")
     val bandList = (0 until NumBands).map { b =>
       val parts = (b * BandSize until (b + 1) * BandSize).map(k => s"mh_$k")
-      s"md5(concat_ws(',', ${parts.mkString(", ")}))"
+      bandKeySql(parts)
     }.mkString("[", ", ", "]")
     s"""WITH s AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
        |hh AS (SELECT doc_id, sh, $baseHashesSql AS hb FROM s),
@@ -466,15 +484,16 @@ object NearDup {
     val shingleTbl = shingleTable(spark, dir).persist()
     val corpusSide = shingleTbl.filter(col("doc_id") % 5 =!= 0)
     val n = corpusSide.count()
-    val common = corpusSide.select(explode(col("sh")).as("t"))
-      .groupBy(col("t")).agg(count(lit(1)).as("df"))
-      .filter(lit(n >= minDocs) && col("df") > lit(DfPruneFrac) * n)
-      .select(col("t"))
-    val pruned = shingleTbl.select(col("doc_id"), explode(col("sh")).as("t"))
-      .join(broadcast(common), Seq("t"), "left_anti")
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_set(col("t"))).as("sh"))
-    val banded = bandedOf(pruned)
+    // round-12 optimization: same stateless array_except prune as
+    // [[minhashPairsPrunedOf]] and the streaming twin — below the gate the
+    // plan is the plain unpruned banding (the old form still paid the
+    // explode + anti-join + re-aggregate Exchange on BOTH sides of the
+    // gate); above it the bounded stop list prunes per row, no re-agg.
+    val bandSh =
+      if (n >= minDocs)
+        Some(array_except(col("sh"), typedlit(commonShingleArray(corpusSide, n).toSeq)))
+      else None
+    val banded = bandedOf(shingleTbl, bandSh = bandSh)
     val batch = banded.filter(col("doc_id") % 5 === 0)
       .select(col("doc_id").as("id_a"), col("band"))
     val corpus = banded.filter(col("doc_id") % 5 =!= 0)
@@ -493,7 +512,7 @@ object NearDup {
     val mhs = (0 until NumHashes).map(k => s"${minhashSql(k)} AS mh_$k").mkString(", ")
     val bandList = (0 until NumBands).map { b =>
       val parts = (b * BandSize until (b + 1) * BandSize).map(k => s"mh_$k")
-      s"md5(concat_ws(',', ${parts.mkString(", ")}))"
+      bandKeySql(parts)
     }.mkString("[", ", ", "]")
     s"""WITH s AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
        |nn AS (SELECT count(*) AS n FROM s WHERE doc_id % 5 != 0),
@@ -634,7 +653,7 @@ object NearDup {
     val mhs = (0 until NumHashes).map(k => s"${minhashSql(k)} AS mh_$k").mkString(", ")
     val bandList = (0 until NumBands).map { b =>
       val parts = (b * BandSize until (b + 1) * BandSize).map(k => s"mh_$k")
-      s"md5(concat_ws(',', ${parts.mkString(", ")}))"
+      bandKeySql(parts)
     }.mkString("[", ", ", "]")
     val contain = roundNSql(
       "CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / least(len(sa.sh), len(sb.sh))", 4)

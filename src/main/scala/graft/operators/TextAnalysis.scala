@@ -724,7 +724,8 @@ object TextAnalysis {
     * so the effective count is min(rounds, available merges) — exhaustion
     * falls out of the same 1-row argmax collect each round, no separate
     * probe job. */
-  private def bpeChainOf(docs: DataFrame, rounds: Int): (Vector[DataFrame], DataFrame) = {
+  private def bpeChainOf(docs: DataFrame, rounds: Int,
+      needVocab: Boolean = true): (Vector[DataFrame], DataFrame) = {
     // char-spaced symbol string per distinct word: "cat" -> "c a t"
     val wf0 = withWordsOf(docs)
       .select(explode(col("w")).as("word"))
@@ -738,10 +739,13 @@ object TextAnalysis {
         .otherwise(array().cast("array<int>"))
       transform(idx, i => concat(element_at(l, i), lit(" "), element_at(l, i + 1)))
     }
-    // localCheckpoint per round: the next round's rewrite consumes round
-    // r's vocab state — without truncation each round REPLAYS every
-    // earlier replace chain (measured 37 s -> ~2 s at sf0.1). Same
-    // iterative-lineage discipline as Graph.connectedComponents.
+    // persist per round: the next round's rewrite consumes round r's vocab
+    // state — without materialization each round REPLAYS every earlier
+    // replace chain (measured 37 s -> ~2 s at sf0.1 when this was first
+    // made a localCheckpoint). Round-12 optimization: a LAZY persist
+    // instead of the eager localCheckpoint — round r's argmax job
+    // materializes round r-1's cache as a side effect of scanning it, so
+    // each round is ONE job instead of two (checkpoint barrier + collect).
     val spark = docs.sparkSession
     import spark.implicits._
     var wf = wf0
@@ -763,28 +767,32 @@ object TextAnalysis {
         val f = bestRows(0).getLong(1)
         val merged = pair.replace(" ", "")
         merges :+= Seq((r, pair, merged, f)).toDF("rank", "pair", "merged", "f")
-        wf = wf.select(col("word"),
-            call_function("replace", col("cur"), lit(pair), lit(merged)).as("cur"),
-            col("freq"))
-          .localCheckpoint()
+        // the final round's rewrite only matters to callers that consume
+        // the vocabulary state (encode); merge learning skips it outright
+        if (needVocab || r < rounds)
+          wf = wf.select(col("word"),
+              call_function("replace", col("cur"), lit(pair), lit(merged)).as("cur"),
+              col("freq"))
+            .persist()
       }
       r += 1
     }
     (merges, wf)
   }
 
-  private def bpeChain(spark: SparkSession, dir: String): (Vector[DataFrame], DataFrame) =
-    bpeChainOf(Tables.documents(spark, dir), BpeRounds)
+  private def bpeChain(spark: SparkSession, dir: String,
+      needVocab: Boolean = true): (Vector[DataFrame], DataFrame) =
+    bpeChainOf(Tables.documents(spark, dir), BpeRounds, needVocab)
 
   def bpeLearn(spark: SparkSession, dir: String): DataFrame =
-    bpeChain(spark, dir)._1.reduce(_ unionAll _)
+    bpeChain(spark, dir, needVocab = false)._1.reduce(_ unionAll _)
 
   /** Merge learning with an explicit round budget over any documents
     * frame (needs `doc_id`, `text`) — the corpus-parameterized form of
     * the registered [[bpeLearn]]. Stops early if the corpus has fewer
     * distinct pairs than `rounds`. */
   def bpeLearnRounds(docs: DataFrame, rounds: Int): DataFrame = {
-    val (merges, _) = bpeChainOf(docs, rounds)
+    val (merges, _) = bpeChainOf(docs, rounds, needVocab = false)
     require(merges.nonEmpty, "corpus has no symbol pairs to merge")
     merges.reduce(_ unionAll _)
   }
@@ -910,7 +918,12 @@ object TextAnalysis {
       .select(col("doc_id"), explode(col("w")).as("word"))
       .filter(col("word") =!= "")
     val lm = words.groupBy(col("word")).agg(count(lit(1)).as("c"))
-    val total = broadcast(words.agg(count(lit(1)).as("total")))
+    // round-12 optimization (guide §2.3): total word count = Σ c over the
+    // vocab-sized LM table — same value, but the corpus-sized words
+    // subtree (normalize + split + explode) is evaluated once less (it
+    // previously fed lm, this count, AND the probe side — 3 evaluations,
+    // since only exchanges are reused across plan branches, not scans)
+    val total = broadcast(lm.agg(sum(col("c")).as("total")))
     val qlp = floor(log(col("c").cast("double") / col("total")) * 1e6 + 0.5).cast("long")
     words.join(lm, "word").crossJoin(total)
       .select(col("doc_id"), qlp.as("qlp"))
@@ -957,8 +970,11 @@ object TextAnalysis {
     val bg = withWords(spark, dir)
       .select(col("doc_id"), explode(grams).as("bg"))
     val lm2 = bg.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
-    val lm1 = bg.select(substring_index(col("bg"), " ", 1).as("w1"))
-      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    // round-12 optimization (guide §2.3): the left-context marginal is the
+    // bigram table re-aggregated (c1(w1) = Σ c2 over bigrams starting with
+    // w1) — the corpus-sized bigram explode is evaluated once less
+    val lm1 = lm2.select(substring_index(col("bg"), " ", 1).as("w1"), col("c2"))
+      .groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     val qlp = floor(log(col("c2").cast("double") / col("c1")) * 1e6 + 0.5)
       .cast("long")
     bg.join(lm2, "bg")

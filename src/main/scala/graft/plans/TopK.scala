@@ -121,12 +121,17 @@ case class GraftTopKExec(
 
   /** Absolute retained-row budget for the partial heap map (the map has no
     * spill path): once groups×k would exceed this, new groups stop being
-    * admitted and the partition degrades to passthrough — covers the
-    * mid-density case (~3 rows/group over millions of groups) the
-    * rows-per-group ratio check never catches. */
+    * admitted and the partition degrades to passthrough. Round-12: default
+    * tightened 8.4M → 2M rows — the budget is PER TASK and every core runs
+    * one task, so the old ceiling allowed ~1 GB of heap-map objects × 32
+    * concurrent tasks on an 8 GB driver JVM (measured java.lang.OOM on the
+    * 500k-doc textrank edge-cap window, whose (doc,src) group count per
+    * task sat just under the old budget while the retention check below
+    * was marginal). A genuine top-k that needs more state than this
+    * degrades to the spillable sort, which is the safe plan. */
   private val maxRetainedRows: Long =
-    conf.getConfString("spark.graft.topk.maxRetainedRows", "8388608")
-      .toLongOption.filter(_ > 0).getOrElse(8388608L)
+    conf.getConfString("spark.graft.topk.maxRetainedRows", "2097152")
+      .toLongOption.filter(_ > 0).getOrElse(2097152L)
 
   override protected def doExecute(): RDD[InternalRow] = {
     val schema = child.output
@@ -144,6 +149,7 @@ case class GraftTopKExec(
       }
       val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
       var n = 0L
+      var evicted = 0L
       var passthrough = false
       var pending: InternalRow = null
       while (iter.hasNext && !passthrough) {
@@ -169,13 +175,25 @@ case class GraftTopKExec(
           else if (ord.compare(row, heap.peek()) < 0) {
             heap.poll()
             heap.add(row.copy())
-          }
+            evicted += 1
+          } else evicted += 1 // rejected outright — still not retained
           n += 1
-          // tiny-group degrade: if fewer than 2 rows/group observed so far,
-          // the heap map is paying per-row copy + GC for (almost) no volume
-          // reduction — forward the remainder untouched (correct: the final
-          // sorted scan re-selects exactly k per group from any superset)
-          if ((n & mask) == 0 && heaps.size * 2L > n) passthrough = true
+          // retention degrade (round-12: replaces the groups×2 > n
+          // tiny-group check, which only caught the <2 rows/group case):
+          // if the heap map is retaining more than 3/4 of what it has
+          // seen, it is paying per-row copy + map + GC for (almost) no
+          // volume reduction — forward the remainder untouched (correct:
+          // the final sorted scan re-selects exactly k per group from any
+          // superset). Directly measures reduction, so it also catches the
+          // mid-density regime (rows/group ≤ k over millions of groups,
+          // e.g. the 500k-doc textrank edge-cap window at ~1.9 rows/group
+          // with k=8, where NOTHING is evicted and the old check sat just
+          // under its threshold while the map exhausted the heap — that
+          // regime measures retention 1.0). Threshold 3/4, not 1/2: a
+          // heap already cutting a third of its input is doing real work
+          // per retained row, and every pathological case above measures
+          // retention ≈ 1.0 — degrade only on clear evidence.
+          if ((n & mask) == 0 && (n - evicted) * 4L > n * 3L) passthrough = true
         }
       }
       if (passthrough) passthroughMetric.add(1L)

@@ -46,9 +46,10 @@ class NearDupSpec extends SparkSuite {
   test("DF-prune gate: unpruned below DfPruneMinDocs, pruned at/above (same pairs either way)") {
     val dir = SparkSpec.sf0001
     // discriminate the chosen path structurally: only the pruned plan
-    // anti-joins the broadcast common-shingle stop list
+    // subtracts the bounded common-shingle stop list (per-row array_except
+    // before banding — round-12 form; was a broadcast anti-join)
     def usesPrune(df: org.apache.spark.sql.DataFrame): Boolean =
-      df.queryExecution.executedPlan.toString.contains("LeftAnti")
+      df.queryExecution.executedPlan.toString.contains("array_except")
     val below = NearDup.minhashPairsAuto(spark, dir) // 500 docs < 150k default
     val above = NearDup.minhashPairsAuto(spark, dir, minDocs = 1)
     assert(!usesPrune(below) && usesPrune(above))
@@ -64,7 +65,7 @@ class NearDupSpec extends SparkSuite {
     // take the PRUNED plan — the branch the default-gate oracle never
     // exercises at correctness scales (round-11 advice)
     val low = NearDup.minhashPairsAuto(spark, dir, minDocs = NearDup.LowGateMinDocs)
-    assert(low.queryExecution.executedPlan.toString.contains("LeftAnti"))
+    assert(low.queryExecution.executedPlan.toString.contains("array_except"))
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs(low) === pairs(NearDup.minhashPairsPruned(spark, dir)))
