@@ -882,8 +882,16 @@ object Retrieval {
 
   private[operators] def qlOf(words: DataFrame, queries: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // round-12 optimization: derive the corpus token total from dl
+    // (Σ dl ≡ count of word rows) — dl's exchange is reused by the final
+    // scored join (ReuseExchange), so this replaces a full fourth corpus
+    // scan+explode with a doc-count-sized re-aggregation of shuffle files
+    // (the lmScore recipe). Persisting `words` itself was tried and
+    // rejected — see bm25Of's note (measured slower at every scale we
+    // can measure, and corpus-sized memory pressure at the scale we
+    // cannot).
     val dl = words.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val ctot = broadcast(words.agg(count(lit(1)).as("c_tot")))
+    val ctot = broadcast(dl.agg(sum(col("dl")).as("c_tot")))
     val cf = broadcast(
       words.join(broadcast(queries.select(col("term")).distinct()), Seq("term"))
         .groupBy(col("term")).agg(count(lit(1)).as("cf")))

@@ -1292,6 +1292,17 @@ object TextAnalysis {
     * query_id (registry tripwire rejects unpartitioned windows). */
   def bm25Of(words: DataFrame, queries: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Round-12 note (§5, measured and deliberately NOT cached): the
+    // exploded corpus feeds dl, stats and the term-filtered tf — multiple
+    // scans of the normalize+split+explode subtree. Persisting it was
+    // tried and made every consumer 15–40% SLOWER at sf0.1 (paired A/B:
+    // prf 3.91→4.67 s, interleave 2.03→2.90 s, bm25_multi 0.94→1.10 s) —
+    // the columnar cache build plus the lost codegen fusion on each read
+    // cost more than recomputing a narrow projection+explode from
+    // parquet, and at corpus scale materializing the exploded words
+    // relation is exactly the memory pressure §5 warns caching creates.
+    // dl's exchange is reused by the scored join (ReuseExchange), so the
+    // per-doc aggregate is only paid once.
     val dl = words.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val stats = broadcast(dl.agg(count(lit(1)).as("n"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl")))
